@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed twice: a warm-up that also forces plan
+compilation, then a timed run measured to full materialization
+(count of a cached-free plan -- no driver collect of big results).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hq_master_data_warehouse_spark import registry
+from hq_master_data_warehouse_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline set: flagship + the heaviest representative per family.
+HEADLINE = [
+    "flagship_range_counts",
+    "anti_join_exclude_sent",
+    "capacity_distribution",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "dedup_minhash_lsh",
+    "similarity_cosine_topk",
+    "text_quality_scores",
+    "events_tumbling_window",
+]
+
+
+def _materialize(df) -> int:
+    """Force full execution without collecting rows to the driver."""
+    return df.write.format("noop").mode("overwrite").save() or df.count()
+
+
+def main() -> None:
+    registry.load_catalog()
+    spark = get_spark(master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in registry.QUERIES]
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = registry.QUERIES[name]
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()  # warm-up
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults are chosen for the 100 TB design target (AQE on, adaptive
+coalescing + skew-join handling, Arrow for any pandas interchange) while
+remaining correct on ``local[*]`` test runs.  Tests and bench pass an
+explicit master/parallelism; a production deployment would submit with
+its own cluster master and leave these settings intact.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Keep shuffle partitions aligned with local core count during tests;
+# on a real cluster this is superseded by AQE coalescing anyway.
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "hq-master-data-warehouse-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    AQE handles runtime re-planning (partition coalescing, skew joins,
+    broadcast conversion) -- the engine relies on it instead of
+    hand-tuning per-query parallelism, per SURVEY.md par.4.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(
+            shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+        ),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Timestamps in testdata are naive; keep session TZ stable so
+        # results are deterministic regardless of host TZ.
+        "spark.sql.session.timeZone": "UTC",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "spark.ui.enabled": "false",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def get_test_spark() -> SparkSession:
+    """Session for pytest / local iteration: local[N] single JVM."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return get_spark(master=f"local[{cpus}]")
