@@ -1,1 +1,232 @@
-"""(populated in later milestones)"""
+"""Aggregation family (SURVEY ops A1-A5 + par.2.4 engine surface:
+sums/avgs/min/max, distinct counts, rollup/cube).
+
+The reference computes aggregates either as N+1 loops of filtered
+COUNTs (companies/route.ts:56-79) or JS-side tallies over pulled rows
+(route.ts:86-92, send/route.ts:125-128).  Every one becomes a single
+partial+final hash aggregate here -- map-side combine means the shuffle
+carries one row per (partition x group), not per input row.
+
+Money sums follow the decimal-cast convention from
+``functions.scalars`` so results are order-independent and
+oracle-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import dec_avg, dec_avg_sql, dec_sum, dec_sum_sql
+from ..registry import query
+from ..sources.ledger_fixture import SENT_LEDGER_SQL, sent_ledger
+from ..sources.loaders import load_table
+
+
+# -- A2: grouped count of the sent ledger keyed by bucket, NULL bucket
+#    coalesced to 'unknown' (companies/route.ts:86-92).
+@query(
+    "agg_sent_counts_by_segment",
+    oracle=f"""
+    WITH ledger AS ({SENT_LEDGER_SQL})
+    SELECT COALESCE(c.c_mktsegment, 'unknown') AS segment,
+           COUNT(*) AS sent
+    FROM ledger l
+    LEFT JOIN customer c ON c.c_custkey = l.company_id
+    GROUP BY COALESCE(c.c_mktsegment, 'unknown')
+    """,
+)
+def agg_sent_counts_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ledger = sent_ledger(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        ledger.join(
+            customer, ledger.company_id == customer.c_custkey, "left"
+        )
+        .groupBy(
+            F.coalesce("c_mktsegment", F.lit("unknown")).alias("segment")
+        )
+        .agg(F.count("*").alias("sent"))
+    )
+
+
+# -- A3: conditional tally -- per-destination sent/failed counters
+#    (send/route.ts:125-128).  Role-play: per priority, F-status vs not.
+@query(
+    "agg_conditional_tally",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS ok_cnt,
+           CAST(SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS fail_cnt
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_conditional_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).alias("ok_cnt"),
+            F.sum(
+                F.when(F.col("o_orderstatus") != "F", 1).otherwise(0)
+            ).alias("fail_cnt"),
+        )
+    )
+
+
+# -- par.2.4 surface: full numeric aggregate set over lineitem.
+@query(
+    "agg_numeric_stats",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS cnt,
+           {dec_sum_sql('l_quantity', 'sum_qty')},
+           {dec_avg_sql('l_extendedprice', 'avg_price')},
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           COUNT(DISTINCT l_partkey) AS distinct_parts
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("cnt"),
+            dec_sum("l_quantity", "sum_qty"),
+            dec_avg("l_extendedprice", "avg_price"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+        )
+    )
+
+
+# -- par.2.4 surface: ROLLUP over two keys (subtotals + grand total).
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS cnt,
+           {dec_sum_sql('l_extendedprice', 'sum_price')}
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            dec_sum("l_extendedprice", "sum_price"),
+        )
+    )
+
+
+# -- par.2.4 surface: CUBE (all grouping-set combinations).
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# -- A5: scalar capacity arithmetic (page.tsx:153-155,204-208):
+#    remaining = total - sent; will_send = least(batch, available,
+#    capacity); greatest clamps at zero.
+@query(
+    "agg_capacity_arithmetic",
+    oracle=f"""
+    WITH ledger AS ({SENT_LEDGER_SQL}),
+    sentkeys AS (SELECT DISTINCT company_id FROM ledger),
+    per_seg AS (
+        SELECT c.c_mktsegment AS segment,
+               COUNT(*) AS total,
+               COUNT(s.company_id) AS sent
+        FROM customer c
+        LEFT JOIN sentkeys s ON s.company_id = c.c_custkey
+        GROUP BY c.c_mktsegment
+    )
+    SELECT segment, total, sent,
+           GREATEST(total - sent, 0) AS remaining,
+           LEAST(100, GREATEST(total - sent, 0), 400) AS will_send
+    FROM per_seg
+    """,
+)
+def agg_capacity_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    ledger = sent_ledger(spark, sf_dir).withColumnRenamed(
+        "company_id", "c_custkey"
+    )
+    flagged = customer.join(
+        ledger.distinct().withColumn("is_sent", F.lit(1)),
+        on="c_custkey",
+        how="left",
+    )
+    per_seg = flagged.groupBy(
+        F.col("c_mktsegment").alias("segment")
+    ).agg(
+        F.count("*").alias("total"),
+        F.count("is_sent").alias("sent"),
+    )
+    remaining = F.greatest(F.col("total") - F.col("sent"), F.lit(0))
+    return per_seg.select(
+        "segment",
+        "total",
+        "sent",
+        remaining.alias("remaining"),
+        F.least(F.lit(100), remaining, F.lit(400)).alias("will_send"),
+    )
+
+
+# -- A4: batch-level audit counters (clay-webhook/index.ts:42-44):
+#    received vs inserted per batch.  Role-play: events per user_id
+#    batch, "inserted" = rows passing validation (value not null, >0).
+@query(
+    "agg_audit_counters",
+    oracle="""
+    SELECT user_id AS batch_id,
+           COUNT(*) AS records_received,
+           COUNT(*) FILTER (WHERE value IS NOT NULL AND value > 0)
+               AS records_inserted,
+           CASE WHEN COUNT(*) = COUNT(*) FILTER (
+               WHERE value IS NOT NULL AND value > 0
+           ) THEN 'success' ELSE 'partial' END AS status
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_audit_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ok = F.col("value").isNotNull() & (F.col("value") > 0)
+    return (
+        events.groupBy(F.col("user_id").alias("batch_id"))
+        .agg(
+            F.count("*").alias("records_received"),
+            F.count(F.when(ok, 1)).alias("records_inserted"),
+        )
+        .withColumn(
+            "status",
+            F.when(
+                F.col("records_received") == F.col("records_inserted"),
+                F.lit("success"),
+            ).otherwise(F.lit("partial")),
+        )
+    )

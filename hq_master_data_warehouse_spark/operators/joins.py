@@ -1,1 +1,181 @@
-"""(populated in later milestones)"""
+"""Join family (SURVEY ops J1-J4).
+
+The reference's two interesting joins are workarounds for PostgREST
+limits -- a NOT-IN string built from a collected ID list (anti-join,
+src/app/api/companies/route.ts:28-37) and a 100-id-chunked IN fetch
+(semi-join, src/app/api/send/route.ts:33-54).  Both become single
+distributed joins here: no driver-side ID materialization, no chunking,
+and AQE is free to choose broadcast-hash when the ledger side is small.
+At 100 TB the anti/semi joins shuffle on the customer key only after
+predicate pushdown has cut the fact scan; the config-dimension joins
+are explicitly broadcast (dims are KBs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.ledger_fixture import SENT_LEDGER_SQL, sent_ledger
+from ..sources.loaders import load_table
+
+
+# -- J1: anti-join "exclude already sent" + F1 + O1 + W1 pagination --
+#    the reference's exclude_sent=true path (companies/route.ts:28-41).
+#    Fixture D2: BUILDING-segment customers with no ledger entry,
+#    ordered by name, page 2 of size 20.
+@query(
+    "anti_join_exclude_sent",
+    oracle=f"""
+    WITH ledger AS ({SENT_LEDGER_SQL})
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND NOT EXISTS (SELECT 1 FROM ledger l
+                      WHERE l.company_id = c.c_custkey)
+    ORDER BY c_name
+    LIMIT 20 OFFSET 20
+    """,
+)
+def anti_join_exclude_sent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    customer = load_table(spark, sf_dir, "customer")
+    ledger = sent_ledger(spark, sf_dir).withColumnRenamed(
+        "company_id", "c_custkey"
+    )
+    unsent = (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(ledger, on="c_custkey", how="left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+    # Offset pagination via row_number (W1).  Global orderBy window is
+    # single-partition -- deliberate: it runs on an already
+    # segment-filtered, anti-joined page source (dashboard scale), per
+    # SURVEY.md par.4.2.
+    w = Window.orderBy("c_name")
+    return (
+        unsent.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 20) & (F.col("rn") <= 40))
+        .drop("rn")
+    )
+
+
+# -- J2: semi-join "fetch selected IDs" (send/route.ts:33-54).  The
+#    selected-ID set is itself a DataFrame; the 100-id URL chunking
+#    disappears.
+@query(
+    "semi_join_fetch_selected",
+    oracle=f"""
+    WITH ledger AS ({SENT_LEDGER_SQL})
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM ledger l WHERE l.company_id = c.c_custkey)
+      AND c.c_mktsegment = 'MACHINERY'
+    """,
+)
+def semi_join_fetch_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    picked = sent_ledger(spark, sf_dir).withColumnRenamed(
+        "company_id", "c_custkey"
+    )
+    return (
+        customer.filter(F.col("c_mktsegment") == "MACHINERY")
+        .join(picked, on="c_custkey", how="left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+# -- J3: FK equi-join to config dimensions (supabase-schema.sql:18:
+#    company_sends.webhook_id REFERENCES clay_webhooks).  Dims are tiny
+#    -- broadcast explicitly so no shuffle of the fact side's join key
+#    is ever needed at scale.
+@query(
+    "broadcast_fk_join",
+    oracle="""
+    SELECT r.r_name AS region_name, COUNT(*) AS order_cnt
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def broadcast_fk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(F.count("*").alias("order_cnt"))
+    )
+
+
+# -- J4: multi-way full-outer count join (dashboard card merge,
+#    src/app/page.tsx:361-388): availability counts x sent counts x
+#    webhook counts per bucket, missing sides coalesced to 0.
+@query(
+    "multiway_outer_counts",
+    oracle=f"""
+    WITH ledger AS ({SENT_LEDGER_SQL}),
+    avail AS (
+        SELECT c_mktsegment AS segment, COUNT(*) AS available
+        FROM customer GROUP BY c_mktsegment
+    ),
+    sent AS (
+        SELECT c.c_mktsegment AS segment, COUNT(*) AS sent
+        FROM ledger l JOIN customer c ON c.c_custkey = l.company_id
+        GROUP BY c.c_mktsegment
+    ),
+    hooks AS (
+        SELECT r.r_name AS segment, COUNT(*) AS webhook_cnt
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    )
+    SELECT
+        COALESCE(a.segment, s.segment, h.segment) AS segment,
+        COALESCE(a.available, 0) AS available,
+        COALESCE(s.sent, 0) AS sent,
+        COALESCE(h.webhook_cnt, 0) AS webhook_cnt
+    FROM avail a
+    FULL OUTER JOIN sent s ON a.segment = s.segment
+    FULL OUTER JOIN hooks h ON COALESCE(a.segment, s.segment) = h.segment
+    """,
+)
+def multiway_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    ledger = sent_ledger(spark, sf_dir)
+
+    avail = customer.groupBy(
+        F.col("c_mktsegment").alias("segment")
+    ).agg(F.count("*").alias("available"))
+    sent = (
+        ledger.join(customer, ledger.company_id == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("sent"))
+    )
+    hooks = (
+        nation.join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .groupBy(F.col("r_name").alias("segment"))
+        .agg(F.count("*").alias("webhook_cnt"))
+    )
+    return (
+        avail.join(sent, on="segment", how="full_outer")
+        .join(hooks, on="segment", how="full_outer")
+        .select(
+            "segment",
+            F.coalesce("available", F.lit(0)).alias("available"),
+            F.coalesce("sent", F.lit(0)).alias("sent"),
+            F.coalesce("webhook_cnt", F.lit(0)).alias("webhook_cnt"),
+        )
+    )

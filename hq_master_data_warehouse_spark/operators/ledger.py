@@ -1,1 +1,164 @@
-"""(populated in later milestones)"""
+"""Mutation + append-ledger semantics (SURVEY ops S5-S8, M4).
+
+The reference mutates state three ways: append-only inserts into the
+``company_sends`` ledger and people/audit tables (send/route.ts:141-151,
+clay-webhook/index.ts:93-96), update-by-key and delete-by-key on the
+``clay_webhooks`` config table (webhooks/route.ts:58-63,82-85).
+
+Spark disposition: appends are ``write.mode('append')``; keyed
+update/delete on immutable Parquet are read->rewrite->overwrite plans
+(Delta Lake MERGE/UPDATE/DELETE is the production path -- same logical
+plan, transactional commit).  The *logical* mutation is a pure
+DataFrame transform, registered below with SQL oracles; the physical
+write path is exercised by the filesystem round-trip helpers + pytest
+(send-twice idempotence, T4).
+
+Design decision recorded per SURVEY.md par.3.2.5: the reference stamps
+every ledger row ``status='sent'`` even when the POST failed
+(send/route.ts:146 vs. the failed tally).  The engine records per-row
+actual status instead.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loaders import load_table
+
+# ---------------------------------------------------------------------------
+# Logical mutation plans (oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+# -- S7: update-by-key with updated_at touch (webhooks/route.ts:58-63).
+#    nation-as-config: rename nation 7, fixed touch marker (the prod
+#    path uses current_timestamp -- nondeterministic, so the oracle
+#    pins a literal).
+@query(
+    "ledger_update_by_key",
+    oracle="""
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey = 7 THEN 'RENAMED_NATION'
+                ELSE n_name END AS n_name,
+           n_regionkey,
+           CASE WHEN n_nationkey = 7 THEN 'touched' ELSE NULL
+               END AS updated_marker
+    FROM nation
+    """,
+)
+def ledger_update_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    hit = F.col("n_nationkey") == 7
+    return nation.select(
+        "n_nationkey",
+        F.when(hit, F.lit("RENAMED_NATION"))
+        .otherwise(F.col("n_name"))
+        .alias("n_name"),
+        "n_regionkey",
+        F.when(hit, F.lit("touched"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("updated_marker"),
+    )
+
+
+# -- S8: delete-by-key (webhooks/route.ts:82-85) as a keyed filter.
+@query(
+    "ledger_delete_by_key",
+    oracle="SELECT * FROM nation WHERE n_nationkey <> 7",
+)
+def ledger_delete_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "nation").filter(
+        F.col("n_nationkey") != 7
+    )
+
+
+# -- S5/S6: insert-returning + bulk append as a logical plan: existing
+#    rows unioned with the new batch (the write path appends only the
+#    new rows; see append_ledger below).
+@query(
+    "ledger_append_rows",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    UNION ALL
+    SELECT 100 AS n_nationkey, 'NEW_WEBHOOK_A' AS n_name, 0 AS n_regionkey
+    UNION ALL
+    SELECT 101 AS n_nationkey, 'NEW_WEBHOOK_B' AS n_name, 1 AS n_regionkey
+    """,
+)
+def ledger_append_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    new = spark.createDataFrame(
+        [(100, "NEW_WEBHOOK_A", 0), (101, "NEW_WEBHOOK_B", 1)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    return nation.unionByName(new)
+
+
+# ---------------------------------------------------------------------------
+# Physical write path (pytest-exercised; rows-only from the driver's
+# point of view -- these mutate a caller-supplied directory)
+# ---------------------------------------------------------------------------
+
+
+def append_ledger(records: DataFrame, ledger_path: str) -> None:
+    """S6: append send records to the ledger (send/route.ts:141-151).
+    Parquet append here; Delta append in production for atomicity."""
+    records.write.mode("append").parquet(ledger_path)
+
+
+def new_send_records(
+    assigned: DataFrame, batch_id: str | None = None
+) -> DataFrame:
+    """Build ledger rows from distributed companies: uuid ids (C1),
+    current timestamp (C2), per-row ACTUAL status -- not the
+    reference's blanket 'sent' (route.ts:146)."""
+    batch_id = batch_id or str(uuid.uuid4())
+    return assigned.select(
+        F.expr("uuid()").alias("id"),
+        F.col("c_custkey").cast("string").alias("company_id"),
+        F.col("webhook_id").cast("string").alias("webhook_id"),
+        F.col("segment").alias("employee_range"),
+        F.lit(batch_id).alias("batch_id"),
+        F.current_timestamp().alias("sent_at"),
+        F.when(F.col("assigned"), F.lit("sent"))
+        .otherwise(F.lit("skipped"))
+        .alias("status"),
+    )
+
+
+def unsent_companies(companies: DataFrame, ledger: DataFrame) -> DataFrame:
+    """J1/T4: exclude-already-sent against a live ledger DataFrame."""
+    sent_keys = ledger.select(
+        F.col("company_id").cast("long").alias("c_custkey")
+    )
+    return companies.join(sent_keys, on="c_custkey", how="left_anti")
+
+
+def overwrite_update_by_key(
+    spark: SparkSession,
+    table_path: str,
+    key_col: str,
+    key_value,
+    updates: dict[str, object],
+) -> None:
+    """S7 physical path: read -> conditional withColumn -> overwrite.
+
+    Non-transactional on raw Parquet (write to temp, swap) -- documented
+    Delta ``UPDATE`` upgrade path for production.
+    """
+    df = spark.read.parquet(table_path)
+    hit = F.col(key_col) == key_value
+    for col_name, value in updates.items():
+        df = df.withColumn(
+            col_name, F.when(hit, F.lit(value)).otherwise(F.col(col_name))
+        )
+    tmp = table_path.rstrip("/") + ".tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.write.mode("overwrite").parquet(table_path)

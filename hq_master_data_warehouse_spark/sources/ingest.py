@@ -1,1 +1,94 @@
-"""(populated in later milestones)"""
+"""JSON ingest source family (SURVEY ops S10, F8, C10 + U1 explode).
+
+The reference's ingest webhook parses a JSON body that may be a single
+object or an array, normalizes it to a record list
+(clay-webhook/index.ts:47-50), and whitelist-projects each record onto
+14 allowed fields with null-coalescing (:76-91).
+
+Spark: ``from_json`` with an explicit schema (schema-on-write, like the
+reference's whitelist map), scalar-vs-array polymorphism handled by
+parsing both ways and coalescing, then ``explode``.  Batch mode reads
+dropped JSON files; streaming mode is the same plan under
+``readStream`` (see streaming.jobs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..schemas import PEOPLE_FIELDS
+from .loaders import load_table
+
+
+# -- C10/S10: parse embedded JSON with an explicit schema.  The
+#    ``events.props`` column plays the webhook payload body.
+@query(
+    "ingest_json_parse",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k,
+           CAST(json_extract_string(props, '$.missing') AS VARCHAR)
+               AS missing_field
+    FROM events
+    """,
+)
+def ingest_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_id",
+        F.from_json("props", "k INT, missing STRING").alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        F.col("p.missing").alias("missing_field"),
+    )
+
+
+# -- S10 normalization: scalar-vs-array polymorphism + explode.  The
+#    split/explode shape also covers U1-style row multiplication.
+@query(
+    "ingest_explode_records",
+    oracle="""
+    SELECT o_orderkey,
+           unnest(string_split(o_orderpriority, '-')) AS part
+    FROM orders
+    """,
+)
+def ingest_explode_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.explode(F.split("o_orderpriority", "-")).alias("part"),
+    )
+
+
+def normalize_payload(raw: DataFrame, payload_col: str = "value") -> DataFrame:
+    """Scalar-or-array JSON payload -> one row per person record with
+    the 14-field whitelist projection (clay-webhook/index.ts:47-50 +
+    76-91).
+
+    ``raw`` holds one JSON document per row (e.g. from
+    ``spark.read.text`` over a webhook drop directory).  Documents that
+    parse as arrays explode to N rows; documents that parse as single
+    objects contribute one row; unknown fields are dropped by the
+    explicit schema; absent fields surface as NULL.  The JS ``|| null``
+    also nullifies empty strings -- matched via the trim-length guard.
+    """
+    person_schema = ", ".join(f"{f} STRING" for f in PEOPLE_FIELDS)
+    as_array = F.from_json(F.col(payload_col), f"ARRAY<STRUCT<{person_schema}>>")
+    as_object = F.from_json(F.col(payload_col), f"STRUCT<{person_schema}>")
+    records = raw.select(
+        F.explode(
+            F.coalesce(as_array, F.array(as_object))
+        ).alias("rec")
+    )
+
+    def norm(field: str):
+        c = F.col(f"rec.{field}")
+        return (
+            F.when(F.length(F.trim(c)) == 0, F.lit(None)).otherwise(c)
+        ).alias(field)
+
+    return records.select(*[norm(f) for f in PEOPLE_FIELDS])

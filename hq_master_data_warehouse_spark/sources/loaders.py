@@ -9,6 +9,7 @@ equivalent of the reference pushing filters into PostgREST querystrings
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..schemas import TEST_TABLES
 
@@ -18,7 +19,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     Column pruning / filter pushdown happen automatically once callers
     ``.select``/``.filter`` -- never pre-collect or pre-materialize here.
+
+    ``events.ts`` is Parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects outright (PARQUET_TYPE_ILLEGAL).  It is read as
+    nanos-since-epoch via the nanosAsLong fallback and rebuilt as a
+    microsecond TimestampType with integer division -- the same
+    truncation DuckDB applies when casting TIMESTAMP_NS to TIMESTAMP,
+    so both engines observe identical event times.
     """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
