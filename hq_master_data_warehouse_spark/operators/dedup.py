@@ -1,1 +1,373 @@
-"""(populated in later milestones)"""
+"""Deduplication suite for LLM-training-data pipelines (SURVEY.md
+par.2.11, north-star requirement): exact, n-gram Jaccard, MinHash+LSH,
+SimHash, and embedding-cosine near-dup.
+
+Design for 100 TB:
+
+* every variant is a pure DataFrame pipeline -- shingling and hashing
+  are JVM expressions (xxhash64/md5, higher-order array functions), so
+  the hot path stays in whole-stage codegen with zero Python;
+* candidate generation is always a key-equality join (shingle match,
+  LSH band bucket, SimHash band) -- never an O(n^2) cross join; the
+  only cross join in the family is the small-fixture cosine baseline,
+  whose scale path is the LSH variant;
+* the frequent-shingle hazard (a stop-shingle appearing in every doc
+  explodes the pair join) is handled by dropping shingles above a
+  document-frequency cap before the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loaders import load_table
+
+#: shingles appearing in more than this many docs are dropped before
+#: the pair join (stop-shingle guard; tuned for the synthetic corpus's
+#: tiny vocabulary -- production corpora use a relative cap).
+MAX_SHINGLE_DF = 50
+
+JACCARD_THRESHOLD = 0.30
+COSINE_DUP_THRESHOLD = 0.50
+
+
+def canonical_text(col: Column) -> Column:
+    """Normalization shared by every textual dedup: lowercase, collapse
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+CANONICAL_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column (JVM-side
+    higher-order functions; no UDF)."""
+    toks = F.split(canonical_text(col), " ")
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + off) for off in range(n)]
+        ),
+    )
+    return F.array_distinct(gram)
+
+
+_SHINGLES_SQL = f"""
+    list_distinct(list_transform(
+        generate_series(1, len(string_split({CANONICAL_SQL}, ' ')) - 2),
+        i -> string_split({CANONICAL_SQL}, ' ')[i] || ' ' ||
+             string_split({CANONICAL_SQL}, ' ')[i+1] || ' ' ||
+             string_split({CANONICAL_SQL}, ' ')[i+2]
+    ))
+"""
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) exploded rows with the stop-shingle guard."""
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("sh")
+    )
+    hot = (
+        rows.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("sh")
+    )
+    return rows.join(F.broadcast(hot), on="sh", how="left_anti")
+
+
+_SHINGLE_ROWS_SQL = f"""
+    WITH all_rows AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM documents
+    ), hot AS (
+        SELECT sh FROM all_rows GROUP BY sh HAVING COUNT(*) > {MAX_SHINGLE_DF}
+    )
+    SELECT doc_id, sh FROM all_rows
+    WHERE sh NOT IN (SELECT sh FROM hot)
+"""
+
+
+# -- exact dedup: hash-groupBy on canonical text (par.2.11 "exact").
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5({CANONICAL_SQL}) AS text_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS dup_cnt
+    FROM documents
+    GROUP BY md5({CANONICAL_SQL})
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeps the lowest doc_id per canonical-text hash --
+    ``dropDuplicates`` generalized to report group sizes.  At scale
+    this is one hash-shuffle on a 128-bit key; the md5 key (not the
+    full text) is what shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.md5(canonical_text(F.col("text"))).alias("text_hash"),
+            "doc_id",
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("dup_cnt"),
+        )
+    )
+
+
+# -- n-gram Jaccard near-dup: shingle-equality join generates
+#    candidates, exact Jaccard verifies.  This is the un-hashed
+#    skeleton of MinHash LSH and shares its shape.
+_PAIR_JACCARD_SQL = f"""
+    WITH rows_f AS ({_SHINGLE_ROWS_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM rows_f GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM rows_f a JOIN rows_f b
+          ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6)
+          >= {JACCARD_THRESHOLD}
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_PAIR_JACCARD_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = _shingle_rows(spark, sf_dir).cache()
+    sizes = rows.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = rows.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = rows.select(F.col("doc_id").alias("doc_b"), "sh")
+    common = (
+        a.join(b, on="sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.round(
+        F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")),
+        6,
+    )
+    return (
+        common.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# -- MinHash + LSH banding (par.2.11 "fuzzy/near dedup" scale path).
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+
+
+def _minhash_signatures(rows: DataFrame) -> DataFrame:
+    """One min-hash per seed per doc: min over shingles of
+    xxhash64(seed, shingle).  16 aggregates in one pass."""
+    aggs = [
+        F.min(F.xxhash64(F.lit(f"seed{s}"), F.col("sh"))).alias(f"mh{s}")
+        for s in range(N_HASHES)
+    ]
+    return rows.groupBy("doc_id").agg(*aggs)
+
+
+@query("dedup_minhash_lsh")  # rows-only: hash family is Spark-specific
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle -> 16 minhashes -> 4 LSH bands -> band-bucket join ->
+    exact-Jaccard verification.  Candidate generation touches only
+    docs sharing a full band (probability ~ j^4 per band), so the pair
+    join stays near-linear at corpus scale; the final exact check
+    removes false positives, giving precision 1.0 by construction.
+    """
+    rows = _shingle_rows(spark, sf_dir).cache()
+    sigs = _minhash_signatures(rows)
+    r = N_HASHES // N_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"mh{b * r + i}") for i in range(r)]
+                        ).alias("key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", "key"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), "band", "key"
+    )
+    cands = (
+        left.join(right, on=["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    # exact verification of candidates only
+    sizes = rows.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = rows.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = rows.select(F.col("doc_id").alias("doc_b"), "sh")
+    common = (
+        a.join(b, on="sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(cands, on=["doc_a", "doc_b"], how="left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.round(
+        F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")),
+        6,
+    )
+    return (
+        common.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# -- SimHash near-dup (par.2.11): 32-bit fingerprint from token
+#    hashes; banded hamming candidate join; bit_count verification.
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4
+MAX_HAMMING = 3
+
+
+@query("dedup_simhash")  # rows-only: hash family is Spark-specific
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token xxhash64 votes each of 32 bits up or down; the sign
+    vector is the fingerprint.  Near-dups = hamming <= 3, found via
+    8-bit band equality (a pair within hamming 3 must agree on at
+    least one of 4 bands -- pigeonhole), verified with bit_count."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(canonical_text(F.col("text")), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    voted = toks.groupBy("doc_id").agg(*bit_votes)
+    fp = voted.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(0)
+                for i in range(SIMHASH_BITS)
+            ]
+        )
+        .cast("long")
+        .alias("fingerprint"),
+    )
+
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    bands = fp.select(
+        "doc_id",
+        "fingerprint",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(
+                            F.col("fingerprint"), b * band_width
+                        )
+                        .bitwiseAND((1 << band_width) - 1)
+                        .alias("key"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "fingerprint", "bk.band", "bk.key")
+
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("fingerprint").alias("fp_a"),
+        "band",
+        "key",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("fingerprint").alias("fp_b"),
+        "band",
+        "key",
+    )
+    hamming = F.bit_count(
+        F.col("fp_a").bitwiseXOR(F.col("fp_b"))
+    ).alias("hamming")
+    return (
+        left.join(right, on=["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming)
+        .distinct()
+        .filter(F.col("hamming") <= MAX_HAMMING)
+    )
+
+
+# -- embedding-cosine near-dup (par.2.11): exact baseline; the ANN
+#    scale path is similarity.similarity_ann_lsh.
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE))
+           ), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(
+              list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(b.embedding, x -> CAST(x AS DOUBLE))
+          ), 6) >= {COSINE_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import cosine_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    cos = F.round(cosine_expr(F.col("ea"), F.col("eb")), 6)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )

@@ -1,0 +1,156 @@
+"""Multimodal column plumbing (SURVEY.md par.2.11 / north star).
+
+Images/audio/video are opaque ``binary`` columns riding in the same
+DataFrame as typed metadata -- Spark's ``binaryFile`` source at ingest,
+Parquet BYTE_ARRAY at rest.  The Spark-side plumbing here (schemas,
+partition-preserving transforms, Arrow-batched ``mapInPandas``
+signatures and batch shapes) is real and tested; the actual
+image/audio codecs are NOT in this container, so the decode step is a
+clearly-marked stub (``decode_image``) plus a deterministic fake
+featurizer that exercises the exact same plumbing.
+
+Fixture role-play: the binary payload is the document text utf-8
+encoded; at 100 TB the payloads are real media and the constraint that
+matters is embedded below: binaries never pass through Python row-by-
+row, only as Arrow record batches, and metadata extraction stays in
+JVM expressions wherever the format allows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loaders import load_table
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Attach the opaque payload + typed metadata struct -- the
+    canonical multimodal row layout: (id, binary, struct<meta>)."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.octet_length(payload).alias("byte_len"),
+            F.col("source").alias("origin"),
+        ).alias("media_meta"),
+    )
+
+
+# -- JVM-side metadata extraction over the binary column: checksums,
+#    sizes, and derived decode parameters without touching Python.
+@query(
+    "multimodal_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           sha256(text) AS payload_sha256,
+           CAST(octet_length(encode(text)) % 640 + 16 AS INT)
+               AS fake_width,
+           CAST((octet_length(encode(text)) * 7) % 480 + 16 AS INT)
+               AS fake_height
+    FROM documents
+    """,
+)
+def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    binary = with_binary_payload(docs)
+    blen = F.col("media_meta.byte_len")
+    return binary.select(
+        "doc_id",
+        blen.cast("long").alias("byte_len"),
+        F.sha2(F.col("payload"), 256).alias("payload_sha256"),
+        (blen % 640 + 16).cast("int").alias("fake_width"),
+        ((blen * 7) % 480 + 16).cast("int").alias("fake_height"),
+    )
+
+
+def decode_image(payload: bytes) -> object:
+    """STUB -- real decoders (PIL/opencv/ffmpeg) are not in this
+    container.  Production drops in a codec here; everything around it
+    (batching, schema, partitioning) is already exercised by
+    ``extract_features`` below."""
+    raise NotImplementedError(
+        "image/audio codecs unavailable in this environment; "
+        "plug a decoder into decode_image() in production"
+    )
+
+
+FEATURE_BINS = 16
+
+_FEATURE_SCHEMA = (
+    "doc_id long, byte_len long, feature array<double>"
+)
+
+
+def _featurize_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Deterministic fake featurizer: normalized 16-bin byte histogram
+    per payload.  Stands in for decode+embed; identical Arrow batch
+    shape to a real one (binary in -> fixed-size float vector out)."""
+    for pdf in batches:
+        feats = []
+        for raw in pdf["payload"]:
+            buf = bytes(raw)
+            hist = [0] * FEATURE_BINS
+            for byte in buf:
+                hist[byte % FEATURE_BINS] += 1
+            total = max(len(buf), 1)
+            feats.append([h / total for h in hist])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "byte_len": [len(bytes(b)) for b in pdf["payload"]],
+                "feature": feats,
+            }
+        )
+
+
+@query("multimodal_feature_extract")  # rows-only: Arrow/pandas path
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary -> fixed-size feature vector via ``mapInPandas``: the
+    one sanctioned Python hot path (Arrow-batched, partition-parallel,
+    never row-at-a-time).  Swap ``_featurize_batches`` for a real
+    decode+model pass in production; schema and batch shape hold."""
+    docs = load_table(spark, sf_dir, "documents")
+    binary = with_binary_payload(docs).select("doc_id", "payload")
+    return binary.mapInPandas(_featurize_batches, schema=_FEATURE_SCHEMA)
+
+
+@query("multimodal_frame_sample")  # rows-only: posexplode plumbing
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling plumbing: segment the payload into
+    fixed-size "frames" (JVM-side), keep every 4th -- the partition-
+    and-schema shape of real frame extraction, with byte slices
+    standing in for decoded frames."""
+    docs = load_table(spark, sf_dir, "documents")
+    binary = with_binary_payload(docs)
+    frame_size = 32
+    n_frames = F.floor(F.col("media_meta.byte_len") / frame_size).cast("int")
+    idx = F.when(
+        n_frames > 0, F.sequence(F.lit(0), n_frames - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        binary.select(
+            "doc_id",
+            F.posexplode(idx).alias("pos", "frame_no"),
+            F.col("payload"),
+        )
+        .filter(F.col("frame_no") % 4 == 0)
+        .select(
+            "doc_id",
+            "frame_no",
+            F.expr(
+                f"substring(payload, frame_no * {frame_size} + 1,"
+                f" {frame_size})"
+            ).alias("frame_bytes"),
+        )
+    )

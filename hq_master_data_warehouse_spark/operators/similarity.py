@@ -1,1 +1,216 @@
-"""(populated in later milestones)"""
+"""Similarity search over embedding columns (SURVEY.md par.2.11).
+
+Two tiers, as the north star requires:
+
+* brute-force cosine top-k -- the exact baseline.  Dot products run
+  JVM-side via higher-order array functions (``zip_with`` +
+  ``aggregate``), floats widened to double before accumulation so the
+  result is bit-identical to the DuckDB oracle;
+* random-hyperplane LSH -- the scale path.  16 fixed +-1 hyperplanes
+  (deterministically derived from sha256, embedded as literal arrays)
+  hash each vector to a sign-pattern bucket; candidates share a
+  bucket, then exact cosine verifies.  At 100 TB the bucket join
+  replaces the O(n^2) cross join; recall is tunable via multiple
+  bucket tables (here: 4 bands of 4 planes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loaders import load_table
+
+EMB_DIM = 64
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Exact cosine similarity of two array<float> columns, computed in
+    double precision JVM-side (no UDF)."""
+    prod = F.zip_with(
+        a, b, lambda x, y: x.cast("double") * y.cast("double")
+    )
+    dot = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            b,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return dot / (na * nb)
+
+
+# -- exact top-k against a fixed query vector (the vector of vec_id 0),
+#    tie-broken by vec_id for cross-engine determinism.
+@query(
+    "similarity_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           ROUND(list_cosine_similarity(
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(q.qe, x -> CAST(x AS DOUBLE))
+           ), 6) AS cosine
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY cosine DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    cos = F.round(cosine_expr(F.col("embedding"), F.col("qe")), 6)
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# -- centroid similarity per label: grouped vector arithmetic done with
+#    posexplode + re-aggregation (the distributed way to average
+#    vectors; no driver-side numpy).
+@query(
+    "similarity_label_centroid_norms",
+    oracle="""
+    WITH elems AS (
+        SELECT label,
+               unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                   AS v,
+               unnest(generate_series(1, len(embedding))) AS pos
+        FROM embeddings
+    ),
+    centroid AS (
+        SELECT label, pos, AVG(v) AS cv
+        FROM elems GROUP BY label, pos
+    )
+    SELECT label,
+           ROUND(SQRT(SUM(cv * cv)), 6) AS centroid_norm,
+           COUNT(*) AS dim
+    FROM centroid
+    GROUP BY label
+    """,
+)
+def similarity_label_centroid_norms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos0", "v"
+        ),
+    ).select("label", (F.col("pos0") + 1).alias("pos"), "v")
+    centroid = elems.groupBy("label", "pos").agg(F.avg("v").alias("cv"))
+    return centroid.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("cv") * F.col("cv"))), 6).alias(
+            "centroid_norm"
+        ),
+        F.count("*").alias("dim"),
+    )
+
+
+# -- random-hyperplane LSH buckets -> candidate pairs -> exact verify.
+N_PLANES = 16
+PLANE_BANDS = 4
+ANN_THRESHOLD = 0.35
+
+
+def _planes() -> list[list[int]]:
+    """16 deterministic +-1 hyperplanes from sha256 -- no RNG state,
+    reproducible across sessions/engines."""
+    planes = []
+    for p in range(N_PLANES):
+        bits: list[int] = []
+        counter = 0
+        while len(bits) < EMB_DIM:
+            digest = hashlib.sha256(f"plane{p}:{counter}".encode()).digest()
+            bits.extend(1 if byte & 1 else -1 for byte in digest)
+            counter += 1
+        planes.append(bits[:EMB_DIM])
+    return planes
+
+
+@query("similarity_ann_lsh")  # rows-only: LSH family is engine-specific
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via sign-pattern bucketing: bucket key per band = the sign
+    bits of 4 hyperplane dot products; pairs sharing any band's bucket
+    are candidates; exact cosine >= threshold verifies.  Bucket join is
+    linear-ish in corpus size; recall rises with more bands."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _planes()
+
+    sign_cols = []
+    for p, plane in enumerate(planes):
+        plane_lit = F.array(*[F.lit(float(v)) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                plane_lit,
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sign_cols.append(F.when(dot >= 0, 1).otherwise(0).alias(f"s{p}"))
+
+    signed = emb.select("vec_id", "embedding", *sign_cols)
+    per_band = N_PLANES // PLANE_BANDS
+    bands = signed.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "",
+                            *[
+                                F.col(f"s{b * per_band + i}")
+                                for i in range(per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(PLANE_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "embedding", "bk.band", "bk.key")
+
+    left = bands.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        "band",
+        "key",
+    )
+    right = bands.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        "band",
+        "key",
+    )
+    cos = F.round(cosine_expr(F.col("ea"), F.col("eb")), 6)
+    return (
+        left.join(right, on=["band", "key"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .distinct()
+        .filter(F.col("cosine") >= ANN_THRESHOLD)
+    )

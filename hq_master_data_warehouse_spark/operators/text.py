@@ -1,1 +1,242 @@
-"""(populated in later milestones)"""
+"""Text-analysis operators for training-data pipelines (SURVEY.md
+par.2.11 / north star): token counting, quality scoring, language-ID
+heuristics, document fingerprinting, word frequency.
+
+Everything is pure column expressions (split / higher-order array
+functions / regexp) -- zero Python in the hot path, so a 100 TB
+corpus stays inside whole-stage codegen with per-partition
+parallelism and no Arrow transfer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loaders import load_table
+from .dedup import CANONICAL_SQL, canonical_text
+
+STOPWORDS = ["the", "a", "of", "and", "in", "to", "is"]
+
+#: BPE-ish token regex: alpha runs, digit runs, or single non-space
+#: symbols -- a cheap stand-in for subword tokenization.
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(canonical_text(col), " ")
+
+
+_TOKENS_SQL = f"string_split({CANONICAL_SQL}, ' ')"
+
+
+# -- token counting: whitespace + regex tokenizations side by side.
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKENS_SQL}) AS ws_tokens,
+           len(regexp_extract_all({CANONICAL_SQL}, '{TOKEN_RE}'))
+               AS re_tokens,
+           length(text) AS char_len,
+           ROUND(CAST(length({CANONICAL_SQL}) AS DOUBLE)
+                 / len({_TOKENS_SQL}), 6) AS avg_token_span
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    canon = canonical_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(canon, F.lit(TOKEN_RE), 0))
+        .cast("long")
+        .alias("re_tokens"),
+        F.length("text").cast("long").alias("char_len"),
+        F.round(
+            F.length(canon).cast("double") / F.size(toks), 6
+        ).alias("avg_token_span"),
+    )
+
+
+# -- quality scoring: length/stopword/alpha ratios -> composite score
+#    and keep/drop bucket (the C4-style heuristic filter family).
+# NOTE on cross-engine doubles: both engines compute these ratio
+# chains over identical integer inputs in identical order, so the raw
+# doubles are bit-identical; display truncation uses floor(x*1e6)/1e6,
+# which is deterministic on identical doubles -- unlike ROUND, whose
+# tie-handling differs between Spark (exact-decimal HALF_UP) and
+# DuckDB (float-multiply) near x.xxxxxx5 boundaries.
+_QUALITY_PARTS_SQL = f"""
+    len({_TOKENS_SQL}) AS n_tokens,
+    CAST(len(list_filter({_TOKENS_SQL},
+        t -> list_contains({STOPWORDS!r}, t))) AS DOUBLE)
+        / len({_TOKENS_SQL}) AS stopword_ratio,
+    CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE)
+        / length(text) AS alpha_ratio
+"""
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    WITH parts AS (
+        SELECT doc_id, {_QUALITY_PARTS_SQL} FROM documents
+    )
+    SELECT doc_id, n_tokens, stopword_ratio, alpha_ratio,
+           FLOOR((LEAST(n_tokens / 50.0, 1.0) * 0.4
+                  + stopword_ratio * 0.3
+                  + alpha_ratio * 0.3) * 1000000) / 1000000
+               AS quality_score,
+           CASE WHEN LEAST(n_tokens / 50.0, 1.0) * 0.4
+                     + stopword_ratio * 0.3
+                     + alpha_ratio * 0.3 >= 0.5
+                THEN 'keep' ELSE 'drop' END AS quality_bucket
+    FROM parts
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        .cast("double")
+        / n_tokens
+    )
+    alpha_ratio = (
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("[a-zA-Z]"), 0)
+        ).cast("double")
+        / F.length("text")
+    )
+    parts = docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+    )
+    raw_score = (
+        F.least(F.col("n_tokens") / 50.0, F.lit(1.0)) * 0.4
+        + F.col("stopword_ratio") * 0.3
+        + F.col("alpha_ratio") * 0.3
+    )
+    return parts.select(
+        "doc_id",
+        "n_tokens",
+        "stopword_ratio",
+        "alpha_ratio",
+        (F.floor(raw_score * 1000000) / 1000000).alias("quality_score"),
+        F.when(raw_score >= 0.5, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("quality_bucket"),
+    )
+
+
+# -- language-ID heuristic: marker-token profile votes, argmax with a
+#    deterministic tie order.  (The synthetic corpus shares one
+#    vocabulary, so accuracy vs the lang column is not the point --
+#    the operator shape is.)
+_PROFILES = {
+    "en": ["the", "a", "of"],
+    "de": ["der", "die", "das"],
+    "fr": ["le", "la", "et"],
+}
+
+
+def _profile_sql() -> str:
+    scores = ", ".join(
+        f"len(list_filter({_TOKENS_SQL}, t -> list_contains("
+        f"{markers!r}, t))) AS score_{lang}"
+        for lang, markers in _PROFILES.items()
+    )
+    return scores
+
+
+@query(
+    "text_langid_heuristic",
+    oracle=f"""
+    WITH scores AS (SELECT doc_id, lang, {_profile_sql()} FROM documents)
+    SELECT doc_id, lang AS actual_lang,
+           CAST(score_en AS BIGINT) AS score_en,
+           CAST(score_de AS BIGINT) AS score_de,
+           CAST(score_fr AS BIGINT) AS score_fr,
+           CASE
+               WHEN score_en >= score_de AND score_en >= score_fr THEN 'en'
+               WHEN score_de >= score_fr THEN 'de'
+               ELSE 'fr'
+           END AS predicted_lang
+    FROM scores
+    """,
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    score_cols = {}
+    for lang, markers in _PROFILES.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        score_cols[lang] = F.size(
+            F.filter(toks, lambda t: F.array_contains(marker_arr, t))
+        ).cast("long")
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        *[c.alias(f"score_{lang}") for lang, c in score_cols.items()],
+    )
+    return scored.withColumn(
+        "predicted_lang",
+        F.when(
+            (F.col("score_en") >= F.col("score_de"))
+            & (F.col("score_en") >= F.col("score_fr")),
+            F.lit("en"),
+        )
+        .when(F.col("score_de") >= F.col("score_fr"), F.lit("de"))
+        .otherwise(F.lit("fr")),
+    )
+
+
+# -- document fingerprinting: canonical md5 + a 16-bit locality bucket
+#    (prefix of the digest) for sharded dedup lookups.
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5({CANONICAL_SQL}) AS fingerprint,
+           substring(md5({CANONICAL_SQL}), 1, 4) AS shard_bucket
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(canonical_text(F.col("text")))
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 4).alias("shard_bucket"),
+    )
+
+
+# -- corpus word frequency (the classic wordcount, top terms).
+@query(
+    "text_word_frequency",
+    oracle=f"""
+    SELECT tok, COUNT(*) AS freq
+    FROM (SELECT unnest({_TOKENS_SQL}) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY freq DESC, tok ASC
+    LIMIT 20
+    """,
+)
+def text_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(20)
+    )

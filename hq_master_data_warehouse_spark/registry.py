@@ -46,6 +46,7 @@ def load_catalog() -> None:
         filters,
         joins,
         ledger,
+        multimodal,
         setops,
         similarity,
         text,

@@ -1,1 +1,247 @@
-"""(populated in later milestones)"""
+"""Streaming-shaped behavior (SURVEY ops T1-T5 + par.2.9 surface:
+watermarks, tumbling/sliding/session event-time windows).
+
+The reference's ingest webhook is an unbounded sequence of JSON POSTs
+(clay-webhook/index.ts:28,47-50) -- Structured Streaming territory.
+Every event-time operator below exists in BOTH forms:
+
+* batch form (registered, oracle-checked): same window expression over
+  the parquet ``events`` table -- DuckDB oracles via time_bucket /
+  gaps-and-islands SQL;
+* streaming form (registered, rows-only): the identical plan under
+  ``readStream`` with a watermark, drained with availableNow into a
+  memory sink.  Batch/stream parity is asserted in pytest.
+
+At 100 TB-scale streaming, state lives in the state store keyed by
+(window, group); the watermark bounds state size -- late rows beyond
+1 hour are dropped, matching the audit-don't-retry posture of the
+reference (T2, clay-webhook/index.ts:115-125).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loaders import load_table
+
+_EVENTS_NS = "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events"
+
+
+# -- tumbling 1-hour counts (T1 analytic surface).
+@query(
+    "events_tumbling_window",
+    oracle=f"""
+    WITH e AS ({_EVENTS_NS})
+    SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP)
+               AS window_start,
+           event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+    FROM e
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(30,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+# -- sliding 1-hour window, 30-minute slide: each event lands in
+#    exactly two windows.
+@query(
+    "events_sliding_window",
+    oracle=f"""
+    WITH e AS ({_EVENTS_NS}),
+    expanded AS (
+        SELECT unnest([
+            CAST(time_bucket(INTERVAL '30 minutes', ts) AS TIMESTAMP),
+            CAST(time_bucket(INTERVAL '30 minutes', ts) AS TIMESTAMP)
+                - INTERVAL '30 minutes'
+        ]) AS window_start
+        FROM e
+    )
+    SELECT window_start, COUNT(*) AS cnt
+    FROM expanded
+    GROUP BY window_start
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "cnt")
+    )
+
+
+# -- session windows, 10-minute gap: batch oracle is the classic
+#    gaps-and-islands rewrite (new session when gap > 10 min;
+#    session_end = last event + gap, matching Spark's session_window).
+@query(
+    "events_session_window",
+    oracle=f"""
+    WITH e AS ({_EVENTS_NS}),
+    flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL '10 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '10 minutes' AS session_end,
+           COUNT(*) AS event_cnt
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "10 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("event_cnt"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "event_cnt",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# True Structured Streaming (rows-only: no SQL oracle can model a
+# stream; the driver records row-count/schema, pytest asserts
+# batch/stream parity)
+# ---------------------------------------------------------------------------
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as an unbounded source (T1).  File-drop source in
+    tests; Kafka in production -- the downstream plan is identical."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = load_table(spark, sf_dir, "events").schema
+    raw_schema = ", ".join(
+        "ts LONG" if f.name == "ts" else f"{f.name} {f.dataType.simpleString()}"
+        for f in schema.fields
+    )
+    # The file stream source lists a DIRECTORY (the drop-box contract,
+    # T1); stage the fixture file into one, keyed by sf_dir.
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    drop_dir = os.path.join(tempfile.gettempdir(), f"hqmdw_events_{tag}")
+    staged = os.path.join(drop_dir, "events.parquet")
+    if not os.path.exists(staged):
+        os.makedirs(drop_dir, exist_ok=True)
+        shutil.copyfile(f"{sf_dir}/events.parquet", staged)
+    return (
+        spark.readStream.schema(raw_schema)
+        .parquet(drop_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+def _drain_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Run an availableNow trigger to completion into a memory sink and
+    return the materialized result table."""
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@query("streaming_tumbling_counts")  # rows-only: stream semantics
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: watermarked tumbling-window counts computed BY THE STREAMING
+    ENGINE (state store + availableNow), not a batch rewrite."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    )
+    return _drain_to_memory(agg, "complete")
+
+
+@query("streaming_dedup_by_key")  # rows-only: first-arrival semantics
+def streaming_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 streaming twin: exactly-once-per-key via dropDuplicates with
+    a watermark (state-bounded keyed dedup)."""
+    stream = _events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id"])
+        .select("user_id")
+    )
+    return _drain_to_memory(deduped, "append")
+
+
+@query("streaming_ingest_audit")  # rows-only: foreachBatch side effects
+def streaming_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: per-micro-batch audit rows (records_received /
+    records_inserted / status), the clay-webhook audit log
+    (index.ts:42-44,115-125) as a streaming aggregate."""
+    stream = _events_stream(spark, sf_dir)
+    valid = F.col("value").isNotNull() & (F.col("value") > 0)
+    audit = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.count("*").alias("records_received"),
+            F.count(F.when(valid, 1)).alias("records_inserted"),
+        )
+        .select(
+            F.col("w.start").alias("batch_window"),
+            "records_received",
+            "records_inserted",
+            F.when(
+                F.col("records_received") == F.col("records_inserted"),
+                F.lit("success"),
+            )
+            .otherwise(F.lit("partial"))
+            .alias("status"),
+        )
+    )
+    return _drain_to_memory(audit, "complete")

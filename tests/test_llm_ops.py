@@ -1,0 +1,82 @@
+"""Properties for the LLM-pipeline extensions: LSH candidate sets are
+subsets of (and near-complete against) exact brute-force results, the
+Arrow featurizer is deterministic with the right shape, and the stub
+decode fails loudly."""
+
+from __future__ import annotations
+
+import pytest
+
+from hq_master_data_warehouse_spark.operators.dedup import (
+    dedup_embedding_cosine,
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+)
+from hq_master_data_warehouse_spark.operators.multimodal import (
+    FEATURE_BINS,
+    decode_image,
+    multimodal_feature_extract,
+)
+from hq_master_data_warehouse_spark.operators.similarity import (
+    ANN_THRESHOLD,
+    similarity_ann_lsh,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pairs(df):
+    return {(r[0], r[1]) for r in df.collect()}
+
+
+def test_minhash_lsh_subset_of_exact(spark):
+    exact = _pairs(dedup_ngram_jaccard(spark, SF))
+    lsh = _pairs(dedup_minhash_lsh(spark, SF))
+    # verification step guarantees precision 1.0
+    assert lsh <= exact
+    # banded minhash at j>=0.3 should recover a decent share when any
+    # exact pairs exist
+    if exact:
+        assert len(lsh) / len(exact) >= 0.2
+
+
+def test_ann_lsh_subset_of_exact_cosine(spark):
+    # brute-force ground truth at the ANN threshold (numpy, tiny sf)
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    ids = [r[0] for r in rows]
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    brute = {
+        (ids[i], ids[j])
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if sims[i, j] >= ANN_THRESHOLD - 1e-9
+    }
+    ann = _pairs(similarity_ann_lsh(spark, SF))
+    # exact verification step => precision 1.0
+    assert ann <= brute
+    # banded hyperplane LSH should recover a meaningful share
+    if brute:
+        assert len(ann) / len(brute) >= 0.2
+
+
+def test_feature_extract_shape_and_determinism(spark):
+    out1 = multimodal_feature_extract(spark, SF).orderBy("doc_id").collect()
+    out2 = multimodal_feature_extract(spark, SF).orderBy("doc_id").collect()
+    assert out1 == out2
+    for row in out1[:10]:
+        assert len(row.feature) == FEATURE_BINS
+        assert abs(sum(row.feature) - 1.0) < 1e-9
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00\x01")
