@@ -32,6 +32,8 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_volume_customer",
+    "asof_join_latest_order",
     "dedup_minhash_lsh",
     "similarity_cosine_topk",
     "text_quality_scores",

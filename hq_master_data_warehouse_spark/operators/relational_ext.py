@@ -1,0 +1,238 @@
+"""Extended relational operators Spark lacks as single primitives:
+as-of join, range join, pivot/unpivot, percentile aggregates
+(SURVEY.md par.2.3 "not present in the reference" note + north-star
+custom-operator requirement).
+
+Each is built as a composition of existing DataFrame ops -- option (a)
+of the custom-operator ladder (composition > pandas-UDF > RDD) -- so
+the whole family stays inside Catalyst/codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources.loaders import load_table
+
+
+# -- AS-OF JOIN: for each event, the latest order of the same key at
+#    or before the event time.  The distributed pattern is union-tag +
+#    partitioned window (one shuffle on the key, no per-row probing):
+#    sort (key, time, side) and carry the last seen order forward.
+#    Orders are pre-reduced to one row per (key, time) so the match is
+#    unique and deterministic in both engines.
+@query(
+    "asof_join_latest_order",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey AS k, o_orderdate AS od,
+               MAX(o_orderkey) AS o_orderkey,
+               MAX(o_totalprice) AS o_totalprice
+        FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    e AS (
+        SELECT event_id, user_id AS k, CAST(ts AS TIMESTAMP) AS ts
+        FROM events
+    )
+    SELECT e.event_id, e.k AS user_id,
+           o.o_orderkey AS asof_orderkey,
+           o.o_totalprice AS asof_totalprice
+    FROM e ASOF LEFT JOIN o ON e.k = o.k AND o.od <= e.ts
+    """,
+)
+def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderdate").alias("t"),
+        )
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max("o_totalprice").alias("o_totalprice"),
+        )
+        .select("k", "t", F.lit(1).alias("is_order"), "o_orderkey",
+                "o_totalprice", F.lit(None).cast("long").alias("event_id"))
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_order"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        "event_id",
+    )
+    # order rows sort before event rows at equal timestamps (<= match)
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t").asc(), F.col("is_order").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = orders.unionByName(events).select(
+        "k",
+        "is_order",
+        "event_id",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("asof_orderkey"),
+        F.last("o_totalprice", ignorenulls=True)
+        .over(w)
+        .alias("asof_totalprice"),
+    )
+    return merged.filter(F.col("is_order") == 0).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        "asof_orderkey",
+        "asof_totalprice",
+    )
+
+
+# -- RANGE JOIN: fact rows matched to interval buckets.  The band dim
+#    is broadcast, so the inequality join is a broadcast nested-loop
+#    over a handful of bands -- linear in the fact side.  (For large
+#    interval tables the scale path is equi-bucketing: join on
+#    floor(value/step) then refine; noted here, not needed for a
+#    5-row dim.)
+_BANDS = [
+    ("scrap", 0.0, 10.0),
+    ("small", 10.0, 25.0),
+    ("medium", 25.0, 40.0),
+    ("large", 40.0, 1e9),
+]
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT '{n}' AS band, {lo} AS lo, {hi} AS hi" for n, lo, hi in _BANDS
+)
+
+
+@query(
+    "range_join_quantity_bands",
+    oracle=f"""
+    WITH bands AS ({_BANDS_SQL})
+    SELECT b.band, COUNT(*) AS cnt,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)
+               AS sum_price
+    FROM lineitem l
+    JOIN bands b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.band
+    """,
+)
+def range_join_quantity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    bands = F.broadcast(
+        spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    )
+    return (
+        lineitem.join(
+            bands,
+            (lineitem.l_quantity >= bands.lo)
+            & (lineitem.l_quantity < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("l_extendedprice").cast("decimal(30,4)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+# -- PIVOT: segment x region count matrix with an explicit column
+#    domain (explicit values keep the plan single-pass and the output
+#    schema static -- mandatory at scale, where an implicit pivot
+#    triggers a distinct-scan first).
+_REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+
+
+@query(
+    "pivot_segment_by_region",
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment,
+           {", ".join(
+               'COUNT(*) FILTER (WHERE r.r_name = ' + repr(reg) + ') AS "'
+               + reg + '"' for reg in _REGIONS
+           )}
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def pivot_segment_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    joined = customer.join(
+        nation, customer.c_nationkey == nation.n_nationkey
+    ).join(region, nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .pivot("r_name", _REGIONS)
+        .count()
+        .na.fill(0, _REGIONS)
+    )
+
+
+# -- UNPIVOT (melt): wide measures to long (measure, value) rows.
+@query(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+           l_quantity AS value
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount
+    FROM lineitem
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    ).withColumn("measure", F.regexp_replace("measure", "^l_", ""))
+
+
+# -- exact percentiles (linear interpolation in both engines).
+@query(
+    "percentile_stats",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS median_qty,
+           CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE) AS p90_qty,
+           CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE)
+               AS median_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+        F.percentile("l_extendedprice", 0.5).alias("median_price"),
+    )
+
+
+# -- approximate sketches (rows-only: HLL/KLL internals are
+#    engine-specific; correctness asserted relative to exact counts in
+#    pytest).  This is the 100 TB cardinality path -- one pass, fixed
+#    memory, mergeable state.
+@query("agg_approx_sketches")
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)"
+        ).alias("approx_price_quantiles"),
+    )

@@ -47,6 +47,7 @@ def load_catalog() -> None:
         joins,
         ledger,
         multimodal,
+        relational_ext,
         setops,
         similarity,
         text,

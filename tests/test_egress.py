@@ -1,0 +1,77 @@
+"""Egress sink tests (S9/T3): dry-run flag, per-row status, tally,
+rate limiting, and payload shape -- mirroring send/route.ts:90-138."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from hq_master_data_warehouse_spark.operators.distribution import (
+    capacity_distribution,
+)
+from hq_master_data_warehouse_spark.streaming.egress import (
+    build_payloads,
+    egress_tally,
+    post_with_rate_limit,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _payloads(spark, limit=None):
+    assigned = capacity_distribution(spark, SF).filter("assigned")
+    if limit:
+        assigned = assigned.limit(limit)
+    return build_payloads(assigned, "batch-test")
+
+
+def test_skip_webhooks_dry_run(spark):
+    """skipWebhooks counts everything as sent without any transport."""
+    payloads = _payloads(spark)
+    results = post_with_rate_limit(payloads, skip_webhooks=True)
+    assert results.filter(~F.col("ok")).count() == 0
+    assert results.count() == payloads.count()
+
+
+def test_transport_failures_recorded_per_row(spark):
+    """Failed POSTs are per-row 'failed', not blanket 'sent'."""
+    payloads = _payloads(spark, limit=20).coalesce(1)
+
+    def flaky(url, payload):
+        return json.loads(payload)["company_id"] >= "1"  # fails some
+
+    results = post_with_rate_limit(
+        payloads, transport=flaky, rate_limit_per_sec=10_000
+    ).cache()
+    oks = results.filter("ok").count()
+    fails = results.filter("NOT ok").count()
+    assert oks + fails == 20
+    assert fails > 0
+    tally = egress_tally(results)
+    total = tally.agg(
+        F.sum("sent").alias("s"), F.sum("failed").alias("f")
+    ).collect()[0]
+    assert total.s == oks and total.f == fails
+
+
+def test_rate_limit_throttles(spark):
+    """25 posts at 10/s through one partition needs >= ~2 sleep windows."""
+    payloads = _payloads(spark, limit=25).coalesce(1)
+    t0 = time.monotonic()
+    n = post_with_rate_limit(
+        payloads, transport=lambda u, p: True, rate_limit_per_sec=10
+    ).count()
+    elapsed = time.monotonic() - t0
+    assert n == 25
+    assert elapsed >= 1.5  # two full rate windows crossed
+
+
+def test_payload_carries_batch_metadata(spark):
+    row = _payloads(spark, limit=1).collect()[0]
+    doc = json.loads(row.payload)
+    meta = doc["_batch_metadata"]
+    assert meta["batch_id"] == "batch-test"
+    assert meta["source"] == "hq-data-warehouse"
+    assert meta["webhook_name"].startswith("webhook-")
