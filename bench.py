@@ -32,7 +32,9 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q9_product_profit",
     "tpch_q18_large_volume_customer",
+    "tpch_q21_waiting_orders",
     "asof_join_latest_order",
     "dedup_minhash_lsh",
     "similarity_cosine_topk",

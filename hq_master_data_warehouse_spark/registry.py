@@ -56,3 +56,4 @@ def load_catalog() -> None:
     from .sources import ingest  # noqa: F401
     from .streaming import jobs  # noqa: F401
     from .plans import tpch  # noqa: F401
+    from .plans import tpch_ext  # noqa: F401
