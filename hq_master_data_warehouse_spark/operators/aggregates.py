@@ -230,3 +230,35 @@ def agg_audit_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("partial")),
         )
     )
+
+
+# -- par.2.4 surface: explicit GROUPING SETS (the general form rollup
+#    and cube desugar to): per-flag totals and per-status totals in
+#    one pass over the fact table, plus GROUPING_ID so consumers can
+#    tell a subtotal NULL from a data NULL.
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS INT)
+               AS grouping_id,
+           COUNT(*) AS cnt,
+           {dec_sum_sql('l_extendedprice', 'sum_price')}
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupingSets(
+            [["l_returnflag"], ["l_linestatus"]],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("grouping_id"),
+            F.count("*").alias("cnt"),
+            dec_sum("l_extendedprice", "sum_price"),
+        )
+    )

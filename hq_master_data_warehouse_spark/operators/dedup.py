@@ -371,3 +371,66 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
     )
+
+
+# -- pairwise edit-distance near-dup (SURVEY par.2.11 "SQL levenshtein
+#    for pairwise").  Quadratic in block size, so candidates are
+#    blocked on (lang, length band) before any distance runs -- the
+#    100 TB pattern: cheap equality blocking keys bound the pair
+#    explosion, expensive verification runs only inside blocks.
+#    Distance runs on a fixed-length prefix: edit distance cost is
+#    O(len^2) per pair and a 64-char prefix decides near-dups as well
+#    as the full text for corpus-dedup purposes.
+LEV_PREFIX = 48
+LEV_BAND = 64
+LEV_MAX_DIST = 24
+
+
+@query(
+    "dedup_levenshtein_pairs",
+    oracle=f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(substr(a.text, 1, {LEV_PREFIX}),
+                            substr(b.text, 1, {LEV_PREFIX})) AS INT)
+               AS edit_dist
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang
+     AND CAST(floor(a.n_chars / {LEV_BAND}) AS INT)
+         = CAST(floor(b.n_chars / {LEV_BAND}) AS INT)
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(substr(a.text, 1, {LEV_PREFIX}),
+                      substr(b.text, 1, {LEV_PREFIX})) <= {LEV_MAX_DIST}
+    """,
+)
+def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    band = F.floor(F.col("n_chars") / LEV_BAND).cast("int")
+    sides = docs.select(
+        "doc_id",
+        "lang",
+        band.alias("band"),
+        F.substring("text", 1, LEV_PREFIX).alias("prefix"),
+    )
+    a = sides.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        "band",
+        F.col("prefix").alias("pa"),
+    )
+    b = sides.select(
+        F.col("doc_id").alias("doc_b"),
+        "lang",
+        "band",
+        F.col("prefix").alias("pb"),
+    )
+    dist = F.levenshtein(F.col("pa"), F.col("pb"))
+    return (
+        a.join(b, on=["lang", "band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= LEV_MAX_DIST)
+    )

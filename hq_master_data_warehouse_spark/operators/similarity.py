@@ -214,3 +214,81 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("cosine") >= ANN_THRESHOLD)
     )
+
+
+# -- IVF-style ANN: the second scale path the north star names
+#    ("an IVF or LSH-bucketed variant").  One-shot inverted-file
+#    index: K deterministic seed centroids (production would k-means
+#    them with MLlib), every vector assigned to its nearest centroid
+#    (the "inverted list"), a query probed against only the NPROBE
+#    nearest lists.  The cross join is vectors x K-centroids with K
+#    constant, so assignment is linear in corpus size and shuffles
+#    once on the argmax groupBy; search touches ~NPROBE/K of the
+#    corpus instead of all of it.
+K_CENTROIDS = 8
+NPROBE = 3
+IVF_TOPK = 10
+
+
+def _assigned(emb: DataFrame) -> DataFrame:
+    """Each vector joined to its nearest seed centroid (argmax cosine
+    via max-of-struct -- one shuffle, no window)."""
+    centroids = F.broadcast(
+        emb.filter(F.col("vec_id") < K_CENTROIDS).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("ce"),
+        )
+    )
+    scored = emb.crossJoin(centroids).select(
+        "vec_id",
+        "embedding",
+        "label",
+        F.struct(
+            cosine_expr(F.col("embedding"), F.col("ce")).alias("cos"),
+            F.col("centroid_id").alias("cid"),
+        ).alias("sc"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.first("embedding").alias("embedding"),
+            F.first("label").alias("label"),
+            F.max("sc").alias("best"),
+        )
+        .select("vec_id", "embedding", "label", F.col("best.cid").alias("list_id"))
+    )
+
+
+@query("similarity_ivf_topk")  # rows-only: index layout is engine-specific
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k neighbours of the vec_id-0 query via IVF probing: rank
+    centroids by query cosine, search only the NPROBE best inverted
+    lists with exact cosine, tie-break by vec_id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = _assigned(emb)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    centroids = emb.filter(F.col("vec_id") < K_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("ce"),
+    )
+    probe = (
+        centroids.crossJoin(F.broadcast(q))
+        .select(
+            "centroid_id",
+            cosine_expr(F.col("ce"), F.col("qe")).alias("qcos"),
+        )
+        .orderBy(F.desc("qcos"), F.asc("centroid_id"))
+        .limit(NPROBE)
+        .select(F.col("centroid_id").alias("list_id"))
+    )
+    cos = F.round(cosine_expr(F.col("embedding"), F.col("qe")), 6)
+    return (
+        assigned.join(F.broadcast(probe), "list_id", "left_semi")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(IVF_TOPK)
+    )

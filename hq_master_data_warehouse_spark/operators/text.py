@@ -240,3 +240,33 @@ def text_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("tok"))
         .limit(20)
     )
+
+
+# -- regex surface (engine surface; SURVEY par.2.8 notes the reference
+#    has no regex -- Spark exposes it natively): first-token extract,
+#    digit-run count, whitespace collapse.  DuckDB needs the 'g'
+#    option to match Spark's replace-all regexp_replace semantics.
+@query(
+    "text_regex_functions",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '^([a-z]+)', 1) AS first_word,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                AS INT) AS n_digit_chars,
+           CAST(length(regexp_replace(text, '\\s+', ' ', 'g'))
+                AS INT) AS n_chars_collapsed
+    FROM documents
+    """,
+)
+def text_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract(F.col("text"), r"^([a-z]+)", 1).alias("first_word"),
+        F.length(F.regexp_replace(F.col("text"), r"[^0-9]", "")).cast(
+            "int"
+        ).alias("n_digit_chars"),
+        F.length(F.regexp_replace(F.col("text"), r"\s+", " ")).cast(
+            "int"
+        ).alias("n_chars_collapsed"),
+    )

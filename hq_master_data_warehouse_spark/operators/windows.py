@@ -144,3 +144,34 @@ def window_enumerate_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_regionkey",
         F.row_number().over(w).cast("int").alias("idx"),
     )
+
+
+# -- distribution window functions (engine surface, SURVEY par.2.5
+#    "not present" note): ntile quartiles, percent_rank, cume_dist
+#    over acctbal within each market segment.  Partitioned by segment
+#    so the sort scales horizontally; c_custkey breaks ties to keep
+#    both engines' orderings identical.
+@query(
+    "window_distribution_functions",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(ntile(4) OVER w AS INT) AS bal_quartile,
+           ROUND(percent_rank() OVER w, 6) AS bal_pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS bal_cume_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_distribution_functions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("int").alias("bal_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    )

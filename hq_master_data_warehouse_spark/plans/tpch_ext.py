@@ -626,7 +626,9 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- q22 shape: rich-but-inactive customers.  The AVG threshold is
 #    rewritten multiplicatively (bal * cnt > sum) to stay exact; the
 #    "no orders" side is the engine's anti-join (J1 shape on a
-#    different ledger).
+#    different ledger).  Adapted: every fixture customer has at least
+#    one order, so "inactive" means no orders since 1998-09-01 --
+#    the anti-join ledger side is date-filtered (non-empty result).
 @query(
     "tpch_q22_global_sales",
     oracle="""
@@ -641,7 +643,9 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer c, pos
     WHERE CAST(c.c_acctbal AS DECIMAL(30,4)) * pos.bal_cnt > pos.bal_sum
       AND NOT EXISTS (
-          SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '1998-09-01 00:00:00'
       )
     GROUP BY c.c_nationkey
     """,
@@ -653,13 +657,113 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c_acctbal").cast(MONEY)).alias("bal_sum"),
         F.count("*").alias("bal_cnt"),
     )
+    recent = orders.filter(F.col("o_orderdate") >= _ts("1998-09-01"))
     return (
         customer.crossJoin(F.broadcast(pos))
         .filter(F.col("c_acctbal").cast(MONEY) * F.col("bal_cnt") > F.col("bal_sum"))
-        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(
             F.count("*").alias("numcust"),
             dec_sum("c_acctbal", "totacctbal"),
         )
+    )
+
+
+# -- q11 shape: important stock identification -- per-part value with
+#    a scalar-subquery fraction threshold.  Adapted: lineitem plays
+#    the missing partsupp (value = extendedprice * quantity shipped by
+#    suppliers of two nations); the FRACTION comparison is rewritten
+#    multiplicatively (value * 500 > total) so both engines compare
+#    exact decimals.
+@query(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH val AS (
+        SELECT l.l_partkey,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(30,4))
+                   * CAST(l.l_quantity AS DECIMAL(30,4))) AS v
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s.s_nationkey IN (0, 1)
+        GROUP BY l.l_partkey
+    ),
+    tot AS (SELECT SUM(v) AS t FROM val)
+    SELECT val.l_partkey, CAST(val.v AS DOUBLE) AS part_value
+    FROM val, tot
+    WHERE val.v * 500 > tot.t
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    val = (
+        lineitem.join(
+            F.broadcast(
+                supplier.filter(F.col("s_nationkey").isin(0, 1)).select(
+                    "s_suppkey"
+                )
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(MONEY)
+                * F.col("l_quantity").cast(MONEY)
+            ).alias("v")
+        )
+    )
+    tot = val.agg(F.sum("v").alias("t"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("v") * 500 > F.col("t"))
+        .select("l_partkey", F.col("v").cast("double").alias("part_value"))
+    )
+
+
+# -- q20 shape: potential part promotion -- suppliers who shipped an
+#    excess quantity of a part class in a year (nested agg-HAVING
+#    inside EXISTS becomes agg -> filter -> semi-join).
+@query(
+    "tpch_q20_excess_shipments",
+    oracle="""
+    SELECT s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE EXISTS (
+        SELECT 1
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_suppkey = s.s_suppkey
+          AND p.p_name LIKE '%red%'
+          AND l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY l.l_partkey
+        HAVING SUM(l.l_quantity) > 50
+    )
+    """,
+)
+def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    excess = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= _ts("1998-01-01"))
+            & (F.col("l_shipdate") < _ts("1999-01-01"))
+        )
+        .join(
+            F.broadcast(part.filter(F.col("p_name").like("%red%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(
+            excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
     )

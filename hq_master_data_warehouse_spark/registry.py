@@ -50,6 +50,7 @@ def load_catalog() -> None:
         relational_ext,
         setops,
         similarity,
+        skew,
         text,
         windows,
     )

@@ -245,3 +245,53 @@ def streaming_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain_to_memory(audit, "complete")
+
+
+@query("streaming_stateful_running_totals")  # rows-only: custom state
+def streaming_stateful_running_totals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (the
+    sanctioned path for state machines Spark's built-in aggregates
+    can't express -- north-star surface).  Per-user state carries
+    (event count, value sum) across micro-batches; each batch emits
+    the updated running totals for the users it touched.  State is
+    keyed by user_id in the state store, so a 1000-executor cluster
+    shards it horizontally; a production job would add a timeout to
+    expire idle users.
+    """
+    import pandas as pd  # noqa: PLC0415 -- Arrow path only
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    stream = _events_stream(spark, sf_dir)
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 4)],
+            }
+        )
+
+    out = (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id BIGINT, n_events BIGINT, "
+            "total_value DOUBLE",
+            stateStructType="n BIGINT, total DOUBLE",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _drain_to_memory(out, "update")

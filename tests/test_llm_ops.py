@@ -80,3 +80,24 @@ def test_feature_extract_shape_and_determinism(spark):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x00\x01")
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    from hq_master_data_warehouse_spark.operators.similarity import (
+        IVF_TOPK,
+        similarity_cosine_topk,
+        similarity_ivf_topk,
+    )
+
+    exact = [(r.vec_id, r.cosine) for r in similarity_cosine_topk(spark, SF).collect()]
+    ivf = [(r.vec_id, r.cosine) for r in similarity_ivf_topk(spark, SF).collect()]
+    # every IVF hit carries the exact cosine (verification is exact)
+    exact_all = dict(exact)
+    for vid, cos in ivf:
+        if vid in exact_all:
+            assert abs(cos - exact_all[vid]) < 1e-9
+    # probing 3 of 8 lists must recover a meaningful share of the
+    # true top-k
+    recall = len({v for v, _ in ivf} & {v for v, _ in exact}) / len(exact)
+    assert recall >= 0.3
+    assert len(ivf) == IVF_TOPK

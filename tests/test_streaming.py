@@ -35,3 +35,30 @@ def test_stream_dedup_one_row_per_key(spark):
         for r in load_table(spark, SF, "events").select("user_id").distinct().collect()
     }
     assert set(users) == batch_users
+
+
+def test_stateful_running_totals_match_batch(spark):
+    from pyspark.sql import functions as F
+
+    from hq_master_data_warehouse_spark.streaming.jobs import (
+        streaming_stateful_running_totals,
+    )
+
+    out = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in streaming_stateful_running_totals(spark, SF).collect()
+    }
+    batch = {
+        r.user_id: (r.n, round(r.total, 4))
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total"),
+        )
+        .collect()
+    }
+    assert set(out) == set(batch)
+    for uid, (n, total) in batch.items():
+        assert out[uid][0] == n
+        assert abs(out[uid][1] - total) < 1e-3
