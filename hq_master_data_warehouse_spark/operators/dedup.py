@@ -228,25 +228,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # exact verification of candidates only
-    sizes = rows.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = rows.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = rows.select(F.col("doc_id").alias("doc_b"), "sh")
-    common = (
-        a.join(b, on="sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .join(cands, on=["doc_a", "doc_b"], how="left_semi")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("c"))
+    # exact verification on CANDIDATES ONLY: join the few candidate
+    # pairs to per-doc shingle sets and intersect JVM-side -- never
+    # the all-pairs shingle self-join (that would redo the O(pairs)
+    # work the banding exists to avoid).
+    doc_sets = rows.groupBy("doc_id").agg(
+        F.collect_set("sh").alias("shs")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    sa = doc_sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a")
+    )
+    sb = doc_sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b")
+    )
+    c = F.size(F.array_intersect(F.col("shs_a"), F.col("shs_b")))
     jac = F.round(
-        F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")),
+        c.cast("double")
+        / (F.size("shs_a") + F.size("shs_b") - c),
         6,
     )
     return (
-        common.join(sa, on="doc_a")
+        cands.join(sa, on="doc_a")
         .join(sb, on="doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
