@@ -162,3 +162,89 @@ def overwrite_update_by_key(
     df.write.mode("overwrite").parquet(tmp)
     final = spark.read.parquet(tmp)
     final.write.mode("overwrite").parquet(table_path)
+
+
+# -- MERGE / upsert (engine surface): the production path for S7+S5 in
+#    one atomic operation (Delta/Iceberg MERGE INTO).  Logical
+#    semantics here as a full-outer join + coalesce, oracle-checked;
+#    the physical swap follows overwrite_update_by_key's temp-and-swap
+#    pattern.
+def merge_upsert(
+    base: DataFrame, updates: DataFrame, key: str
+) -> DataFrame:
+    """WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED THEN INSERT, rows
+    absent from ``updates`` kept -- as a declarative plan: full outer
+    join on the key, update columns coalesced updates-first."""
+    u = updates.select(
+        F.col(key).alias("_u_key"),
+        *[
+            F.col(c).alias(f"_u_{c}")
+            for c in updates.columns
+            if c != key
+        ],
+    )
+    joined = base.join(u, base[key] == u["_u_key"], "full_outer")
+    action = (
+        F.when(F.col("_u_key").isNull(), "keep")
+        .when(base[key].isNull(), "insert")
+        .otherwise("update")
+    )
+    out_cols = [F.coalesce(base[key], F.col("_u_key")).alias(key)]
+    for c in base.columns:
+        if c == key:
+            continue
+        if f"_u_{c}" in joined.columns:
+            out_cols.append(F.coalesce(F.col(f"_u_{c}"), base[c]).alias(c))
+        else:
+            out_cols.append(base[c])
+    return joined.select(*out_cols, action.alias("merge_action"))
+
+
+@query(
+    "ledger_merge_upsert",
+    oracle="""
+    WITH upd AS (
+        SELECT s_suppkey, ROUND(s_acctbal + 100.0, 2) AS s_acctbal
+        FROM supplier WHERE s_suppkey % 10 = 0
+        UNION ALL
+        SELECT s_suppkey + 100000, 0.0 FROM supplier
+        WHERE s_suppkey % 10 = 1
+    )
+    SELECT COALESCE(b.s_suppkey, u.s_suppkey) AS s_suppkey,
+           COALESCE(b.s_name, 'new-supplier') AS s_name,
+           ROUND(COALESCE(u.s_acctbal, b.s_acctbal), 2) AS s_acctbal,
+           CASE WHEN u.s_suppkey IS NULL THEN 'keep'
+                WHEN b.s_suppkey IS NULL THEN 'insert'
+                ELSE 'update' END AS merge_action
+    FROM supplier b FULL OUTER JOIN upd u ON b.s_suppkey = u.s_suppkey
+    """,
+)
+def ledger_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic upsert fixture: every 10th supplier gets +100
+    balance (matched -> update), a shifted key range is inserted, the
+    rest keep."""
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        F.round(F.col("s_acctbal"), 2).alias("s_acctbal"),
+    )
+    updates = (
+        supplier.filter(F.col("s_suppkey") % 10 == 0)
+        .select(
+            "s_suppkey",
+            F.round(F.col("s_acctbal") + 100.0, 2).alias("s_acctbal"),
+        )
+        .unionByName(
+            supplier.filter(F.col("s_suppkey") % 10 == 1).select(
+                (F.col("s_suppkey") + 100000).alias("s_suppkey"),
+                F.lit(0.0).alias("s_acctbal"),
+            )
+        )
+    )
+    merged = merge_upsert(supplier, updates, "s_suppkey")
+    return merged.select(
+        "s_suppkey",
+        F.coalesce(F.col("s_name"), F.lit("new-supplier")).alias("s_name"),
+        F.round("s_acctbal", 2).alias("s_acctbal"),
+        "merge_action",
+    )

@@ -45,6 +45,7 @@ def load_catalog() -> None:
         distribution,
         filters,
         joins,
+        layout,
         ledger,
         multimodal,
         relational_ext,
@@ -54,7 +55,7 @@ def load_catalog() -> None:
         text,
         windows,
     )
-    from .sources import ingest  # noqa: F401
+    from .sources import formats, ingest  # noqa: F401
     from .streaming import jobs  # noqa: F401
     from .plans import tpch  # noqa: F401
     from .plans import tpch_ext  # noqa: F401

@@ -1,0 +1,148 @@
+"""Source/sink format breadth beyond parquet (engine surface; the
+reference's only wire formats are Postgres rows and JSON payloads --
+SURVEY §2.1 S9/S10).  A warehouse engine additionally speaks CSV and
+JSONL, and lays out hot tables partitioned by their dominant filter
+key so scans prune whole directories.
+
+Each query here round-trips fixture data through the format under
+test into a session-scoped temp dir, reads it back with an explicit
+schema (schema-on-read, never inference in production paths), and
+aggregates -- the DuckDB oracle runs on the original parquet, so the
+round-trip itself is what's being checked.
+
+Scale: CSV/JSONL are ingest formats only -- they are line-splittable
+(parallel read) but row-oriented, uncompressed-stats, and schema-free;
+the first job in any pipeline lands them into parquet.  Partitioned
+parquet writes use a low-cardinality derived key (order year): one
+directory per value, so a year-filtered scan lists 1/Nth of the
+files before reading a byte.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import dec_sum, dec_sum_sql
+from ..registry import query
+from .loaders import load_table
+
+
+def _stage_dir(kind: str, sf_dir: str) -> str:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"hqmdw_{kind}_{tag}")
+
+
+ORDERS_DDL = (
+    "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+    "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING"
+)
+
+
+@query(
+    "source_csv_roundtrip",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           {dec_sum_sql('o_totalprice', 'total_price')}
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → CSV (header, ISO timestamps) → schema-on-read → agg.
+    The oracle runs on the original parquet, so any loss in the CSV
+    round-trip (quoting, timestamp format, nulls) fails the hash."""
+    path = _stage_dir("csv_orders", sf_dir)
+    if not os.path.exists(path):
+        load_table(spark, sf_dir, "orders").write.mode("overwrite").option(
+            "header", True
+        ).csv(path + ".tmp")
+        os.rename(path + ".tmp", path)
+    orders = (
+        spark.read.schema(ORDERS_DDL)
+        .option("header", True)
+        .csv(path)
+    )
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        dec_sum("o_totalprice", "total_price"),
+    )
+
+
+@query(
+    "source_jsonl_roundtrip",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           {dec_sum_sql('o_totalprice', 'total_price')}
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → JSON-lines → schema-on-read → agg (the batch twin of
+    the webhook ingest path, S10)."""
+    path = _stage_dir("jsonl_orders", sf_dir)
+    if not os.path.exists(path):
+        load_table(spark, sf_dir, "orders").write.mode("overwrite").json(
+            path + ".tmp"
+        )
+        os.rename(path + ".tmp", path)
+    orders = spark.read.schema(ORDERS_DDL).json(path)
+    return orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        dec_sum("o_totalprice", "total_price"),
+    )
+
+
+@query(
+    "source_partitioned_scan",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           COUNT(*) AS n_orders,
+           {dec_sum_sql('o_totalprice', 'total_price')}
+    FROM orders
+    WHERE year(o_orderdate) IN (1997, 1998)
+    GROUP BY year(o_orderdate)
+    """,
+)
+def source_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders written partitioned by order year, then scanned with a
+    partition-key filter -- the layout that replaces btree indexes at
+    100 TB (SURVEY §4.1).  The year filter prunes directories at file
+    listing time (PartitionFilters in the plan, asserted in
+    tests/test_plans.py)."""
+    path = partitioned_orders_path(spark, sf_dir)
+    orders = spark.read.parquet(path)
+    return (
+        orders.filter(F.col("order_year").isin(1997, 1998))
+        .groupBy("order_year")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dec_sum("o_totalprice", "total_price"),
+        )
+        .select(
+            F.col("order_year").cast("int").alias("order_year"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+def partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
+    """orders re-laid-out as year-partitioned parquet (staged once per
+    sf_dir per machine)."""
+    path = _stage_dir("part_orders", sf_dir)
+    if not os.path.exists(path):
+        (
+            load_table(spark, sf_dir, "orders")
+            .withColumn("order_year", F.year("o_orderdate"))
+            .write.mode("overwrite")
+            .partitionBy("order_year")
+            .parquet(path + ".tmp")
+        )
+        os.rename(path + ".tmp", path)
+    return path

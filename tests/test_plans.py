@@ -76,3 +76,21 @@ def test_salted_aggregate_is_two_phase(spark):
     plan = _plan(spark, "skew_salted_aggregate")
     # two HashAggregate pairs: (partial+final) per phase
     assert plan.count("HashAggregate") >= 4
+
+
+def test_partitioned_scan_prunes_directories(spark):
+    plan = _plan(spark, "source_partitioned_scan")
+    assert "PartitionFilters" in plan
+    assert "order_year" in plan.split("PartitionFilters", 1)[1][:300]
+
+
+def test_bucketed_join_needs_no_join_shuffle(spark):
+    import re
+
+    plan = _plan(spark, "bucketed_colocated_join")
+    assert "SortMergeJoin" in plan
+    assert "SelectedBucketsCount" in plan
+    # the only exchange is the final tiny aggregation, never a join
+    # input: both scans feed the join through sorts alone
+    detail_exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(detail_exchanges) <= 1, plan
