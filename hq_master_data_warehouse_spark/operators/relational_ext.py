@@ -236,3 +236,51 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)"
         ).alias("approx_price_quantiles"),
     )
+
+
+# -- higher-order array-function surface (engine surface): the JVM
+#    lambda toolkit (transform/filter/exists/aggregate/slice/sort)
+#    that keeps vector math out of Python UDFs.  Elements round to 6
+#    so the float->double widening hashes identically cross-engine.
+@query(
+    "array_functions_showcase",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           list_transform(embedding[1:3],
+                          x -> ROUND(CAST(x AS DOUBLE) * 2, 6))
+               AS first3_doubled,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive,
+           CAST(list_max(list_transform(embedding,
+                x -> CAST(x AS DOUBLE))) >= 2.0 AS BOOLEAN)
+               AS has_large,
+           ROUND(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE))), 6) AS elem_sum,
+           list_transform(list_reverse(list_sort(list_transform(
+               embedding, x -> CAST(x AS DOUBLE))))[1:3],
+               x -> ROUND(x, 6)) AS top3
+    FROM embeddings
+    """,
+)
+def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.transform(
+            F.slice(F.col("embedding"), 1, 3),
+            lambda x: F.round(x.cast("double") * 2, 6),
+        ).alias("first3_doubled"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias(
+            "n_positive"
+        ),
+        F.exists(dbl, lambda x: x >= 2.0).alias("has_large"),
+        F.round(
+            F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("elem_sum"),
+        F.transform(
+            F.slice(F.reverse(F.array_sort(dbl)), 1, 3),
+            lambda x: F.round(x, 6),
+        ).alias("top3"),
+    )

@@ -1,0 +1,77 @@
+"""Dataset-splitting and mixing operators for training-data pipelines
+(north-star surface; a 100 TB corpus is always consumed through a
+deterministic split and a weighted source mix).
+
+Two families:
+
+* **hash splits** -- membership decided by a content-derived hash, so
+  the split is stable across runs, engines, partitionings, and data
+  re-orderings (never ``rand()``: a retry would re-split).  md5 is
+  used (not xxhash64) because the oracle engine computes the identical
+  digest, making the split itself differentially testable.
+* **weighted source mixing** -- `sampleBy` stratified sampling with a
+  fixed seed: each source (stratum) is downsampled to its mixing
+  weight in one scan, the standard way to re-weight web/books/code
+  proportions ahead of training.  Sampling is engine-specific, so the
+  check is a pytest on achieved fractions, not a SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loaders import load_table
+
+#: md5-prefix cut for ~90/10: hex prefixes below 'e6' are train
+#: (230/256 = 89.8% expected mass).
+SPLIT_CUT = "e6"
+
+#: per-source mixing weights (fractions kept), seeded deterministically;
+#: fixture sources are src0..src19 -- downweight the even-numbered ones.
+MIX_WEIGHTS = {f"src{i}": (0.25 if i % 2 == 0 else 1.0) for i in range(20)}
+MIX_SEED = 42
+
+
+def hash_split(df: DataFrame, key: str) -> DataFrame:
+    """Stable 'train'/'holdout' assignment from the md5 of the key."""
+    bucket = F.substring(F.md5(F.col(key).cast("string")), 1, 2)
+    return df.withColumn(
+        "split",
+        F.when(bucket < SPLIT_CUT, "train").otherwise("holdout"),
+    )
+
+
+@query(
+    "split_train_holdout",
+    oracle=f"""
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_CUT}'
+                THEN 'train' ELSE 'holdout' END AS split,
+           lang,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split sizes per language -- the oracle recomputes the identical
+    md5 buckets, so the differential check covers membership itself,
+    not just counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query("sample_source_mix")  # rows-only: sampling is engine-specific
+def sample_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mix via seeded stratified sampling: one pass,
+    each stratum kept at its MIX_WEIGHTS fraction.  pytest checks the
+    achieved fractions and run-to-run determinism."""
+    docs = load_table(spark, sf_dir, "documents")
+    sources = [r[0] for r in docs.select("source").distinct().collect()]
+    fractions = {s: MIX_WEIGHTS.get(s, 1.0) for s in sources}
+    return docs.sampleBy("source", fractions, seed=MIX_SEED)

@@ -49,6 +49,7 @@ def load_catalog() -> None:
         ledger,
         multimodal,
         relational_ext,
+        sampling,
         setops,
         similarity,
         skew,

@@ -295,3 +295,25 @@ def streaming_stateful_running_totals(
         )
     )
     return _drain_to_memory(out, "update")
+
+
+@query("streaming_static_enrich_join")  # rows-only: stream semantics
+def streaming_static_enrich_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-static join (the streaming twin of J3): each events
+    micro-batch enriched against the static customer dim keyed by
+    user_id.  The static side is re-planned per micro-batch --
+    broadcast at dim size, so the stream never shuffles; state-free,
+    unlike a stream-stream join."""
+    stream = _events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        "c_mktsegment",
+    )
+    enriched = (
+        stream.join(F.broadcast(dim), "user_id", "left")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return _drain_to_memory(enriched, "complete")

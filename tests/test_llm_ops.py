@@ -101,3 +101,32 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     recall = len({v for v, _ in ivf} & {v for v, _ in exact}) / len(exact)
     assert recall >= 0.3
     assert len(ivf) == IVF_TOPK
+
+
+def test_source_mix_fractions_and_determinism(spark):
+    from hq_master_data_warehouse_spark.operators.sampling import (
+        MIX_WEIGHTS,
+        sample_source_mix,
+    )
+    from hq_master_data_warehouse_spark.sources.loaders import load_table
+
+    sf = "/root/testdata/sf0.01"
+    mixed = sample_source_mix(spark, sf)
+    got = {
+        r.source: r.n for r in
+        mixed.groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    base = {
+        r.source: r.n for r in
+        load_table(spark, sf, "documents")
+        .groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    for src, total in base.items():
+        want = MIX_WEIGHTS.get(src, 1.0)
+        achieved = got.get(src, 0) / total
+        # Bernoulli sampling tolerance on 25-doc strata
+        assert abs(achieved - want) <= 0.35, (src, achieved, want)
+    # seeded: same plan, same rows
+    again = {r.doc_id for r in sample_source_mix(spark, sf).select("doc_id").collect()}
+    first = {r.doc_id for r in mixed.select("doc_id").collect()}
+    assert first == again

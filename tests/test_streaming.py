@@ -62,3 +62,28 @@ def test_stateful_running_totals_match_batch(spark):
     for uid, (n, total) in batch.items():
         assert out[uid][0] == n
         assert abs(out[uid][1] - total) < 1e-3
+
+
+def test_stream_static_join_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from hq_master_data_warehouse_spark.streaming.jobs import (
+        streaming_static_enrich_join,
+    )
+
+    out = {
+        r.c_mktsegment: r.n_events
+        for r in streaming_static_enrich_join(spark, SF).collect()
+    }
+    events = load_table(spark, SF, "events")
+    dim = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    batch = {
+        r.c_mktsegment: r.n_events
+        for r in events.join(dim, "user_id", "left")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    }
+    assert out == batch
