@@ -35,10 +35,12 @@ HEADLINE = [
     "tpch_q9_product_profit",
     "tpch_q18_large_volume_customer",
     "tpch_q21_waiting_orders",
+    "bucketed_colocated_join",
     "asof_join_latest_order",
     "dedup_minhash_lsh",
     "similarity_cosine_topk",
     "text_quality_scores",
+    "pipeline_corpus_curation",
     "events_tumbling_window",
 ]
 

@@ -270,3 +270,36 @@ def text_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "int"
         ).alias("n_chars_collapsed"),
     )
+
+
+def quality_raw_score(text_col: Column) -> Column:
+    """The composite quality heuristic as a reusable expression (same
+    math as text_quality_scores)."""
+    toks = _tokens(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        .cast("double")
+        / n_tokens
+    )
+    alpha_ratio = (
+        F.size(F.regexp_extract_all(text_col, F.lit("[a-zA-Z]"), 0))
+        .cast("double")
+        / F.length(text_col)
+    )
+    return (
+        F.least(n_tokens / 50.0, F.lit(1.0)) * 0.4
+        + stop_ratio * 0.3
+        + alpha_ratio * 0.3
+    )
+
+
+_QUALITY_SCORE_SQL = f"""(
+    LEAST(len({_TOKENS_SQL}) / 50.0, 1.0) * 0.4
+    + CAST(len(list_filter({_TOKENS_SQL},
+          t -> list_contains({STOPWORDS!r}, t))) AS DOUBLE)
+      / len({_TOKENS_SQL}) * 0.3
+    + CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE)
+      / length(text) * 0.3
+)"""

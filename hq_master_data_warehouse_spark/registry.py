@@ -38,7 +38,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def load_catalog() -> None:
     """Import every module that registers queries (idempotent)."""
-    from .plans import flagship  # noqa: F401
+    from .plans import curation, flagship  # noqa: F401
     from .operators import (  # noqa: F401
         aggregates,
         dedup,
