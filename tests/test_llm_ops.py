@@ -130,3 +130,29 @@ def test_source_mix_fractions_and_determinism(spark):
     again = {r.doc_id for r in sample_source_mix(spark, sf).select("doc_id").collect()}
     first = {r.doc_id for r in mixed.select("doc_id").collect()}
     assert first == again
+
+
+def test_approx_sketches_within_error_bounds(spark):
+    from hq_master_data_warehouse_spark.operators.relational_ext import (
+        agg_approx_sketches,
+    )
+
+    for r in agg_approx_sketches(spark, "/root/testdata/sf0.01").collect():
+        # HLL++ default rsd is 5%; allow 3x headroom
+        assert abs(r.approx_parts - r.exact_parts) <= 0.15 * r.exact_parts
+        q50, q90 = r.approx_price_quantiles
+        assert q50 <= q90
+
+
+def test_simhash_pairs_deterministic_and_bounded(spark):
+    from hq_master_data_warehouse_spark.operators.dedup import (
+        MAX_HAMMING,
+        dedup_simhash,
+    )
+
+    first = {(r.doc_a, r.doc_b, r.hamming) for r in dedup_simhash(spark, SF).collect()}
+    again = {(r.doc_a, r.doc_b, r.hamming) for r in dedup_simhash(spark, SF).collect()}
+    assert first == again
+    for a, b, h in first:
+        assert a < b
+        assert 0 <= h <= MAX_HAMMING
