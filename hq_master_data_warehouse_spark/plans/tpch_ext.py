@@ -767,3 +767,81 @@ def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_name", "n_name")
     )
+
+
+# -- q2 shape: minimum-cost supplier per part inside a region (the
+#    correlated MIN subquery becomes groupBy-min + equality join).
+#    Adapted: the per-(part, supplier) offer is MIN(l_extendedprice)
+#    from lineitem (no partsupp.ps_supplycost in the fixtures);
+#    decimal MIN keeps the equality exact on both engines.
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH offer AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(CAST(l_extendedprice AS DECIMAL(30,4))) AS price
+        FROM lineitem GROUP BY 1, 2
+    ),
+    regional AS (
+        SELECT o.l_partkey, o.price, s.s_acctbal, s.s_name, n.n_name
+        FROM offer o
+        JOIN supplier s ON o.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+    ),
+    best AS (
+        SELECT l_partkey, MIN(price) AS best_price
+        FROM regional GROUP BY 1
+    )
+    SELECT x.s_acctbal, x.s_name, x.n_name, p.p_partkey,
+           CAST(x.price AS DOUBLE) AS offer_price
+    FROM regional x
+    JOIN part p ON p.p_partkey = x.l_partkey
+               AND p.p_size IN (5, 15, 25) AND p.p_type = 'STANDARD'
+    JOIN best b ON b.l_partkey = x.l_partkey
+               AND x.price = b.best_price
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    part = load_table(spark, sf_dir, "part")
+    offer = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice").cast(MONEY)).alias("price")
+    )
+    regional = (
+        offer.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            region.filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("l_partkey", "price", "s_acctbal", "s_name", "n_name")
+    )
+    best = regional.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("price").alias("best_price")
+    )
+    picked = F.broadcast(
+        part.filter(
+            F.col("p_size").isin(5, 15, 25)
+            & (F.col("p_type") == "STANDARD")
+        ).select("p_partkey")
+    )
+    return (
+        regional.join(picked, F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            best,
+            (F.col("b_partkey") == F.col("l_partkey"))
+            & (F.col("price") == F.col("best_price")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.col("price").cast("double").alias("offer_price"),
+        )
+    )

@@ -317,3 +317,59 @@ def streaming_static_enrich_join(
         .agg(F.count("*").alias("n_events"))
     )
     return _drain_to_memory(enriched, "complete")
+
+
+@query("streaming_session_windows")  # rows-only: stream semantics
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows computed BY THE STREAMING ENGINE: watermarked
+    per-user sessionization with a 10-minute gap -- the streaming twin
+    of events_session_window (whose batch form is the oracle-checked
+    gaps-and-islands rewrite)."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("event_cnt"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "event_cnt",
+        )
+    )
+    return _drain_to_memory(agg, "complete")
+
+
+@query("streaming_stream_stream_join")  # rows-only: stream semantics
+def streaming_stream_stream_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream self-join: each click-like event
+    joined to the same user's later events within 10 minutes (the
+    funnel/attribution shape).  Both sides carry watermarks and the
+    join condition bounds event time, so the state store can evict --
+    the condition IS the state-size contract at 100 TB/day rates."""
+    stream = _events_stream(spark, sf_dir)
+    left = (
+        stream.withWatermark("ts", "30 minutes")
+        .select(
+            F.col("user_id").alias("u1"),
+            F.col("event_id").alias("first_event"),
+            F.col("ts").alias("t1"),
+        )
+    )
+    right = (
+        stream.withWatermark("ts", "30 minutes")
+        .select(
+            F.col("user_id").alias("u2"),
+            F.col("event_id").alias("next_event"),
+            F.col("ts").alias("t2"),
+        )
+    )
+    joined = left.join(
+        right,
+        (F.col("u1") == F.col("u2"))
+        & (F.col("t2") > F.col("t1"))
+        & (F.col("t2") <= F.col("t1") + F.expr("INTERVAL 10 MINUTES")),
+    ).select("u1", "first_event", "next_event", "t1", "t2")
+    return _drain_to_memory(joined, "append")

@@ -87,3 +87,54 @@ def test_stream_static_join_matches_batch(spark):
         .collect()
     }
     assert out == batch
+
+
+def test_stream_session_windows_match_batch(spark):
+    from hq_master_data_warehouse_spark.streaming.jobs import (
+        events_session_window,
+        streaming_session_windows,
+    )
+
+    stream_rows = {
+        (r.user_id, r.session_start, r.session_end, r.event_cnt)
+        for r in streaming_session_windows(spark, SF).collect()
+    }
+    batch_rows = {
+        (r.user_id, r.session_start, r.session_end, r.event_cnt)
+        for r in events_session_window(spark, SF).collect()
+    }
+    assert stream_rows == batch_rows
+
+
+def test_stream_stream_join_matches_batch_self_join(spark):
+    from pyspark.sql import functions as F
+
+    from hq_master_data_warehouse_spark.streaming.jobs import (
+        streaming_stream_stream_join,
+    )
+
+    out = {
+        (r.u1, r.first_event, r.next_event)
+        for r in streaming_stream_stream_join(spark, SF).collect()
+    }
+    ev = load_table(spark, SF, "events")
+    l = ev.select(
+        F.col("user_id").alias("u1"),
+        F.col("event_id").alias("first_event"),
+        F.col("ts").alias("t1"),
+    )
+    r = ev.select(
+        F.col("user_id").alias("u2"),
+        F.col("event_id").alias("next_event"),
+        F.col("ts").alias("t2"),
+    )
+    batch = {
+        (x.u1, x.first_event, x.next_event)
+        for x in l.join(
+            r,
+            (F.col("u1") == F.col("u2"))
+            & (F.col("t2") > F.col("t1"))
+            & (F.col("t2") <= F.col("t1") + F.expr("INTERVAL 10 MINUTES")),
+        ).collect()
+    }
+    assert out == batch
