@@ -154,3 +154,42 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("frame_bytes"),
         )
     )
+
+
+THUMB_BYTES = 64
+
+_RESIZE_SCHEMA = "doc_id long, orig_len long, thumb binary"
+
+
+def _resize_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Deterministic fake resize: strided byte sampling down to a
+    fixed THUMB_BYTES "thumbnail".  A real implementation decodes,
+    rescales, and re-encodes inside the same Arrow batch loop --
+    batch shape and output schema are identical."""
+    for pdf in batches:
+        thumbs, lens = [], []
+        for raw in pdf["payload"]:
+            buf = bytes(raw)
+            lens.append(len(buf))
+            if not buf:
+                thumbs.append(b"\x00" * THUMB_BYTES)
+                continue
+            stride = max(len(buf) // THUMB_BYTES, 1)
+            sampled = buf[::stride][:THUMB_BYTES]
+            thumbs.append(sampled.ljust(THUMB_BYTES, b"\x00"))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "orig_len": lens, "thumb": thumbs}
+        )
+
+
+@query("multimodal_resize")  # rows-only: Arrow/pandas path
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media resize plumbing via ``mapInPandas``: every payload mapped
+    to a fixed-size thumbnail, Arrow-batched and partition-parallel.
+    At 100 TB this is the dominant media transform; the contract that
+    scales is fixed output size per row and zero driver involvement."""
+    docs = load_table(spark, sf_dir, "documents")
+    binary = with_binary_payload(docs).select("doc_id", "payload")
+    return binary.mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)

@@ -156,3 +156,18 @@ def test_simhash_pairs_deterministic_and_bounded(spark):
     for a, b, h in first:
         assert a < b
         assert 0 <= h <= MAX_HAMMING
+
+
+def test_resize_fixed_shape_and_determinism(spark):
+    from hq_master_data_warehouse_spark.operators.multimodal import (
+        THUMB_BYTES,
+        multimodal_resize,
+    )
+
+    rows = multimodal_resize(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert len(r.thumb) == THUMB_BYTES
+        assert r.orig_len >= 0
+    again = {(r.doc_id, bytes(r.thumb)) for r in multimodal_resize(spark, SF).collect()}
+    assert {(r.doc_id, bytes(r.thumb)) for r in rows} == again
