@@ -284,3 +284,69 @@ def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.round(x, 6),
         ).alias("top3"),
     )
+
+
+# -- time-series resample + gap fill (engine surface): regularize an
+#    event stream onto a fixed 15-minute grid per series, empty
+#    buckets filled with zero.  The grid is sequence+explode from the
+#    global bounds (two tiny rows), cross-joined with the distinct
+#    series keys (broadcast) -- the fact table is touched once.
+@query(
+    "events_resample_gap_fill",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+    ),
+    bounds AS (
+        SELECT time_bucket(INTERVAL '15 minutes', min(ts)) AS lo,
+               time_bucket(INTERVAL '15 minutes', max(ts)) AS hi
+        FROM e
+    ),
+    grid AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL '15 minutes'))
+            AS bucket
+        FROM bounds
+    ),
+    series AS (
+        SELECT bucket, event_type
+        FROM grid CROSS JOIN (SELECT DISTINCT event_type FROM e)
+    ),
+    actual AS (
+        SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket,
+               event_type, COUNT(*) AS n
+        FROM e GROUP BY 1, 2
+    )
+    SELECT s.bucket, s.event_type,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS cnt
+    FROM series s LEFT JOIN actual a
+      ON s.bucket = a.bucket AND s.event_type = a.event_type
+    """,
+)
+def events_resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type"
+    )
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp("ts") / 900) * 900
+    )
+    bounds = events.agg(
+        F.min(bucket).alias("lo"), F.max(bucket).alias("hi")
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 15 MINUTES"))
+        ).alias("bucket")
+    )
+    types = events.select("event_type").distinct()
+    series = grid.crossJoin(F.broadcast(types))
+    actual = events.groupBy(
+        bucket.alias("bucket"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    return (
+        series.join(actual, ["bucket", "event_type"], "left")
+        .select(
+            "bucket",
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("long").alias("cnt"),
+        )
+    )
