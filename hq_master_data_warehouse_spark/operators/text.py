@@ -303,3 +303,39 @@ _QUALITY_SCORE_SQL = f"""(
     + CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE)
       / length(text) * 0.3
 )"""
+
+
+# -- rolling-hash / winnowing fingerprint (north-star "document
+#    fingerprinting (rolling hash)"): hash every 8-char sliding
+#    window of the canonical text, keep the minimum -- robust to
+#    edits outside the minimizing window, unlike the whole-doc md5 of
+#    text_fingerprint.  All JVM: sequence -> transform -> array_min.
+WINNOW_K = 8
+
+
+@query(
+    "text_winnowing_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_min(list_transform(
+               generate_series(1, length({CANONICAL_SQL}) - {WINNOW_K} + 1),
+               i -> md5(substr({CANONICAL_SQL}, i, {WINNOW_K}))
+           )) AS winnow_fp,
+           length({CANONICAL_SQL}) - {WINNOW_K} + 1 AS n_windows
+    FROM documents
+    """,
+)
+def text_winnowing_fingerprint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    canon = canonical_text(F.col("text"))
+    idx = F.sequence(F.lit(1), F.length(canon) - WINNOW_K + 1)
+    window_hashes = F.transform(
+        idx, lambda i: F.md5(canon.substr(i, F.lit(WINNOW_K)))
+    )
+    return docs.select(
+        "doc_id",
+        F.array_min(window_hashes).alias("winnow_fp"),
+        (F.length(canon) - WINNOW_K + 1).cast("long").alias("n_windows"),
+    )
