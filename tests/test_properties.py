@@ -1,0 +1,80 @@
+"""Hypothesis property tests for the pure expression layer (SURVEY §5
+"invariant/property tests"): the bucket normalization and capacity
+expressions must agree with a plain-Python model on arbitrary inputs,
+including the messy free-text and NULL cases the reference tolerates.
+
+Runs the expressions through a real (tiny) DataFrame so what is tested
+is the Catalyst expression, not a reimplementation.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hq_master_data_warehouse_spark.functions.buckets import (
+    NOT_SURE_BUCKET,
+    SEGMENT_MAX,
+    UNKNOWN_BUCKET,
+    capacity_for_segment,
+    segment_bucket,
+)
+from hq_master_data_warehouse_spark.schemas import (
+    DEFAULT_RANGE_MAX,
+    SAFE_PEOPLE_LIMIT,
+)
+
+from pyspark.sql import functions as F
+
+segments = st.one_of(
+    st.none(),
+    st.sampled_from(sorted(SEGMENT_MAX)),
+    st.sampled_from(
+        ["not sure", "Not Sure (approx)", "NOT SURE!!", "maybe not sure"]
+    ),
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=["Lu", "Ll", "Nd"], max_codepoint=0x7F
+        ),
+        max_size=12,
+    ),
+)
+
+
+def _model_bucket(v):
+    if v is None:
+        return UNKNOWN_BUCKET
+    if NOT_SURE_BUCKET in v.lower():
+        return NOT_SURE_BUCKET
+    return v
+
+
+def _model_capacity(bucket):
+    mx = SEGMENT_MAX.get(bucket, DEFAULT_RANGE_MAX)
+    return math.floor(SAFE_PEOPLE_LIMIT / mx)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(segments, min_size=1, max_size=12))
+def test_bucket_and_capacity_expressions_match_model(spark, values):
+    df = spark.createDataFrame(
+        [(v,) for v in values], "employee_range string"
+    )
+    rows = df.select(
+        F.col("employee_range"),
+        segment_bucket(F.col("employee_range")).alias("bucket"),
+        capacity_for_segment(
+            segment_bucket(F.col("employee_range"))
+        ).alias("capacity"),
+    ).collect()
+    assert len(rows) == len(values)
+    for r in rows:
+        want_bucket = _model_bucket(r.employee_range)
+        assert r.bucket == want_bucket
+        assert r.capacity == _model_capacity(want_bucket)
