@@ -350,3 +350,52 @@ def events_resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).cast("long").alias("cnt"),
         )
     )
+
+
+# -- funnel conversion (engine surface): per-user ordered-step
+#    analysis -- did a 'view' happen, and did a 'purchase' follow it?
+#    One pass: min event time per step per user, step order enforced
+#    by timestamp comparison (no self-join; conditional aggregation).
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view'
+                        THEN CAST(ts AS TIMESTAMP) END) AS first_view,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ts AS TIMESTAMP) END) AS first_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_viewed,
+           SUM(CASE WHEN first_view IS NOT NULL
+                     AND first_purchase > first_view
+                    THEN 1 ELSE 0 END) AS n_converted
+    FROM per_user
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("first_view"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(
+            F.when(F.col("first_view").isNotNull(), 1).otherwise(0)
+        ).alias("n_viewed"),
+        F.sum(
+            F.when(
+                F.col("first_view").isNotNull()
+                & (F.col("first_purchase") > F.col("first_view")),
+                1,
+            ).otherwise(0)
+        ).alias("n_converted"),
+    )

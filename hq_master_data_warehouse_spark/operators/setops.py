@@ -85,3 +85,71 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey"
     )
     return a.intersect(b)
+
+
+# -- snapshot diff / CDC-style change detection (engine surface): the
+#    added/removed/changed delta between two versions of a keyed
+#    table, as one full-outer join.  This is how a warehouse without
+#    a transaction log reconciles a re-delivered feed -- and the
+#    logical core of incremental view maintenance.  Fixture: "old" is
+#    suppliers as-is, "new" drops key%7==0, updates the balance of
+#    key%5==0, and keeps the rest.
+@query(
+    "setop_snapshot_diff",
+    oracle="""
+    WITH new_snap AS (
+        SELECT s_suppkey,
+               CASE WHEN s_suppkey % 5 = 0
+                    THEN ROUND(s_acctbal + 50.0, 2)
+                    ELSE ROUND(s_acctbal, 2) END AS s_acctbal
+        FROM supplier WHERE s_suppkey % 7 <> 0
+    ),
+    old_snap AS (
+        SELECT s_suppkey, ROUND(s_acctbal, 2) AS s_acctbal FROM supplier
+    )
+    SELECT COALESCE(o.s_suppkey, n.s_suppkey) AS s_suppkey,
+           CASE WHEN n.s_suppkey IS NULL THEN 'removed'
+                WHEN o.s_suppkey IS NULL THEN 'added'
+                WHEN o.s_acctbal <> n.s_acctbal THEN 'changed'
+                ELSE 'unchanged' END AS change,
+           o.s_acctbal AS old_acctbal,
+           n.s_acctbal AS new_acctbal
+    FROM old_snap o FULL OUTER JOIN new_snap n
+      ON o.s_suppkey = n.s_suppkey
+    """,
+)
+def setop_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    old_snap = supplier.select(
+        "s_suppkey", F.round("s_acctbal", 2).alias("s_acctbal")
+    )
+    new_snap = old_snap.filter(F.col("s_suppkey") % 7 != 0).select(
+        "s_suppkey",
+        F.when(
+            F.col("s_suppkey") % 5 == 0,
+            F.round(F.col("s_acctbal") + 50.0, 2),
+        )
+        .otherwise(F.col("s_acctbal"))
+        .alias("s_acctbal"),
+    )
+    o = old_snap.select(
+        F.col("s_suppkey").alias("o_key"), F.col("s_acctbal").alias("o_bal")
+    )
+    n = new_snap.select(
+        F.col("s_suppkey").alias("n_key"), F.col("s_acctbal").alias("n_bal")
+    )
+    change = (
+        F.when(F.col("n_key").isNull(), "removed")
+        .when(F.col("o_key").isNull(), "added")
+        .when(F.col("o_bal") != F.col("n_bal"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        o.join(n, F.col("o_key") == F.col("n_key"), "full_outer")
+        .select(
+            F.coalesce("o_key", "n_key").alias("s_suppkey"),
+            change.alias("change"),
+            F.col("o_bal").alias("old_acctbal"),
+            F.col("n_bal").alias("new_acctbal"),
+        )
+    )

@@ -175,3 +175,36 @@ def window_distribution_functions(
         F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
     )
+
+
+# -- generic top-k per group (engine surface): rank window + filter,
+#    the distributed replacement for per-group ORDER BY ... LIMIT
+#    loops.  Ties broken by key so both engines cut identically.
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rk
+    FROM (
+        SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS INT) AS rk
+        FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("int").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
