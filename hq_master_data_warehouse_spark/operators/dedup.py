@@ -172,6 +172,114 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- duplicate clustering: connected components over the near-dup
+#    pair graph.  Pairwise dedup is not enough at corpus scale -- if
+#    A~B and B~C the keeper must be chosen once per CLUSTER, not per
+#    pair, or A and C both survive.  Iterative min-label propagation
+#    with pointer jumping (each round also relabels through the
+#    current component assignment, halving paths), so convergence is
+#    O(log diameter) rounds instead of O(diameter); each round is one
+#    join + one aggregate, no driver-side data, and `localCheckpoint`
+#    truncates the growing lineage.  Convergence is detected by the
+#    monotone-decreasing sum of labels -- a scalar aggregate, not a
+#    row diff.
+CC_MAX_ITERS = 20
+
+
+def connected_components(edges: DataFrame) -> DataFrame:
+    """(src, dst) undirected edge list -> (node, comp) with comp = min
+    node id reachable.  Pure DataFrame loop; O(log diameter) rounds."""
+    both = edges.unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    ).cache()
+    labels = (
+        both.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(CC_MAX_ITERS):
+        nb = (
+            both.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("comp").alias("nc")
+                ),
+                on="dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("nc").alias("nb_comp"))
+        )
+        stepped = labels.join(nb, on="node", how="left").select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce("nb_comp", F.col("comp"))
+            ).alias("comp"),
+        )
+        # pointer jumping: follow comp -> comp(comp) one hop.
+        jumped = stepped.alias("l").join(
+            stepped.select(
+                F.col("node").alias("comp"), F.col("comp").alias("cc")
+            ).alias("r"),
+            on="comp",
+            how="left",
+        ).select(
+            "node",
+            F.least(F.col("comp"), F.coalesce("cc", F.col("comp"))).alias(
+                "comp"
+            ),
+        )
+        labels = jumped.localCheckpoint()
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+@query(
+    "dedup_duplicate_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({_PAIR_JACCARD_SQL}) t
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    comp AS (
+        SELECT node, MIN(r) AS component FROM reach GROUP BY node
+    )
+    SELECT node AS doc_id, component,
+           COUNT(*) OVER (PARTITION BY component) AS cluster_size
+    FROM comp
+    """,
+)
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> transitive duplicate clusters; component id =
+    min doc_id in the cluster (the canonical keeper)."""
+    from pyspark.sql import Window
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = connected_components(pairs)
+    w = Window.partitionBy("comp")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("component"),
+        F.count("*").over(w).alias("cluster_size"),
+    )
+
+
 # -- MinHash + LSH banding (par.2.11 "fuzzy/near dedup" scale path).
 N_HASHES = 16
 N_BANDS = 4  # 4 rows per band

@@ -339,3 +339,72 @@ def text_winnowing_fingerprint(
         F.array_min(window_hashes).alias("winnow_fp"),
         (F.length(canon) - WINNOW_K + 1).cast("long").alias("n_windows"),
     )
+
+
+# -- TF-IDF top terms per document (engine surface): the classic
+#    relevance score as three aggregations and a window -- term
+#    frequency per (doc, term), document frequency per term, corpus
+#    size as a broadcast scalar.  At 100 TB each piece is one
+#    shuffle on its natural key and the tiny (n_docs) side is a
+#    broadcast; no per-doc vocabulary ever sits on the driver.
+TFIDF_TOP_K = 3
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM toks GROUP BY doc_id, tok
+    ),
+    dfreq AS (
+        SELECT tok, COUNT(DISTINCT doc_id) AS dfc FROM toks GROUP BY tok
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, tok, tfidf, rk FROM (
+        SELECT t.doc_id, t.tok,
+               ROUND(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.dfc), 6)
+                   AS tfidf,
+               CAST(row_number() OVER (
+                   PARTITION BY t.doc_id
+                   ORDER BY ROUND(t.tf * ln(CAST(n.n_docs AS DOUBLE)
+                                            / d.dfc), 6) DESC, t.tok
+               ) AS INT) AS rk
+        FROM tf t JOIN dfreq d USING (tok) CROSS JOIN n
+    ) WHERE rk <= {TFIDF_TOP_K}
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("tok").agg(
+        F.count_distinct("doc_id").alias("dfc")
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    tfidf = F.round(
+        F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("dfc")),
+        6,
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("tok")
+    )
+    return (
+        tf.join(dfreq, on="tok")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "tok", tfidf.alias("tfidf"))
+        .select(
+            "doc_id",
+            "tok",
+            "tfidf",
+            F.row_number().over(w).cast("int").alias("rk"),
+        )
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+    )

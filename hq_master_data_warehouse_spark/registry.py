@@ -48,6 +48,7 @@ def load_catalog() -> None:
         layout,
         ledger,
         multimodal,
+        profile,
         relational_ext,
         sampling,
         setops,

@@ -171,3 +171,23 @@ def test_resize_fixed_shape_and_determinism(spark):
         assert r.orig_len >= 0
     again = {(r.doc_id, bytes(r.thumb)) for r in multimodal_resize(spark, SF).collect()}
     assert {(r.doc_id, bytes(r.thumb)) for r in rows} == again
+
+
+def test_connected_components_chain_and_forest(spark):
+    """A 40-node chain (worst-case diameter) plus a separate triangle:
+    every node must land in the component of its minimum reachable id,
+    well within CC_MAX_ITERS thanks to pointer jumping."""
+    from hq_master_data_warehouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = [(i, i + 1) for i in range(100, 140)]
+    triangle = [(7, 9), (9, 11), (7, 11)]
+    edges = spark.createDataFrame(
+        chain + triangle, schema="src long, dst long"
+    )
+    got = {
+        (r.node, r.comp) for r in connected_components(edges).collect()
+    }
+    want = {(n, 100) for n in range(100, 141)} | {(n, 7) for n in (7, 9, 11)}
+    assert got == want
