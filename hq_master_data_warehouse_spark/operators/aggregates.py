@@ -262,3 +262,62 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("l_extendedprice", "sum_price"),
         )
     )
+
+
+# -- incremental aggregate maintenance (engine surface): refresh a
+#    materialized per-customer rollup from a delta WITHOUT rescanning
+#    the base -- the core of incremental view maintenance and of every
+#    streaming partial-agg merge.  COUNT and decimal-SUM are
+#    partial-mergeable, so merged(base, delta) == full rescan; the
+#    oracle IS the full rescan, so the equivalence is what the hash
+#    checks.  At 100 TB the base partial is a small table (one row
+#    per group), and the delta is the day's arrivals: the refresh
+#    touches delta-sized data only.
+IVM_SPLIT_DATE = "1997-01-01"
+
+
+@query(
+    "agg_incremental_maintenance",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def agg_incremental_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,4)")).alias(
+                "sum_dec"
+            ),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < IVM_SPLIT_DATE))
+    delta = partial(orders.filter(F.col("o_orderdate") >= IVM_SPLIT_DATE))
+    b = base.select(
+        "o_custkey",
+        F.col("cnt").alias("b_cnt"),
+        F.col("sum_dec").alias("b_sum"),
+    )
+    d = delta.select(
+        "o_custkey",
+        F.col("cnt").alias("d_cnt"),
+        F.col("sum_dec").alias("d_sum"),
+    )
+    zero = F.lit(0).cast("decimal(30,4)")
+    return b.join(d, on="o_custkey", how="full_outer").select(
+        "o_custkey",
+        (
+            F.coalesce("b_cnt", F.lit(0)) + F.coalesce("d_cnt", F.lit(0))
+        ).alias("n_orders"),
+        (F.coalesce("b_sum", zero) + F.coalesce("d_sum", zero))
+        .cast("double")
+        .alias("total_price"),
+    )

@@ -179,3 +179,65 @@ def multiway_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("webhook_cnt", F.lit(0)).alias("webhook_cnt"),
         )
     )
+
+
+# -- null-safe equi-join (engine surface): NULL keys match each other
+#    under <=> (IS NOT DISTINCT FROM), where a plain equi-join drops
+#    them.  The fixture has no NULL keys, so both sides derive one
+#    deterministically (NULLIF on the 'BUILDING' segment) -- exactly
+#    the shape of joining two feeds that both use NULL for "unknown".
+#    Scale note: <=> is still hash-joinable (NULL hashes like any
+#    value), so the plan is the same shuffled/broadcast hash join as
+#    F1 -- no nested-loop penalty.
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH c AS (
+        SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg_key,
+               c_custkey
+        FROM customer
+    ),
+    d AS (
+        SELECT NULLIF(s, 'BUILDING') AS seg_key, tier FROM (
+            SELECT DISTINCT c_mktsegment AS s,
+                   CASE WHEN c_mktsegment < 'F' THEN 'early'
+                        ELSE 'late' END AS tier
+            FROM customer
+        ) t
+    )
+    SELECT COALESCE(c.seg_key, 'unknown') AS segment, d.tier,
+           COUNT(*) AS n_customers
+    FROM c JOIN d ON c.seg_key IS NOT DISTINCT FROM d.seg_key
+    GROUP BY COALESCE(c.seg_key, 'unknown'), d.tier
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    c = customer.select(
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias(
+            "seg_key"
+        ),
+        "c_custkey",
+    )
+    d = (
+        customer.select(
+            F.col("c_mktsegment").alias("s"),
+            F.when(F.col("c_mktsegment") < "F", "early")
+            .otherwise("late")
+            .alias("tier"),
+        )
+        .distinct()
+        .select(
+            F.nullif(F.col("s"), F.lit("BUILDING")).alias("seg_key"),
+            "tier",
+        )
+    )
+    return (
+        c.join(F.broadcast(d), c["seg_key"].eqNullSafe(d["seg_key"]))
+        .select(
+            F.coalesce(c["seg_key"], F.lit("unknown")).alias("segment"),
+            "tier",
+        )
+        .groupBy("segment", "tier")
+        .agg(F.count("*").alias("n_customers"))
+    )

@@ -82,3 +82,73 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("l_extendedprice", "revenue"),
         )
     )
+
+
+# -- small-file compaction (engine surface): the standing maintenance
+#    job of every file-based warehouse.  Streaming sinks and
+#    per-partition appends leave thousands of KB-sized files; scan
+#    cost then becomes file-open/list overhead, not bytes.  Compaction
+#    = read fragmented input, recompute the partition count from
+#    actual bytes / target file size, rewrite.  At 100 TB this runs
+#    per table-partition (never whole-table), and the byte math is
+#    driver-side metadata only -- no data moves except the rewrite
+#    itself.
+TARGET_FILE_BYTES = 128 * 1024 * 1024
+FRAGMENT_PARTS = 64
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_bytes: int = TARGET_FILE_BYTES,
+) -> int:
+    """Rewrite parquet dir `src` into `dst` with ceil(bytes/target)
+    files; returns the chosen file count."""
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(src)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n = max(1, -(-total // target_bytes))
+    spark.read.parquet(src).coalesce(n).write.mode("overwrite").parquet(
+        dst
+    )
+    return n
+
+
+def _fragmented_orders(spark: SparkSession, sf_dir: str) -> str:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"hqmdw_frag_{tag}")
+    if not os.path.exists(path):
+        load_table(spark, sf_dir, "orders").repartition(
+            FRAGMENT_PARTS
+        ).write.mode("overwrite").parquet(path + ".tmp")
+        os.rename(path + ".tmp", path)
+    return path
+
+
+@query(
+    "layout_compact_small_files",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           {dec_sum_sql('o_totalprice', 'total_price')}
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def layout_compact_small_files(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """64-way fragmented orders -> compacted parquet -> agg; the
+    oracle runs on the original table, so the round-trip through
+    fragmentation + compaction must be lossless."""
+    frag = _fragmented_orders(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dst = os.path.join(tempfile.gettempdir(), f"hqmdw_compact_{tag}")
+    compact_parquet(spark, frag, dst)
+    return spark.read.parquet(dst).groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        dec_sum("o_totalprice", "total_price"),
+    )

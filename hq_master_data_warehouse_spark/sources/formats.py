@@ -146,3 +146,33 @@ def partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
         )
         os.rename(path + ".tmp", path)
     return path
+
+
+@query(
+    "source_orc_roundtrip",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           COUNT(*) AS n_orders,
+           {dec_sum_sql('o_totalprice', 'total_price')}
+    FROM orders
+    GROUP BY CAST(year(o_orderdate) AS INT)
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → ORC → read back → agg.  ORC is the second columnar
+    format a warehouse must speak (stripe stats + predicate pushdown,
+    same scan properties as parquet); the oracle runs on the original
+    parquet so any type drift in the round-trip fails the hash."""
+    path = _stage_dir("orc_orders", sf_dir)
+    if not os.path.exists(path):
+        load_table(spark, sf_dir, "orders").write.mode("overwrite").orc(
+            path + ".tmp"
+        )
+        os.rename(path + ".tmp", path)
+    orders = spark.read.orc(path)
+    return orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        dec_sum("o_totalprice", "total_price"),
+    )

@@ -218,6 +218,26 @@ def streaming_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(deduped, "append")
 
 
+@query("streaming_dedup_within_watermark")  # rows-only: stream semantics
+def streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """T4 variant for at-least-once upstreams: collapse REDELIVERIES of
+    the same (user_id, event_type) arriving within the watermark delay
+    of each other, while legitimately repeated events further apart
+    both survive.  ``dropDuplicatesWithinWatermark`` keys state on the
+    dedup columns and expires it by event time, so state is bounded by
+    (keys active per delay window), not by total history -- the knob
+    that keeps a 100 TB/day stream's state store flat."""
+    stream = _events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type", "ts")
+    )
+    return _drain_to_memory(deduped, "append")
+
+
 @query("streaming_ingest_audit")  # rows-only: foreachBatch side effects
 def streaming_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2: per-micro-batch audit rows (records_received /

@@ -94,3 +94,25 @@ def test_bucketed_join_needs_no_join_shuffle(spark):
     # input: both scans feed the join through sorts alone
     detail_exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
     assert len(detail_exchanges) <= 1, plan
+
+
+def test_compaction_shrinks_file_count(spark):
+    import os
+
+    from hq_master_data_warehouse_spark.operators.layout import (
+        FRAGMENT_PARTS,
+        _fragmented_orders,
+        compact_parquet,
+    )
+
+    frag = _fragmented_orders(spark, "/root/testdata/sf0.01")
+    n_frag = sum(
+        f.endswith(".parquet") for f in os.listdir(frag)
+    )
+    assert n_frag == FRAGMENT_PARTS
+    import tempfile
+
+    dst = tempfile.mkdtemp(prefix="hqmdw_compact_test_")
+    n = compact_parquet(spark, frag, dst)
+    n_out = sum(f.endswith(".parquet") for f in os.listdir(dst))
+    assert n_out == n < FRAGMENT_PARTS

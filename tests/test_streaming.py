@@ -138,3 +138,23 @@ def test_stream_stream_join_matches_batch_self_join(spark):
         ).collect()
     }
     assert out == batch
+
+
+def test_dedup_within_watermark_bounds_and_coverage(spark):
+    """Redelivery collapse: at most one row per (user, type) within the
+    delay window; every (user, type) pair still represented."""
+    from hq_master_data_warehouse_spark.streaming.jobs import (
+        streaming_dedup_within_watermark,
+    )
+
+    rows = streaming_dedup_within_watermark(spark, SF).collect()
+    n_events = load_table(spark, SF, "events").count()
+    assert 0 < len(rows) <= n_events
+    batch_pairs = {
+        (r.user_id, r.event_type)
+        for r in load_table(spark, SF, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert {(r.user_id, r.event_type) for r in rows} >= batch_pairs
