@@ -321,3 +321,103 @@ def agg_incremental_maintenance(
         .cast("double")
         .alias("total_price"),
     )
+
+
+# -- fixed-width histogram (engine surface): the one-pass binning
+#    behind every dashboard distribution chart.  Bin = floor(x/width)
+#    computed identically in both engines (no width_bucket: DuckDB
+#    lacks it, and floor arithmetic is the portable core anyway).
+HIST_BIN_WIDTH = 50_000
+
+
+@query(
+    "agg_histogram_fixed_bins",
+    oracle=f"""
+    SELECT CAST(FLOOR(o_totalprice / {HIST_BIN_WIDTH}) AS INT) AS bin,
+           CAST(FLOOR(o_totalprice / {HIST_BIN_WIDTH}) AS INT)
+               * {HIST_BIN_WIDTH} AS bin_lo,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CAST(FLOOR(o_totalprice / {HIST_BIN_WIDTH}) AS INT)
+    """,
+)
+def agg_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bin_ = F.floor(F.col("o_totalprice") / HIST_BIN_WIDTH).cast("int")
+    return (
+        orders.select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            "bin",
+            (F.col("bin") * HIST_BIN_WIDTH).alias("bin_lo"),
+            "n_orders",
+        )
+    )
+
+
+# -- correlation / covariance / stddev per group (engine surface).
+#    Built-in corr()/covar_samp() sum doubles in partition order, so
+#    per-group results can wobble in final ULPs across runs and
+#    engines.  Instead: exact decimal moment sums (order-independent,
+#    partial-mergeable -- the same property the money sums rely on),
+#    then one identical double-arithmetic epilogue on both sides.
+_M = "decimal(38,8)"
+
+
+@query(
+    "agg_correlation_stats",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,8)))
+                    AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,8)))
+                    AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,8))
+                        * CAST(l_extendedprice AS DECIMAL(38,8)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))
+                        * CAST(l_quantity AS DECIMAL(38,8)))
+                    AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,8))
+                        * CAST(l_quantity AS DECIMAL(38,8)))
+                    AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((sxy - sx * sy / n) / (n - 1), 4) AS covar_pq,
+           ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_price,
+           ROUND((sxy - sx * sy / n)
+                 / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+               AS corr_pq
+    FROM m
+    """,
+)
+def agg_correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast(_M)
+    y = F.col("l_quantity").cast(_M)
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round((sxy - sx * sy / n) / (n - 1), 4).alias("covar_pq"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 4).alias(
+            "stddev_price"
+        ),
+        F.round(
+            (sxy - sx * sy / n)
+            / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)),
+            6,
+        ).alias("corr_pq"),
+    )

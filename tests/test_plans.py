@@ -116,3 +116,24 @@ def test_compaction_shrinks_file_count(spark):
     n = compact_parquet(spark, frag, dst)
     n_out = sum(f.endswith(".parquet") for f in os.listdir(dst))
     assert n_out == n < FRAGMENT_PARTS
+
+
+def test_null_safe_join_is_broadcast_hash_not_nested_loop(spark):
+    plan = _plan(spark, "join_null_safe")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_plan_shape(spark):
+    plan = _plan(spark, "text_tfidf_top_terms")
+    # corpus-size side is a broadcast scalar, never a shuffled join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_maintenance_reads_once_per_partial(spark):
+    plan = _plan(spark, "agg_incremental_maintenance")
+    # both partials push their date predicate into the scan
+    assert "PushedFilters: [" in plan
+    assert "CartesianProduct" not in plan
