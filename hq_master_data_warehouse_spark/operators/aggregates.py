@@ -421,3 +421,52 @@ def agg_correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr_pq"),
     )
+
+
+# -- order-independent table checksum (engine surface): anti-entropy
+#    for feed reconciliation -- two replicas (or a source and its
+#    re-delivery) compare one row per group instead of row-by-row.
+#    Row fingerprint = 60 bits of md5 over a canonical '|'-joined
+#    projection (md5 is the one hash both engines share); the group
+#    checksum is the SUM of fingerprints, which is commutative, so
+#    partition order -- and at 100 TB, partitioning itself -- cannot
+#    change it.  Sums run in DECIMAL(38,0): 2^60 x row-count never
+#    overflows.
+@query(
+    "audit_table_checksum",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_rows,
+           SUM(CAST(CAST(concat('0x', substr(md5(
+                   concat_ws('|', c_custkey, c_name, c_nationkey)
+               ), 1, 15)) AS BIGINT) AS DECIMAL(38,0))) AS checksum
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def audit_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    fp = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", "c_custkey", "c_name", "c_nationkey"
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("decimal(38,0)")
+        .alias("fp")
+    )
+    return (
+        customer.select("c_mktsegment", fp)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("fp").alias("checksum"),
+        )
+    )

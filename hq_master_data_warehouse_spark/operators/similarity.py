@@ -292,3 +292,83 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(IVF_TOPK)
     )
+
+
+# -- k-means assignment step (engine surface): one Lloyd iteration's
+#    E-step as a pure DataFrame plan.  Centroids are the K lowest
+#    vec_ids (deterministic seeding; k-means|| in production), the
+#    corpus crossJoins the BROADCAST centroid set (K rows -- the only
+#    sanctioned cross join shape), per-pair squared L2 runs in a JVM
+#    zip_with fold, and the argmin is a window ordered by (rounded
+#    distance, centroid_id) so both engines break ties identically.
+#    The M-step (new centroids) is the same plan + posexplode(emb) +
+#    groupBy(centroid, dim) -- omitted here to keep the oracle exact.
+#    Inertia sums per-row ROUNDED distances in decimal, so the
+#    reported objective is partition-order independent.
+KMEANS_K = 8
+
+
+@query(
+    "similarity_kmeans_assign",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS cemb
+        FROM embeddings WHERE vec_id < {KMEANS_K}
+    ),
+    dists AS (
+        SELECT e.vec_id, c.centroid_id,
+               ROUND(list_aggregate(list_transform(
+                   generate_series(1, len(e.embedding)),
+                   i -> (CAST(e.embedding[i] AS DOUBLE)
+                         - CAST(c.cemb[i] AS DOUBLE)) ^ 2
+               ), 'sum'), 6) AS d2
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+        SELECT vec_id, centroid_id, d2,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY d2, centroid_id
+               ) AS rn
+        FROM dists
+    )
+    SELECT centroid_id, COUNT(*) AS n_assigned,
+           CAST(SUM(CAST(d2 AS DECIMAL(20,6))) AS DOUBLE) AS inertia
+    FROM assigned WHERE rn = 1
+    GROUP BY centroid_id
+    """,
+)
+def similarity_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cemb"),
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("cemb"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "centroid_id")
+    return (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "centroid_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("centroid_id")
+        .agg(
+            F.count("*").alias("n_assigned"),
+            F.sum(F.col("d2").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("inertia"),
+        )
+    )
