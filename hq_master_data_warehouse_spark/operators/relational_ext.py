@@ -399,3 +399,36 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_converted"),
     )
+
+
+# -- user-journey path extraction (engine surface): the ordered
+#    per-entity event sequence -- the shape behind session replay,
+#    behavioral features, and next-event training examples.
+#    collect_list gives NO ordering guarantee in a distributed run,
+#    so the sequence is made deterministic by sorting the collected
+#    (ts, event_id, event_type) structs (struct comparison is
+#    field-order lexicographic = ORDER BY ts, event_id) AFTER the
+#    one groupBy shuffle.  At 100 TB per-user sequences are bounded
+#    (KBs); a whale user would need windowed chunking first.
+@query(
+    "events_user_journey",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           string_agg(event_type, '->' ORDER BY ts, event_id)
+               AS journey
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    seq = F.sort_array(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.array_join(
+            F.transform(seq, lambda s: s["event_type"]), "->"
+        ).alias("journey"),
+    )
