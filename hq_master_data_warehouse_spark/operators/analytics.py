@@ -1,0 +1,473 @@
+"""Warehouse analytics surface: cohort retention, event transitions,
+share-of-total, period-over-period growth, SCD2 history, per-group
+mode, RFM segmentation, data-quality audit, and a Pareto skyline.
+
+These extend SURVEY par.2.4/par.2.5 the same way the TPC-H plans do:
+shapes a warehouse user of the reference would run daily (the
+reference's dashboard derives remaining/sent metrics client-side,
+src/app/page.tsx:361-388; these are the grown-up versions of those
+derivations), each expressed as one declarative plan so Catalyst keeps
+scans single-pass and aggregates partial+final.
+
+Scale notes are inline per operator; the recurring theme is that every
+window is partitioned by a real key (user, customer, price) except
+where the windowed domain is itself an aggregate output (months,
+distinct prices) -- orders of magnitude smaller than the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.scalars import dec_sum, dec_sum_sql
+from ..registry import query
+from ..sources.loaders import load_table
+
+
+# -- cohort retention: users grouped by first-seen week, activity
+#    counted per (cohort_week, weeks_since).  Two aggregations over one
+#    events scan; the cohort assignment joins back on user_id (shuffle
+#    on user_id, the natural key).  At 100 TB the first-seen table is
+#    |users| rows -- small relative to events -- and AQE broadcasts it.
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH e AS (
+        SELECT user_id,
+               CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+                   AS wk
+        FROM events
+    ),
+    cohort AS (
+        SELECT user_id, MIN(wk) AS cohort_week FROM e GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           CAST(FLOOR(date_diff('day', c.cohort_week, e.wk) / 7.0)
+                AS BIGINT) AS weeks_since,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM e JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk"),
+    )
+    cohort = events.groupBy("user_id").agg(
+        F.min("wk").alias("cohort_week")
+    )
+    return (
+        events.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("wk"), F.col("cohort_week")) / 7.0
+            ).alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+# -- event-transition matrix (Markov bigram counts): what follows what,
+#    per user, in event-time order.  One shuffle (window on user_id);
+#    tie-break by event_id keeps lead() deterministic in both engines.
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    )
+    SELECT event_type, next_type, COUNT(*) AS cnt
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# -- share-of-total: each nation's revenue as a fraction of its
+#    region's.  Revenue stays exact-decimal through the aggregate AND
+#    the window sum (order-independent), converting to double only for
+#    the final ratio (ROUND 6 per the cross-engine ratio convention).
+#    The window runs over the 25-row nation aggregate, not the facts.
+@query(
+    "window_share_of_total",
+    oracle=f"""
+    WITH nat AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               SUM(CAST(o.o_totalprice AS DECIMAL(30,4))) AS rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT region, nation, CAST(rev AS DOUBLE) AS nation_rev,
+           ROUND(CAST(rev AS DOUBLE)
+                 / CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE),
+                 6) AS share
+    FROM nat
+    """,
+)
+def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    nat = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,4)")).alias(
+                "rev"
+            )
+        )
+    )
+    w = Window.partitionBy("region")
+    return nat.select(
+        "region",
+        "nation",
+        F.col("rev").cast("double").alias("nation_rev"),
+        F.round(
+            F.col("rev").cast("double")
+            / F.sum("rev").over(w).cast("double"),
+            6,
+        ).alias("share"),
+    )
+
+
+# -- month-over-month growth: lag over the monthly aggregate.  The
+#    window is a single partition BY DESIGN over ~#months rows (the
+#    aggregate output, thousands at most for decades of data) -- the
+#    heavy lifting happened in the partial+final groupBy beneath it.
+@query(
+    "window_month_over_month",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               {dec_sum_sql('o_totalprice', 'rev')}
+        FROM orders GROUP BY 1
+    )
+    SELECT month, rev,
+           LAG(rev) OVER (ORDER BY month) AS prev_rev,
+           ROUND((rev - LAG(rev) OVER (ORDER BY month))
+                 / LAG(rev) OVER (ORDER BY month), 6) AS growth
+    FROM m
+    """,
+)
+def window_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias(
+            "month"
+        )
+    ).agg(dec_sum("o_totalprice", "rev"))
+    w = Window.orderBy("month")
+    prev = F.lag("rev").over(w)
+    return monthly.select(
+        "month",
+        "rev",
+        prev.alias("prev_rev"),
+        F.round((F.col("rev") - prev) / prev, 6).alias("growth"),
+    )
+
+
+# -- SCD Type-2 history build: each order becomes a validity interval
+#    [valid_from, valid_to) closed by the customer's next order; the
+#    open interval is the current state.  One shuffle, partitioned by
+#    the entity key -- embarrassingly parallel across customers.
+@query(
+    "scd2_order_history",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS valid_to,
+           (LEAD(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) IS NULL) AS is_current
+    FROM orders
+    """,
+)
+def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    nxt = F.lead("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# -- sorted group-concat: the listagg/string_agg surface.  collect_list
+#    has no distributed ordering guarantee, so sort AFTER collection
+#    (array_sort) -- deterministic regardless of partitioning.
+@query(
+    "agg_string_agg",
+    oracle="""
+    SELECT r.r_name AS region,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), ","
+            ).alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+    )
+
+
+# -- per-group mode with deterministic tie-break (count DESC, then
+#    value ASC): the most frequent event per user.  count + one ranked
+#    window over the (user, type) aggregate -- never over raw events.
+@query(
+    "agg_mode_per_group",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY user_id, event_type
+    ),
+    r AS (
+        SELECT user_id, event_type, cnt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY cnt DESC, event_type ASC
+               ) AS rn
+        FROM c
+    )
+    SELECT user_id, event_type AS top_event, cnt FROM r WHERE rn = 1
+    """,
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_event"), "cnt")
+    )
+
+
+# -- RFM segmentation: recency/frequency/monetary quartiles.  The
+#    NTILE windows are global BY DESIGN here (deterministic via
+#    custkey tie-breaks); the 100 TB path replaces them with
+#    approx_percentile cut-points + a range join, trading exact
+#    quartile boundaries for no global sort -- noted, not needed at
+#    the per-customer aggregate's cardinality (|customers| << |orders|).
+@query(
+    "orders_rfm_scores",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               MAX(o_orderdate) AS last_order,
+               COUNT(*) AS n_orders,
+               {dec_sum_sql('o_totalprice', 'spend')}
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, last_order, n_orders, spend,
+           CAST(NTILE(4) OVER (ORDER BY last_order DESC, o_custkey)
+                AS INT) AS r_quartile,
+           CAST(NTILE(4) OVER (ORDER BY n_orders DESC, o_custkey)
+                AS INT) AS f_quartile,
+           CAST(NTILE(4) OVER (ORDER BY spend DESC, o_custkey)
+                AS INT) AS m_quartile
+    FROM per_cust
+    """,
+)
+def orders_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("n_orders"),
+        dec_sum("o_totalprice", "spend"),
+    )
+    return per_cust.select(
+        "o_custkey",
+        "last_order",
+        "n_orders",
+        "spend",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("last_order").desc(), "o_custkey"))
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("n_orders").desc(), "o_custkey"))
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("spend").desc(), "o_custkey"))
+        .alias("m_quartile"),
+    )
+
+
+# -- data-quality constraint audit: referential orphans (anti-joins),
+#    key uniqueness, null-rate checks -- one summary row per
+#    constraint.  Each check is a single scan or broadcast-able
+#    anti-join; this is the continuous-validation shape (expect/assert
+#    suites) run before promoting a snapshot.  Zero violations on the
+#    fixtures proves the checks run; the operator's value is the plan.
+@query(
+    "dq_constraint_checks",
+    oracle="""
+    SELECT 'lineitem_orphan_orderkey' AS check_name,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+               AS violations
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'orders_dup_orderkey',
+           (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+    UNION ALL
+    SELECT 'customer_null_mktsegment',
+           (SELECT COUNT(*) FROM customer WHERE c_mktsegment IS NULL)
+    UNION ALL
+    SELECT 'events_null_event_type',
+           (SELECT COUNT(*) FROM events WHERE event_type IS NULL)
+    """,
+)
+def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.col("violations").cast("long").alias("violations"),
+        )
+
+    checks = [
+        one(
+            "lineitem_orphan_orderkey",
+            lineitem.join(
+                orders,
+                lineitem.l_orderkey == orders.o_orderkey,
+                "left_anti",
+            ).agg(F.count("*").alias("violations")),
+        ),
+        one(
+            "orders_orphan_custkey",
+            orders.join(
+                customer,
+                orders.o_custkey == customer.c_custkey,
+                "left_anti",
+            ).agg(F.count("*").alias("violations")),
+        ),
+        one(
+            "orders_dup_orderkey",
+            orders.agg(
+                (
+                    F.count("*") - F.countDistinct("o_orderkey")
+                ).alias("violations")
+            ),
+        ),
+        one(
+            "customer_null_mktsegment",
+            customer.filter(F.col("c_mktsegment").isNull()).agg(
+                F.count("*").alias("violations")
+            ),
+        ),
+        one(
+            "events_null_event_type",
+            events.filter(F.col("event_type").isNull()).agg(
+                F.count("*").alias("violations")
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+# -- Pareto skyline (price vs size): parts not dominated by any part
+#    both cheaper-or-equal and larger-or-equal (strict in one).  The
+#    naive form is an O(n^2) self-join; this plan reduces it to a
+#    distributed per-price aggregate + ONE ordered window over the
+#    distinct-price domain (|prices| << |parts|), then a hash join
+#    back.  At 100 TB: range-partition prices, local running max per
+#    partition, prefix-merge the per-partition maxima (tiny) -- the
+#    same two-level pattern AQE uses for sort-free prefix scans.
+@query(
+    "part_skyline_pareto",
+    oracle="""
+    SELECT a.p_partkey, a.p_name, a.p_retailprice, a.p_size
+    FROM part a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_retailprice <= a.p_retailprice
+          AND b.p_size >= a.p_size
+          AND (b.p_retailprice < a.p_retailprice
+               OR b.p_size > a.p_size)
+    )
+    """,
+)
+def part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    per_price = part.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("mx_size")
+    )
+    w_prev = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    per_price = per_price.withColumn(
+        "prev_mx", F.max("mx_size").over(w_prev)
+    )
+    joined = part.join(per_price, "p_retailprice")
+    dominated = (
+        F.coalesce(
+            F.col("prev_mx") >= F.col("p_size"), F.lit(False)
+        )
+    ) | (F.col("mx_size") > F.col("p_size"))
+    return joined.filter(~dominated).select(
+        "p_partkey", "p_name", "p_retailprice", "p_size"
+    )

@@ -15,7 +15,8 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.loaders import load_table
-from .dedup import CANONICAL_SQL, canonical_text
+from .dedup import CANONICAL_SQL, _shingles, canonical_text
+from .sampling import SPLIT_CUT, hash_split
 
 STOPWORDS = ["the", "a", "of", "and", "in", "to", "is"]
 
@@ -407,4 +408,91 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("int").alias("rk"),
         )
         .filter(F.col("rk") <= TFIDF_TOP_K)
+    )
+
+
+# -- train/holdout contamination check (decontamination, north-star
+#    LLM-pipeline op): does a holdout document share any word 5-gram
+#    with the training split?  The shape behind benchmark-leakage
+#    scrubbing.  All JVM-side: shingle arrays via higher-order
+#    functions, one distinct over train shingles, one semi-join to
+#    flag.  At 100 TB the train-shingle set is the big side -- hash-
+#    partitioned on the shingle, with the holdout side shuffled to it
+#    (both sides key on the gram; no broadcast assumed).  The md5
+#    split is content-derived, so membership itself is oracle-checked.
+_SHINGLE5_SQL = """
+    list_distinct(list_transform(
+        generate_series(1, len(toks) - 4),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             || ' ' || toks[i+3] || ' ' || toks[i+4]))
+"""
+
+
+@query(
+    "text_contamination_check",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                         < '{SPLIT_CUT}'
+                    THEN 'train' ELSE 'holdout' END AS split,
+               string_split({CANONICAL_SQL}, ' ') AS toks
+        FROM documents
+    ),
+    d AS (
+        SELECT doc_id, split, {_SHINGLE5_SQL} AS grams FROM t
+    ),
+    hold AS (SELECT doc_id, grams FROM d WHERE split = 'holdout'),
+    train_g AS (
+        SELECT DISTINCT unnest(grams) AS gram FROM d
+        WHERE split = 'train'
+    ),
+    hold_g AS (SELECT doc_id, unnest(grams) AS gram FROM hold),
+    flags AS (
+        SELECT DISTINCT h.doc_id
+        FROM hold_g h JOIN train_g tg USING (gram)
+    ),
+    stats AS (
+        SELECT doc_id, COUNT(gram) AS n_grams
+        FROM hold_g GROUP BY doc_id
+    )
+    SELECT h.doc_id,
+           COALESCE(s.n_grams, 0) AS n_grams,
+           (f.doc_id IS NOT NULL) AS contaminated
+    FROM hold h
+    LEFT JOIN stats s ON s.doc_id = h.doc_id
+    LEFT JOIN flags f ON f.doc_id = h.doc_id
+    """,
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = hash_split(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
+    grams = docs.select(
+        "doc_id",
+        "split",
+        F.explode_outer(_shingles(F.col("text"), 5)).alias("gram"),
+    )
+    train_g = (
+        grams.filter(
+            (F.col("split") == "train") & F.col("gram").isNotNull()
+        )
+        .select("gram")
+        .distinct()
+    )
+    hold = grams.filter(F.col("split") == "holdout")
+    stats = hold.groupBy("doc_id").agg(
+        F.count("gram").alias("n_grams")
+    )
+    flags = (
+        hold.join(train_g, "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return stats.join(flags, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
     )

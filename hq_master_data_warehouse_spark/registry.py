@@ -41,6 +41,7 @@ def load_catalog() -> None:
     from .plans import curation, flagship  # noqa: F401
     from .operators import (  # noqa: F401
         aggregates,
+        analytics,
         dedup,
         distribution,
         filters,
