@@ -42,6 +42,9 @@ HEADLINE = [
     "text_quality_scores",
     "pipeline_corpus_curation",
     "events_tumbling_window",
+    "text_contamination_check",
+    "embedding_quantize_int8",
+    "events_cohort_retention",
 ]
 
 

@@ -471,3 +471,95 @@ def part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(~dominated).select(
         "p_partkey", "p_name", "p_retailprice", "p_size"
     )
+
+
+# -- rolling 7-day revenue: a RANGE frame over a day-number ordering
+#    (gaps in the calendar shrink the window -- a rows-frame would
+#    silently span them).  The window runs over the ~|days| daily
+#    aggregate, not the fact table; a per-key rolling variant would
+#    partition by the key first.  Revenue stays exact-decimal through
+#    both the daily and the rolling sum.
+@query(
+    "window_rolling_7day_revenue",
+    oracle=f"""
+    WITH d AS (
+        SELECT o_orderdate AS day,
+               date_diff('day', DATE '1992-01-01', o_orderdate)
+                   AS daynum,
+               {dec_sum_sql('o_totalprice', 'rev')}
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT day, rev,
+           SUM(rev) OVER (
+               ORDER BY daynum
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS rolling_7d
+    FROM d
+    """,
+)
+def window_rolling_7day_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").alias("day"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias(
+            "daynum"
+        ),
+    ).agg(dec_sum("o_totalprice", "rev"))
+    w = Window.orderBy("daynum").rangeBetween(-6, Window.currentRow)
+    return daily.select(
+        "day", "rev", F.sum("rev").over(w).alias("rolling_7d")
+    )
+
+
+# -- first-touch attribution: each purchase event credited to the
+#    user's most recent PRIOR signup/click (LAST_VALUE ... IGNORE
+#    NULLS over a preceding-rows frame -- the null-skipping window
+#    surface).  One shuffle on user_id; frames never leave a user's
+#    partition.
+@query(
+    "events_purchase_attribution",
+    oracle="""
+    WITH seq AS (
+        SELECT event_id, user_id, ts, event_type,
+               LAST_VALUE(
+                   CASE WHEN event_type IN ('signup', 'click')
+                        THEN event_type END IGNORE NULLS
+               ) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS touch_type
+        FROM events
+    )
+    SELECT event_id, user_id, touch_type,
+           (touch_type IS NULL) AS unattributed
+    FROM seq WHERE event_type = 'purchase'
+    """,
+)
+def events_purchase_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type").isin("signup", "click"),
+            F.col("event_type"),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        events.withColumn("touch_type", touch)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "touch_type",
+            F.col("touch_type").isNull().alias("unattributed"),
+        )
+    )

@@ -42,20 +42,25 @@ def canonical_text(col: Column) -> Column:
 CANONICAL_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
-def _shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array column (JVM-side
-    higher-order functions; no UDF)."""
+def _shingles(col: Column, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-gram shingles as an array column (JVM-side higher-order
+    functions; no UDF).  ``distinct=False`` keeps every occurrence
+    (for repetition counting); the default dedups per document.
+
+    Grams come from ``arrays_zip`` of n shifted ``slice`` views so the
+    tokenization is an OUTER expression evaluated once per row.  The
+    earlier formulation captured the split inside the transform lambda
+    (``element_at(toks, i)``), and higher-order lambdas re-evaluate
+    captured expressions per ELEMENT -- an O(tokens^2) blowup that made
+    5-gram shingling ~20x slower than the rest of the suite."""
     toks = F.split(canonical_text(col), " ")
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, cnt) for i in range(n)])
     gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + off) for off in range(n)]
-        ),
+        zipped,
+        lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]),
     )
-    return F.array_distinct(gram)
+    return F.array_distinct(gram) if distinct else gram
 
 
 _SHINGLES_SQL = f"""
@@ -543,4 +548,113 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("int").alias("edit_dist"),
         )
         .filter(F.col("edit_dist") <= LEV_MAX_DIST)
+    )
+
+
+# -- semantic dedup (SemDeDup, Abbas et al. 2023): cluster embeddings
+#    around K seed centroids, then mark any vector whose within-cluster
+#    cosine to a LOWER-id vector clears the threshold.  Clustering
+#    bounds the pairwise stage to O(n^2/K) per cluster instead of a
+#    corpus cross join; at 100 TB the pair join shuffles on cluster_id
+#    (salt oversized clusters / cap cluster width before pairing).
+#    Assignment argmax uses a window over (rounded cosine DESC,
+#    centroid_id) so both engines break ties identically.
+SEMDEDUP_K = 8
+SEMDEDUP_THRESHOLD = 0.50
+
+
+@query(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS cid, emb AS ce FROM e
+        WHERE vec_id < {SEMDEDUP_K}
+    ),
+    scored AS (
+        SELECT e.vec_id, e.emb, c.cid,
+               ROUND(list_cosine_similarity(e.emb, c.ce), 6) AS cos
+        FROM e CROSS JOIN cent c
+    ),
+    assign AS (
+        SELECT vec_id, emb, cid FROM (
+            SELECT vec_id, emb, cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY cos DESC, cid
+                   ) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    dups AS (
+        SELECT DISTINCT b.vec_id
+        FROM assign a JOIN assign b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 6)
+              >= {SEMDEDUP_THRESHOLD}
+    )
+    SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster_id,
+           (d.vec_id IS NOT NULL) AS is_dup
+    FROM assign a LEFT JOIN dups d ON d.vec_id = a.vec_id
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .similarity import cosine_expr
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cent = F.broadcast(
+        emb.filter(F.col("vec_id") < SEMDEDUP_K).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("ce"),
+        )
+    )
+    scored = emb.crossJoin(cent).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        F.round(cosine_expr(F.col("embedding"), F.col("ce")), 6).alias(
+            "cos"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    a = assign.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        "cid",
+    )
+    b = assign.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        "cid",
+    )
+    dups = (
+        a.join(b, "cid")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(
+            F.round(cosine_expr(F.col("ea"), F.col("eb")), 6)
+            >= SEMDEDUP_THRESHOLD
+        )
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        assign.join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cid").cast("long").alias("cluster_id"),
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
     )

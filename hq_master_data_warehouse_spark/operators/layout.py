@@ -152,3 +152,73 @@ def layout_compact_small_files(
         F.count("*").alias("n_orders"),
         dec_sum("o_totalprice", "total_price"),
     )
+
+
+ZORDER_BITS = 10
+
+
+def _interleave_sql(a: str, b: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+# -- Z-order (Morton) index: interleave the bits of two clustering
+#    dimensions so one lexicographic sort gives locality in BOTH --
+#    the layout trick behind Delta/Iceberg OPTIMIZE ZORDER data
+#    skipping.  Sorting the table by zval before writing means a
+#    range predicate on either dimension touches a contiguous band of
+#    files, so min/max footer stats prune most of a 100 TB scan.  The
+#    bit math is 2*BITS static shift-and-mask terms -- pure integer
+#    whole-stage-codegen expressions, no shuffle (the eventual
+#    repartitionByRange(zval) write is the one sort).  zfile is the
+#    target-file id a 2^6-file layout would assign.
+@query(
+    "layout_zorder_index",
+    oracle=f"""
+    WITH d AS (
+        SELECT p_partkey,
+               CAST(p_size AS BIGINT) & {(1 << ZORDER_BITS) - 1} AS a,
+               p_partkey % {1 << ZORDER_BITS} AS b
+        FROM part
+    )
+    SELECT p_partkey, a, b,
+           CAST({_interleave_sql('a', 'b', ZORDER_BITS)} AS BIGINT)
+               AS zval,
+           CAST(({_interleave_sql('a', 'b', ZORDER_BITS)})
+                >> {2 * ZORDER_BITS - 6} AS BIGINT) AS zfile
+    FROM d
+    """,
+)
+def layout_zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    mask = (1 << ZORDER_BITS) - 1
+    d = part.select(
+        "p_partkey",
+        F.col("p_size").cast("long").bitwiseAND(F.lit(mask)).alias("a"),
+        (F.col("p_partkey") % (1 << ZORDER_BITS)).alias("b"),
+    )
+
+    def interleave(a, b):
+        z = F.lit(0).cast("long")
+        for i in range(ZORDER_BITS):
+            z = z + F.shiftleft(
+                F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i
+            )
+            z = z + F.shiftleft(
+                F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        return z
+
+    zval = interleave(F.col("a"), F.col("b"))
+    return d.select(
+        "p_partkey",
+        "a",
+        "b",
+        zval.cast("long").alias("zval"),
+        F.shiftright(zval, 2 * ZORDER_BITS - 6)
+        .cast("long")
+        .alias("zfile"),
+    )

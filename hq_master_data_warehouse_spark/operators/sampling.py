@@ -75,3 +75,42 @@ def sample_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources = [r[0] for r in docs.select("source").distinct().collect()]
     fractions = {s: MIX_WEIGHTS.get(s, 1.0) for s in sources}
     return docs.sampleBy("source", fractions, seed=MIX_SEED)
+
+
+STRATUM_SAMPLE_N = 5
+
+
+# -- stratified exact sampling: a deterministic n-per-stratum sample
+#    ordered by a content hash -- reproducible across engines, runs
+#    and cluster sizes (sampleBy is seeded but rows-only; this variant
+#    is the oracle-checkable complement).  One shuffle on the stratum
+#    key; the per-stratum window never sees more than a stratum's
+#    rows.  At 100 TB strata are bounded (sources), so the window is
+#    safe; an unbounded-stratum variant would pre-filter with a hash
+#    range (md5 < cut) before ranking to cap the sorted set.
+@query(
+    "sample_stratified_topn",
+    oracle=f"""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= {STRATUM_SAMPLE_N}
+    """,
+)
+def sample_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= STRATUM_SAMPLE_N)
+        .select("doc_id", "source")
+    )

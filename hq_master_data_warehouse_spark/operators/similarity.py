@@ -372,3 +372,99 @@ def similarity_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("inertia"),
         )
     )
+
+
+# -- int8 scalar quantization of embeddings (vector-store compression:
+#    4x smaller than float32, the standard serving trade-off).  Each
+#    vector is min-max quantized to codes in [0,255] plus (mn, rng)
+#    reconstruction params.  All arithmetic is element-wise
+#    higher-order functions over the array column -- no shuffle at
+#    all, a pure map stage that scales linearly.  Floats are widened
+#    to double BEFORE any arithmetic and the code rounding is
+#    FLOOR(x + 0.5) on both engines (identical IEEE ops in identical
+#    order -> bit-equal codes cross-engine).  The reconstruction
+#    check is a BOOLEAN bound (max abs error <= half a quantization
+#    step + 1e-12) rather than a rounded rmse: Spark's computed sum
+#    is plan-shape-dependent at the e-10 level, so any fixed-decimal
+#    rounding of it sits one ULP from a grid boundary on some row.
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH b AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, label, e,
+               list_min(e) AS mn,
+               list_max(e) - list_min(e) AS rng
+        FROM b
+    ),
+    q AS (
+        SELECT vec_id, label, e, mn, rng,
+               list_transform(e, x ->
+                   CASE WHEN rng = 0 THEN CAST(0 AS INT)
+                        ELSE CAST(FLOOR((x - mn) * 255.0 / rng + 0.5)
+                                  AS INT) END) AS codes
+        FROM s
+    ),
+    f AS (
+        SELECT vec_id, label, codes, mn, rng,
+               (list_max(list_transform(
+                   generate_series(1, len(e)),
+                   i -> abs(e[i] - (mn + codes[i] * rng / 255.0))
+               )) <= rng / 255.0 * 0.5 + 1e-12) AS recon_ok
+        FROM q
+    )
+    SELECT vec_id, label, codes,
+           ROUND(mn, 6) AS mn,
+           ROUND(rng, 6) AS rng,
+           recon_ok
+    FROM f
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("e"),
+    ).select(
+        "vec_id",
+        "label",
+        "e",
+        F.array_min("e").alias("mn"),
+        (F.array_max("e") - F.array_min("e")).alias("rng"),
+    )
+    mn, rng = F.col("mn"), F.col("rng")
+    q = s.withColumn(
+        "codes",
+        F.transform(
+            "e",
+            lambda x: F.when(rng == 0, F.lit(0).cast("int")).otherwise(
+                F.floor((x - mn) * 255.0 / rng + 0.5).cast("int")
+            ),
+        ),
+    )
+    err = F.zip_with(
+        "e",
+        "codes",
+        lambda x, c: F.abs(x - (mn + c * rng / 255.0)),
+    )
+    # recon_ok is computed BEFORE mn/rng are renamed to their rounded
+    # forms: aliasing round(mn) AS mn in the same select would make
+    # Spark's lateral-column-alias resolution bind the err lambda to
+    # the ROUNDED values (DuckDB binds to the source column), silently
+    # skewing the reconstruction by up to 5e-7.
+    flagged = q.withColumn(
+        "recon_ok", F.array_max(err) <= rng / 255.0 * 0.5 + 1e-12
+    )
+    return flagged.select(
+        "vec_id",
+        "label",
+        "codes",
+        F.round(mn, 6).alias("mn"),
+        F.round(rng, 6).alias("rng"),
+        "recon_ok",
+    )

@@ -496,3 +496,175 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_grams",
         F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
     )
+
+
+def _ratio6(x):
+    """Cross-engine-stable ratio: FLOOR(x*1e6)/1e6 on an identical
+    double on both sides (Spark ROUND is exact-decimal HALF_UP, DuckDB
+    rounds via float multiply -- floor of the same double never
+    disagrees)."""
+    return F.floor(x * F.lit(1000000.0)) / F.lit(1000000.0)
+
+
+# -- Gopher-style repetition stats (quality filtering for LLM corpora:
+#    Rae et al. 2021 "Scaling Language Models", repetition filters):
+#    duplicate-word fraction and most-frequent-token share per doc.
+#    One explode + two partial-aggregating groupBys, keyed by doc_id --
+#    embarrassingly parallel, no window over raw tokens.  At 100 TB
+#    the (doc_id, tok) aggregate is map-side-combined before the
+#    doc_id shuffle.
+@query(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+    ),
+    c AS (
+        SELECT doc_id, tok, COUNT(*) AS cnt
+        FROM t GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_distinct,
+           MAX(cnt) AS top_token_cnt,
+           FLOOR((1.0 - COUNT(*) / CAST(SUM(cnt) AS DOUBLE))
+                 * 1000000.0) / 1000000.0 AS dup_word_frac,
+           FLOOR((MAX(cnt) / CAST(SUM(cnt) AS DOUBLE))
+                 * 1000000.0) / 1000000.0 AS top_token_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    counts = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("cnt").alias("top_token_cnt"),
+    )
+    n = F.col("n_tokens").cast("double")
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "top_token_cnt",
+        _ratio6(
+            F.lit(1.0) - F.col("n_distinct") / n
+        ).alias("dup_word_frac"),
+        _ratio6(F.col("top_token_cnt") / n).alias("top_token_frac"),
+    )
+
+
+#: PII patterns kept to the regex subset Java and RE2 interpret
+#: identically (no backrefs, no lookaround).
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+# -- PII redaction (curation compliance pass).  The fixtures are
+#    synthetic word-soup with no real PII, so the query plants
+#    deterministic doc_id-derived emails/phones into the text on BOTH
+#    engines, then detects and redacts them -- the regex semantics are
+#    what the oracle certifies.  Pure regexp_replace/extract_all:
+#    stays in whole-stage codegen, scales linearly with bytes scanned.
+@query(
+    "text_pii_redaction",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id,
+               substr(text, 1, 40) || ' contact user'
+               || CAST(doc_id AS VARCHAR) || '@mail.example.com or +1-555-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS msg
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(msg, '{_EMAIL_RE}')) AS INT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(msg, '{_PHONE_RE}')) AS INT)
+               AS n_phones,
+           regexp_replace(
+               regexp_replace(msg, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+               '{_PHONE_RE}', '[PHONE]', 'g') AS redacted
+    FROM m
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    msg = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    planted = docs.select("doc_id", msg.alias("msg"))
+    return planted.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("msg", F.lit(_EMAIL_RE), F.lit(0))
+        ).alias("n_emails"),
+        F.size(
+            F.regexp_extract_all("msg", F.lit(_PHONE_RE), F.lit(0))
+        ).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("msg", _EMAIL_RE, "[EMAIL]"),
+            _PHONE_RE,
+            "[PHONE]",
+        ).alias("redacted"),
+    )
+
+
+CORPUS_NGRAM_TOP_K = 20
+
+
+# -- corpus-level top-k repeated trigrams (inter-document repetition
+#    audit -- the cross-doc complement of the per-doc stats above).
+#    Non-distinct trigrams are counted with map-side combine, then the
+#    top-k comes from sort+limit (TakeOrderedAndProject: per-partition
+#    partial top-k merged on the driver) -- NOT a global window over
+#    the full vocabulary, which at 100 TB would sort billions of
+#    distinct grams for 20 rows.  The rank window runs over the
+#    already-limited k rows.
+@query(
+    "text_corpus_top_ngrams",
+    oracle=f"""
+    WITH t AS (
+        SELECT {_TOKENS_SQL} AS toks FROM documents
+    ),
+    g AS (
+        SELECT unnest(list_transform(
+            generate_series(1, len(toks) - 2),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        )) AS gram FROM t
+    ),
+    c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, gram) AS INT)
+               AS rk,
+           gram, cnt
+    FROM c
+    ORDER BY cnt DESC, gram
+    LIMIT {CORPUS_NGRAM_TOP_K}
+    """,
+)
+def text_corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(
+            _shingles(F.col("text"), 3, distinct=False)
+        ).alias("gram")
+    )
+    top = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(CORPUS_NGRAM_TOP_K)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("gram"))
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "rk", "gram", "cnt"
+    )

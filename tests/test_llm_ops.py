@@ -191,3 +191,55 @@ def test_connected_components_chain_and_forest(spark):
     }
     want = {(n, 100) for n in range(100, 141)} | {(n, 7) for n in (7, 9, 11)}
     assert got == want
+
+
+def test_quantize_codes_bounded_and_reconstructable(spark):
+    from hq_master_data_warehouse_spark.operators.similarity import (
+        embedding_quantize_int8,
+    )
+
+    rows = embedding_quantize_int8(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert all(0 <= c <= 255 for c in r.codes)
+        assert r.recon_ok, f"vec {r.vec_id} outside half-step bound"
+
+
+def test_semantic_dedup_dup_implies_lower_neighbor(spark):
+    from hq_master_data_warehouse_spark.operators.dedup import (
+        SEMDEDUP_K,
+        dedup_semantic_clusters,
+    )
+
+    rows = dedup_semantic_clusters(spark, SF).collect()
+    assert rows
+    assert {r.cluster_id for r in rows} <= set(range(SEMDEDUP_K))
+    # seeds can never be duplicates of a lower id in another cluster
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        ids = sorted(m.vec_id for m in members)
+        for m in members:
+            if m.is_dup:
+                assert m.vec_id > ids[0]
+
+
+def test_zorder_interleave_matches_python_model(spark):
+    from hq_master_data_warehouse_spark.operators.layout import (
+        ZORDER_BITS,
+        layout_zorder_index,
+    )
+
+    def model(a, b):
+        z = 0
+        for i in range(ZORDER_BITS):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = layout_zorder_index(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.zval == model(r.a, r.b)
+        assert r.zfile == r.zval >> (2 * ZORDER_BITS - 6)
