@@ -563,3 +563,47 @@ def events_purchase_attribution(
             F.col("touch_type").isNull().alias("unattributed"),
         )
     )
+
+
+# -- cumulative distinct users by day WITHOUT an expanding-distinct
+#    window (which would hold per-frame state proportional to history).
+#    The first-occurrence trick: distinct is decomposed into "count
+#    each user on their first day" (one groupBy) + a running SUM over
+#    the tiny daily aggregate.  This is the scale-correct shape for
+#    "users to date" dashboards at any corpus size.
+@query(
+    "window_running_distinct_users",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+        FROM events GROUP BY user_id
+    ),
+    newbies AS (
+        SELECT day, COUNT(*) AS new_users FROM firsts GROUP BY day
+    ),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+    SELECT d.day,
+           COALESCE(n.new_users, 0) AS new_users,
+           SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day)
+               AS users_to_date
+    FROM days d LEFT JOIN newbies n ON n.day = d.day
+    """,
+)
+def window_running_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    firsts = events.groupBy("user_id").agg(F.min("day").alias("day"))
+    newbies = firsts.groupBy("day").agg(F.count("*").alias("new_users"))
+    days = events.select("day").distinct()
+    joined = days.join(newbies, "day", "left").select(
+        "day", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
+    w = Window.orderBy("day")
+    return joined.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("users_to_date"),
+    )
