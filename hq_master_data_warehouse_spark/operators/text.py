@@ -668,3 +668,135 @@ def text_corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rk", F.row_number().over(w)).select(
         "rk", "gram", "cnt"
     )
+
+
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 40
+
+
+# -- context-window chunking: every doc sliced into CHUNK_TOKENS-token
+#    windows advancing by CHUNK_STRIDE (overlap = CHUNK - STRIDE),
+#    partial tail kept -- the standard long-document prep for
+#    fixed-context training/embedding.  Chunk starts explode BEFORE the
+#    slice so the token array is a plain row column when sliced (never
+#    an expression captured in a higher-order lambda -- see SCALE.md on
+#    per-element re-evaluation).  Embarrassingly parallel per doc.
+@query(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    s AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks), {CHUNK_STRIDE}))
+                   AS start
+        FROM t
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(start AS INT) AS start,
+           CAST(len(toks[start : start + {CHUNK_TOKENS} - 1]) AS INT)
+               AS n_tokens,
+           md5(array_to_string(
+               toks[start : start + {CHUNK_TOKENS} - 1], ' '
+           )) AS chunk_hash
+    FROM s
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
+    starts = docs.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.size("toks"), F.lit(CHUNK_STRIDE)
+            )
+        ).alias("start"),
+    )
+    chunk = F.slice("toks", F.col("start"), F.lit(CHUNK_TOKENS))
+    return starts.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("int").alias(
+            "chunk_idx"
+        ),
+        F.col("start").cast("int").alias("start"),
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+PACK_BUDGET = 2048
+
+
+# -- next-fit document packing: docs concatenated in a deterministic
+#    content-hash order and cut into PACK_BUDGET-token packs (chunked
+#    concatenation -- how pretraining actually fills context windows).
+#    The cumulative offset is computed DISTRIBUTED: md5-prefix buckets
+#    partition the stream, each bucket prefix-sums locally, and the
+#    16-row bucket-total table turns local sums into global offsets --
+#    the classic two-pass prefix sum, no single-partition window over
+#    the corpus.  The oracle states the same thing as one global
+#    window, which is equivalent because bucket order is a prefix of
+#    the (md5, doc_id) order.
+@query(
+    "pack_documents_nextfit",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR)) AS h,
+               CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens AS offset,
+           CAST(FLOOR((SUM(n_tokens) OVER (
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS pack_id
+    FROM t
+    """,
+)
+def pack_documents_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    ).withColumn("bucket", F.substring("h", 1, 1))
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = docs.withColumn("local_cum", F.sum("n_tokens").over(w_in))
+    totals = docs.groupBy("bucket").agg(
+        F.sum("n_tokens").alias("bucket_total")
+    )
+    w_pfx = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = totals.select(
+        "bucket",
+        F.coalesce(
+            F.sum("bucket_total").over(w_pfx), F.lit(0)
+        ).alias("bucket_offset"),
+    )
+    joined = local.join(F.broadcast(prefix), "bucket")
+    offset = F.col("bucket_offset") + F.col("local_cum") - F.col(
+        "n_tokens"
+    )
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        offset.alias("offset"),
+        F.floor(offset / PACK_BUDGET).cast("long").alias("pack_id"),
+    )

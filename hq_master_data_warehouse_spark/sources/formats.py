@@ -176,3 +176,39 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         dec_sum("o_totalprice", "total_price"),
     )
+
+
+@query(
+    "source_schema_evolution",
+    oracle="""
+    SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS n_regionkey
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey, CAST(NULL AS VARCHAR) AS n_name, n_regionkey
+    FROM nation
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet batches with different
+    column sets land in one table directory; ``mergeSchema`` widens to
+    the union schema, NULL-padding each batch's missing columns -- the
+    additive-column migration every long-lived 100 TB table undergoes.
+    Merging only reconciles footers (per-file metadata), not data, so
+    cost is O(files); production keeps it off and pins the merged
+    schema in the catalog after the first evolution."""
+    path = _stage_dir("evolve_nation", sf_dir)
+    if not os.path.exists(path):
+        nation = load_table(spark, sf_dir, "nation")
+        tmp = path + ".tmp"
+        nation.select("n_nationkey", "n_name").write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        nation.select("n_nationkey", "n_regionkey").write.mode(
+            "append"
+        ).parquet(tmp)
+        os.rename(tmp, path)
+    return (
+        spark.read.option("mergeSchema", True)
+        .parquet(path)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
