@@ -732,6 +732,45 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_BUDGET = 2048
 
 
+def pack_nextfit(docs: DataFrame) -> DataFrame:
+    """Two-pass distributed prefix sum assigning (offset, pack_id) to
+    rows with columns (doc_id, h, n_tokens): md5-prefix buckets
+    partition the stream, each prefix-sums locally, and the 16-row
+    bucket-total table lifts local sums to global offsets."""
+    from pyspark.sql.window import Window
+
+    docs = docs.withColumn("bucket", F.substring("h", 1, 1))
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = docs.withColumn("local_cum", F.sum("n_tokens").over(w_in))
+    totals = docs.groupBy("bucket").agg(
+        F.sum("n_tokens").alias("bucket_total")
+    )
+    w_pfx = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = totals.select(
+        "bucket",
+        F.coalesce(
+            F.sum("bucket_total").over(w_pfx), F.lit(0)
+        ).alias("bucket_offset"),
+    )
+    joined = local.join(F.broadcast(prefix), "bucket")
+    offset = F.col("bucket_offset") + F.col("local_cum") - F.col(
+        "n_tokens"
+    )
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        offset.alias("offset"),
+        F.floor(offset / PACK_BUDGET).cast("long").alias("pack_id"),
+    )
+
+
 # -- next-fit document packing: docs concatenated in a deterministic
 #    content-hash order and cut into PACK_BUDGET-token packs (chunked
 #    concatenation -- how pretraining actually fills context windows).
@@ -764,39 +803,9 @@ PACK_BUDGET = 2048
     """,
 )
 def pack_documents_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.md5(F.col("doc_id").cast("string")).alias("h"),
         F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
-    ).withColumn("bucket", F.substring("h", 1, 1))
-    w_in = (
-        Window.partitionBy("bucket")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = docs.withColumn("local_cum", F.sum("n_tokens").over(w_in))
-    totals = docs.groupBy("bucket").agg(
-        F.sum("n_tokens").alias("bucket_total")
-    )
-    w_pfx = (
-        Window.orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    prefix = totals.select(
-        "bucket",
-        F.coalesce(
-            F.sum("bucket_total").over(w_pfx), F.lit(0)
-        ).alias("bucket_offset"),
-    )
-    joined = local.join(F.broadcast(prefix), "bucket")
-    offset = F.col("bucket_offset") + F.col("local_cum") - F.col(
-        "n_tokens"
-    )
-    return joined.select(
-        "doc_id",
-        "n_tokens",
-        offset.alias("offset"),
-        F.floor(offset / PACK_BUDGET).cast("long").alias("pack_id"),
-    )
+    return pack_nextfit(docs)

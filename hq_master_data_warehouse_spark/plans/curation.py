@@ -19,8 +19,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.dedup import CANONICAL_SQL, canonical_text
-from ..operators.text import _QUALITY_SCORE_SQL, quality_raw_score
+from ..operators.dedup import CANONICAL_SQL, _shingles, canonical_text
+from ..operators.text import (
+    PACK_BUDGET,
+    _QUALITY_SCORE_SQL,
+    _tokens,
+    pack_nextfit,
+    quality_raw_score,
+)
 from ..operators.sampling import SPLIT_CUT, hash_split
 from ..registry import query
 from ..sources.loaders import load_table
@@ -78,3 +84,119 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("text")).alias("total_chars"),
         )
     )
+
+
+PIPE_MIN_TOKENS = 20
+
+
+# -- pretraining-prep pipeline (the second flagship composition):
+#    length filter -> exact dedup -> stable split -> decontaminate the
+#    train side against the holdout's word 5-grams -> next-fit token
+#    packing of the survivors.  One corpus scan feeds every stage;
+#    shuffles are (1) the dedup group, (2) the gram semi-join keyed on
+#    the gram, (3) the pack bucket window -- each on a real key, no
+#    global sort (the pack offset is the two-pass prefix sum from
+#    operators/text.py).  The oracle restates all six stages as one
+#    SQL composition, so the differential covers stage WIRING, not
+#    just the pieces.
+@query(
+    "pipeline_pretraining_pack",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               md5({CANONICAL_SQL}) AS h_text,
+               md5(CAST(doc_id AS VARCHAR)) AS h_id,
+               string_split({CANONICAL_SQL}, ' ') AS toks
+        FROM documents
+    ),
+    kept AS (
+        SELECT * FROM base WHERE len(toks) >= {PIPE_MIN_TOKENS}
+    ),
+    dedup AS (
+        SELECT doc_id, h_id, toks,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CASE WHEN substr(h_id, 1, 2) < '{SPLIT_CUT}'
+                    THEN 'train' ELSE 'holdout' END AS split
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY h_text ORDER BY doc_id
+            ) AS rn FROM kept
+        ) WHERE rn = 1
+    ),
+    grams AS (
+        SELECT doc_id, split,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(toks) - 4),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        || ' ' || toks[i+3] || ' ' || toks[i+4]
+               ))) AS gram
+        FROM dedup
+    ),
+    contaminated AS (
+        SELECT DISTINCT t.doc_id
+        FROM (SELECT doc_id, gram FROM grams WHERE split = 'train') t
+        JOIN (SELECT DISTINCT gram FROM grams WHERE split = 'holdout') h
+          ON t.gram = h.gram
+    ),
+    clean AS (
+        SELECT doc_id, h_id, n_tokens FROM dedup
+        WHERE split = 'train'
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (
+               ORDER BY h_id, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens AS offset,
+           CAST(FLOOR((SUM(n_tokens) OVER (
+               ORDER BY h_id, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS pack_id
+    FROM clean
+    """,
+)
+def pipeline_pretraining_pack(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.md5(canonical_text(F.col("text"))).alias("h_text"),
+        F.md5(F.col("doc_id").cast("string")).alias("h_id"),
+        _tokens(F.col("text")).alias("toks"),
+    )
+    kept = docs.filter(F.size("toks") >= PIPE_MIN_TOKENS)
+    w = Window.partitionBy("h_text").orderBy("doc_id")
+    dedup = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "h_id",
+            "text",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.when(
+                F.substring("h_id", 1, 2) < SPLIT_CUT, "train"
+            ).otherwise("holdout").alias("split"),
+        )
+    )
+    grams = dedup.select(
+        "doc_id",
+        "split",
+        F.explode_outer(_shingles(F.col("text"), 5)).alias("gram"),
+    )
+    train_g = grams.filter(
+        (F.col("split") == "train") & F.col("gram").isNotNull()
+    )
+    hold_g = grams.filter(F.col("split") == "holdout").select("gram")
+    contaminated = (
+        train_g.join(hold_g.distinct(), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = (
+        dedup.filter(F.col("split") == "train")
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", F.col("h_id").alias("h"), "n_tokens")
+    )
+    return pack_nextfit(clean)
