@@ -1,0 +1,153 @@
+"""Privacy / compliance operators: pseudonymization, k-anonymity
+auditing, and cascading erasure -- the GDPR-shaped maintenance surface
+a production warehouse runs beside its analytics (the reference's
+delete-by-key API, src/app/api/ routes, is the single-table seed of
+this family).
+
+All pure column expressions and anti-joins: pseudonymization is a
+projection (linear, no shuffle); the k-anonymity audit is one grouped
+count over the quasi-identifier tuple; cascade deletion is a chain of
+(broadcast-able) semi/anti-joins driven by the erasure-request set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loaders import load_table
+
+#: deterministic salt -- production rotates this from a secret store.
+PSEUDO_SALT = "hqmdw-v1"
+
+K_ANON = 5
+
+#: deterministic erasure-request predicate (stand-in for a request
+#: table): every 97th customer key.
+ERASURE_MOD = 97
+
+
+# -- pseudonymization: direct identifiers dropped, the join key
+#    replaced with a salted sha256 (stable across tables and runs, so
+#    referential integrity survives), and the one numeric
+#    quasi-identifier generalized to a coarse bucket.
+@query(
+    "privacy_pseudonymize",
+    oracle=f"""
+    SELECT sha256('{PSEUDO_SALT}' || CAST(c_custkey AS VARCHAR))
+               AS pseudo_id,
+           c_nationkey, c_mktsegment,
+           CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) * 1000
+               AS acctbal_band
+    FROM customer
+    """,
+)
+def privacy_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        F.sha2(
+            F.concat(
+                F.lit(PSEUDO_SALT), F.col("c_custkey").cast("string")
+            ),
+            256,
+        ).alias("pseudo_id"),
+        "c_nationkey",
+        "c_mktsegment",
+        (
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long") * 1000
+        ).alias("acctbal_band"),
+    )
+
+
+# -- k-anonymity audit: quasi-identifier tuples whose group is smaller
+#    than K re-identify their members; the audit reports every group
+#    with its risk flag.  One grouped count -- the map-side-combined
+#    shape that holds at any corpus size.
+@query(
+    "privacy_k_anonymity",
+    oracle=f"""
+    SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size,
+           (COUNT(*) < {K_ANON}) AS risky
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("group_size"),
+        (F.count("*") < K_ANON).alias("risky"),
+    )
+
+
+# -- cascading erasure impact: for a deterministic erasure-request
+#    set, how many rows each downstream table loses and keeps.  The
+#    lineitem leg resolves requests through orders (semi-join on the
+#    FK chain); every leg is a semi/anti-join against the request set,
+#    which production would BROADCAST (requests << facts).  Run as a
+#    dry-run report before the physical delete (the physical path is
+#    `overwrite_update_by_key` / compaction in operators/ledger.py).
+@query(
+    "privacy_cascade_delete",
+    oracle=f"""
+    WITH req AS (
+        SELECT c_custkey FROM customer
+        WHERE c_custkey % {ERASURE_MOD} = 0
+    ),
+    doomed_orders AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM req)
+    )
+    SELECT 'customer' AS table_name,
+           (SELECT COUNT(*) FROM req) AS removed,
+           (SELECT COUNT(*) FROM customer) -
+               (SELECT COUNT(*) FROM req) AS remaining
+    UNION ALL
+    SELECT 'orders',
+           (SELECT COUNT(*) FROM doomed_orders),
+           (SELECT COUNT(*) FROM orders) -
+               (SELECT COUNT(*) FROM doomed_orders)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM doomed_orders)),
+           (SELECT COUNT(*) FROM lineitem) -
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_orderkey IN
+                    (SELECT o_orderkey FROM doomed_orders))
+    """,
+)
+def privacy_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    req = customer.filter(
+        F.col("c_custkey") % ERASURE_MOD == 0
+    ).select("c_custkey")
+    doomed_orders = orders.join(
+        F.broadcast(req),
+        orders.o_custkey == req.c_custkey,
+        "left_semi",
+    ).select("o_orderkey")
+    doomed_lines = lineitem.join(
+        F.broadcast(doomed_orders),
+        lineitem.l_orderkey == doomed_orders.o_orderkey,
+        "left_semi",
+    )
+
+    def leg(name: str, removed: DataFrame, full: DataFrame) -> DataFrame:
+        r = removed.agg(F.count("*").alias("removed"))
+        t = full.agg(F.count("*").alias("total"))
+        return r.crossJoin(t).select(
+            F.lit(name).alias("table_name"),
+            F.col("removed").cast("long").alias("removed"),
+            (F.col("total") - F.col("removed"))
+            .cast("long")
+            .alias("remaining"),
+        )
+
+    out = leg("customer", req, customer)
+    out = out.unionByName(leg("orders", doomed_orders, orders))
+    out = out.unionByName(leg("lineitem", doomed_lines, lineitem))
+    return out

@@ -809,3 +809,99 @@ def pack_documents_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
     )
     return pack_nextfit(docs)
+
+
+# -- inverted index build: term -> document frequency, total
+#    occurrences, and a sorted postings list.  Postings are encoded as
+#    'doc:pos' strings (not structs) so both engines normalize
+#    identically.  The build is explode + two grouped aggregates --
+#    at 100 TB the postings list per term is the scaling concern:
+#    production shards a hot term's postings by doc-range (the
+#    groupBy key becomes (term, doc_id >> B)), which this plan's
+#    shape admits without restructuring.
+@query(
+    "text_inverted_index",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, unnest({_TOKENS_SQL}) AS term,
+               unnest(generate_series(1, len({_TOKENS_SQL}))) AS pos
+        FROM documents
+    )
+    SELECT term,
+           COUNT(DISTINCT doc_id) AS df,
+           COUNT(*) AS tf_total,
+           list_sort(list(doc_id || ':' || pos)) AS postings
+    FROM p GROUP BY term
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
+    p = docs.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "term")
+    ).select(
+        "doc_id",
+        "term",
+        (F.col("pos0") + 1).alias("pos"),
+    )
+    return p.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count("*").alias("tf_total"),
+        F.sort_array(
+            F.collect_list(
+                F.concat_ws(":", "doc_id", "pos")
+            )
+        ).alias("postings"),
+    )
+
+
+PHRASE = ("data", "spark")
+
+
+# -- positional phrase search: adjacency self-join over the positional
+#    postings (pos_b = pos_a + 1), the query-side counterpart of the
+#    inverted index.  Both sides filter to their term BEFORE the join,
+#    so the join input is two postings lists, not the corpus; the join
+#    key (doc_id) co-locates by document.
+@query(
+    "text_phrase_search",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, unnest({_TOKENS_SQL}) AS term,
+               unnest(generate_series(1, len({_TOKENS_SQL}))) AS pos
+        FROM documents
+    )
+    SELECT a.doc_id, COUNT(*) AS n_hits,
+           CAST(MIN(a.pos) AS INT) AS first_pos
+    FROM (SELECT doc_id, pos FROM p WHERE term = '{PHRASE[0]}') a
+    JOIN (SELECT doc_id, pos FROM p WHERE term = '{PHRASE[1]}') b
+      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    GROUP BY a.doc_id
+    """,
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
+    p = docs.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "term")
+    ).select("doc_id", "term", (F.col("pos0") + 1).alias("pos"))
+    a = p.filter(F.col("term") == PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("pos_a")
+    )
+    b = p.filter(F.col("term") == PHRASE[1]).select(
+        "doc_id", F.col("pos").alias("pos_b")
+    )
+    return (
+        a.join(
+            b,
+            (a.doc_id == b.doc_id) & (b.pos_b == a.pos_a + 1),
+        )
+        .drop(b.doc_id)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.min("pos_a").cast("int").alias("first_pos"),
+        )
+    )

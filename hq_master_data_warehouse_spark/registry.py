@@ -49,6 +49,7 @@ def load_catalog() -> None:
         layout,
         ledger,
         multimodal,
+        privacy,
         profile,
         relational_ext,
         sampling,
