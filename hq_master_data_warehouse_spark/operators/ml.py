@@ -1,0 +1,152 @@
+"""In-warehouse model scoring (engine surface): linear-model margin
+over the embedding column, the feature-hashing trick over tokens, and
+a confusion-matrix evaluation -- the batch-inference shapes that run
+beside analytics at corpus scale (score, bucket, evaluate), all as
+pure column expressions.
+
+The model weights are deterministic literals (production would load a
+small weights table and broadcast it); scoring is an element-wise fold
+identical in structure to the cosine kernel in operators/similarity.py,
+so it is a no-shuffle map stage end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loaders import load_table
+from .text import _TOKENS_SQL, _tokens
+
+EMB_DIM = 64
+
+#: deterministic toy weights in [-1, 1]; bias term separate.
+WEIGHTS = [((i * 37) % 21 - 10) / 10.0 for i in range(EMB_DIM)]
+BIAS = 0.05
+
+_W_SQL = "[" + ", ".join(repr(w) for w in WEIGHTS) + "]"
+
+HASH_DIM = 64
+
+
+# -- linear margin scoring: margin = w . x + b computed as a
+#    double-precision fold over zip_with (identical op order in both
+#    engines -> bit-identical doubles, same as the cosine kernel).
+@query(
+    "ml_linear_margin",
+    oracle=f"""
+    SELECT vec_id, label,
+           ROUND(list_sum(list_transform(
+               generate_series(1, {EMB_DIM}),
+               i -> CAST(embedding[i] AS DOUBLE) * ({_W_SQL})[i]
+           )) + {BIAS!r}, 6) AS margin,
+           (list_sum(list_transform(
+               generate_series(1, {EMB_DIM}),
+               i -> CAST(embedding[i] AS DOUBLE) * ({_W_SQL})[i]
+           )) + {BIAS!r} > 0) AS predicted
+    FROM embeddings
+    """,
+)
+def ml_linear_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = F.array(*[F.lit(x) for x in WEIGHTS])
+    prod = F.zip_with(
+        F.col("embedding"), w, lambda x, wi: x.cast("double") * wi
+    )
+    margin = (
+        F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v) + BIAS
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(margin, 6).alias("margin"),
+        (margin > 0).alias("predicted"),
+    )
+
+
+# -- confusion matrix: the margin predictions evaluated against a
+#    deterministic binary target (label parity stands in for ground
+#    truth).  One grouped count over the scored set.
+@query(
+    "ml_confusion_matrix",
+    oracle=f"""
+    WITH scored AS (
+        SELECT label % 2 = 1 AS actual,
+               list_sum(list_transform(
+                   generate_series(1, {EMB_DIM}),
+                   i -> CAST(embedding[i] AS DOUBLE) * ({_W_SQL})[i]
+               )) + {BIAS!r} > 0 AS predicted
+        FROM embeddings
+    )
+    SELECT actual, predicted, COUNT(*) AS n
+    FROM scored GROUP BY actual, predicted
+    """,
+)
+def ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = F.array(*[F.lit(x) for x in WEIGHTS])
+    prod = F.zip_with(
+        F.col("embedding"), w, lambda x, wi: x.cast("double") * wi
+    )
+    margin = (
+        F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v) + BIAS
+    )
+    return (
+        emb.select(
+            (F.col("label") % 2 == 1).alias("actual"),
+            (margin > 0).alias("predicted"),
+        )
+        .groupBy("actual", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# -- feature hashing (the hashing trick): tokens bucketed by 32 bits
+#    of md5 into a fixed HASH_DIM space; per-doc sparse vector encoded
+#    as sorted 'bucket:count' strings (strings, not structs, so both
+#    engines normalize identically).  Explode + two grouped
+#    aggregates; the fixed dimensionality is what makes downstream
+#    models schema-stable no matter how the vocabulary grows.
+@query(
+    "ml_feature_hashing",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+    ),
+    b AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                   % {HASH_DIM} AS bucket
+        FROM t
+    ),
+    c AS (
+        SELECT doc_id, bucket, COUNT(*) AS cnt
+        FROM b GROUP BY doc_id, bucket
+    )
+    SELECT doc_id,
+           COUNT(*) AS nnz,
+           list_sort(list(bucket || ':' || cnt)) AS features
+    FROM c GROUP BY doc_id
+    """,
+)
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    b = docs.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast(
+                "long"
+            )
+            % HASH_DIM
+        ).alias("bucket"),
+    )
+    c = b.groupBy("doc_id", "bucket").agg(F.count("*").alias("cnt"))
+    return c.groupBy("doc_id").agg(
+        F.count("*").alias("nnz"),
+        F.sort_array(
+            F.collect_list(F.concat_ws(":", "bucket", "cnt"))
+        ).alias("features"),
+    )

@@ -48,6 +48,7 @@ def load_catalog() -> None:
         joins,
         layout,
         ledger,
+        ml,
         multimodal,
         privacy,
         profile,
