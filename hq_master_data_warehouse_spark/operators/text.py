@@ -905,3 +905,141 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("pos_a").cast("int").alias("first_pos"),
         )
     )
+
+
+BM25_TERMS = ("data", "spark", "table")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+# -- BM25 ranking for a fixed query (the retrieval scorer on top of
+#    the inverted index; TF-IDF's production successor).  All inputs
+#    are integer counts widened to double in identical order, idf uses
+#    ln (consistent cross-engine, as text_tfidf_top_terms established),
+#    and the final score adds the per-term columns in FIXED written
+#    order -- never a SUM aggregate over term rows, whose partition
+#    order Spark does not define.  Candidate docs come from a semi-
+#    filterable explode (only query-term rows survive the first
+#    filter), so the join inputs are postings-sized, not corpus-sized.
+@query(
+    "text_bm25_scores",
+    oracle=f"""
+    WITH stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               AVG(CAST(len({_TOKENS_SQL}) AS BIGINT)) AS avgdl
+        FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS dl
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok
+              FROM documents)
+        WHERE tok IN {BM25_TERMS!r}
+        GROUP BY doc_id, tok
+    ),
+    df AS (
+        SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df
+        FROM tf GROUP BY tok
+    ),
+    s AS (
+        SELECT tf.doc_id, tf.tok,
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * ({BM25_K1!r} + 1.0)
+               / (tf.tf + {BM25_K1!r} * (1.0 - {BM25_B!r}
+                  + {BM25_B!r} * dl.dl / stats.avgdl)) AS score
+        FROM tf
+        JOIN df ON df.tok = tf.tok
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats
+    ),
+    wide AS (
+        SELECT doc_id,
+               MAX(CASE WHEN tok = '{BM25_TERMS[0]}' THEN score END)
+                   AS s0,
+               MAX(CASE WHEN tok = '{BM25_TERMS[1]}' THEN score END)
+                   AS s1,
+               MAX(CASE WHEN tok = '{BM25_TERMS[2]}' THEN score END)
+                   AS s2
+        FROM s GROUP BY doc_id
+    )
+    SELECT doc_id,
+           FLOOR((COALESCE(s0, 0.0) + COALESCE(s1, 0.0)
+                  + COALESCE(s2, 0.0)) * 1000000) / 1000000 AS bm25,
+           CAST((s0 IS NOT NULL) AS INT) + CAST((s1 IS NOT NULL) AS INT)
+               + CAST((s2 IS NOT NULL) AS INT) AS n_terms
+    FROM wide
+    """,
+)
+def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
+    stats = docs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.size("toks").cast("long")).alias("avgdl"),
+    )
+    dl = docs.select(
+        "doc_id", F.size("toks").cast("long").alias("dl")
+    )
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(
+        F.count("*").cast("double").alias("df")
+    )
+    s = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * F.col("tf")
+                * (BM25_K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (
+                        1.0
+                        - BM25_B
+                        + BM25_B * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("score"),
+        )
+    )
+    wide = s.groupBy("doc_id").agg(
+        *[
+            F.max(
+                F.when(F.col("tok") == t, F.col("score"))
+            ).alias(f"s{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ]
+    )
+    total = (
+        F.coalesce("s0", F.lit(0.0))
+        + F.coalesce("s1", F.lit(0.0))
+        + F.coalesce("s2", F.lit(0.0))
+    )
+    n_terms = (
+        F.col("s0").isNotNull().cast("int")
+        + F.col("s1").isNotNull().cast("int")
+        + F.col("s2").isNotNull().cast("int")
+    )
+    return wide.select(
+        "doc_id",
+        (F.floor(total * 1000000) / 1000000).alias("bm25"),
+        n_terms.alias("n_terms"),
+    )
