@@ -607,3 +607,87 @@ def window_running_distinct_users(
         "new_users",
         F.sum("new_users").over(w).alias("users_to_date"),
     )
+
+
+# -- event-type co-occurrence with PMI over (user, day) contexts: the
+#    association-mining counterpart of the adjacency-based transition
+#    matrix.  Contexts are distinct (user, day, type) triples, so the
+#    pair join is bounded by types-per-context, not raw event volume;
+#    PMI's products stay integer-exact inside the ln.
+@query(
+    "events_cooccurrence_pmi",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+        FROM events
+    ),
+    n AS (
+        SELECT COUNT(*) AS n_ctx FROM (
+            SELECT DISTINCT user_id, day FROM ud
+        )
+    ),
+    singles AS (
+        SELECT event_type, COUNT(*) AS c FROM ud GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS c_ab
+        FROM ud a JOIN ud b
+          ON a.user_id = b.user_id AND a.day = b.day
+         AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.c_ab,
+           FLOOR(ln(CAST(p.c_ab AS DOUBLE) * n.n_ctx
+                    / (sa.c * CAST(sb.c AS DOUBLE)))
+                 * 1000000) / 1000000 AS pmi
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.type_a
+    JOIN singles sb ON sb.event_type = p.type_b
+    CROSS JOIN n
+    """,
+)
+def events_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ud = events.select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).distinct()
+    n = ud.select("user_id", "day").distinct().agg(
+        F.count("*").alias("n_ctx")
+    )
+    singles = ud.groupBy("event_type").agg(F.count("*").alias("c"))
+    a = ud.select(
+        "user_id", "day", F.col("event_type").alias("type_a")
+    )
+    b = ud.select(
+        "user_id", "day", F.col("event_type").alias("type_b")
+    )
+    pairs = (
+        a.join(b, ["user_id", "day"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("c").alias("ca")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("c").alias("cb")
+    )
+    pmi = (
+        F.floor(
+            F.log(
+                F.col("c_ab").cast("double")
+                * F.col("n_ctx")
+                / (F.col("ca") * F.col("cb").cast("double"))
+            )
+            * 1000000
+        )
+        / 1000000
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select("type_a", "type_b", "c_ab", pmi.alias("pmi"))
+    )

@@ -432,3 +432,28 @@ def events_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(seq, lambda s: s["event_type"]), "->"
         ).alias("journey"),
     )
+
+
+# -- per-group exact percentiles: the grouped twin of
+#    percentile_stats (global).  Interpolated percentile over doubles
+#    is consistent cross-engine (established by percentile_stats on
+#    l_extendedprice); the aggregate is one shuffle on the group key
+#    with partial sort inside each group only -- at 100 TB swap in
+#    approx_percentile and keep the identical plan shape.
+@query(
+    "agg_group_percentiles",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           ROUND(quantile_cont(c_acctbal, 0.5), 6) AS median_bal,
+           ROUND(quantile_cont(c_acctbal, 0.9), 6) AS p90_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.round(F.percentile("c_acctbal", 0.5), 6).alias("median_bal"),
+        F.round(F.percentile("c_acctbal", 0.9), 6).alias("p90_bal"),
+    )
