@@ -393,3 +393,73 @@ def streaming_stream_stream_join(
         & (F.col("t2") <= F.col("t1") + F.expr("INTERVAL 10 MINUTES")),
     ).select("u1", "first_event", "next_event", "t1", "t2")
     return _drain_to_memory(joined, "append")
+
+
+@query("streaming_upsert_sink")  # rows-only: foreachBatch side effects
+def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming merge-upsert sink: each micro-batch folds into a
+    keyed table (latest event per user_id) via foreachBatch -- the
+    file-drop-to-warehouse-table pattern (Kafka + MERGE INTO in
+    production).  The drop box is staged with TWO copies of the feed
+    and maxFilesPerTrigger=1, so the merge really executes
+    incrementally across micro-batches (and, being latest-per-key, is
+    idempotent under the duplicate delivery).  The rewrite goes to a
+    fresh directory then swaps -- at 100 TB a transactional table
+    format (or partition-scoped overwrite) replaces the swap, with the
+    identical foreachBatch body."""
+    from pyspark.sql.window import Window
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = load_table(spark, sf_dir, "events").schema
+    raw_schema = ", ".join(
+        "ts LONG" if f.name == "ts" else f"{f.name} {f.dataType.simpleString()}"
+        for f in schema.fields
+    )
+    run = uuid.uuid4().hex[:8]
+    drop_dir = os.path.join(tempfile.gettempdir(), f"hqmdw_upsert_in_{run}")
+    os.makedirs(drop_dir, exist_ok=True)
+    for i in (1, 2):
+        shutil.copyfile(
+            f"{sf_dir}/events.parquet",
+            os.path.join(drop_dir, f"events_{i}.parquet"),
+        )
+    target = os.path.join(tempfile.gettempdir(), f"hqmdw_upsert_tgt_{run}")
+
+    def latest_per_key(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        incoming = latest_per_key(batch_df)
+        if os.path.exists(target):
+            current = batch_df.sparkSession.read.parquet(target)
+            merged = latest_per_key(current.unionByName(incoming))
+        else:
+            merged = incoming
+        tmp = target + f".tmp{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(target):
+            shutil.rmtree(target)
+        os.rename(tmp, target)
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target).select(
+        "user_id", "event_id", "ts", "event_type"
+    )

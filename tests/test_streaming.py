@@ -158,3 +158,31 @@ def test_dedup_within_watermark_bounds_and_coverage(spark):
         .collect()
     }
     assert {(r.user_id, r.event_type) for r in rows} >= batch_pairs
+
+
+def test_upsert_sink_matches_batch_latest_per_key(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from hq_master_data_warehouse_spark.sources.loaders import load_table
+    from hq_master_data_warehouse_spark.streaming.jobs import (
+        streaming_upsert_sink,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        tuple(r)
+        for r in streaming_upsert_sink(spark, sf).collect()
+    }
+    events = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    want = {
+        tuple(r)
+        for r in events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+        .collect()
+    }
+    assert got == want
