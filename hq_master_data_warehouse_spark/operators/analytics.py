@@ -691,3 +691,50 @@ def events_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n))
         .select("type_a", "type_b", "c_ab", pmi.alias("pmi"))
     )
+
+
+PIT_DATE = "1995-06-15"
+
+
+# -- point-in-time lookup over the SCD2 history: each customer's
+#    state as of a date, via interval containment (valid_from <= d <
+#    valid_to, open current interval included).  Expressed as the
+#    history build + a containment filter, so Catalyst fuses it into
+#    the window scan -- no second pass.  The scale note: a PIT date
+#    predicate prunes history partitions when valid_from is the
+#    partition column.
+@query(
+    "scd2_point_in_time",
+    oracle=f"""
+    WITH hist AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               o_orderdate AS valid_from,
+               LEAD(o_orderdate) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+               ) AS valid_to
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_totalprice, valid_from, valid_to
+    FROM hist
+    WHERE valid_from <= DATE '{PIT_DATE}'
+      AND (valid_to IS NULL OR valid_to > DATE '{PIT_DATE}')
+    """,
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    hist = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    d = F.lit(PIT_DATE).cast("date")
+    return hist.filter(
+        (F.col("valid_from") <= d)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > d))
+    )

@@ -137,3 +137,39 @@ def test_incremental_maintenance_reads_once_per_partial(spark):
     # both partials push their date predicate into the scan
     assert "PushedFilters: [" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_assignment_is_broadcast(spark):
+    plan = _plan(spark, "dedup_semantic_clusters")
+    # K-centroid assignment must broadcast the centroid side; the
+    # pair stage joins on cluster_id, never a corpus cross join.
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_privacy_cascade_requests_are_broadcast_semi_joins(spark):
+    plan = _plan(spark, "privacy_cascade_delete")
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_small_sides_are_broadcast(spark):
+    plan = _plan(spark, "text_bm25_scores")
+    # df (per-term doc frequency) and the global stats row broadcast;
+    # the postings join must not shuffle the corpus for them.
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
+
+
+def test_packing_prefix_sum_has_no_single_partition_corpus_window(spark):
+    plan = _plan(spark, "pack_documents_nextfit")
+    # the per-bucket window must be hash-partitioned on the bucket;
+    # only the 16-row bucket-total window runs single-partition.
+    assert "hashpartitioning(bucket" in plan
+
+
+def test_contamination_semi_join_keys_on_gram(spark):
+    plan = _plan(spark, "text_contamination_check")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
