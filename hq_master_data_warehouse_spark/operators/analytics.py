@@ -738,3 +738,62 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("valid_from") <= d)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > d))
     )
+
+
+BASKET_TOP_K = 5
+
+
+# -- market-basket co-purchase: for every part, the top-K parts
+#    appearing in the same order (the item-item recommender seed).
+#    The pair join is keyed on l_orderkey, so its size is bounded by
+#    items-per-order squared (small constant), never corpus^2; the
+#    per-part top-K is a ranked window over the pair AGGREGATE.  At
+#    100 TB hot parts skew the aggregate -- salt the (part_a) key or
+#    cap basket width upstream.
+@query(
+    "basket_copurchase_topk",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS together
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, together, rk FROM (
+        SELECT part_a, part_b, together,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY part_a
+                   ORDER BY together DESC, part_b
+               ) AS INT) AS rk
+        FROM pairs
+    ) WHERE rk <= {BASKET_TOP_K}
+    """,
+)
+def basket_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(
+        "l_orderkey", F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        "l_orderkey", F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") != F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("together"))
+    )
+    w = Window.partitionBy("part_a").orderBy(
+        F.desc("together"), F.asc("part_b")
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BASKET_TOP_K)
+        .select("part_a", "part_b", "together", "rk")
+    )

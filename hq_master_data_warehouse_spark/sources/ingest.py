@@ -92,3 +92,62 @@ def normalize_payload(raw: DataFrame, payload_col: str = "value") -> DataFrame:
         ).alias(field)
 
     return records.select(*[norm(f) for f in PEOPLE_FIELDS])
+
+
+QUARANTINE_BAD_ROWS = 7
+
+
+@query("ingest_quarantine_bad_records")  # rows-only: staged-file source
+def ingest_quarantine_bad_records(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bad-record quarantine: a JSONL feed with deliberately corrupt
+    lines read in PERMISSIVE mode with ``columnNameOfCorruptRecord``,
+    then split into clean rows vs a quarantine count -- the
+    poison-pill handling every production ingest needs (FAILFAST
+    aborts a 1000-executor job for one bad byte; DROPMALFORMED loses
+    evidence).  Returns one row per outcome with counts; the parity
+    pytest pins exact clean/quarantined numbers."""
+    import os
+    import tempfile
+
+    import hashlib as _h
+
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"hqmdw_quarantine_{tag}.jsonl"
+    )
+    if not os.path.exists(path):
+        rows = (
+            load_table(spark, sf_dir, "events")
+            .select(
+                F.to_json(
+                    F.struct("event_id", "user_id", "event_type")
+                ).alias("j")
+            )
+            .collect()
+        )
+        with open(path + ".tmp", "w") as f:
+            for i, r in enumerate(rows):
+                f.write(r.j + "\n")
+                if i < QUARANTINE_BAD_ROWS:
+                    f.write('{"event_id": 12, "user_id": ???}\n')
+        os.rename(path + ".tmp", path)
+    feed = (
+        spark.read.schema(
+            "event_id BIGINT, user_id BIGINT, event_type STRING, "
+            "_corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        # Spark disallows referencing ONLY the corrupt-record column
+        # of a raw file scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN);
+        # caching materializes the parse first, per its own guidance.
+        .cache()
+    )
+    return feed.select(
+        F.when(F.col("_corrupt_record").isNull(), "clean")
+        .otherwise("quarantined")
+        .alias("outcome")
+    ).groupBy("outcome").agg(F.count("*").alias("n"))

@@ -56,3 +56,22 @@ def test_bucket_normalization_edge_cases(spark):
     assert buckets == ["unknown", "not sure", "1-10", "weird"]
     # unknown segments fall back to DEFAULT_RANGE_MAX=10 -> capacity 4000
     assert out[3].capacity == 4000
+
+
+def test_quarantine_splits_exact_counts(spark):
+    from hq_master_data_warehouse_spark.sources.ingest import (
+        QUARANTINE_BAD_ROWS,
+        ingest_quarantine_bad_records,
+    )
+    from hq_master_data_warehouse_spark.sources.loaders import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.outcome: r.n
+        for r in ingest_quarantine_bad_records(spark, sf).collect()
+    }
+    n_events = load_table(spark, sf, "events").count()
+    assert got == {
+        "clean": n_events,
+        "quarantined": QUARANTINE_BAD_ROWS,
+    }
