@@ -797,3 +797,138 @@ def basket_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= BASKET_TOP_K)
         .select("part_a", "part_b", "together", "rk")
     )
+
+
+# -- time-to-convert: per user, seconds from first signup to the
+#    first purchase AT OR AFTER it (timestamp arithmetic is
+#    microsecond-integer exact, so the oracle matches bit-for-bit).
+#    Two conditional MINs in one grouped pass -- no self-join, no
+#    window over raw events.
+@query(
+    "events_time_to_convert",
+    oracle="""
+    WITH m AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END)
+                   AS first_signup
+        FROM events GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id,
+               MIN(e.ts) AS first_purchase
+        FROM events e JOIN m ON m.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= m.first_signup
+        GROUP BY e.user_id
+    )
+    SELECT m.user_id, m.first_signup, c.first_purchase,
+           CAST(date_diff('second', m.first_signup, c.first_purchase)
+                AS BIGINT) AS seconds_to_convert
+    FROM m LEFT JOIN c ON c.user_id = m.user_id
+    WHERE m.first_signup IS NOT NULL
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    m = events.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("first_signup")
+    )
+    c = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(m), "user_id")
+        .filter(F.col("ts") >= F.col("first_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        m.filter(F.col("first_signup").isNotNull())
+        .join(c, "user_id", "left")
+        .select(
+            "user_id",
+            "first_signup",
+            "first_purchase",
+            (
+                F.unix_timestamp("first_purchase")
+                - F.unix_timestamp("first_signup")
+            ).alias("seconds_to_convert"),
+        )
+    )
+
+
+PSI_BUCKETS = 10
+
+
+# -- data-drift detection (PSI): the distribution of event values on
+#    even days-of-month vs odd (a scale-factor-independent period
+#    split; production splits on a deployment timestamp), over
+#    fixed-width buckets.  Output is per-bucket contributions (the
+#    auditable form; the scalar PSI is their sum) -- emitting rows
+#    avoids summing doubles in engine-defined aggregation order.
+#    Integer counts widen to double only in the final expression;
+#    buckets with a zero side get the standard 1e-6 floor.
+@query(
+    "drift_psi_event_values",
+    oracle=f"""
+    WITH b AS (
+        SELECT CASE WHEN day(CAST(ts AS DATE)) % 2 = 1
+                    THEN 'base' ELSE 'cur' END AS period,
+               LEAST(CAST(FLOOR(value / 50.0) AS INT),
+                     {PSI_BUCKETS - 1}) AS bucket
+        FROM events WHERE value IS NOT NULL AND value >= 0
+    ),
+    c AS (
+        SELECT bucket,
+               COUNT(CASE WHEN period = 'base' THEN 1 END) AS n_base,
+               COUNT(CASE WHEN period = 'cur' THEN 1 END) AS n_cur
+        FROM b GROUP BY bucket
+    ),
+    t AS (
+        SELECT SUM(n_base) AS t_base, SUM(n_cur) AS t_cur FROM c
+    )
+    SELECT c.bucket,
+           c.n_base, c.n_cur,
+           FLOOR((GREATEST(c.n_base / CAST(t.t_base AS DOUBLE), 1e-6)
+                  - GREATEST(c.n_cur / CAST(t.t_cur AS DOUBLE), 1e-6))
+                 * ln(GREATEST(c.n_base / CAST(t.t_base AS DOUBLE), 1e-6)
+                      / GREATEST(c.n_cur / CAST(t.t_cur AS DOUBLE), 1e-6))
+                 * 1000000) / 1000000 AS psi_term
+    FROM c CROSS JOIN t
+    """,
+)
+def drift_psi_event_values(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    b = events.filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    ).select(
+        F.when(F.dayofmonth(F.to_date("ts")) % 2 == 1, "base")
+        .otherwise("cur")
+        .alias("period"),
+        F.least(
+            F.floor(F.col("value") / 50.0).cast("int"),
+            F.lit(PSI_BUCKETS - 1),
+        ).alias("bucket"),
+    )
+    c = b.groupBy("bucket").agg(
+        F.count(F.when(F.col("period") == "base", 1)).alias("n_base"),
+        F.count(F.when(F.col("period") == "cur", 1)).alias("n_cur"),
+    )
+    t = c.agg(
+        F.sum("n_base").alias("t_base"), F.sum("n_cur").alias("t_cur")
+    )
+    p = F.greatest(
+        F.col("n_base") / F.col("t_base").cast("double"), F.lit(1e-6)
+    )
+    q = F.greatest(
+        F.col("n_cur") / F.col("t_cur").cast("double"), F.lit(1e-6)
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "bucket",
+        "n_base",
+        "n_cur",
+        (F.floor((p - q) * F.log(p / q) * 1000000) / 1000000).alias(
+            "psi_term"
+        ),
+    )
