@@ -20,19 +20,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Column pruning / filter pushdown happen automatically once callers
     ``.select``/``.filter`` -- never pre-collect or pre-materialize here.
 
-    ``events.ts`` is Parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects outright (PARQUET_TYPE_ILLEGAL).  It is read as
-    nanos-since-epoch via the nanosAsLong fallback and rebuilt as a
-    microsecond TimestampType with integer division -- the same
-    truncation DuckDB applies when casting TIMESTAMP_NS to TIMESTAMP,
-    so both engines observe identical event times.
+    ``events.ts`` has shipped as either Parquet TIMESTAMP(NANOS) --
+    which Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL) and
+    must be read as nanos-since-epoch via the nanosAsLong fallback --
+    or as a plain TIMESTAMP(MICROS).  Normalize both to a microsecond
+    TimestampType so downstream operators and the DuckDB oracle observe
+    identical event times regardless of fixture vintage.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return normalize_event_ts(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Coerce ``ts`` to TimestampType whether it arrived as nanos-epoch
+    BIGINT (legacy nanosAsLong read) or a native timestamp column."""
+    dtype = dict(df.dtypes).get("ts")
+    if dtype in ("bigint", "long"):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dtype != "timestamp":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
