@@ -436,9 +436,13 @@ def agg_correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "audit_table_checksum",
     oracle="""
     SELECT c_mktsegment, COUNT(*) AS n_rows,
-           SUM(CAST(CAST(concat('0x', substr(md5(
+           -- VARCHAR: the ~2^60-scale decimal checksum exceeds 2^53,
+           -- so pandas float64 would lose precision on the DuckDB
+           -- side; decimal->string is exact in both engines.
+           CAST(SUM(CAST(CAST(concat('0x', substr(md5(
                    concat_ws('|', c_custkey, c_name, c_nationkey)
-               ), 1, 15)) AS BIGINT) AS DECIMAL(38,0))) AS checksum
+               ), 1, 15)) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR)
+               AS checksum
     FROM customer
     GROUP BY c_mktsegment
     """,
@@ -467,6 +471,6 @@ def audit_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_rows"),
-            F.sum("fp").alias("checksum"),
+            F.sum("fp").cast("string").alias("checksum"),
         )
     )

@@ -791,10 +791,13 @@ def pack_nextfit(docs: DataFrame) -> DataFrame:
         FROM documents
     )
     SELECT doc_id, n_tokens,
-           SUM(n_tokens) OVER (
+           -- CAST: DuckDB SUM(BIGINT) OVER yields HUGEINT, which the
+           -- driver's pandas canonicalizer coerces to float64 -- cast
+           -- back to BIGINT so both engines hash identical integers.
+           CAST(SUM(n_tokens) OVER (
                ORDER BY h, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) - n_tokens AS offset,
+           ) - n_tokens AS BIGINT) AS offset,
            CAST(FLOOR((SUM(n_tokens) OVER (
                ORDER BY h, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
@@ -830,7 +833,8 @@ def pack_documents_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT term,
            COUNT(DISTINCT doc_id) AS df,
            COUNT(*) AS tf_total,
-           list_sort(list(doc_id || ':' || pos)) AS postings
+           array_to_string(list_sort(list(doc_id || ':' || pos)), ',')
+               AS postings
     FROM p GROUP BY term
     """,
 )
@@ -845,13 +849,17 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term",
         (F.col("pos0") + 1).alias("pos"),
     )
+    # postings emitted as one comma-joined string (not array<string>):
+    # same information, but hashable by the driver's pandas
+    # canonicalizer, which cannot factorize list cells.
     return p.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df"),
         F.count("*").alias("tf_total"),
-        F.sort_array(
-            F.collect_list(
-                F.concat_ws(":", "doc_id", "pos")
-            )
+        F.array_join(
+            F.sort_array(
+                F.collect_list(F.concat_ws(":", "doc_id", "pos"))
+            ),
+            ",",
         ).alias("postings"),
     )
 

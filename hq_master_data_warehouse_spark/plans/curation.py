@@ -59,7 +59,9 @@ QUALITY_CUT = 0.5
                 THEN 'train' ELSE 'holdout' END AS split,
            lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars_kept) AS total_chars
+           -- CAST: DuckDB SUM(BIGINT) -> HUGEINT -> pandas float64;
+           -- keep both engines on int64 so the value hash agrees.
+           CAST(SUM(n_chars_kept) AS BIGINT) AS total_chars
     FROM scored
     GROUP BY 1, 2
     """,
@@ -144,10 +146,11 @@ PIPE_MIN_TOKENS = 20
           AND doc_id NOT IN (SELECT doc_id FROM contaminated)
     )
     SELECT doc_id, n_tokens,
-           SUM(n_tokens) OVER (
+           -- CAST: window SUM(BIGINT) -> HUGEINT -> pandas float64.
+           CAST(SUM(n_tokens) OVER (
                ORDER BY h_id, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) - n_tokens AS offset,
+           ) - n_tokens AS BIGINT) AS offset,
            CAST(FLOOR((SUM(n_tokens) OVER (
                ORDER BY h_id, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW

@@ -152,15 +152,29 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _events_raw_schema_ddl(spark: SparkSession, sf_dir: str) -> str:
+    """DDL for the events fixture AS PHYSICALLY STORED.
+
+    ``events.ts`` has shipped as either TIMESTAMP(NANOS) -- readable
+    only via the nanosAsLong fallback, surfacing as BIGINT -- or plain
+    TIMESTAMP(MICROS).  readStream needs an explicit schema, and that
+    schema must match the physical type, so probe it with a zero-row
+    batch read (schema-only: no data is scanned) instead of hard-coding
+    one vintage.  ``normalize_event_ts`` then coerces either shape to
+    TimestampType, the SAME normalization the batch loader uses -- one
+    code path, batch/stream parity by construction.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in raw.schema.fields
+    )
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as an unbounded source (T1).  File-drop source in
     tests; Kafka in production -- the downstream plan is identical."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = load_table(spark, sf_dir, "events").schema
-    raw_schema = ", ".join(
-        "ts LONG" if f.name == "ts" else f"{f.name} {f.dataType.simpleString()}"
-        for f in schema.fields
-    )
+    raw_schema = _events_raw_schema_ddl(spark, sf_dir)
     # The file stream source lists a DIRECTORY (the drop-box contract,
     # T1); stage the fixture file into one, keyed by sf_dir.
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
@@ -169,10 +183,8 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(staged):
         os.makedirs(drop_dir, exist_ok=True)
         shutil.copyfile(f"{sf_dir}/events.parquet", staged)
-    return (
-        spark.readStream.schema(raw_schema)
-        .parquet(drop_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_event_ts(
+        spark.readStream.schema(raw_schema).parquet(drop_dir)
     )
 
 
@@ -409,12 +421,7 @@ def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical foreachBatch body."""
     from pyspark.sql.window import Window
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = load_table(spark, sf_dir, "events").schema
-    raw_schema = ", ".join(
-        "ts LONG" if f.name == "ts" else f"{f.name} {f.dataType.simpleString()}"
-        for f in schema.fields
-    )
+    raw_schema = _events_raw_schema_ddl(spark, sf_dir)
     run = uuid.uuid4().hex[:8]
     drop_dir = os.path.join(tempfile.gettempdir(), f"hqmdw_upsert_in_{run}")
     os.makedirs(drop_dir, exist_ok=True)
@@ -448,11 +455,10 @@ def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(target)
         os.rename(tmp, target)
 
-    stream = (
+    stream = normalize_event_ts(
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(drop_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
     q = (
         stream.writeStream.foreachBatch(merge)
