@@ -15,6 +15,19 @@ from pyspark.sql import functions as F
 #: enough integer digits for 100 TB-scale money sums at group level
 MONEY = "decimal(30,4)"
 
+#: factor types for money PRODUCTS.  A decimal multiply's result width
+#: is the SUM of the operand widths (+1 in Spark): DECIMAL(30,4)
+#: factors overflow width 38, at which point Spark silently reduces
+#: scale while DuckDB falls back to DOUBLE -- divergent rounding, the
+#: one thing the oracle convention exists to prevent.  The fixture's
+#: money columns are exact 2-decimal values, so DECIMAL(15,2) prices
+#: (13 integer digits -- fine for any per-ROW money value; group SUMS
+#: still accumulate in the engines' widened 38-digit sum type) and
+#: DECIMAL(8,2) rate factors keep every 2- and 3-factor product inside
+#: width 38 in BOTH engines: exact, order-independent, identical.
+PRICE = "decimal(15,2)"
+FRAC = "decimal(8,2)"
+
 
 def dec_sum(col: str | Column, alias: str) -> Column:
     """Order-independent SUM over a double money column."""
@@ -42,26 +55,33 @@ def dec_avg_sql(expr: str, alias: str) -> str:
 
 
 def disc_price() -> Column:
-    """l_extendedprice * (1 - l_discount) in exact decimal arithmetic."""
-    return F.col("l_extendedprice").cast(MONEY) * (
-        F.lit(1).cast(MONEY) - F.col("l_discount").cast(MONEY)
+    """l_extendedprice * (1 - l_discount) in exact decimal arithmetic.
+
+    DECIMAL(15,2) x DECIMAL(8,2) -> scale-4 product within width 38 in
+    both engines: no double fallback, no scale reduction.
+    """
+    return F.col("l_extendedprice").cast(PRICE) * (
+        F.lit(1).cast(FRAC) - F.col("l_discount").cast(FRAC)
     )
 
 
 DISC_PRICE_SQL = (
-    "CAST(l_extendedprice AS DECIMAL(30,4))"
-    " * (CAST(1 AS DECIMAL(30,4)) - CAST(l_discount AS DECIMAL(30,4)))"
+    "CAST(l_extendedprice AS DECIMAL(15,2))"
+    " * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))"
 )
 
 
 def charge() -> Column:
-    """l_extendedprice * (1-l_discount) * (1+l_tax), exact decimal."""
+    """l_extendedprice * (1-l_discount) * (1+l_tax), exact decimal.
+
+    The 3-factor product stays within width 38 (scale 6) both engines.
+    """
     return disc_price() * (
-        F.lit(1).cast(MONEY) + F.col("l_tax").cast(MONEY)
+        F.lit(1).cast(FRAC) + F.col("l_tax").cast(FRAC)
     )
 
 
 CHARGE_SQL = (
-    f"{DISC_PRICE_SQL} * (CAST(1 AS DECIMAL(30,4))"
-    " + CAST(l_tax AS DECIMAL(30,4)))"
+    f"{DISC_PRICE_SQL} * (CAST(1 AS DECIMAL(8,2))"
+    " + CAST(l_tax AS DECIMAL(8,2)))"
 )

@@ -293,12 +293,65 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- RFM segmentation: recency/frequency/monetary quartiles.  The
-#    NTILE windows are global BY DESIGN here (deterministic via
-#    custkey tie-breaks); the 100 TB path replaces them with
-#    approx_percentile cut-points + a range join, trading exact
-#    quartile boundaries for no global sort -- noted, not needed at
-#    the per-customer aggregate's cardinality (|customers| << |orders|).
+def _global_rank(
+    df: DataFrame,
+    bucket: "F.Column",
+    sort_cols: list,
+    out: str,
+    bucket_desc: bool = False,
+) -> DataFrame:
+    """Distributed global row_number WITHOUT a single-partition sort.
+
+    Two-pass prefix sum (same shape as pack_nextfit): rows shuffle
+    once on a coarse range bucket of the leading sort key; each bucket
+    ranks locally in parallel; the per-bucket COUNTS (a tiny table --
+    one row per bucket) are prefix-summed and broadcast back, turning
+    local ranks into global ones.  ``bucket`` must be a monotone
+    function of the leading sort key so bucket order is a prefix of
+    the row order.  Scales: the only global window runs over the
+    bucket-count table, bounded by the bucket domain, not the input.
+    """
+    b = df.withColumn("_b", bucket)
+    w_in = Window.partitionBy("_b").orderBy(*sort_cols)
+    local = b.withColumn("_lrn", F.row_number().over(w_in))
+    totals = b.groupBy("_b").agg(F.count("*").alias("_bc"))
+    order = F.col("_b").desc() if bucket_desc else F.col("_b").asc()
+    w_pfx = Window.orderBy(order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = totals.select(
+        "_b",
+        F.coalesce(F.sum("_bc").over(w_pfx), F.lit(0)).alias("_off"),
+    )
+    return (
+        local.join(F.broadcast(prefix), "_b")
+        .withColumn(out, (F.col("_off") + F.col("_lrn")).cast("long"))
+        .drop("_b", "_lrn", "_off")
+    )
+
+
+def _ntile_from_rank(rn: "F.Column", n_rows: "F.Column", k: int):
+    """NTILE(k) computed arithmetically from a global rank: the first
+    (n mod k) buckets take ceil(n/k) rows, the rest floor(n/k) --
+    exactly SQL NTILE semantics, no sort needed once the rank exists."""
+    q = F.floor(n_rows / k)
+    r = n_rows % k
+    big = q + 1
+    cut = r * big
+    return (
+        F.when(rn <= cut, F.ceil(rn / big))
+        .otherwise(r + F.ceil((rn - cut) / q))
+        .cast("int")
+    )
+
+
+# -- RFM segmentation: recency/frequency/monetary quartiles.  NTILE
+#    semantics preserved exactly (custkey tie-breaks), but computed
+#    WITHOUT the three global single-partition NTILE sorts: each
+#    metric gets a distributed two-pass global rank (_global_rank,
+#    bucketed on month / order-count / spend-band) and the quartile
+#    falls out arithmetically (_ntile_from_rank).  The oracle states
+#    plain NTILE windows -- same values, scale-safe plan.
 @query(
     "orders_rfm_scores",
     oracle=f"""
@@ -321,25 +374,53 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    per_cust = orders.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count("*").alias("n_orders"),
-        dec_sum("o_totalprice", "spend"),
+    # per_cust fans out to three rank passes (each reads it twice);
+    # cache the small per-customer aggregate instead of re-running the
+    # orders groupBy six times.
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("n_orders"),
+            dec_sum("o_totalprice", "spend"),
+        )
+        .cache()
     )
-    return per_cust.select(
+    n_rows = F.col("_n")
+    total = per_cust.agg(F.count("*").alias("_n"))
+
+    # recency: bucket by month (monotone with last_order DESC)
+    ranked = _global_rank(
+        per_cust,
+        F.date_trunc("month", F.col("last_order")),
+        [F.col("last_order").desc(), F.col("o_custkey")],
+        "_r_rn",
+        bucket_desc=True,
+    )
+    # frequency: the order count itself is the coarse bucket
+    ranked = _global_rank(
+        ranked,
+        F.col("n_orders"),
+        [F.col("n_orders").desc(), F.col("o_custkey")],
+        "_f_rn",
+        bucket_desc=True,
+    )
+    # monetary: 50k spend bands
+    ranked = _global_rank(
+        ranked,
+        F.floor(F.col("spend") / 50000.0),
+        [F.col("spend").desc(), F.col("o_custkey")],
+        "_m_rn",
+        bucket_desc=True,
+    )
+    return ranked.crossJoin(F.broadcast(total)).select(
         "o_custkey",
         "last_order",
         "n_orders",
         "spend",
-        F.ntile(4)
-        .over(Window.orderBy(F.col("last_order").desc(), "o_custkey"))
-        .alias("r_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("n_orders").desc(), "o_custkey"))
-        .alias("f_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("spend").desc(), "o_custkey"))
-        .alias("m_quartile"),
+        _ntile_from_rank(F.col("_r_rn"), n_rows, 4).alias("r_quartile"),
+        _ntile_from_rank(F.col("_f_rn"), n_rows, 4).alias("f_quartile"),
+        _ntile_from_rank(F.col("_m_rn"), n_rows, 4).alias("m_quartile"),
     )
 
 
@@ -452,15 +533,41 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Banded prefix-max, no single-partition window: per-price maxima
+    # shuffle on a 100-unit PRICE BAND and prefix-max locally per band
+    # in parallel; only the per-band summary (one row per band -- a
+    # bounded domain, not the data) takes a global window, and its
+    # exclusive running max is broadcast back.  prev_mx = max of sizes
+    # at strictly lower prices = greatest(in-band prefix, prior-band
+    # running max).
     part = load_table(spark, sf_dir, "part")
-    per_price = part.groupBy("p_retailprice").agg(
-        F.max("p_size").alias("mx_size")
+    per_price = (
+        part.groupBy("p_retailprice")
+        .agg(F.max("p_size").alias("mx_size"))
+        .withColumn("band", F.floor(F.col("p_retailprice") / 100))
     )
-    w_prev = Window.orderBy("p_retailprice").rowsBetween(
-        Window.unboundedPreceding, -1
+    w_in = (
+        Window.partitionBy("band")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     per_price = per_price.withColumn(
-        "prev_mx", F.max("mx_size").over(w_prev)
+        "in_band_prev", F.max("mx_size").over(w_in)
+    )
+    band_summary = per_price.groupBy("band").agg(
+        F.max("mx_size").alias("band_mx")
+    )
+    w_band = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    band_prev = band_summary.select(
+        "band", F.max("band_mx").over(w_band).alias("band_prev_mx")
+    )
+    per_price = per_price.join(F.broadcast(band_prev), "band")
+    # greatest() skips NULLs, so first-price-in-first-band rows keep
+    # prev_mx NULL and the coalesce below treats them as undominated.
+    per_price = per_price.withColumn(
+        "prev_mx", F.greatest("in_band_prev", "band_prev_mx")
     )
     joined = part.join(per_price, "p_retailprice")
     dominated = (
@@ -584,8 +691,9 @@ def events_purchase_attribution(
     days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
     SELECT d.day,
            COALESCE(n.new_users, 0) AS new_users,
-           SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day)
-               AS users_to_date
+           -- CAST: DuckDB window SUM(BIGINT) -> HUGEINT -> float64
+           CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day)
+                AS BIGINT) AS users_to_date
     FROM days d LEFT JOIN newbies n ON n.day = d.day
     """,
 )

@@ -126,7 +126,9 @@ def ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            COUNT(*) AS nnz,
-           list_sort(list(bucket || ':' || cnt)) AS features
+           -- string-encoded: list cells crash the gate's canonicalizer
+           array_to_string(list_sort(list(bucket || ':' || cnt)), ',')
+               AS features
     FROM c GROUP BY doc_id
     """,
 )
@@ -146,7 +148,10 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = b.groupBy("doc_id", "bucket").agg(F.count("*").alias("cnt"))
     return c.groupBy("doc_id").agg(
         F.count("*").alias("nnz"),
-        F.sort_array(
-            F.collect_list(F.concat_ws(":", "bucket", "cnt"))
+        F.array_join(
+            F.sort_array(
+                F.collect_list(F.concat_ws(":", "bucket", "cnt"))
+            ),
+            ",",
         ).alias("features"),
     )

@@ -247,8 +247,12 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            len(embedding) AS dim,
-           list_transform(embedding[1:3],
-                          x -> ROUND(CAST(x AS DOUBLE) * 2, 6))
+           -- array outputs are string-encoded (list cells crash the
+           -- gate's canonicalizer) as fixed-scale DECIMAL(18,6)
+           -- strings so both engines format '1.500000' identically
+           array_to_string(list_transform(embedding[1:3],
+               x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 2, 6)
+                         AS DECIMAL(18,6)) AS VARCHAR)), ',')
                AS first3_doubled,
            len(list_filter(embedding, x -> x > 0)) AS n_positive,
            CAST(list_max(list_transform(embedding,
@@ -256,9 +260,11 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS has_large,
            ROUND(list_sum(list_transform(embedding,
                  x -> CAST(x AS DOUBLE))), 6) AS elem_sum,
-           list_transform(list_reverse(list_sort(list_transform(
-               embedding, x -> CAST(x AS DOUBLE))))[1:3],
-               x -> ROUND(x, 6)) AS top3
+           array_to_string(list_transform(
+               list_reverse(list_sort(list_transform(
+                   embedding, x -> CAST(x AS DOUBLE))))[1:3],
+               x -> CAST(CAST(ROUND(x, 6) AS DECIMAL(18,6))
+                         AS VARCHAR)), ',') AS top3
     FROM embeddings
     """,
 )
@@ -268,9 +274,14 @@ def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.transform(
-            F.slice(F.col("embedding"), 1, 3),
-            lambda x: F.round(x.cast("double") * 2, 6),
+        F.array_join(
+            F.transform(
+                F.slice(F.col("embedding"), 1, 3),
+                lambda x: F.round(x.cast("double") * 2, 6)
+                .cast("decimal(18,6)")
+                .cast("string"),
+            ),
+            ",",
         ).alias("first3_doubled"),
         F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias(
             "n_positive"
@@ -279,9 +290,14 @@ def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x), 6
         ).alias("elem_sum"),
-        F.transform(
-            F.slice(F.reverse(F.array_sort(dbl)), 1, 3),
-            lambda x: F.round(x, 6),
+        F.array_join(
+            F.transform(
+                F.slice(F.reverse(F.array_sort(dbl)), 1, 3),
+                lambda x: F.round(x, 6)
+                .cast("decimal(18,6)")
+                .cast("string"),
+            ),
+            ",",
         ).alias("top3"),
     )
 
@@ -368,11 +384,12 @@ def events_resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY user_id
     )
     SELECT COUNT(*) AS n_users,
-           SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END)
-               AS n_viewed,
-           SUM(CASE WHEN first_view IS NOT NULL
+           -- CAST: DuckDB SUM(INTEGER) -> HUGEINT -> pandas float64
+           CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_viewed,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL
                      AND first_purchase > first_view
-                    THEN 1 ELSE 0 END) AS n_converted
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
     FROM per_user
     """,
 )

@@ -417,7 +417,10 @@ def similarity_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                )) <= rng / 255.0 * 0.5 + 1e-12) AS recon_ok
         FROM q
     )
-    SELECT vec_id, label, codes,
+    SELECT vec_id, label,
+           -- string-encoded: the gate's canonicalizer cannot hash
+           -- list cells (same class as text_inverted_index r1 crash)
+           array_to_string(codes, ',') AS codes,
            ROUND(mn, 6) AS mn,
            ROUND(rng, 6) AS rng,
            recon_ok
@@ -463,7 +466,10 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.select(
         "vec_id",
         "label",
-        "codes",
+        # comma-joined int codes: hashable by the driver's canonicalizer
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias(
+            "codes"
+        ),
         F.round(mn, 6).alias("mn"),
         F.round(rng, 6).alias("rng"),
         "recon_ok",

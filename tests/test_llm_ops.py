@@ -201,7 +201,8 @@ def test_quantize_codes_bounded_and_reconstructable(spark):
     rows = embedding_quantize_int8(spark, SF).collect()
     assert rows
     for r in rows:
-        assert all(0 <= c <= 255 for c in r.codes)
+        codes = [int(c) for c in r.codes.split(",")]
+        assert all(0 <= c <= 255 for c in codes)
         assert r.recon_ok, f"vec {r.vec_id} outside half-step bound"
 
 

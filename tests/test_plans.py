@@ -173,3 +173,27 @@ def test_contamination_semi_join_keys_on_gram(spark):
     plan = _plan(spark, "text_contamination_check")
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pagination_is_distributed_topk_not_global_window(spark):
+    # offset/limit pagination must compile to TakeOrderedAndProject
+    # (per-partition top-k, merged at the driver); the row_number
+    # window then runs over <= offset+size rows, never the table.
+    plan = _plan(spark, "pagination_offset_limit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rfm_quartiles_have_no_table_sized_global_window(spark):
+    # quartiles come from bucketed two-pass global ranks: every
+    # window over customer-sized data is partitioned (_b); the only
+    # unpartitioned windows run over tiny bucket-count tables.
+    plan = _plan(spark, "orders_rfm_scores")
+    assert "hashpartitioning(_b" in plan
+    assert "ntile" not in plan.lower()
+
+
+def test_skyline_prefix_max_is_band_partitioned(spark):
+    # the per-price prefix max shuffles on the price band; only the
+    # one-row-per-band summary takes an unpartitioned window.
+    plan = _plan(spark, "part_skyline_pareto")
+    assert "hashpartitioning(band" in plan
