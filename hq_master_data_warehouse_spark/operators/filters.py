@@ -199,3 +199,47 @@ def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").try_cast("int"), F.lit(100)
         ).alias("int_with_default"),
     )
+
+
+# -- C12: thousands-separated display formatting (page.tsx:378-384
+#    toLocaleString) as engine surface: Spark's format_number vs a
+#    DuckDB integer-decomposition twin ('{:,d}' only groups integers,
+#    so the oracle splits |cents| and re-attaches the sign).  Inputs
+#    are exact 2-decimal money, so both engines round identically.
+@query(
+    "display_format_number",
+    oracle="""
+    WITH seg AS (
+        SELECT c_mktsegment,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE)
+                   AS total_bal,
+               COUNT(*) AS n_customers
+        FROM customer GROUP BY c_mktsegment
+    ),
+    cents AS (
+        SELECT *, CAST(ROUND(ABS(total_bal) * 100) AS BIGINT) AS c
+        FROM seg
+    )
+    SELECT c_mktsegment, n_customers,
+           concat(CASE WHEN total_bal < 0 THEN '-' ELSE '' END,
+                  format('{:,d}.{:02d}', c // 100, c % 100))
+               AS display_total
+    FROM cents
+    """,
+)
+def display_format_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(30,4)"))
+            .cast("double")
+            .alias("total_bal"),
+            F.count("*").alias("n_customers"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            F.format_number(F.col("total_bal"), 2).alias("display_total"),
+        )
+    )

@@ -77,6 +77,38 @@ def sample_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.sampleBy("source", fractions, seed=MIX_SEED)
 
 
+# -- deterministic weighted source mix: the oracle-checkable
+#    complement of sample_source_mix.  Membership = a 16-bit uniform
+#    value from md5(doc_id) compared to the stratum's weight
+#    threshold -- content-derived like hash_split, so the SAME rows
+#    survive on any engine, partitioning, or retry, and DuckDB can
+#    recompute membership row-by-row.  Even-numbered sources keep 25%
+#    (threshold 16384/65536), odd keep all.  Pure map-side filter:
+#    zero shuffles, trivially scale-safe.
+@query(
+    "sample_hash_weighted_mix",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+               AS INT)
+          < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                 THEN 16384 ELSE 65536 END
+    """,
+)
+def sample_hash_weighted_mix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    threshold = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, 16384
+    ).otherwise(65536)
+    return docs.filter(u16 < threshold).select("doc_id", "source")
+
+
 STRATUM_SAMPLE_N = 5
 
 

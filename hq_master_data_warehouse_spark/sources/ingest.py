@@ -115,24 +115,30 @@ def ingest_quarantine_bad_records(
 
     tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
     path = os.path.join(
-        tempfile.gettempdir(), f"hqmdw_quarantine_{tag}.jsonl"
+        tempfile.gettempdir(), f"hqmdw_quarantine_{tag}_dir"
     )
     if not os.path.exists(path):
-        rows = (
+        # Stage the feed DISTRIBUTED (df.write, not a driver collect
+        # loop): clean rows land as executor-written part files; the
+        # poison-pill lines are appended as one extra small file in
+        # the same directory -- the JSON reader lists the directory,
+        # so the union is the feed.  Write-then-rename keeps the
+        # staging atomic for concurrent callers.
+        tmp = path + ".tmp"
+        (
             load_table(spark, sf_dir, "events")
             .select(
                 F.to_json(
                     F.struct("event_id", "user_id", "event_type")
-                ).alias("j")
+                ).alias("value")
             )
-            .collect()
+            .write.mode("overwrite")
+            .text(tmp)
         )
-        with open(path + ".tmp", "w") as f:
-            for i, r in enumerate(rows):
-                f.write(r.j + "\n")
-                if i < QUARANTINE_BAD_ROWS:
-                    f.write('{"event_id": 12, "user_id": ???}\n')
-        os.rename(path + ".tmp", path)
+        with open(os.path.join(tmp, "bad_records.jsonl"), "w") as f:
+            for _ in range(QUARANTINE_BAD_ROWS):
+                f.write('{"event_id": 12, "user_id": ???}\n')
+        os.rename(tmp, path)
     feed = (
         spark.read.schema(
             "event_id BIGINT, user_id BIGINT, event_type STRING, "
