@@ -469,10 +469,19 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select("doc_id", "text"),
         "doc_id",
     )
-    grams = docs.select(
+    # The gram stream fans out to THREE consumers (train set, holdout
+    # stats, holdout flags).  Cache the PRE-explode array form: the
+    # expensive regex tokenize + shingle assembly runs once, while the
+    # cached footprint stays one row per document (the exploded table
+    # would be ~|grams| rows and costs more to materialize than to
+    # recompute).  At 100 TB this persist goes to disk/checkpoint.
+    gram_arrays = docs.select(
+        "doc_id", "split", _shingles(F.col("text"), 5).alias("grams")
+    ).cache()
+    grams = gram_arrays.select(
         "doc_id",
         "split",
-        F.explode_outer(_shingles(F.col("text"), 5)).alias("gram"),
+        F.explode_outer("grams").alias("gram"),
     )
     train_g = (
         grams.filter(
