@@ -205,3 +205,132 @@ def egress_batch_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit("hq-data-warehouse").alias("source"),
     )
+
+
+# -- retry/error-audit twin of streaming.egress.post_with_retry: the
+#    reference LOGS every failed delivery for replay (clay-webhook/
+#    index.ts:98-141); the engine's runtime path retries then
+#    dead-letters (pytest with an injected transport).  This query is
+#    the DETERMINISTIC audit: failure is a fixed md5 predicate of
+#    (company, attempt) -- md5(custkey:attempt) first hex digit < '4',
+#    a 25% transient failure rate -- so the per-attempt audit counts
+#    (attempted = failed every prior attempt) are pure SQL and the
+#    differential gate checks the retry accounting itself.
+_RETRY_FAIL_SQL = (
+    "substr(md5(CAST(c_custkey AS VARCHAR) || ':{a}'), 1, 1) < '4'"
+)
+
+
+@query(
+    "egress_retry_audit",
+    oracle=f"""
+    WITH hooks AS ({_HOOKS_SQL}),
+    ranked AS (
+        SELECT c_custkey, c_mktsegment AS segment,
+               CAST(row_number() OVER (
+                   PARTITION BY c_mktsegment ORDER BY c_name
+               ) AS BIGINT) AS rn,
+               {capacity_sql('c_mktsegment')} AS capacity
+        FROM customer
+    ),
+    a AS (
+        SELECT r.c_custkey
+        FROM ranked r
+        JOIN hooks h
+          ON h.segment = r.segment
+         AND h.hook_idx = CAST(FLOOR((r.rn - 1) / r.capacity) AS BIGINT)
+    ),
+    fl AS (
+        SELECT c_custkey,
+               {_RETRY_FAIL_SQL.format(a=1)} AS f1,
+               {_RETRY_FAIL_SQL.format(a=2)} AS f2,
+               {_RETRY_FAIL_SQL.format(a=3)} AS f3
+        FROM a
+    )
+    SELECT 1 AS attempt,
+           COUNT(*) AS n_attempted,
+           CAST(SUM(CASE WHEN NOT f1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_delivered,
+           CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_failed
+    FROM fl
+    UNION ALL
+    SELECT 2,
+           CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN f1 AND NOT f2 THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM fl
+    UNION ALL
+    SELECT 3,
+           CAST(SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN f1 AND f2 AND NOT f3 THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(SUM(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM fl
+    """,
+)
+def egress_retry_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = capacity_distribution(spark, sf_dir).filter("assigned")
+
+    def fails(attempt: int) -> F.Column:
+        return (
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("c_custkey").cast("string"),
+                        F.lit(str(attempt)),
+                    )
+                ),
+                1,
+                1,
+            )
+            < "4"
+        )
+
+    base = assigned.select(
+        "c_custkey",
+        fails(1).alias("f1"),
+        fails(2).alias("f2"),
+        fails(3).alias("f3"),
+    )
+    per_attempt = base.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("attempt"),
+                    F.lit(True).alias("attempted"),
+                    (~F.col("f1")).alias("delivered"),
+                ),
+                F.struct(
+                    F.lit(2).alias("attempt"),
+                    F.col("f1").alias("attempted"),
+                    (F.col("f1") & ~F.col("f2")).alias("delivered"),
+                ),
+                F.struct(
+                    F.lit(3).alias("attempt"),
+                    (F.col("f1") & F.col("f2")).alias("attempted"),
+                    (F.col("f1") & F.col("f2") & ~F.col("f3")).alias(
+                        "delivered"
+                    ),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+    # aggregate over ALL rows (not filter(attempted)) so every attempt
+    # emits a row even when nothing was pending -- as the oracle does.
+    return per_attempt.groupBy("attempt").agg(
+        F.sum(F.when(F.col("attempted"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_attempted"),
+        F.sum(F.when(F.col("delivered"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_delivered"),
+        F.sum(
+            F.when(F.col("attempted") & ~F.col("delivered"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_failed"),
+    )

@@ -115,6 +115,69 @@ def post_with_rate_limit(
     return spark.createDataFrame(rdd, RESULT_SCHEMA)
 
 
+def post_with_retry(
+    payloads: DataFrame,
+    transport_factory: Callable[[int], Transport],
+    max_attempts: int = 3,
+    rate_limit_per_sec: int = RATE_LIMIT,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """At-least-once egress: attempt, audit, retry failures, dead-letter
+    what is left (clay-webhook/index.ts:98-141 -- errors are LOGGED
+    per batch, never dropped; the DLQ replaces the reference's manual
+    replay from the error audit).
+
+    ``transport_factory(attempt)`` supplies the transport for each
+    attempt so tests can model transient vs permanent failures
+    deterministically.  The loop unrolls into ONE DataFrame DAG
+    (max_attempts is a small constant, as in any sane retry policy);
+    each attempt's results are cached so the side-effecting POST runs
+    once per row per attempt even though three downstream consumers
+    (delivered, audit, next-attempt pending) read them.
+
+    Returns ``(delivered, dead_letter, audit)``: delivered rows with
+    the attempt that succeeded, the undeliverable remainder, and one
+    audit row per attempt (n_attempted / n_delivered / n_failed).
+    """
+    pending = payloads
+    delivered_parts: list[DataFrame] = []
+    audit_parts: list[DataFrame] = []
+    for attempt in range(1, max_attempts + 1):
+        res = post_with_rate_limit(
+            pending,
+            transport_factory(attempt),
+            rate_limit_per_sec=rate_limit_per_sec,
+        ).cache()
+        delivered_parts.append(
+            res.filter(F.col("ok")).withColumn(
+                "attempt", F.lit(attempt)
+            )
+        )
+        audit_parts.append(
+            res.agg(
+                F.count("*").alias("n_attempted"),
+                F.sum(F.when(F.col("ok"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_delivered"),
+                F.sum(F.when(~F.col("ok"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_failed"),
+            ).select(F.lit(attempt).alias("attempt"), "*")
+        )
+        failed_keys = res.filter(~F.col("ok")).select(
+            "company_id", "webhook_id"
+        )
+        pending = payloads.join(
+            failed_keys, ["company_id", "webhook_id"], "left_semi"
+        )
+    delivered = delivered_parts[0]
+    for part in delivered_parts[1:]:
+        delivered = delivered.unionByName(part)
+    audit = audit_parts[0]
+    for part in audit_parts[1:]:
+        audit = audit.unionByName(part)
+    return delivered, pending, audit
+
+
 def egress_tally(results: DataFrame) -> DataFrame:
     """A3: per-webhook sent/failed counters (send/route.ts:125-128)."""
     return results.groupBy("webhook_id").agg(

@@ -75,3 +75,49 @@ def test_payload_carries_batch_metadata(spark):
     assert meta["batch_id"] == "batch-test"
     assert meta["source"] == "hq-data-warehouse"
     assert meta["webhook_name"].startswith("webhook-")
+
+
+def test_retry_delivers_transient_and_dead_letters_permanent(spark):
+    """post_with_retry: transient failures succeed on a later attempt,
+    permanent failures land in the DLQ, audit accounts for every row."""
+    from hq_master_data_warehouse_spark.streaming.egress import (
+        post_with_retry,
+    )
+
+    payloads = _payloads(spark, limit=30).cache()
+    n = payloads.count()
+
+    def factory(attempt):
+        def transport(url, payload):
+            cid = int(json.loads(payload)["c_custkey"])
+            if cid % 5 == 0:
+                return False  # permanent: fails every attempt
+            if cid % 3 == 0:
+                return attempt >= 2  # transient: first attempt fails
+            return True
+
+        return transport
+
+    delivered, dlq, audit = post_with_retry(
+        payloads, factory, max_attempts=3, rate_limit_per_sec=10_000
+    )
+    delivered_rows = delivered.collect()
+    dlq_keys = {r.company_id for r in dlq.collect()}
+    # every payload is either delivered exactly once or dead-lettered
+    assert len(delivered_rows) + len(dlq_keys) == n
+    assert {r.company_id for r in delivered_rows}.isdisjoint(dlq_keys)
+    # permanent failures (cid % 5 == 0) are exactly the DLQ
+    assert dlq_keys == {
+        r.company_id
+        for r in payloads.collect()
+        if int(r.company_id) % 5 == 0
+    }
+    # transient failures delivered on attempt 2, the rest on attempt 1
+    for r in delivered_rows:
+        cid = int(r.company_id)
+        assert r.attempt == (2 if cid % 3 == 0 and cid % 5 != 0 else 1)
+    # audit: attempted counts telescope (attempt k+1 = failures of k)
+    a = {r.attempt: r for r in audit.collect()}
+    assert a[1].n_attempted == n
+    assert a[2].n_attempted == a[1].n_failed
+    assert a[3].n_attempted == a[2].n_failed
