@@ -658,3 +658,90 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (shared long-span detection)
+# ---------------------------------------------------------------------------
+
+#: span length in tokens: documents sharing any EXACT_SPAN-token run
+#: are near-certain copies of a common source (boilerplate, mirrored
+#: passages) -- the granularity used by suffix-array substring dedup
+#: in training-data pipelines, approximated here at gram granularity.
+EXACT_SPAN = 20
+
+
+def _span_sql(n: int) -> str:
+    terms = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return (
+        "list_distinct(list_transform("
+        f"generate_series(1, len(toks) - {n - 1}), i -> {terms}))"
+    )
+
+
+# -- exact-substring dedup: flag every document sharing at least one
+#    EXACT_SPAN-token span with another document.  Spans are md5-keyed
+#    before the shuffle (16-byte keys instead of ~100+-byte grams --
+#    at 100 TB the gram bytes, not the row count, dominate shuffle
+#    cost).  Plan: distinct (doc, span-hash) -> span frequency ->
+#    flag members via left join.  Every shuffle keys on the span hash;
+#    no pairwise comparison ever materializes, unlike suffix-array
+#    approaches that need a global sort.
+@query(
+    "dedup_exact_substring",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split({CANONICAL_SQL}, ' ') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, md5(gram) AS gh
+        FROM (
+            SELECT doc_id, unnest({_span_sql(EXACT_SPAN)}) AS gram
+            FROM t
+        )
+    ),
+    shared AS (
+        SELECT gh FROM g GROUP BY gh HAVING COUNT(*) > 1
+    )
+    SELECT g.doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN s.gh IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shared_spans,
+           CAST(SUM(CASE WHEN s.gh IS NOT NULL THEN 1 ELSE 0 END) > 0
+                AS BOOLEAN) AS is_dup
+    FROM g LEFT JOIN shared s ON g.gh = s.gh
+    GROUP BY g.doc_id
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                _shingles(F.col("text"), EXACT_SPAN)
+            ).alias("gram"),
+        )
+        .select("doc_id", F.md5("gram").alias("gh"))
+        .distinct()
+    )
+    shared = (
+        g.groupBy("gh")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gh", F.lit(True).alias("hit"))
+    )
+    return (
+        g.join(shared, "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_spans"),
+            (
+                F.sum(F.when(F.col("hit"), 1).otherwise(0)) > 0
+            ).alias("is_dup"),
+        )
+    )

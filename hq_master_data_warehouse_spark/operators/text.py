@@ -1060,3 +1060,52 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(total * 1000000) / 1000000).alias("bm25"),
         n_terms.alias("n_terms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM surprisal (perplexity-proxy quality scoring)
+# ---------------------------------------------------------------------------
+
+# -- corpus-LM quality scoring: train a unigram LM on the corpus
+#    itself and score each document by its mean token surprisal
+#    -ln p(tok) -- the cheap stand-in for the KenLM perplexity filter
+#    used in web-corpus curation (unusually high surprisal = garbled /
+#    non-language text; unusually low = boilerplate).  Plan: one
+#    explode, a vocab aggregate (Zipf-bounded: |vocab| << |tokens|),
+#    a token->vocab equi-join keyed on the token (AQE broadcasts the
+#    vocab side when it fits), and a per-doc aggregate.  The mean is
+#    rounded to 6 decimals: double summation order differs between
+#    engines only in the last ULPs, far below the rounding grain.
+@query(
+    "text_unigram_surprisal",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+    ),
+    vocab AS (
+        SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+    ),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM vocab)
+    SELECT k.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(-ln(v.c / tot.t)), 6) AS avg_surprisal
+    FROM tok k JOIN vocab v USING (tok) CROSS JOIN tot
+    GROUP BY k.doc_id
+    """,
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = vocab.agg(F.sum("c").cast("double").alias("t"))
+    scored = (
+        tok.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", (-F.log(F.col("c") / F.col("t"))).alias("s"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("s"), 6).alias("avg_surprisal"),
+    )
