@@ -45,6 +45,11 @@ HEADLINE = [
     "text_contamination_check",
     "embedding_quantize_int8",
     "events_cohort_retention",
+    # round 2 additions
+    "dedup_exact_substring",
+    "text_unigram_surprisal",
+    "orders_rfm_scores",
+    "egress_retry_audit",
 ]
 
 

@@ -1040,3 +1040,76 @@ def drift_psi_event_values(
             "psi_term"
         ),
     )
+
+
+# -- robust outlier audit via MAD (median absolute deviation): the
+#    monitoring op behind "did this feed's value distribution go
+#    sideways" alerts.  Median/MAD resist the very outliers they
+#    detect (unlike mean/stddev z-scores).  EXACT percentiles keep
+#    both engines bit-identical (sort-based, order-independent); the
+#    100 TB path swaps in approx_percentile with the same plan shape.
+#    Two grouped aggregates + one equi-join on the (tiny) per-type
+#    medians -- the fact table shuffles once per phase on event_type.
+MAD_K = 3.0 * 1.4826  # 3 sigma-equivalents under normality
+
+
+@query(
+    "events_value_mad_outliers",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type, CAST(value AS DOUBLE) AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(v, 0.5) AS med
+        FROM e GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.v, m.med, abs(e.v - m.med) AS d
+        FROM e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(d, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           COUNT(*) AS n,
+           ROUND(MAX(dev.med), 6) AS med,
+           ROUND(MAX(mad.mad), 6) AS mad,
+           CAST(SUM(CASE WHEN dev.d > {MAD_K} * mad.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type
+    """,
+)
+def events_value_mad_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.col("value").cast("double").alias("v"))
+    )
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(v, 0.5D)").alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("v") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(d, 0.5D)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("d") > MAD_K * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

@@ -686,7 +686,10 @@ def _span_sql(n: int) -> str:
 #    cost).  Plan: distinct (doc, span-hash) -> span frequency ->
 #    flag members via left join.  Every shuffle keys on the span hash;
 #    no pairwise comparison ever materializes, unlike suffix-array
-#    approaches that need a global sort.
+#    approaches that need a global sort.  md5 is kept so the DuckDB
+#    twin recomputes identical keys; production would switch the key
+#    to xxhash64(tok0..tok19) (same plan, ~3x cheaper hashing, 64-bit
+#    collision odds are immaterial for a dedup FLAG).
 @query(
     "dedup_exact_substring",
     oracle=f"""
@@ -716,16 +719,14 @@ def _span_sql(n: int) -> str:
 )
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    g = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                _shingles(F.col("text"), EXACT_SPAN)
-            ).alias("gram"),
-        )
-        .select("doc_id", F.md5("gram").alias("gh"))
-        .distinct()
-    )
+    # _shingles(distinct=True) already dedups spans PER DOCUMENT via
+    # array_distinct, so (doc_id, gh) pairs are unique by construction
+    # -- no .distinct() (that would be a second full shuffle of the
+    # exploded span table for nothing).
+    g = docs.select(
+        "doc_id",
+        F.explode(_shingles(F.col("text"), EXACT_SPAN)).alias("gram"),
+    ).select("doc_id", F.md5("gram").alias("gh"))
     shared = (
         g.groupBy("gh")
         .agg(F.count("*").alias("nd"))
