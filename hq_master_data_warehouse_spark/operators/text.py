@@ -1109,3 +1109,74 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_tokens"),
         F.round(F.avg("s"), 6).alias("avg_surprisal"),
     )
+
+
+# -- bigram conditional surprisal: the unigram filter's upgrade --
+#    score each document by mean -ln p(tok | prev) under a bigram LM
+#    trained on the corpus (real perplexity filters are n-gram LMs;
+#    the conditional catches word-salad text that unigram frequency
+#    misses).  Plan: per-document lag window (partitioned by doc --
+#    scale-free), two Zipf-bounded count aggregates, then equi-joins
+#    on (prev, tok) / prev.  Mean rounded to 6 decimals per the
+#    summation-order convention.
+@query(
+    "text_bigram_surprisal",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKENS_SQL}) AS tok,
+               unnest(generate_series(1, len({_TOKENS_SQL}))) AS pos
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id,
+               lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS prev,
+               tok
+        FROM tok
+        QUALIFY prev IS NOT NULL
+    ),
+    c2 AS (
+        SELECT prev, tok, COUNT(*) AS c2
+        FROM big GROUP BY prev, tok
+    ),
+    c1 AS (
+        SELECT prev, CAST(SUM(c2) AS DOUBLE) AS c1
+        FROM c2 GROUP BY prev
+    )
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(-ln(c2.c2 / c1.c1)), 6) AS avg_bigram_surprisal
+    FROM big b
+    JOIN c2 USING (prev, tok)
+    JOIN c1 USING (prev)
+    GROUP BY b.doc_id
+    """,
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.withColumn("prev", F.lag("tok").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("doc_id", "prev", "tok")
+    )
+    c2 = big.groupBy("prev", "tok").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("prev").agg(
+        F.sum("c2").cast("double").alias("c1")
+    )
+    probs = c2.join(c1, "prev")
+    return (
+        big.join(probs, ["prev", "tok"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(-F.log(F.col("c2") / F.col("c1"))), 6
+            ).alias("avg_bigram_surprisal"),
+        )
+    )

@@ -197,3 +197,19 @@ def test_skyline_prefix_max_is_band_partitioned(spark):
     # one-row-per-band summary takes an unpartitioned window.
     plan = _plan(spark, "part_skyline_pareto")
     assert "hashpartitioning(band" in plan
+
+
+def test_round2_ops_have_no_cartesian_and_key_on_hashes(spark):
+    # exact-substring dedup: every exchange keys on the span hash
+    plan = _plan(spark, "dedup_exact_substring")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(gh" in plan
+    # LM surprisal ops: token/bigram equi-joins, no cartesian (the
+    # 1-row corpus-total crossJoin is an explicit tiny broadcast)
+    for name in ("text_unigram_surprisal", "text_bigram_surprisal"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan
+    # MAD outlier audit: per-type medians join back as broadcasts
+    plan = _plan(spark, "events_value_mad_outliers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
