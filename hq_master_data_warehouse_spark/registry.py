@@ -45,8 +45,39 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Update PREVIOUSLY_CHECKED with each round's newly recorded names.
 # ---------------------------------------------------------------------------
 
-# Names verified by the round-1 gate (green hash row, or the rows-only
-# record that is the max evidence for oracle-less ops).
+def _recorded_names() -> set[str]:
+    """Names already holding a usable record in any prior round's
+    CORRECTNESS_r*.json (green hash row, or the rows-only record that
+    is the max evidence for oracle-less ops).  Reading the files at
+    runtime makes the rotation self-updating: each round's newly
+    recorded names drop out of the front window automatically.
+    Falls back to the static round-1 list if no files are readable."""
+    import glob
+    import json
+    import os
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    recorded: set[str] = set()
+    found = False
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        found = True
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") or row.get("err") == "no_oracle":
+                recorded.add(name)
+    return recorded if found else set(PREVIOUSLY_CHECKED)
+
+
+# Names verified by the round-1 gate (static fallback for
+# _recorded_names when the CORRECTNESS files are not readable).
 PREVIOUSLY_CHECKED: tuple[str, ...] = (
     "dedup_exact", "dedup_ngram_jaccard", "dedup_duplicate_clusters",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
@@ -105,11 +136,12 @@ PRIORITY: tuple[str, ...] = (
 
 def ordered_queries() -> dict[str, QueryFn]:
     """QUERIES reordered so the driver's capped check window lands on
-    PRIORITY first, then every never-checked query, then the names that
-    already hold a prior-round record."""
+    PRIORITY first (minus entries that have since earned a record),
+    then every never-checked query, then the names that already hold a
+    prior-round record."""
     load_catalog()
-    checked = set(PREVIOUSLY_CHECKED)
-    front = [n for n in PRIORITY if n in QUERIES]
+    checked = _recorded_names()
+    front = [n for n in PRIORITY if n in QUERIES and n not in checked]
     seen = set(front)
     middle = [n for n in QUERIES if n not in seen and n not in checked]
     back = [n for n in QUERIES if n in checked and n not in seen]
