@@ -209,3 +209,50 @@ def pipeline_pretraining_pack(
         .select("doc_id", F.col("h_id").alias("h"), "n_tokens")
     )
     return pack_nextfit(clean)
+
+
+# -- curriculum ordering (third flagship composition): score every
+#    document with the composite quality heuristic, rank the corpus
+#    globally WITHOUT a single-partition sort (the bucketed two-pass
+#    rank from operators.analytics -- quality-band buckets, local rank,
+#    broadcast prefix offsets), and cut into 4 curriculum stages via
+#    arithmetic NTILE -- highest-quality quartile first, the staged-
+#    training data layout.  The oracle states a plain global NTILE;
+#    values match because the two-pass rank IS the global rank.
+@query(
+    "pipeline_quality_curriculum",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, {_QUALITY_SCORE_SQL} AS q FROM documents
+    )
+    SELECT doc_id,
+           ROUND(q, 6) AS quality,
+           CAST(NTILE(4) OVER (ORDER BY q DESC, doc_id) AS INT)
+               AS curriculum_stage
+    FROM scored
+    """,
+)
+def pipeline_quality_curriculum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.analytics import _global_rank, _ntile_from_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", quality_raw_score(F.col("text")).alias("q")
+    )
+    ranked = _global_rank(
+        scored,
+        F.floor(F.col("q") * 10),  # ~10 quality bands, monotone with q
+        [F.col("q").desc(), F.col("doc_id")],
+        "_rn",
+        bucket_desc=True,
+    )
+    total = scored.agg(F.count("*").alias("_n"))
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        F.round(F.col("q"), 6).alias("quality"),
+        _ntile_from_rank(F.col("_rn"), F.col("_n"), 4).alias(
+            "curriculum_stage"
+        ),
+    )
