@@ -719,30 +719,28 @@ def _span_sql(n: int) -> str:
 )
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
     # _shingles(distinct=True) already dedups spans PER DOCUMENT via
-    # array_distinct, so (doc_id, gh) pairs are unique by construction
-    # -- no .distinct() (that would be a second full shuffle of the
-    # exploded span table for nothing).
+    # array_distinct, so (doc_id, gh) pairs are unique by construction.
+    # Span frequency comes from a WINDOW over the span hash, not an
+    # aggregate + join-back: the join formulation evaluates the
+    # explode/hash subtree once per join side (2x the dominant cost),
+    # while the window is one pass -- exchange on gh, per-span counts
+    # in place, exchange on doc_id for the final rollup.  Per-gh
+    # partitions are bounded by the span's document frequency (tiny).
     g = docs.select(
         "doc_id",
         F.explode(_shingles(F.col("text"), EXACT_SPAN)).alias("gram"),
     ).select("doc_id", F.md5("gram").alias("gh"))
-    shared = (
-        g.groupBy("gh")
-        .agg(F.count("*").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("gh", F.lit(True).alias("hit"))
-    )
-    return (
-        g.join(shared, "gh", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(F.when(F.col("hit"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_shared_spans"),
-            (
-                F.sum(F.when(F.col("hit"), 1).otherwise(0)) > 0
-            ).alias("is_dup"),
-        )
+    nd = F.count("*").over(Window.partitionBy("gh"))
+    flagged = g.withColumn("hit", nd > 1)
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_shared_spans"),
+        (F.sum(F.when(F.col("hit"), 1).otherwise(0)) > 0).alias(
+            "is_dup"
+        ),
     )
