@@ -155,10 +155,17 @@ def post_with_retry(
         audit_parts.append(
             res.agg(
                 F.count("*").alias("n_attempted"),
-                F.sum(F.when(F.col("ok"), 1).otherwise(0))
+                # coalesce: SUM over an empty attempt is NULL, but an
+                # audit row should read 0 delivered / 0 failed
+                F.coalesce(
+                    F.sum(F.when(F.col("ok"), 1).otherwise(0)), F.lit(0)
+                )
                 .cast("long")
                 .alias("n_delivered"),
-                F.sum(F.when(~F.col("ok"), 1).otherwise(0))
+                F.coalesce(
+                    F.sum(F.when(~F.col("ok"), 1).otherwise(0)),
+                    F.lit(0),
+                )
                 .cast("long")
                 .alias("n_failed"),
             ).select(F.lit(attempt).alias("attempt"), "*")

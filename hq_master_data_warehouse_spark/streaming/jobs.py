@@ -469,3 +469,98 @@ def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(target).select(
         "user_id", "event_id", "ts", "event_type"
     )
+
+
+@query("streaming_egress_retry")  # rows-only: foreachBatch side effects
+def streaming_egress_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3+T2 composition: per-micro-batch egress through the
+    at-least-once retry/audit/DLQ path (egress.post_with_retry) inside
+    foreachBatch -- the reference's webhook fan-out with its error
+    LOGGING (clay-webhook/index.ts:98-141) upgraded to bounded retry +
+    dead-letter.  Failure is the same deterministic md5 predicate as
+    the batch twin egress_retry_audit, so per-batch audit rows are
+    reproducible; the driver records rows, pytest pins the telescoping
+    invariant (attempt k+1 attempts exactly attempt k's failures).
+
+    Two staged copies of the feed + maxFilesPerTrigger=1 force TWO
+    micro-batches, so the foreachBatch wiring (not just one call)
+    is exercised.  At 100 TB the audit append goes to a transactional
+    table; the DAG inside each batch is identical."""
+    from .egress import post_with_retry
+
+    raw_schema = _events_raw_schema_ddl(spark, sf_dir)
+    run = uuid.uuid4().hex[:8]
+    drop_dir = os.path.join(
+        tempfile.gettempdir(), f"hqmdw_retry_in_{run}"
+    )
+    os.makedirs(drop_dir, exist_ok=True)
+    for i in (1, 2):
+        shutil.copyfile(
+            f"{sf_dir}/events.parquet",
+            os.path.join(drop_dir, f"events_{i}.parquet"),
+        )
+    audit_dir = os.path.join(
+        tempfile.gettempdir(), f"hqmdw_retry_audit_{run}"
+    )
+
+    def fails(attempt: int) -> F.Column:
+        return (
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("company_id"),
+                        F.lit(str(attempt)),
+                    )
+                ),
+                1,
+                1,
+            )
+            < "4"
+        )
+
+    def factory(attempt: int):
+        # deterministic "transport": reproduces the md5 failure
+        # predicate row-by-row (no network in the sandbox)
+        import hashlib as _h
+
+        def transport(url: str, payload: str) -> bool:
+            cid = payload.split("|", 1)[0]
+            digest = _h.md5(f"{cid}:{attempt}".encode()).hexdigest()
+            return digest[0] >= "4"
+
+        return transport
+
+    def deliver(batch_df: DataFrame, batch_id: int) -> None:
+        payloads = batch_df.select(
+            F.col("user_id").cast("string").alias("company_id"),
+            F.col("event_type").alias("webhook_id"),
+            F.concat(
+                F.lit("https://example.invalid/hooks/"),
+                F.col("event_type"),
+            ).alias("webhook_url"),
+            F.concat_ws(
+                "|", F.col("user_id").cast("string"), "event_type"
+            ).alias("payload"),
+        ).dropDuplicates(["company_id", "webhook_id"])
+        _, _, audit = post_with_retry(
+            payloads, factory, rate_limit_per_sec=1_000_000
+        )
+        audit.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(audit_dir)
+
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(deliver)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(audit_dir).select(
+        "batch_id", "attempt", "n_attempted", "n_delivered", "n_failed"
+    )

@@ -186,3 +186,27 @@ def test_upsert_sink_matches_batch_latest_per_key(spark):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_egress_retry_audit_telescopes(spark):
+    """foreachBatch retry: per micro-batch, attempt k+1 attempts
+    exactly attempt k's failures; batches see identical input, so
+    their audits agree."""
+    from hq_master_data_warehouse_spark.registry import (
+        QUERIES,
+        load_catalog,
+    )
+
+    load_catalog()
+    rows = QUERIES["streaming_egress_retry"](spark, SF).collect()
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(r.batch_id, {})[r.attempt] = r
+    assert len(by_batch) == 2  # maxFilesPerTrigger=1 over two copies
+    for audits in by_batch.values():
+        assert audits[2].n_attempted == audits[1].n_failed
+        assert audits[3].n_attempted == audits[2].n_failed
+    a, b = by_batch.values()
+    assert {(k, v.n_attempted, v.n_delivered) for k, v in a.items()} == {
+        (k, v.n_attempted, v.n_delivered) for k, v in b.items()
+    }
