@@ -78,3 +78,54 @@ def test_bucket_and_capacity_expressions_match_model(spark, values):
         want_bucket = _model_bucket(r.employee_range)
         assert r.bucket == want_bucket
         assert r.capacity == _model_capacity(want_bucket)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=999),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    )
+)
+def test_distributed_rank_and_ntile_match_window_forms(spark, keys):
+    """_global_rank == global row_number; _ntile_from_rank == NTILE(4):
+    the bucketed two-pass machinery must be indistinguishable from the
+    single-partition window forms it replaces."""
+    from pyspark.sql.window import Window
+
+    from hq_master_data_warehouse_spark.operators.analytics import (
+        _global_rank,
+        _ntile_from_rank,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    ranked = _global_rank(
+        df, F.floor(F.col("k") / 100), [F.col("k")], "rn"
+    )
+    total = df.agg(F.count("*").alias("_n"))
+    got = {
+        (r.k, r.rn, r.q)
+        for r in ranked.crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "rn",
+            _ntile_from_rank(F.col("rn"), F.col("_n"), 4).alias("q"),
+        )
+        .collect()
+    }
+    w = Window.orderBy("k")
+    want = {
+        (r.k, r.rn, r.q)
+        for r in df.select(
+            "k",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.ntile(4).over(w).alias("q"),
+        ).collect()
+    }
+    assert got == want
