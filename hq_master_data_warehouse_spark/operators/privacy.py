@@ -151,3 +151,63 @@ def privacy_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.unionByName(leg("orders", doomed_orders, orders))
     out = out.unionByName(leg("lineitem", doomed_lines, lineitem))
     return out
+
+
+# -- differentially-private-style noisy count release: per-group
+#    counts plus Laplace(1/eps) noise, with the noise DERIVED
+#    DETERMINISTICALLY from the group key (md5 -> uniform in (-.5,.5)
+#    -> inverse-CDF Laplace) so the release is reproducible across
+#    runs/engines and the whole mechanism is oracle-checkable.  A
+#    production DP deployment draws fresh randomness per release (and
+#    tracks budget); the plan -- one grouped count, noise as a pure
+#    map expression -- is identical.  eps=1, count sensitivity=1.
+DP_EPS = 1.0
+
+
+@query(
+    "privacy_dp_noisy_counts",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_mktsegment, COUNT(*) AS true_count
+        FROM customer GROUP BY c_mktsegment
+    ),
+    u AS (
+        SELECT c_mktsegment, true_count,
+               (CAST(concat('0x', substr(md5(c_mktsegment), 1, 4))
+                     AS INT) + 0.5) / 65536.0 - 0.5 AS uu
+        FROM g
+    )
+    SELECT c_mktsegment,
+           ROUND(true_count
+                 - (1.0 / {DP_EPS})
+                   * CASE WHEN uu >= 0 THEN 1 ELSE -1 END
+                   * ln(1 - 2 * abs(uu)), 6) AS noisy_count
+    FROM u
+    """,
+)
+def privacy_dp_noisy_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    g = customer.groupBy("c_mktsegment").agg(
+        F.count("*").alias("true_count")
+    )
+    # uniform in (-0.5, 0.5), never hitting the ln(0) endpoints
+    u = (
+        (
+            F.conv(F.substring(F.md5("c_mktsegment"), 1, 4), 16, 10)
+            .cast("int")
+            + F.lit(0.5)
+        )
+        / 65536.0
+        - 0.5
+    )
+    noise = (
+        (1.0 / DP_EPS)
+        * F.when(u >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(1 - 2 * F.abs(u))
+    )
+    return g.select(
+        "c_mktsegment",
+        F.round(F.col("true_count") - noise, 6).alias("noisy_count"),
+    )
