@@ -114,3 +114,47 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("l_extendedprice", "revenue"),
         )
     )
+
+
+# -- hot-key detection: the operational complement of the two salted
+#    rewrites above -- production salts ONLY detected hot keys, so the
+#    detector is the first stage of the skew playbook.  One grouped
+#    count (partial+final), a broadcast 1-row mean, and a distributed
+#    top-k (TakeOrderedAndProject) -- nothing here is ever table-sized
+#    on a single task.  skew_ratio = key count / mean key count; keys
+#    above ~an order of magnitude are salting candidates.
+@query(
+    "skew_detect_hot_keys",
+    oracle="""
+    WITH per_key AS (
+        SELECT l_suppkey AS key, COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    m AS (SELECT AVG(CAST(cnt AS DOUBLE)) AS mean_cnt FROM per_key)
+    SELECT key, cnt,
+           ROUND(cnt / m.mean_cnt, 6) AS skew_ratio
+    FROM per_key, m
+    ORDER BY cnt DESC, key
+    LIMIT 10
+    """,
+)
+def skew_detect_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    per_key = lineitem.groupBy(
+        F.col("l_suppkey").alias("key")
+    ).agg(F.count("*").alias("cnt"))
+    mean = per_key.agg(
+        F.avg(F.col("cnt").cast("double")).alias("mean_cnt")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(mean))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("mean_cnt"), 6).alias(
+                "skew_ratio"
+            ),
+        )
+        .orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(10)
+    )
