@@ -155,3 +155,84 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("features"),
     )
+
+
+# -- rank-based AUC (Mann-Whitney U): the threshold-free evaluation of
+#    the margin scorer against the parity target -- the metric every
+#    training pipeline reports beside the confusion matrix.  The
+#    global score rank comes from the bucketed two-pass _global_rank
+#    (margin-band buckets), NOT a single-partition window, so the
+#    evaluation scales with the corpus; ties are broken by vec_id so
+#    both engines rank identically (margins are bit-identical doubles
+#    by the fold-order convention above).
+@query(
+    "ml_auc_rank",
+    oracle=f"""
+    WITH m AS (
+        SELECT vec_id,
+               label % 2 = 1 AS pos,
+               list_sum(list_transform(
+                   generate_series(1, {EMB_DIM}),
+                   i -> CAST(embedding[i] AS DOUBLE) * ({_W_SQL})[i]
+               )) + {BIAS!r} AS margin
+        FROM embeddings
+    ),
+    r AS (
+        SELECT pos,
+               CAST(row_number() OVER (ORDER BY margin, vec_id)
+                    AS BIGINT) AS rk
+        FROM m
+    )
+    SELECT CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos,
+           CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_neg,
+           ROUND((CAST(SUM(CASE WHEN pos THEN rk ELSE 0 END)
+                       AS DOUBLE)
+                  - CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END)
+                         AS DOUBLE)
+                    * (CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END)
+                            AS DOUBLE) + 1) / 2.0)
+                 / (CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END)
+                         AS DOUBLE)
+                    * CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END)
+                           AS DOUBLE)), 6) AS auc
+    FROM r
+    """,
+)
+def ml_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import _global_rank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = F.array(*[F.lit(x) for x in WEIGHTS])
+    prod = F.zip_with(
+        F.col("embedding"), w, lambda x, wi: x.cast("double") * wi
+    )
+    margin = (
+        F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v) + BIAS
+    )
+    m = emb.select(
+        "vec_id",
+        (F.col("label") % 2 == 1).alias("pos"),
+        margin.alias("margin"),
+    )
+    ranked = _global_rank(
+        m,
+        F.floor(F.col("margin")),
+        [F.col("margin"), F.col("vec_id")],
+        "rk",
+    )
+    pos_rk = F.sum(F.when(F.col("pos"), F.col("rk")).otherwise(0)).cast(
+        "double"
+    )
+    n_pos = F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("long")
+    n_neg = F.sum(F.when(~F.col("pos"), 1).otherwise(0)).cast("long")
+    return ranked.agg(
+        n_pos.alias("n_pos"),
+        n_neg.alias("n_neg"),
+        F.round(
+            (pos_rk - n_pos.cast("double") * (n_pos.cast("double") + 1) / 2.0)
+            / (n_pos.cast("double") * n_neg.cast("double")),
+            6,
+        ).alias("auc"),
+    )
