@@ -1113,3 +1113,78 @@ def events_value_mad_outliers(
             .alias("n_outliers"),
         )
     )
+
+
+# -- revenue trend: closed-form OLS slope/intercept over the monthly
+#    revenue series (the forecasting primitive behind capacity
+#    planning).  The moment sums (Sx, Sy, Sxx, Sxy) accumulate in
+#    EXACT integer/decimal types -- summing doubles here would put
+#    ~1e-5 engine-order noise against a 1e-6 rounding grain -- and
+#    convert to double only inside the final identical formula.  The
+#    series is one grouped aggregate (partial+final) over orders; the
+#    regression itself runs on ~|months| rows.
+@query(
+    "orders_revenue_trend",
+    oracle=f"""
+    WITH m AS (
+        SELECT date_diff('month', DATE '1992-01-01',
+                         CAST(date_trunc('month', o_orderdate) AS DATE))
+                   AS x,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4)))
+                    AS DECIMAL(28,4)) AS y
+        FROM orders GROUP BY 1
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y) AS DECIMAL(32,4)) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(8,0)) * y)
+                    AS DECIMAL(36,4)) AS sxy
+        FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_months,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+    FROM s
+    """,
+)
+def orders_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.months_between(
+            F.date_trunc("month", F.col("o_orderdate")),
+            F.lit("1992-01-01").cast("date"),
+        )
+        .cast("long")
+        .alias("x")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,4)"))
+        .cast("decimal(28,4)")
+        .alias("y")
+    )
+    s = monthly.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum("y").cast("decimal(32,4)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(8,0)") * F.col("y"))
+        .cast("decimal(36,4)")
+        .alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, sxy = F.col("sy"), F.col("sxy")
+    slope = (n * sxy - sx * sy).cast("double") / (
+        (n * sxx - sx * sx).cast("double")
+    )
+    return s.select(
+        n.cast("long").alias("n_months"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (sy.cast("double") - slope * sx.cast("double")) / n, 6
+        ).alias("intercept"),
+    )
