@@ -213,3 +213,13 @@ def test_round2_ops_have_no_cartesian_and_key_on_hashes(spark):
     plan = _plan(spark, "events_value_mad_outliers")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_distributed_rank_consumers_use_bucketed_windows(spark):
+    # curriculum staging and AUC both rank via _global_rank: the only
+    # windows over input-sized data must be partitioned on the bucket.
+    for name in ("pipeline_quality_curriculum", "ml_auc_rank"):
+        plan = _plan(spark, name)
+        assert "hashpartitioning(_b" in plan
+        assert "ntile" not in plan.lower()
+        assert "CartesianProduct" not in plan
