@@ -97,7 +97,19 @@ def normalize_payload(raw: DataFrame, payload_col: str = "value") -> DataFrame:
 QUARANTINE_BAD_ROWS = 7
 
 
-@query("ingest_quarantine_bad_records")  # rows-only: staged-file source
+@query(
+    "ingest_quarantine_bad_records",
+    # The staged feed is every events row serialized as JSON plus
+    # QUARANTINE_BAD_ROWS corrupt lines, so the outcome counts are a
+    # SQL-statable invariant: the Spark side must recover EXACTLY the
+    # event count as clean and exactly the injected bad lines as
+    # quarantined -- a real differential on the permissive parse.
+    oracle=f"""
+    SELECT 'clean' AS outcome, COUNT(*) AS n FROM events
+    UNION ALL
+    SELECT 'quarantined', {QUARANTINE_BAD_ROWS}
+    """,
+)
 def ingest_quarantine_bad_records(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
