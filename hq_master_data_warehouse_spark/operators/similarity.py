@@ -474,3 +474,63 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rng, 6).alias("rng"),
         "recon_ok",
     )
+
+
+# -- batched retrieval: top-k per QUERY BATCH (vec_id < 5 as the query
+#    set), the shape real retrieval runs -- Q queries scored against
+#    the corpus in ONE pass, not Q sequential scans.  The query side
+#    broadcasts (Q x dim is KBs); per-query top-k is a window
+#    partitioned BY QUERY, so parallelism scales with Q x corpus
+#    partitions and no global sort exists anywhere.  At production
+#    scale the corpus side switches to the IVF/LSH candidate
+#    generation above -- the batching and ranking stay identical.
+BATCH_K = 5
+
+
+@query(
+    "similarity_batch_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        WHERE vec_id < 5
+    )
+    SELECT qid, vec_id, rnk, cosine FROM (
+        SELECT q.qid, e.vec_id,
+               ROUND(list_cosine_similarity(
+                   list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(q.qe, x -> CAST(x AS DOUBLE))
+               ), 6) AS cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY ROUND(list_cosine_similarity(
+                       list_transform(e.embedding,
+                                      x -> CAST(x AS DOUBLE)),
+                       list_transform(q.qe, x -> CAST(x AS DOUBLE))
+                   ), 6) DESC, e.vec_id
+               ) AS INT) AS rnk
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.qid
+    ) WHERE rnk <= {BATCH_K}
+    """,
+)
+def similarity_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cos = F.round(cosine_expr(F.col("embedding"), F.col("qe")), 6)
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= BATCH_K)
+        .select("qid", "vec_id", "rnk", "cosine")
+    )
