@@ -1188,3 +1188,78 @@ def orders_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (sy.cast("double") - slope * sx.cast("double")) / n, 6
         ).alias("intercept"),
     )
+
+
+# -- CUSUM changepoint detection over daily event volume: the feed-
+#    monitoring op that catches sustained level shifts MAD outliers
+#    miss.  The sequential recurrence s_i = max(0, s_{i-1} + (x_i -
+#    mean)) has the windowed closed form s_i = cum_i - min(0,
+#    running_min(cum_i)) -- expressible declaratively, no iteration.
+#    All arithmetic is SCALED BY n (D_i = n*x_i - total) so everything
+#    stays integer-exact in both engines; the alert fires when the
+#    scaled statistic exceeds n*mean = total.  Windows run over the
+#    per-day aggregate (|days| rows), not the fact table.
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS tot FROM d
+    ),
+    c AS (
+        SELECT day, x, tot,
+               CAST(SUM(n * x - tot) OVER (ORDER BY day) AS BIGINT)
+                   AS cum
+        FROM d, s
+    ),
+    m AS (
+        SELECT day, x, tot, cum,
+               LEAST(CAST(0 AS BIGINT),
+                     MIN(cum) OVER (ORDER BY day)) AS floor_cum
+        FROM c
+    )
+    SELECT day,
+           CAST(x AS BIGINT) AS daily_cnt,
+           CAST(cum - floor_cum AS BIGINT) AS cusum_scaled,
+           (cum - floor_cum) > tot AS alert
+    FROM m
+    """,
+)
+def events_cusum_changepoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    d = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("x")
+    )
+    s = d.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("tot"),
+    )
+    w = Window.orderBy("day")
+    c = (
+        d.crossJoin(F.broadcast(s))
+        .withColumn(
+            "cum",
+            F.sum(F.col("n") * F.col("x") - F.col("tot"))
+            .over(w)
+            .cast("long"),
+        )
+        .withColumn(
+            "floor_cum",
+            F.least(F.lit(0).cast("long"), F.min("cum").over(w)),
+        )
+    )
+    return c.select(
+        "day",
+        F.col("x").cast("long").alias("daily_cnt"),
+        (F.col("cum") - F.col("floor_cum"))
+        .cast("long")
+        .alias("cusum_scaled"),
+        ((F.col("cum") - F.col("floor_cum")) > F.col("tot")).alias(
+            "alert"
+        ),
+    )
