@@ -744,3 +744,77 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_dup"
         ),
     )
+
+
+# -- sub-document (sentence-level) dedup, the C4-style curation op:
+#    boilerplate sentences repeated across pages are removed from
+#    every document EXCEPT their first occurrence (first = lowest
+#    (doc_id, position) -- a total order, so the survivor set is
+#    deterministic).  Shape: split -> posexplode -> one shuffle on the
+#    sentence hash (window picks the global first occurrence) -> per-
+#    doc rollup.  No pairwise comparison, no global sort; the shuffle
+#    keys on the sentence hash exactly like exact-substring dedup.
+@query(
+    "dedup_sentences_first_wins",
+    oracle=f"""
+    WITH lines AS (
+        SELECT doc_id, pos, md5(line) AS lh
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split({CANONICAL_SQL}, '. '))
+                       AS line,
+                   unnest(generate_series(1,
+                       len(string_split({CANONICAL_SQL}, '. '))))
+                       AS pos
+            FROM documents
+        )
+        WHERE length(line) > 0
+    ),
+    ranked AS (
+        SELECT doc_id, lh,
+               row_number() OVER (
+                   PARTITION BY lh ORDER BY doc_id, pos
+               ) AS rn
+        FROM lines
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_sentences,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped
+    FROM ranked
+    GROUP BY doc_id
+    """,
+)
+def dedup_sentences_first_wins(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    lines = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.split(canonical_text(F.col("text")), "\\. ")
+            ).alias("pos0", "line"),
+        )
+        .filter(F.length("line") > 0)
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.md5("line").alias("lh"),
+        )
+    )
+    w = Window.partitionBy("lh").orderBy("doc_id", "pos")
+    ranked = lines.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_sentences"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+    )
