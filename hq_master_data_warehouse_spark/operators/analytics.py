@@ -1263,3 +1263,66 @@ def events_cusum_changepoint(
             "alert"
         ),
     )
+
+
+# -- concurrent-backlog curve: how many orders are OPEN (placed, not
+#    yet fully shipped) on each day -- interval-overlap counting done
+#    as the classic sweep: +1 at order date, -1 the day after the last
+#    shipment, running sum over the (tiny) per-day delta table.  No
+#    per-day interval join, no interval explosion: two grouped
+#    aggregates over the facts and one window over |dates| rows.
+@query(
+    "orders_concurrent_backlog",
+    oracle="""
+    WITH span AS (
+        SELECT o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS start_d,
+               CAST(MAX(l.l_shipdate) AS DATE) AS end_d
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    deltas AS (
+        SELECT start_d AS day, 1 AS delta FROM span
+        UNION ALL
+        SELECT end_d + 1, -1 FROM span
+    ),
+    d AS (
+        SELECT day, CAST(SUM(delta) AS BIGINT) AS net_delta
+        FROM deltas GROUP BY day
+    )
+    SELECT day, net_delta,
+           CAST(SUM(net_delta) OVER (ORDER BY day) AS BIGINT)
+               AS open_orders
+    FROM d
+    """,
+)
+def orders_concurrent_backlog(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    span = (
+        lineitem.join(
+            orders,
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("start_d"))
+        .agg(F.to_date(F.max("l_shipdate")).alias("end_d"))
+    )
+    deltas = span.select(
+        F.col("start_d").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        span.select(
+            F.date_add("end_d", 1).alias("day"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    d = deltas.groupBy("day").agg(
+        F.sum("delta").cast("long").alias("net_delta")
+    )
+    w = Window.orderBy("day")
+    return d.select(
+        "day",
+        "net_delta",
+        F.sum("net_delta").over(w).cast("long").alias("open_orders"),
+    )
