@@ -256,3 +256,90 @@ def pipeline_quality_curriculum(
             "curriculum_stage"
         ),
     )
+
+
+# -- cluster-representative selection (curation policy): real
+#    pipelines keep the BEST-QUALITY member of each near-dup cluster,
+#    not the lowest id.  Composes the Jaccard pair graph -> connected
+#    components (pointer-jumping, operators.dedup) -> per-cluster
+#    argmax by (quality DESC, doc_id) via a component-partitioned
+#    window.  The oracle recomputes components with a recursive CTE
+#    and the same argmax, so the selection itself is differentially
+#    checked.
+from ..operators.dedup import (  # noqa: E402
+    _PAIR_JACCARD_SQL,
+    connected_components,
+    dedup_ngram_jaccard,
+)
+
+
+@query(
+    "dedup_cluster_representatives",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({_PAIR_JACCARD_SQL}) t
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    comp AS (
+        SELECT node, MIN(r) AS component FROM reach GROUP BY node
+    ),
+    q AS (
+        SELECT doc_id, {_QUALITY_SCORE_SQL} AS quality FROM documents
+    ),
+    scored AS (
+        SELECT c.node AS doc_id, c.component, q.quality
+        FROM comp c JOIN q ON q.doc_id = c.node
+    )
+    SELECT component,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           CAST(MAX(doc_id) FILTER (WHERE rn = 1) AS BIGINT)
+               AS keeper_doc_id,
+           ROUND(MAX(quality) FILTER (WHERE rn = 1), 6)
+               AS keeper_quality
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY component
+                   ORDER BY quality DESC, doc_id
+               ) AS rn
+        FROM scored
+    )
+    GROUP BY component
+    """,
+)
+def dedup_cluster_representatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = connected_components(pairs)
+    scored = labels.join(
+        docs.select(
+            F.col("doc_id").alias("node"),
+            quality_raw_score(F.col("text")).alias("quality"),
+        ),
+        "node",
+    )
+    w = Window.partitionBy("comp").orderBy(
+        F.desc("quality"), F.asc("node")
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy(F.col("comp").alias("component")).agg(
+        F.count("*").alias("cluster_size"),
+        F.max(F.when(F.col("rn") == 1, F.col("node")))
+        .cast("long")
+        .alias("keeper_doc_id"),
+        F.round(
+            F.max(F.when(F.col("rn") == 1, F.col("quality"))), 6
+        ).alias("keeper_quality"),
+    )
