@@ -222,3 +222,56 @@ def layout_zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("zfile"),
     )
+
+
+# -- dynamic partition overwrite: the standing-pipeline refresh
+#    pattern -- rewrite ONLY the partitions present in the incoming
+#    batch, leave every other partition untouched (partitionOverwrite-
+#    Mode=dynamic; the reference's full-table rewrites cannot do
+#    partial refresh).  The op stages customers partitioned by
+#    segment, overwrites the BUILDING partition with its 10
+#    lowest-key rows, and returns per-partition counts; the oracle
+#    states the expected post-refresh counts, so the untouched-
+#    partitions guarantee itself is differentially checked.
+@query(
+    "layout_dynamic_partition_overwrite",
+    oracle="""
+    SELECT c_mktsegment,
+           CASE WHEN c_mktsegment = 'BUILDING'
+                THEN 10 ELSE COUNT(*) END AS n_rows
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def layout_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    customer = load_table(spark, sf_dir, "customer")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"hqmdw_dynpart_{tag}"
+    )
+    spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    )
+    # full load, then a partial refresh touching ONE partition
+    customer.write.mode("overwrite").partitionBy(
+        "c_mktsegment"
+    ).parquet(path)
+    refresh = (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .orderBy("c_custkey")
+        .limit(10)
+    )
+    refresh.write.mode("overwrite").partitionBy(
+        "c_mktsegment"
+    ).parquet(path)
+    return (
+        spark.read.parquet(path)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_rows"))
+    )
