@@ -1326,3 +1326,47 @@ def orders_concurrent_backlog(
         "net_delta",
         F.sum("net_delta").over(w).cast("long").alias("open_orders"),
     )
+
+
+# -- behavioral entropy per user: Shannon entropy of each user's
+#    event-type distribution -- the diversity feature behind bot
+#    detection (H ~ 0) and engagement scoring.  Two grouped counts,
+#    both keyed on real columns; the log arithmetic is one shared
+#    double formulation rounded to 6 decimals.
+@query(
+    "events_user_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events GROUP BY user_id, event_type
+    ),
+    t AS (
+        SELECT user_id, CAST(SUM(n) AS DOUBLE) AS tot,
+               COUNT(*) AS n_types
+        FROM c GROUP BY user_id
+    )
+    SELECT c.user_id,
+           CAST(MAX(t.n_types) AS BIGINT) AS n_types,
+           ROUND(-SUM((c.n / t.tot) * ln(c.n / t.tot)), 6) AS entropy
+    FROM c JOIN t USING (user_id)
+    GROUP BY c.user_id
+    """,
+)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    c = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    t = c.groupBy("user_id").agg(
+        F.sum("n").cast("double").alias("tot"),
+        F.count("*").alias("n_types"),
+    )
+    p = F.col("n") / F.col("tot")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_types").cast("long").alias("n_types"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+    )
