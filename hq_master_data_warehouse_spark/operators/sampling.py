@@ -146,3 +146,61 @@ def sample_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= STRATUM_SAMPLE_N)
         .select("doc_id", "source")
     )
+
+
+WEIGHTED_SAMPLE_K = 50
+
+
+# -- weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+#    each row draws key = ln(u)/w from a hash-derived uniform u and
+#    the k LARGEST keys are the sample -- inclusion probability
+#    proportional to weight, one pass, and (because u comes from
+#    md5(doc_id), not an RNG) the same sample on every engine, retry,
+#    and partitioning.  orderBy+limit compiles to a distributed top-k
+#    (TakeOrderedAndProject); no global sort, no driver-side state.
+#    This is how a 100 TB corpus draws a length-weighted eval slice.
+@query(
+    "sample_weighted_no_replacement",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                1, 4)) AS INT) + 0.5) / 65536.0)
+               / n_chars AS k
+        FROM documents
+        WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars, ROUND(k, 6) AS sample_key
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT {WEIGHTED_SAMPLE_K}
+    """,
+)
+def sample_weighted_no_replacement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+            16,
+            10,
+        ).cast("int")
+        + F.lit(0.5)
+    ) / 65536.0
+    k = F.log(u) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id", "source", "n_chars", k.alias("k")
+        )
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(WEIGHTED_SAMPLE_K)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round("k", 6).alias("sample_key"),
+        )
+    )
