@@ -1370,3 +1370,71 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
         )
     )
+
+
+# -- top-decile concentration: what share of all events do the top 10%
+#    of users generate (the engagement-concentration KPI).  The user
+#    rank comes from the bucketed two-pass _global_rank on the
+#    per-user aggregate -- no single-partition sort -- and the decile
+#    cutoff is ceil(n/10) by (count DESC, user_id).  One output row.
+@query(
+    "events_top_decile_share",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, COUNT(*) AS cnt
+        FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT cnt,
+               row_number() OVER (ORDER BY cnt DESC, user_id) AS rn
+        FROM per_user
+    ),
+    s AS (SELECT COUNT(*) AS n_users, CAST(SUM(cnt) AS BIGINT)
+                     AS total_events
+          FROM per_user)
+    SELECT s.n_users,
+           s.total_events,
+           CAST(SUM(CASE WHEN rn <= CAST(CEIL(s.n_users / 10.0)
+                                          AS BIGINT)
+                    THEN cnt ELSE 0 END) AS BIGINT)
+               AS top_decile_events,
+           ROUND(CAST(SUM(CASE WHEN rn <= CAST(CEIL(s.n_users / 10.0)
+                                                AS BIGINT)
+                         THEN cnt ELSE 0 END) AS DOUBLE)
+                 / s.total_events, 6) AS top_decile_share
+    FROM ranked, s
+    GROUP BY s.n_users, s.total_events
+    """,
+)
+def events_top_decile_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.count("*").alias("cnt")
+    )
+    ranked = _global_rank(
+        per_user,
+        F.col("cnt"),
+        [F.col("cnt").desc(), F.col("user_id")],
+        "rn",
+        bucket_desc=True,
+    )
+    s = per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum("cnt").cast("long").alias("total_events"),
+    )
+    cut = F.ceil(F.col("n_users") / 10.0).cast("long")
+    top_events = F.sum(
+        F.when(F.col("rn") <= cut, F.col("cnt")).otherwise(0)
+    ).cast("long")
+    return (
+        ranked.crossJoin(F.broadcast(s))
+        .groupBy("n_users", "total_events")
+        .agg(
+            top_events.alias("top_decile_events"),
+            F.round(
+                top_events.cast("double") / F.col("total_events"), 6
+            ).alias("top_decile_share"),
+        )
+    )

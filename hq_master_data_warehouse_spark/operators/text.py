@@ -1180,3 +1180,29 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_bigram_surprisal"),
         )
     )
+
+
+# -- language-ID confusion matrix: predicted-vs-actual counts for the
+#    marker-based classifier -- the evaluation row every heuristic
+#    filter needs before it gates a corpus.  One grouped count over
+#    the scored projection.
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH scores AS (SELECT doc_id, lang, {_profile_sql()} FROM documents)
+    SELECT lang AS actual_lang,
+           CASE
+               WHEN score_en >= score_de AND score_en >= score_fr THEN 'en'
+               WHEN score_de >= score_fr THEN 'de'
+               ELSE 'fr'
+           END AS predicted_lang,
+           COUNT(*) AS n
+    FROM scores
+    GROUP BY 1, 2
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = text_langid_heuristic(spark, sf_dir)
+    return scored.groupBy(
+        "actual_lang", "predicted_lang"
+    ).agg(F.count("*").alias("n"))
