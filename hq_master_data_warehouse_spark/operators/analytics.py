@@ -1438,3 +1438,79 @@ def events_top_decile_share(
             ).alias("top_decile_share"),
         )
     )
+
+
+# -- chi-square independence audit: is event type independent of
+#    day-of-week?  The categorical drift test that complements the
+#    numeric PSI check (drift_psi_event_values) -- a high statistic
+#    means the mix shifts by weekday and any daily sample is biased.
+#    Contingency counts and margins are exact integers; the statistic
+#    is one shared double formula over the (tiny) cells table, rounded
+#    to 6.  Scale: one grouped count over the facts; margins derive
+#    from the cells, not a second scan.
+@query(
+    "events_chi2_type_dow",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type, dayofweek(CAST(ts AS TIMESTAMP)) AS dow,
+               COUNT(*) AS obs
+        FROM events GROUP BY 1, 2
+    ),
+    rm AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS row_n
+           FROM cells GROUP BY event_type),
+    cm AS (SELECT dow, CAST(SUM(obs) AS BIGINT) AS col_n
+           FROM cells GROUP BY dow),
+    n AS (SELECT CAST(SUM(obs) AS BIGINT) AS total FROM cells)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((COUNT(DISTINCT c.event_type) - 1)
+                * (COUNT(DISTINCT c.dow) - 1) AS BIGINT) AS dof,
+           ROUND(SUM(
+               POW(c.obs - CAST(rm.row_n AS DOUBLE) * cm.col_n
+                           / n.total, 2)
+               / (CAST(rm.row_n AS DOUBLE) * cm.col_n / n.total)
+           ), 6) AS chi2
+    FROM cells c
+    JOIN rm USING (event_type)
+    JOIN cm USING (dow)
+    CROSS JOIN n
+    """,
+)
+def events_chi2_type_dow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count("*").alias("obs"))
+    rm = cells.groupBy("event_type").agg(
+        F.sum("obs").cast("long").alias("row_n")
+    )
+    cm = cells.groupBy("dow").agg(
+        F.sum("obs").cast("long").alias("col_n")
+    )
+    n = cells.agg(F.sum("obs").cast("long").alias("total"))
+    expected = (
+        F.col("row_n").cast("double")
+        * F.col("col_n")
+        / F.col("total")
+    )
+    return (
+        cells.join(F.broadcast(rm), "event_type")
+        .join(F.broadcast(cm), "dow")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            (
+                (F.countDistinct("event_type") - 1)
+                * (F.countDistinct("dow") - 1)
+            )
+            .cast("long")
+            .alias("dof"),
+            F.round(
+                F.sum(
+                    F.pow(F.col("obs") - expected, 2) / expected
+                ),
+                6,
+            ).alias("chi2"),
+        )
+    )
