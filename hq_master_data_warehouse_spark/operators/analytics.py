@@ -1479,8 +1479,12 @@ def events_chi2_type_dow(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    # Spark dayofweek is Sunday=1..7, DuckDB's is Sunday=0..6; the
+    # chi2/dof outputs are relabeling-invariant (dow is only a
+    # grouping key), but the labels are aligned to DuckDB's 0-base
+    # anyway so exposing per-cell rows later cannot silently diverge.
     cells = events.groupBy(
-        "event_type", F.dayofweek("ts").alias("dow")
+        "event_type", (F.dayofweek("ts") - 1).alias("dow")
     ).agg(F.count("*").alias("obs"))
     rm = cells.groupBy("event_type").agg(
         F.sum("obs").cast("long").alias("row_n")

@@ -452,8 +452,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- embedding-cosine near-dup (par.2.11): exact baseline; the ANN
-#    scale path is similarity.similarity_ann_lsh.
+# -- embedding-cosine near-dup (par.2.11): EXACT pair join, re-planned
+#    from a row-at-a-time crossJoin to a matrix-blocked design (r3).
+#    Exact all-pairs is inherently O(n^2) similarity work -- at a 0.5
+#    cosine threshold on 64-dim unit vectors NO blocking key preserves
+#    recall (verified: sign-bit prefix blocking drops real pairs on the
+#    test corpus), so the scale levers are memory-bounding and
+#    vectorization, not pruning:
+#      * vectors hash into chunks of <= EMB_BLOCK_ROWS rows;
+#      * a triangular chunk-pair grid (ci <= cj) is broadcast and each
+#        side replicates to its row/column of the grid -- every
+#        unordered vector pair meets in exactly ONE grid cell;
+#      * cogroup + applyInPandas runs one numpy GEMM per cell
+#        (Arrow-batched, BLAS -- ~100x the throughput of per-pair
+#        fold expressions), verifying only within the cell, with
+#        per-task memory capped at 2*EMB_BLOCK_ROWS vectors.
+#    Shuffle volume is O(n * n/EMB_BLOCK_ROWS) -- the unavoidable cost
+#    of exact all-pairs; the sub-quadratic path is the approximate
+#    similarity_ann_lsh / dedup_minhash_lsh family.
+EMB_BLOCK_ROWS = 8192
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -470,21 +489,83 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .similarity import cosine_expr
+    import math
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
-    )
-    cos = F.round(cosine_expr(F.col("ea"), F.col("eb")), 6)
+    # one metadata-cheap count to size the grid; at 100 TB this would
+    # come from table statistics instead.
+    n_rows = load_table(spark, sf_dir, "embeddings").count()
+    n_chunks = max(1, math.ceil(n_rows / EMB_BLOCK_ROWS))
+    grid_rows = [
+        (i, j) for i in range(n_chunks) for j in range(i, n_chunks)
+    ]
+
+    def side(grid_col: str) -> DataFrame:
+        # fresh scan + fresh grid per side: the two cogroup inputs get
+        # independent lineage (avoids Spark's ambiguous-self-join trap)
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        grid = spark.createDataFrame(grid_rows, "ci int, cj int")
+        chunked = emb.withColumn(
+            "c",
+            F.pmod(F.xxhash64("vec_id"), F.lit(n_chunks)).cast("int"),
+        )
+        return chunked.join(
+            F.broadcast(grid), chunked["c"] == grid[grid_col]
+        ).select("ci", "cj", "vec_id", "embedding")
+
+    left = side("ci")
+    right = side("cj")
+
+    def gemm_block(key, a_pdf, b_pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        if a_pdf.empty or b_pdf.empty:
+            return empty
+        # float32 storage -> float64 math, mirroring the oracle's
+        # CAST(x AS DOUBLE) before list_cosine_similarity.
+        A = np.array(list(a_pdf["embedding"]), dtype=np.float64)
+        B = np.array(list(b_pdf["embedding"]), dtype=np.float64)
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        B /= np.linalg.norm(B, axis=1, keepdims=True)
+        cos = A @ B.T
+        # round half-away-from-zero to match DuckDB/Spark ROUND
+        # (np.round is half-to-even)
+        cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+        ids_a = a_pdf["vec_id"].to_numpy()
+        ids_b = b_pdf["vec_id"].to_numpy()
+        ia, ib = np.nonzero(cos >= COSINE_DUP_THRESHOLD)
+        la, lb = ids_a[ia], ids_b[ib]
+        if key[0] == key[1]:
+            # diagonal cell: both sides hold the same chunk, so each
+            # pair shows up at (x,y) and (y,x); keep the upper triangle
+            keep = la < lb
+        else:
+            # off-diagonal: every pair meets once; orient by id
+            keep = la != lb
+        la, lb, cv = la[keep], lb[keep], cos[ia, ib][keep]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(la, lb),
+                "vec_b": np.maximum(la, lb),
+                "cosine": cv,
+            }
+        )
+
     return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        left.groupBy("ci", "cj")
+        .cogroup(right.groupBy("ci", "cj"))
+        .applyInPandas(
+            gemm_block, "vec_a long, vec_b long, cosine double"
+        )
     )
 
 
@@ -680,16 +761,17 @@ def _span_sql(n: int) -> str:
 
 
 # -- exact-substring dedup: flag every document sharing at least one
-#    EXACT_SPAN-token span with another document.  Spans are md5-keyed
-#    before the shuffle (16-byte keys instead of ~100+-byte grams --
-#    at 100 TB the gram bytes, not the row count, dominate shuffle
-#    cost).  Plan: distinct (doc, span-hash) -> span frequency ->
-#    flag members via left join.  Every shuffle keys on the span hash;
-#    no pairwise comparison ever materializes, unlike suffix-array
-#    approaches that need a global sort.  md5 is kept so the DuckDB
-#    twin recomputes identical keys; production would switch the key
-#    to xxhash64(tok0..tok19) (same plan, ~3x cheaper hashing, 64-bit
-#    collision odds are immaterial for a dedup FLAG).
+#    EXACT_SPAN-token span with another document.  Spans are hash-keyed
+#    before the shuffle (8-byte xxhash64 keys instead of ~100+-byte
+#    grams -- at 100 TB the gram bytes, not the row count, dominate
+#    shuffle cost).  Plan: distinct (doc, span-hash) -> span frequency
+#    -> flag members.  Every shuffle keys on the span hash; no pairwise
+#    comparison ever materializes, unlike suffix-array approaches that
+#    need a global sort.  The hash never reaches the output (it is only
+#    a grouping key), so Spark can use xxhash64 (~3x cheaper than md5,
+#    8-byte shuffle key) while the DuckDB oracle keys on md5 -- both
+#    are injective on the observed grams; 64-bit collision odds are
+#    immaterial for a dedup FLAG.
 @query(
     "dedup_exact_substring",
     oracle=f"""
@@ -732,7 +814,7 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = docs.select(
         "doc_id",
         F.explode(_shingles(F.col("text"), EXACT_SPAN)).alias("gram"),
-    ).select("doc_id", F.md5("gram").alias("gh"))
+    ).select("doc_id", F.xxhash64("gram").alias("gh"))
     nd = F.count("*").over(Window.partitionBy("gh"))
     flagged = g.withColumn("hit", nd > 1)
     return flagged.groupBy("doc_id").agg(
@@ -804,7 +886,10 @@ def dedup_sentences_first_wins(
         .select(
             "doc_id",
             (F.col("pos0") + 1).alias("pos"),
-            F.md5("line").alias("lh"),
+            # grouping key only (never output): xxhash64 beats md5 by
+            # ~3x and shuffles 8-byte keys; the oracle's md5 keys are
+            # equivalent up to immaterial 64-bit collisions.
+            F.xxhash64("line").alias("lh"),
         )
     )
     w = Window.partitionBy("lh").orderBy("doc_id", "pos")

@@ -255,10 +255,11 @@ def layout_dynamic_partition_overwrite(
     path = os.path.join(
         tempfile.gettempdir(), f"hqmdw_dynpart_{tag}"
     )
-    spark.conf.set(
-        "spark.sql.sources.partitionOverwriteMode", "dynamic"
-    )
-    # full load, then a partial refresh touching ONE partition
+    # full load, then a partial refresh touching ONE partition.
+    # partitionOverwriteMode is passed PER-WRITE (DataFrameWriter
+    # option), not set on the shared session conf: a session-level
+    # set would silently turn every later partitioned overwrite in
+    # the same session into a partial overwrite.
     customer.write.mode("overwrite").partitionBy(
         "c_mktsegment"
     ).parquet(path)
@@ -267,9 +268,9 @@ def layout_dynamic_partition_overwrite(
         .orderBy("c_custkey")
         .limit(10)
     )
-    refresh.write.mode("overwrite").partitionBy(
-        "c_mktsegment"
-    ).parquet(path)
+    refresh.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("c_mktsegment").parquet(path)
     return (
         spark.read.parquet(path)
         .groupBy("c_mktsegment")

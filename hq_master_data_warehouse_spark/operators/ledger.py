@@ -22,6 +22,7 @@ actual status instead.
 from __future__ import annotations
 
 import uuid
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -162,6 +163,108 @@ def overwrite_update_by_key(
     df.write.mode("overwrite").parquet(tmp)
     final = spark.read.parquet(tmp)
     final.write.mode("overwrite").parquet(table_path)
+
+
+def _swap_partitions(
+    table_path: str, tmp: str, part_col: str, values: list
+) -> None:
+    """Move rewritten ``part_col=value`` directories from ``tmp`` into
+    ``table_path``, replacing only those partitions."""
+    import os
+    import shutil
+
+    for v in values:
+        leaf = f"{part_col}={v}"
+        dst = os.path.join(table_path, leaf)
+        src = os.path.join(tmp, leaf)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        # a fully-deleted partition writes no leaf dir: removal IS the
+        # rewrite in that case
+        if os.path.isdir(src):
+            shutil.move(src, dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _rewrite_touched_partitions(
+    spark: SparkSession,
+    table_path: str,
+    part_col: str,
+    transform: Callable[[DataFrame], DataFrame],
+    touched_pred: F.Column,
+) -> list:
+    """Shared partition-pruned mutation core: locate the partitions
+    holding rows matching ``touched_pred`` (a partition-pruned scan --
+    only the key columns are read), rewrite ONLY those partitions
+    through ``transform``, and swap the rewritten directories into
+    place.  Untouched partition files are never read, rewritten, or
+    moved -- at 100 TB a single-key mutation touches one partition,
+    not the snapshot.  Raw-parquet stand-in for Delta/Iceberg MERGE
+    with dynamic partition overwrite (the production path); the swap
+    is atomic per partition directory.
+
+    Returns the list of partition values rewritten.
+    """
+    df = spark.read.parquet(table_path)
+    touched = [
+        r[0]
+        for r in df.filter(touched_pred)
+        .select(part_col)
+        .distinct()
+        .collect()
+    ]
+    if not touched:
+        return []
+    # membership filter on the partition column -> Catalyst prunes the
+    # scan to the touched directories only
+    sub = df.filter(F.col(part_col).isin(touched))
+    tmp = table_path.rstrip("/") + ".tmp"
+    transform(sub).write.mode("overwrite").partitionBy(
+        part_col
+    ).parquet(tmp)
+    _swap_partitions(table_path, tmp, part_col, touched)
+    return touched
+
+
+def partitioned_update_by_key(
+    spark: SparkSession,
+    table_path: str,
+    part_col: str,
+    key_col: str,
+    key_value,
+    updates: dict[str, object],
+) -> list:
+    """S7 physical path, partition-pruned (webhooks/route.ts:58-63):
+    update-by-key on a ``part_col``-partitioned parquet table that
+    rewrites only the partitions containing the key."""
+    hit = F.col(key_col) == key_value
+
+    def apply_updates(sub: DataFrame) -> DataFrame:
+        for col_name, value in updates.items():
+            sub = sub.withColumn(
+                col_name,
+                F.when(hit, F.lit(value)).otherwise(F.col(col_name)),
+            )
+        return sub
+
+    return _rewrite_touched_partitions(
+        spark, table_path, part_col, apply_updates, hit
+    )
+
+
+def partitioned_delete_by_key(
+    spark: SparkSession,
+    table_path: str,
+    part_col: str,
+    key_col: str,
+    key_value,
+) -> list:
+    """S8 physical path, partition-pruned (webhooks/route.ts:82-85):
+    delete-by-key that rewrites only the partitions holding the key."""
+    hit = F.col(key_col) == key_value
+    return _rewrite_touched_partitions(
+        spark, table_path, part_col, lambda sub: sub.filter(~hit), hit
+    )
 
 
 # -- MERGE / upsert (engine surface): the production path for S7+S5 in

@@ -46,11 +46,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # ---------------------------------------------------------------------------
 
 def _recorded_names() -> set[str]:
-    """Names already holding a usable record in any prior round's
+    """Names already holding a usable record in a prior round's
     CORRECTNESS_r*.json (green hash row, or the rows-only record that
     is the max evidence for oracle-less ops).  Reading the files at
     runtime makes the rotation self-updating: each round's newly
     recorded names drop out of the front window automatically.
+
+    Only the LATEST round's record per name counts, so a query that
+    regresses red in a later round rotates back to the front of the
+    window instead of coasting forever on an old green row.
     Falls back to the static round-1 list if no files are readable."""
     import glob
     import json
@@ -59,21 +63,28 @@ def _recorded_names() -> set[str]:
     repo_root = os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))
     )
-    recorded: set[str] = set()
+    latest: dict[str, bool] = {}
     found = False
+    # sorted() puts r01 before r02 ...; later files overwrite earlier
+    # entries so `latest` ends up holding each name's newest verdict.
     for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
                 data = json.load(f)
         except (OSError, ValueError):
             continue
+        if not isinstance(data, dict):
+            continue
         found = True
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("hash_match") or row.get("err") == "no_oracle":
-                recorded.add(name)
-    return recorded if found else set(PREVIOUSLY_CHECKED)
+            latest[name] = bool(
+                row.get("hash_match") or row.get("err") == "no_oracle"
+            )
+    if not found:
+        return set(PREVIOUSLY_CHECKED)
+    return {name for name, ok in latest.items() if ok}
 
 
 # Names verified by the round-1 gate (static fallback for
@@ -99,51 +110,31 @@ PREVIOUSLY_CHECKED: tuple[str, ...] = (
     "agg_mode_per_group",
 )
 
-# Explicit front-of-window order for this round: the five queries whose
-# oracles/encodings were fixed (need a fresh green row), then the whole
-# relational core (the reference's first-screen user paths), then TPC-H.
+# Explicit front-of-window order for this round (round 3): queries whose
+# PLANS changed this round must re-earn a green row even though they hold
+# a prior-round record (dedup_embedding_cosine was re-planned from
+# all-pairs to blocked-exact; ingest_quarantine_bad_records staging was
+# made content-keyed).  Everything else rides the self-rotating window.
 PRIORITY: tuple[str, ...] = (
-    # fixed this round -- re-verify
-    "pack_documents_nextfit", "text_inverted_index",
-    "pipeline_corpus_curation", "pipeline_pretraining_pack",
-    "audit_table_checksum",
-    # relational core: filters / joins / windows / setops /
-    # distribution / ledger
-    "filter_eq_segment", "filter_ilike_substring", "filter_isnull_bucket",
-    "filter_isin_list", "filter_boolean_flag", "project_whitelist_coalesce",
-    "filter_validation_counts", "scalar_functions_showcase",
-    "anti_join_exclude_sent", "semi_join_fetch_selected",
-    "broadcast_fk_join", "multiway_outer_counts", "join_null_safe",
-    "pagination_offset_limit", "sort_topk_orders", "window_rank_lag_lead",
-    "window_running_total", "window_enumerate_per_group",
-    "window_distribution_functions", "window_topk_per_group",
-    "setop_union_all", "setop_except_all", "setop_intersect",
-    "setop_snapshot_diff",
-    "capacity_distribution", "distribution_summary",
-    "egress_batch_metadata",
-    "ledger_update_by_key", "ledger_delete_by_key", "ledger_append_rows",
-    "ledger_merge_upsert",
-    # TPC-H core + extension head
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
-    "tpch_q18_large_volume_customer", "datetime_functions",
-    "tpch_q4_order_priority", "tpch_q7_volume_shipping",
-    "tpch_q8_market_share", "tpch_q9_product_profit",
-    "tpch_q10_returned_items", "tpch_q12_shipping_delay",
-    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+    "dedup_embedding_cosine",
+    "ingest_quarantine_bad_records",
 )
 
 
 def ordered_queries() -> dict[str, QueryFn]:
     """QUERIES reordered so the driver's capped check window lands on
-    PRIORITY first (minus entries that have since earned a record),
-    then every never-checked query, then the names that already hold a
-    prior-round record."""
+    PRIORITY first (changed-this-round names, checked or not), then
+    every never-checked query with a real oracle, then never-checked
+    rows-only entries (weaker evidence -- they must not displace
+    oracle-backed names from the ~50-slot window), then names that
+    already hold a prior-round record."""
     load_catalog()
     checked = _recorded_names()
-    front = [n for n in PRIORITY if n in QUERIES and n not in checked]
+    front = [n for n in PRIORITY if n in QUERIES]
     seen = set(front)
     middle = [n for n in QUERIES if n not in seen and n not in checked]
+    # within the never-checked block, oracle-backed names first
+    middle.sort(key=lambda n: n not in ORACLES)
     back = [n for n in QUERIES if n in checked and n not in seen]
     return {n: QUERIES[n] for n in (*front, *middle, *back)}
 

@@ -125,7 +125,17 @@ def ingest_quarantine_bad_records(
 
     import hashlib as _h
 
-    tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
+    # Staging tag keyed on fixture CONTENT (size+mtime of the events
+    # parquet), not just the directory name: regenerating the fixture
+    # at the same path invalidates the cache instead of serving a
+    # stale feed whose clean count diverges from the fresh oracle.
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        stamp = sf_dir
+    tag = _h.md5(stamp.encode()).hexdigest()[:8]
     path = os.path.join(
         tempfile.gettempdir(), f"hqmdw_quarantine_{tag}_dir"
     )

@@ -137,8 +137,15 @@ def post_with_retry(
     Returns ``(delivered, dead_letter, audit)``: delivered rows with
     the attempt that succeeded, the undeliverable remainder, and one
     audit row per attempt (n_attempted / n_delivered / n_failed).
+
+    Retries key on ``(company_id, webhook_id)``, so those keys MUST be
+    unique in ``payloads`` -- with duplicates, one failed duplicate
+    would re-send every row sharing the key and the delivered/DLQ
+    disjointness accounting breaks.  The precondition is enforced here
+    (dropDuplicates) rather than documented-only.
     """
-    pending = payloads
+    base = payloads.dropDuplicates(["company_id", "webhook_id"])
+    pending = base
     delivered_parts: list[DataFrame] = []
     audit_parts: list[DataFrame] = []
     for attempt in range(1, max_attempts + 1):
@@ -173,7 +180,7 @@ def post_with_retry(
         failed_keys = res.filter(~F.col("ok")).select(
             "company_id", "webhook_id"
         )
-        pending = payloads.join(
+        pending = base.join(
             failed_keys, ["company_id", "webhook_id"], "left_semi"
         )
     delivered = delivered_parts[0]

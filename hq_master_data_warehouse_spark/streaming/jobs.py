@@ -503,22 +503,6 @@ def streaming_egress_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"hqmdw_retry_audit_{run}"
     )
 
-    def fails(attempt: int) -> F.Column:
-        return (
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":",
-                        F.col("company_id"),
-                        F.lit(str(attempt)),
-                    )
-                ),
-                1,
-                1,
-            )
-            < "4"
-        )
-
     def factory(attempt: int):
         # deterministic "transport": reproduces the md5 failure
         # predicate row-by-row (no network in the sandbox)
