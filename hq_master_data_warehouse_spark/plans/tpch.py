@@ -22,12 +22,13 @@ from pyspark.sql import functions as F
 from ..functions.scalars import (
     CHARGE_SQL,
     DISC_PRICE_SQL,
-    charge,
     dec_avg,
     dec_avg_sql,
     dec_sum,
     dec_sum_sql,
     disc_price,
+    sum_charge,
+    sum_disc_price,
 )
 from ..registry import query
 from ..sources.loaders import load_table
@@ -60,8 +61,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dec_sum("l_quantity", "sum_qty"),
             dec_sum("l_extendedprice", "sum_base_price"),
-            F.sum(disc_price()).cast("double").alias("sum_disc_price"),
-            F.sum(charge()).cast("double").alias("sum_charge"),
+            sum_disc_price("sum_disc_price"),
+            sum_charge("sum_charge"),
             dec_avg("l_quantity", "avg_qty"),
             dec_avg("l_extendedprice", "avg_price"),
             dec_avg("l_discount", "avg_disc"),
@@ -99,7 +100,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lineitem.filter(F.col("l_shipdate") > cutoff),
               lineitem.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .agg(sum_disc_price("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -147,7 +148,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(region, nation.n_regionkey == region.r_regionkey)
         .filter(F.col("r_name") == "ASIA")
         .groupBy("n_name")
-        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .agg(sum_disc_price("revenue"))
     )
 
 

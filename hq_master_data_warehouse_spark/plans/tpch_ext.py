@@ -34,6 +34,9 @@ from ..functions.scalars import (
     dec_sum,
     dec_sum_sql,
     disc_price,
+    disc_price_units,
+    exact_units_sum,
+    sum_disc_price,
 )
 from ..registry import query
 from ..sources.loaders import load_table
@@ -128,7 +131,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n2, F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .agg(sum_disc_price("revenue"))
     )
 
 
@@ -168,8 +171,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = F.broadcast(nation.select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
     ))
-    zero = F.lit(0).cast(MONEY)
-    national = F.when(F.col("supp_nation") == "NATION_3", disc_price()).otherwise(zero)
+    zero = F.lit(0).cast("long")
+    national = F.when(F.col("supp_nation") == "NATION_3", disc_price_units()).otherwise(zero)
     return (
         lineitem.join(
             F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
@@ -187,8 +190,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.sum(national).cast("double")
-                / F.sum(disc_price()).cast("double"),
+                exact_units_sum(national, 4)
+                / exact_units_sum(disc_price_units(), 4),
                 6,
             ).alias("mkt_share")
         )
@@ -284,7 +287,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(customer, F.col("c_custkey") == F.col("o_custkey"))
         .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .agg(sum_disc_price("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -386,8 +389,8 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    zero = F.lit(0).cast(MONEY)
-    promo = F.when(F.col("p_type") == "PROMO", disc_price()).otherwise(zero)
+    zero = F.lit(0).cast("long")
+    promo = F.when(F.col("p_type") == "PROMO", disc_price_units()).otherwise(zero)
     return (
         lineitem.filter(
             (F.col("l_shipdate") >= _ts("1998-06-01"))
@@ -397,8 +400,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.lit(100.0)
-                * F.sum(promo).cast("double")
-                / F.sum(disc_price()).cast("double"),
+                * exact_units_sum(promo, 4)
+                / exact_units_sum(disc_price_units(), 4),
                 6,
             ).alias("promo_revenue")
         )
@@ -433,7 +436,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < _ts("1998-04-01"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(dec_sum(disc_price(), "total_revenue"))
+        .agg(sum_disc_price("total_revenue"))
     )
     best = rev.withColumn(
         "max_rev", F.max("total_revenue").over(Window.partitionBy())
@@ -565,7 +568,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .filter(band)
-        .agg(dec_sum(disc_price(), "revenue"))
+        .agg(sum_disc_price("revenue"))
     )
 
 

@@ -77,9 +77,93 @@ def test_feature_extract_shape_and_determinism(spark):
         assert abs(sum(row.feature) - 1.0) < 1e-9
 
 
-def test_decode_stub_raises():
+def test_decode_unsupported_format_raises():
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x00\x01")
+        decode_image(b"\x89PNG\r\n\x1a\n")
+
+
+def test_decode_ppm_with_comment():
+    pixels = bytes(range(2 * 2 * 3))
+    img = decode_image(b"P6\n# comment line\n2 2\n255\n" + pixels)
+    assert (img["width"], img["height"], img["mode"]) == (2, 2, "RGB")
+    assert img["pixels"] == pixels
+
+
+def test_decode_bmp_bottom_up_with_padding():
+    import struct
+
+    # 2x2 24-bit BMP, bottom-up, rows padded 6 -> 8 bytes.  Rows in
+    # file order: bottom row first, pixels stored BGR.
+    top = [(255, 0, 0), (0, 255, 0)]  # RGB of the TOP row
+    bottom = [(0, 0, 255), (10, 20, 30)]
+    def row_bytes(px):
+        return b"".join(bytes((b, g, r)) for (r, g, b) in px) + b"\x00\x00"
+    data = row_bytes(bottom) + row_bytes(top)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(data), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(data), 0, 0, 0, 0
+    )
+    img = decode_image(header + data)
+    assert (img["width"], img["height"]) == (2, 2)
+    want = b"".join(
+        bytes(px) for px in top + bottom
+    )  # decoded top-down RGB
+    assert img["pixels"] == want
+
+
+def test_decode_image_query_runs_on_real_ppms(spark):
+    from hq_master_data_warehouse_spark.operators.multimodal import (
+        DECODE_H,
+        DECODE_W,
+        multimodal_decode_image,
+    )
+
+    rows = multimodal_decode_image(spark, SF).collect()
+    assert rows
+    for r in rows[:20]:
+        assert (r.width, r.height) == (DECODE_W, DECODE_H)
+        assert r.n_pixels == DECODE_W * DECODE_H
+        assert 0.0 <= r.mean_byte <= 255.0
+
+
+def test_embedding_cosine_blocked_matches_naive_and_no_cartesian(spark):
+    """The blocked-GEMM exact plan must (a) produce exactly the naive
+    all-pairs result and (b) contain no cartesian/nested-loop join --
+    the r2->r3 re-plan's contract."""
+    from hq_master_data_warehouse_spark.operators.dedup import (
+        COSINE_DUP_THRESHOLD,
+        dedup_embedding_cosine,
+    )
+    from pyspark.sql import functions as F
+
+    from hq_master_data_warehouse_spark.operators.similarity import (
+        cosine_expr,
+    )
+    from hq_master_data_warehouse_spark.sources.loaders import load_table
+
+    got = {
+        (r.vec_a, r.vec_b, round(r.cosine, 6))
+        for r in dedup_embedding_cosine(spark, SF).collect()
+    }
+    emb = load_table(spark, SF, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    naive = (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_expr(F.col("ea"), F.col("eb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )
+    want = {(r.vec_a, r.vec_b, round(r.cosine, 6)) for r in naive.collect()}
+    assert got == want
+    plan = dedup_embedding_cosine(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_ivf_topk_recall_vs_brute_force(spark):
