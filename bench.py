@@ -47,6 +47,7 @@ HEADLINE = [
     "events_cohort_retention",
     # round 2 additions
     "dedup_exact_substring",
+    "dedup_embedding_cosine",
     "text_unigram_surprisal",
     "orders_rfm_scores",
     "egress_retry_audit",

@@ -492,9 +492,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     # one metadata-cheap count to size the grid; at 100 TB this would
-    # come from table statistics instead.
+    # come from table statistics instead.  Grid sizing balances two
+    # constraints: blocks must fit per-task memory (<= EMB_BLOCK_ROWS
+    # vectors a side), and small inputs still want enough grid cells
+    # to occupy the cluster (8 chunks -> 36 cells).
     n_rows = load_table(spark, sf_dir, "embeddings").count()
-    n_chunks = max(1, math.ceil(n_rows / EMB_BLOCK_ROWS))
+    n_chunks = max(
+        math.ceil(n_rows / EMB_BLOCK_ROWS),
+        min(8, math.ceil(n_rows / 2048)),
+        1,
+    )
     grid_rows = [
         (i, j) for i in range(n_chunks) for j in range(i, n_chunks)
     ]
@@ -811,10 +818,31 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # while the window is one pass -- exchange on gh, per-span counts
     # in place, exchange on doc_id for the final rollup.  Per-gh
     # partitions are bounded by the span's document frequency (tiny).
-    g = docs.select(
+    # Span keys WITHOUT materializing gram strings: tokens are
+    # projected once (so the split is not re-evaluated inside the
+    # lambda), then each span position hashes a 20-token slice
+    # directly -- xxhash64 over array<string> -- and per-doc dedup
+    # runs on the long hashes.  The previous shape (arrays_zip of 20
+    # shifted slices + concat_ws per span) materialized ~20x the text
+    # bytes per row before hashing; this emits 8 bytes per span.
+    # sequence(1, 0) would generate a DESCENDING [1, 0] for short
+    # docs, hence the explicit size guard.
+    toks = docs.select(
         "doc_id",
-        F.explode(_shingles(F.col("text"), EXACT_SPAN)).alias("gram"),
-    ).select("doc_id", F.xxhash64("gram").alias("gh"))
+        F.split(canonical_text(F.col("text")), " ").alias("toks"),
+    )
+    n_spans = F.size("toks") - (EXACT_SPAN - 1)
+    span_hashes = F.when(
+        n_spans > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_spans, F.lit(1))),
+            lambda i: F.xxhash64(F.slice("toks", i, EXACT_SPAN)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    g = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(span_hashes)).alias("gh"),
+    )
     nd = F.count("*").over(Window.partitionBy("gh"))
     flagged = g.withColumn("hit", nd > 1)
     return flagged.groupBy("doc_id").agg(
