@@ -129,3 +129,100 @@ def test_distributed_rank_and_ntile_match_window_forms(spark, keys):
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Split scaled-integer money sums (functions/scalars.exact_scaled_sum)
+# must be indistinguishable from the DECIMAL(30,4) sums they replace --
+# every money aggregate in the engine rides on this equivalence.
+# ---------------------------------------------------------------------------
+
+money_cents = st.one_of(
+    st.none(),
+    st.integers(min_value=-10_000_000_00, max_value=10_000_000_00),
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3), money_cents),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_split_long_sum_equals_decimal_sum(spark, rows):
+    """exact_scaled_sum == SUM(CAST(x AS DECIMAL(30,4))) cast double,
+    per group, including negatives, nulls, and all-null groups."""
+    from hq_master_data_warehouse_spark.functions.scalars import (
+        exact_scaled_sum,
+    )
+
+    data = [
+        (g, None if c is None else c / 100.0) for g, c in rows
+    ]
+    df = spark.createDataFrame(data, "g int, x double")
+    got = {
+        r.g: r.s
+        for r in df.groupBy("g")
+        .agg(exact_scaled_sum(F.col("x"), 4).alias("s"))
+        .collect()
+    }
+    want = {
+        r.g: r.s
+        for r in df.groupBy("g")
+        .agg(
+            F.sum(F.col("x").cast("decimal(30,4)"))
+            .cast("double")
+            .alias("s")
+        )
+        .collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=110_000_00),  # price cents
+            st.integers(min_value=0, max_value=10),          # discount %
+            st.integers(min_value=0, max_value=8),           # tax %
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_units_products_equal_decimal_products(spark, rows):
+    """sum_disc_price / sum_charge (integer-units longs) == the decimal
+    product formulations they replaced."""
+    from hq_master_data_warehouse_spark.functions.scalars import (
+        charge,
+        disc_price,
+        sum_charge,
+        sum_disc_price,
+    )
+
+    data = [
+        (p / 100.0, d / 100.0, t / 100.0) for p, d, t in rows
+    ]
+    df = spark.createDataFrame(
+        data, "l_extendedprice double, l_discount double, l_tax double"
+    )
+    got = df.agg(
+        sum_disc_price("dp"), sum_charge("ch")
+    ).collect()[0]
+    want = df.agg(
+        F.sum(disc_price()).cast("double").alias("dp"),
+        F.sum(charge()).cast("double").alias("ch"),
+    ).collect()[0]
+    assert got.dp == want.dp
+    assert got.ch == want.ch
