@@ -223,3 +223,20 @@ def test_distributed_rank_consumers_use_bucketed_windows(spark):
         assert "hashpartitioning(_b" in plan
         assert "ntile" not in plan.lower()
         assert "CartesianProduct" not in plan
+
+
+def test_q1_money_aggregates_stay_in_long_codegen(spark):
+    """r3 split-sum re-plan: q1's partial aggregation must carry LONG
+    sum buffers (sum of hi/lo unit columns), not wide-decimal sums --
+    the decimal slow path this round removed."""
+    plan = _plan(spark, "tpch_q1_pricing_summary")
+    assert "sum(cast(" not in plan.lower() or "decimal(30,4)" not in plan
+    # decimal arithmetic may appear only post-agg (the tiny recombine)
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_cosine_is_cogrouped_not_cartesian(spark):
+    plan = _plan(spark, "dedup_embedding_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapCoGroupsInPandas" in plan or "CoGroup" in plan
