@@ -157,6 +157,46 @@ def decode_image(payload: bytes) -> dict:
     )
 
 
+def decode_audio(payload: bytes) -> dict:
+    """Pure-Python decode of uncompressed 16-bit PCM WAV (RIFF) to
+    ``{"sample_rate", "n_channels", "samples"}`` with ``samples`` a
+    list of int frames (channel-interleaved).  Compressed audio
+    (MP3/AAC/OGG) needs an external codec; production swaps this for
+    ffmpeg/soundfile with the mapInPandas plumbing unchanged."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "unsupported audio container (PCM WAV decodes here; "
+            "compressed codecs need ffmpeg in production)"
+        )
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid, csize = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("truncated WAV: missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            "only uncompressed 16-bit PCM WAV is supported here"
+        )
+    n = len(data) // 2
+    samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "samples": samples,
+    }
+
+
 #: fixture decode geometry: every document payload is wrapped into an
 #: 8x4 P6 image (96 pixel bytes) JVM-side, so the decode path runs on
 #: real, well-formed images without shipping binary fixtures.
@@ -189,6 +229,69 @@ def _decode_batches(
             out["n_pixels"].append(img["width"] * img["height"])
             out["mean_byte"].append(float(px.mean()) if px.size else 0.0)
         yield pd.DataFrame(out)
+
+
+#: WAV fixture geometry: 128 payload bytes = 64 mono 16-bit samples
+AUDIO_BYTES = 128
+AUDIO_RATE = 8000
+
+_AUDIO_SCHEMA = (
+    "doc_id long, sample_rate int, n_channels int, n_samples long, "
+    "mean_abs_amplitude double"
+)
+
+
+def _decode_audio_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        out = {
+            "doc_id": pdf["doc_id"],
+            "sample_rate": [],
+            "n_channels": [],
+            "n_samples": [],
+            "mean_abs_amplitude": [],
+        }
+        for raw in pdf["payload"]:
+            wav = decode_audio(bytes(raw))
+            s = np.asarray(wav["samples"], dtype=np.int64)
+            out["sample_rate"].append(wav["sample_rate"])
+            out["n_channels"].append(wav["n_channels"])
+            out["n_samples"].append(len(s))
+            out["mean_abs_amplitude"].append(
+                float(np.abs(s).mean()) if s.size else 0.0
+            )
+        yield pd.DataFrame(out)
+
+
+@query("multimodal_decode_audio")  # rows-only: binary decode path
+def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode over ``mapInPandas``: each document payload is
+    wrapped JVM-side into a well-formed 16-bit PCM WAV (RIFF/fmt/data
+    chunks + 128 sample bytes, padded), then decoded back to rate/
+    channels/sample stats by the pure-Python ``decode_audio``."""
+    import struct
+
+    docs = load_table(spark, sf_dir, "documents")
+    binary = with_binary_payload(docs).select("doc_id", "payload")
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + AUDIO_BYTES)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, AUDIO_RATE, AUDIO_RATE * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", AUDIO_BYTES)
+    )
+    pad = (b"\x00" * AUDIO_BYTES).hex()
+    wav = F.expr(
+        f"concat(x'{hdr.hex()}', substring(concat(payload, x'{pad}'),"
+        f" 1, {AUDIO_BYTES}))"
+    )
+    framed = binary.select("doc_id", wav.alias("payload"))
+    return framed.mapInPandas(_decode_audio_batches, schema=_AUDIO_SCHEMA)
 
 
 @query("multimodal_decode_image")  # rows-only: binary decode path

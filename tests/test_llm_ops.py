@@ -112,6 +112,51 @@ def test_decode_bmp_bottom_up_with_padding():
     assert img["pixels"] == want
 
 
+def test_decode_wav_pcm_roundtrip():
+    import struct
+
+    from hq_master_data_warehouse_spark.operators.multimodal import (
+        decode_audio,
+    )
+
+    samples = [0, 100, -100, 32767, -32768, 7]
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 176400, 4, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    out = decode_audio(wav)
+    assert out["sample_rate"] == 44100
+    assert out["n_channels"] == 2
+    assert out["samples"] == samples
+
+
+def test_decode_audio_unsupported_raises():
+    from hq_master_data_warehouse_spark.operators.multimodal import (
+        decode_audio,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04rest-of-an-mp3")
+
+
+def test_decode_audio_query_runs_on_real_wavs(spark):
+    from hq_master_data_warehouse_spark.operators.multimodal import (
+        AUDIO_BYTES,
+        AUDIO_RATE,
+        multimodal_decode_audio,
+    )
+
+    rows = multimodal_decode_audio(spark, SF).collect()
+    assert rows
+    for r in rows[:20]:
+        assert r.sample_rate == AUDIO_RATE
+        assert r.n_channels == 1
+        assert r.n_samples == AUDIO_BYTES // 2
+        assert 0.0 <= r.mean_abs_amplitude <= 32768.0
+
+
 def test_decode_image_query_runs_on_real_ppms(spark):
     from hq_master_data_warehouse_spark.operators.multimodal import (
         DECODE_H,
