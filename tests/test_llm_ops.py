@@ -172,14 +172,24 @@ def test_decode_image_query_runs_on_real_ppms(spark):
         assert 0.0 <= r.mean_byte <= 255.0
 
 
-def test_embedding_cosine_blocked_matches_naive_and_no_cartesian(spark):
+@pytest.mark.parametrize("block_rows", [None, 64])
+def test_embedding_cosine_blocked_matches_naive_and_no_cartesian(
+    spark, monkeypatch, block_rows
+):
     """The blocked-GEMM exact plan must (a) produce exactly the naive
     all-pairs result and (b) contain no cartesian/nested-loop join --
-    the r2->r3 re-plan's contract."""
+    the r2->r3 re-plan's contract.  block_rows=64 forces an 8-chunk /
+    36-cell grid so the multi-cell path (diagonal-cell upper-triangle
+    dedupe, off-diagonal pair orientation) is exercised -- at the
+    fixture SFs the default block size yields a single cell."""
+    from hq_master_data_warehouse_spark.operators import dedup as dd
     from hq_master_data_warehouse_spark.operators.dedup import (
         COSINE_DUP_THRESHOLD,
         dedup_embedding_cosine,
     )
+
+    if block_rows is not None:
+        monkeypatch.setattr(dd, "EMB_BLOCK_ROWS", block_rows)
     from pyspark.sql import functions as F
 
     from hq_master_data_warehouse_spark.operators.similarity import (
