@@ -6,6 +6,17 @@ is caught locally before the round gate runs.
 
 Usage:  python -m tests.driver_check [query ...]
         (no args = every query that has an oracle)
+
+Cross-engine hazard notes (r2 list lives in the memory workflow doc;
+r3 additions):
+- rounding: Spark F.round and DuckDB ROUND are half-away-from-zero,
+  numpy np.round is half-to-even -- Python-side code (pandas UDFs)
+  must round with sign*floor(abs*10^k + 0.5)/10^k, not np.round.
+- calendar labels: Spark dayofweek is Sunday=1..7, DuckDB dayofweek()
+  is Sunday=0..6 (offset Spark by -1 when the label is exposed).
+- grouping keys never exposed in the output may use DIFFERENT hash
+  functions per engine (xxhash64 Spark-side vs md5 in the oracle) --
+  both only need injectivity on the observed values.
 """
 
 from __future__ import annotations
