@@ -4,15 +4,20 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed twice: a warm-up that also forces plan
-compilation, then a timed run measured to full materialization
-(count of a cached-free plan -- no driver collect of big results).
+Each query is executed once as a warm-up (forces plan compilation and
+page-cache priming), then REPS timed runs measured to full
+materialization (noop sink -- no driver collect of big results).  The
+per-query number reported is the MEDIAN of the reps, which makes the
+round-over-round record robust to the +-30% session-level variance
+measured on this box; the individual rep timings are emitted alongside
+under "reps" so the spread is auditable.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -23,6 +28,7 @@ from hq_master_data_warehouse_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 # Headline set: flagship + the heaviest representative per family.
 HEADLINE = [
@@ -54,9 +60,9 @@ HEADLINE = [
 ]
 
 
-def _materialize(df) -> int:
+def _materialize(df) -> None:
     """Force full execution without collecting rows to the driver."""
-    return df.write.format("noop").mode("overwrite").save() or df.count()
+    df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
@@ -66,13 +72,17 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in registry.QUERIES]
     timings: dict[str, float] = {}
+    all_reps: dict[str, list[float]] = {}
     for name in names:
         fn = registry.QUERIES[name]
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()  # warm-up
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        _materialize(fn(spark, SF_DIR))  # warm-up (plan compile + cache)
+        reps: list[float] = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            _materialize(fn(spark, SF_DIR))
+            reps.append(round(time.perf_counter() - t0, 4))
+        all_reps[name] = reps
+        timings[name] = round(statistics.median(reps), 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -82,6 +92,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "reps": all_reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -36,9 +36,23 @@ _SPLIT = 1_000_000
 def exact_scaled_sum(c: Column, scale: int) -> Column:
     """Exact order-independent money SUM as a whole-stage-codegen plan.
 
-    Semantics are identical to ``SUM(CAST(c AS DECIMAL(30,s)))`` but
-    ~5x faster: Spark's decimal sum with precision > 18 leaves the
-    codegen fast path (per-row Decimal objects in the agg buffer).
+    PRECONDITION: inputs must be exactly representable at <= ``scale``
+    decimal digits (true for the fixtures' 2-decimal money columns) and
+    ``|c| * 10^scale`` must stay well below 2^53.  Within that domain
+    the semantics are identical to ``SUM(CAST(c AS DECIMAL(30,s)))``.
+    Outside it they are NOT: ``round()`` on the binary double can round
+    differently from the decimal cast (which rounds the shortest
+    decimal representation) for inputs carrying more than ``scale``
+    decimal digits -- e.g. 0.00015 at scale 4 is the double
+    0.000149999..., so round() yields 1 unit (0.0001) while
+    ``CAST(0.00015 AS DECIMAL(30,4))`` yields 0.0002.  Widening the
+    contract requires a decimal-string parse, not a double round
+    (property test: tests/test_properties.py pins both the in-domain
+    equivalence and this out-of-domain divergence).
+
+    Performance: ~5x faster than the decimal formulation, because
+    Spark's decimal sum with precision > 18 leaves the codegen fast
+    path (per-row Decimal objects in the agg buffer).
     Instead the value is converted to integer ``10^scale``-ths in a
     LONG (exact -- per-row money values are far below 2^53/10^scale),
     accumulated as TWO long sums that stay in whole-stage codegen,

@@ -472,6 +472,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    similarity_ann_lsh / dedup_minhash_lsh family.
 EMB_BLOCK_ROWS = 8192
 
+#: Hard cap on the chunk grid: the triangular chunk-pair grid is built
+#: driver-side (c*(c+1)/2 rows, broadcast) and the whole plan is
+#: O(n^2) GEMM work by contract -- the exact all-pairs anchor is only
+#: meant for oracle-scale labeling runs.  512 chunks = ~4.2M vectors
+#: and a ~131k-row grid; beyond that the exact anchor refuses and the
+#: caller must use the sub-quadratic ANN family
+#: (similarity_ann_lsh / similarity_ivf_topk / dedup_minhash_lsh).
+EMB_MAX_CHUNKS = 512
+
 
 @query(
     "dedup_embedding_cosine",
@@ -502,6 +511,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         min(8, math.ceil(n_rows / 2048)),
         1,
     )
+    if n_chunks > EMB_MAX_CHUNKS:
+        raise ValueError(
+            f"dedup_embedding_cosine is the exact O(n^2) oracle anchor "
+            f"and is bounded to {EMB_MAX_CHUNKS * EMB_BLOCK_ROWS} "
+            f"vectors ({EMB_MAX_CHUNKS} chunks; got {n_chunks}); for "
+            "larger inputs use the sub-quadratic ANN family "
+            "(similarity_ann_lsh, similarity_ivf_topk, dedup_minhash_lsh)"
+        )
     grid_rows = [
         (i, j) for i in range(n_chunks) for j in range(i, n_chunks)
     ]
@@ -541,8 +558,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         # CAST(x AS DOUBLE) before list_cosine_similarity.
         A = np.array(list(a_pdf["embedding"]), dtype=np.float64)
         B = np.array(list(b_pdf["embedding"]), dtype=np.float64)
-        A /= np.linalg.norm(A, axis=1, keepdims=True)
-        B /= np.linalg.norm(B, axis=1, keepdims=True)
+        # zero-norm guard: an all-zero embedding gets cosine 0 to every
+        # vector (dropped by the >= threshold mask), instead of NaN
+        # rows whose NaN-comparison semantics could diverge from the
+        # oracle's list_cosine_similarity NULL/NaN handling.
+        na = np.linalg.norm(A, axis=1, keepdims=True)
+        nb = np.linalg.norm(B, axis=1, keepdims=True)
+        A /= np.where(na == 0, 1.0, na)
+        B /= np.where(nb == 0, 1.0, nb)
         cos = A @ B.T
         # round half-away-from-zero to match DuckDB/Spark ROUND
         # (np.round is half-to-even)

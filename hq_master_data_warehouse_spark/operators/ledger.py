@@ -173,6 +173,25 @@ def _swap_partitions(
     import os
     import shutil
 
+    # Any tmp leaf OUTSIDE the touched set means the transform moved a
+    # row to a new partition value: swapping only `values` would discard
+    # it, and overwriting the foreign leaf would clobber rows the pruned
+    # scan never read.  Neither is correct on raw parquet -- fail loudly
+    # (the Delta/Iceberg MERGE production path handles cross-partition
+    # moves transactionally).
+    expected = {f"{part_col}={v}" for v in values}
+    stray = [
+        d
+        for d in os.listdir(tmp)
+        if d.startswith(f"{part_col}=") and d not in expected
+    ] if os.path.isdir(tmp) else []
+    if stray:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise ValueError(
+            "partition-pruned rewrite produced rows in untouched "
+            f"partitions {sorted(stray)}; mutating the partition column "
+            "is not supported on the raw-parquet path"
+        )
     for v in values:
         leaf = f"{part_col}={v}"
         dst = os.path.join(table_path, leaf)
@@ -194,14 +213,23 @@ def _rewrite_touched_partitions(
     touched_pred: F.Column,
 ) -> list:
     """Shared partition-pruned mutation core: locate the partitions
-    holding rows matching ``touched_pred`` (a partition-pruned scan --
-    only the key columns are read), rewrite ONLY those partitions
-    through ``transform``, and swap the rewritten directories into
-    place.  Untouched partition files are never read, rewritten, or
-    moved -- at 100 TB a single-key mutation touches one partition,
-    not the snapshot.  Raw-parquet stand-in for Delta/Iceberg MERGE
-    with dynamic partition overwrite (the production path); the swap
-    is atomic per partition directory.
+    holding rows matching ``touched_pred`` (a COLUMN-pruned scan -- it
+    reads only the key/partition columns, but from every partition,
+    since the touched set is unknown up front), then rewrite ONLY the
+    touched partitions through ``transform`` (this second scan IS
+    partition-pruned via the ``isin`` membership filter) and swap the
+    rewritten directories into place.  Untouched partition data files
+    are never rewritten or moved -- at 100 TB a single-key mutation
+    rewrites one partition, not the snapshot.  Raw-parquet stand-in for
+    Delta/Iceberg MERGE with dynamic partition overwrite (the
+    production path); each swap is atomic only per directory rename,
+    with a delete->move window during which a concurrent reader can see
+    the partition missing -- acceptable for the single-writer sandbox,
+    solved by snapshot isolation on the production path.
+
+    ``transform`` must not change ``part_col`` values: rows that move
+    between partitions cannot be swapped correctly on raw parquet, and
+    ``_swap_partitions`` rejects the rewrite if any appear.
 
     Returns the list of partition values rewritten.
     """
@@ -236,7 +264,19 @@ def partitioned_update_by_key(
 ) -> list:
     """S7 physical path, partition-pruned (webhooks/route.ts:58-63):
     update-by-key on a ``part_col``-partitioned parquet table that
-    rewrites only the partitions containing the key."""
+    rewrites only the partitions containing the key.
+
+    ``updates`` may not touch ``part_col``: the rewritten row would land
+    in a different partition directory than the swap moves back, so the
+    mutation would silently drop it.  Partition-moving updates belong to
+    the Delta/Iceberg MERGE production path.
+    """
+    if part_col in updates:
+        raise ValueError(
+            f"updating partition column {part_col!r} is not supported "
+            "by the partition-pruned rewrite; use a full-table "
+            "overwrite (overwrite_update_by_key) or the MERGE path"
+        )
     hit = F.col(key_col) == key_value
 
     def apply_updates(sub: DataFrame) -> DataFrame:

@@ -94,16 +94,206 @@ def _ppm_tokens(payload: bytes, n: int) -> tuple[list[bytes], int]:
     return tokens, i + 1  # skip the single whitespace after maxval
 
 
+#: PNG file signature (public spec: PNG (Portable Network Graphics)
+#: Specification, W3C/ISO 15948, section 5.2)
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_defilter(
+    raw: bytes, width: int, height: int, bpp: int
+) -> bytes:
+    """Reverse PNG scanline filtering (spec section 9, filter types
+    0=None 1=Sub 2=Up 3=Average 4=Paeth) over the decompressed IDAT
+    stream: each scanline is one filter-type byte + ``width*bpp``
+    filtered bytes."""
+    stride = width * bpp
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG IDAT length does not match geometry")
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    for r in range(height):
+        base = r * (stride + 1)
+        ft = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub: predictor = byte bpp to the left
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:  # Up: predictor = same byte previous row
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average of left and up
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth predictor
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = (
+                    a
+                    if pa <= pb and pa <= pc
+                    else (b if pb <= pc else c)
+                )
+                line[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out[r * stride : (r + 1) * stride] = line
+        prev = line
+    return bytes(out)
+
+
+def _png_decode(payload: bytes) -> dict:
+    """Pure-Python PNG decode via stdlib ``zlib``: 8-bit-depth
+    truecolor (RGB, color type 2) and truecolor+alpha (RGBA, color
+    type 6), non-interlaced, all five scanline filters, chunk CRCs
+    verified.  Palette/gray/16-bit/interlaced variants raise -- they
+    are format-breadth, not plumbing."""
+    import struct
+    import zlib
+
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 12 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        crc = struct.unpack_from(">I", payload, pos + 8 + length)[0]
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG {ctype!r} chunk CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("invalid PNG compression/filter method")
+    if depth != 8 or color not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            "only 8-bit non-interlaced RGB/RGBA PNG is supported here "
+            "(palette/gray/16-bit/Adam7 need PIL in production)"
+        )
+    bpp = 3 if color == 2 else 4
+    pixels = _png_defilter(
+        zlib.decompress(bytes(idat)), width, height, bpp
+    )
+    return {
+        "width": width,
+        "height": height,
+        "mode": "RGB" if color == 2 else "RGBA",
+        "pixels": pixels,
+    }
+
+
+def encode_png(
+    pixels: bytes,
+    width: int,
+    height: int,
+    mode: str = "RGB",
+    row_filters: list[int] | None = None,
+) -> bytes:
+    """Minimal valid PNG encoder (stdlib ``zlib``) for fixtures and the
+    decode round-trip query: 8-bit RGB/RGBA, per-row filter types
+    chosen by ``row_filters`` (default all 0) so tests can exercise
+    every defilter branch with known-good input."""
+    import struct
+    import zlib
+
+    bpp = 3 if mode == "RGB" else 4
+    stride = width * bpp
+    if len(pixels) != stride * height:
+        raise ValueError("pixel buffer does not match geometry")
+    filters = row_filters or [0] * height
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        line = pixels[r * stride : (r + 1) * stride]
+        ft = filters[r]
+        raw.append(ft)
+        if ft == 0:
+            raw += line
+        elif ft == 1:
+            raw += bytes(
+                (line[i] - (line[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ft == 2:
+            raw += bytes(
+                (line[i] - prev[i]) & 0xFF for i in range(stride)
+            )
+        elif ft == 3:
+            raw += bytes(
+                (
+                    line[i]
+                    - (
+                        ((line[i - bpp] if i >= bpp else 0) + prev[i])
+                        >> 1
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        elif ft == 4:
+            out_row = bytearray()
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = (
+                    a
+                    if pa <= pb and pa <= pc
+                    else (b if pb <= pc else c)
+                )
+                out_row.append((line[i] - pred) & 0xFF)
+            raw += out_row
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        prev = line
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, 2 if mode == "RGB" else 6, 0, 0, 0
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes) -> dict:
-    """Pure-Python decode of the two public uncompressed formats --
-    binary PPM (``P6``) and 24-bit uncompressed BMP -- to
+    """Pure-Python decode of the public formats reachable with the
+    standard library -- binary PPM (``P6``), 24-bit uncompressed BMP,
+    and 8-bit RGB/RGBA non-interlaced PNG (stdlib ``zlib``) -- to
     ``{"width", "height", "mode", "pixels"}`` with ``pixels`` packed
-    row-major RGB (top-down, no padding).  Compressed formats
-    (PNG/JPEG) still need an external codec, which this container does
-    not ship; production swaps this function for PIL/opencv with the
-    surrounding mapInPandas plumbing unchanged."""
+    row-major (top-down, no padding).  JPEG (DCT entropy coding)
+    still needs an external codec; production swaps this function for
+    PIL/opencv with the surrounding mapInPandas plumbing unchanged."""
     import struct
 
+    if payload[:8] == _PNG_SIG:
+        return _png_decode(payload)
     if payload[:2] == b"P6":
         (_, w_tok, h_tok, max_tok), off = _ppm_tokens(payload, 4)
         width, height, maxval = int(w_tok), int(h_tok), int(max_tok)
@@ -152,8 +342,9 @@ def decode_image(payload: bytes) -> dict:
             "pixels": b"".join(rows),
         }
     raise NotImplementedError(
-        "unsupported image format (PPM P6 and 24-bit BMP decode "
-        "here; compressed codecs need PIL/opencv in production)"
+        "unsupported image format (PPM P6, 24-bit BMP, and 8-bit "
+        "RGB/RGBA PNG decode here; JPEG needs PIL/opencv in "
+        "production)"
     )
 
 
@@ -313,6 +504,53 @@ def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     framed = binary.select("doc_id", ppm.alias("payload"))
     return framed.mapInPandas(_decode_batches, schema=_DECODE_SCHEMA)
+
+
+def _decode_png_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """PNG round-trip inside one Arrow batch loop: frame each payload's
+    first 96 bytes as an 8x4 RGB PNG (per-row filter type r%5, so every
+    defilter branch runs on real data), then decode through the same
+    ``decode_image`` entry point the PPM/BMP paths use."""
+    import numpy as np
+
+    need = DECODE_W * DECODE_H * 3
+    filters = [r % 5 for r in range(DECODE_H)]
+    for pdf in batches:
+        out = {
+            "doc_id": pdf["doc_id"],
+            "width": [],
+            "height": [],
+            "n_pixels": [],
+            "mean_byte": [],
+        }
+        for raw in pdf["payload"]:
+            buf = (bytes(raw) + b"x" * need)[:need]
+            png = encode_png(
+                buf, DECODE_W, DECODE_H, "RGB", row_filters=filters
+            )
+            img = decode_image(png)
+            px = np.frombuffer(img["pixels"], dtype=np.uint8)
+            out["width"].append(img["width"])
+            out["height"].append(img["height"])
+            out["n_pixels"].append(img["width"] * img["height"])
+            out["mean_byte"].append(float(px.mean()) if px.size else 0.0)
+        yield pd.DataFrame(out)
+
+
+@query("multimodal_decode_png")  # rows-only: binary decode path
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-codec decode over ``mapInPandas``: document payloads
+    framed as real zlib-compressed PNGs (all five scanline filters)
+    and decoded by the pure-Python ``decode_image`` -- closing the
+    "compressed formats need external libs" caveat for the most common
+    image format using only the standard library.  Per-doc stats are
+    pinned equal to the PPM-framed twin by pytest (same pixel bytes,
+    different container)."""
+    docs = load_table(spark, sf_dir, "documents")
+    binary = with_binary_payload(docs).select("doc_id", "payload")
+    return binary.mapInPandas(_decode_png_batches, schema=_DECODE_SCHEMA)
 
 
 FEATURE_BINS = 16

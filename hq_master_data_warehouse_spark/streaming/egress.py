@@ -142,10 +142,24 @@ def post_with_retry(
     unique in ``payloads`` -- with duplicates, one failed duplicate
     would re-send every row sharing the key and the delivered/DLQ
     disjointness accounting breaks.  The precondition is enforced here
-    (dropDuplicates) rather than documented-only.
+    by failing fast: silently deduplicating would pick an arbitrary
+    payload body per key and the dropped bodies would reach neither
+    delivered, DLQ, nor audit -- an unacceptable silent loss for an
+    at-least-once channel.
     """
-    base = payloads.dropDuplicates(["company_id", "webhook_id"])
-    pending = base
+    n_dup = (
+        payloads.groupBy("company_id", "webhook_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    if n_dup:
+        raise ValueError(
+            f"payloads contain {n_dup} duplicate (company_id, "
+            "webhook_id) keys; deduplicate upstream (choosing which "
+            "payload body wins) before calling post_with_retry"
+        )
+    pending = payloads
     delivered_parts: list[DataFrame] = []
     audit_parts: list[DataFrame] = []
     for attempt in range(1, max_attempts + 1):
@@ -180,7 +194,7 @@ def post_with_retry(
         failed_keys = res.filter(~F.col("ok")).select(
             "company_id", "webhook_id"
         )
-        pending = base.join(
+        pending = payloads.join(
             failed_keys, ["company_id", "webhook_id"], "left_semi"
         )
     delivered = delivered_parts[0]

@@ -121,3 +121,26 @@ def test_retry_delivers_transient_and_dead_letters_permanent(spark):
     assert a[1].n_attempted == n
     assert a[2].n_attempted == a[1].n_failed
     assert a[3].n_attempted == a[2].n_failed
+
+
+def test_retry_rejects_duplicate_keys(spark):
+    """post_with_retry fails fast on duplicate (company_id, webhook_id)
+    keys: silently deduplicating would deliver an arbitrary payload
+    body and the dropped bodies would reach neither delivered, DLQ,
+    nor audit."""
+    import pytest
+
+    from hq_master_data_warehouse_spark.streaming.egress import (
+        post_with_retry,
+    )
+
+    payloads = _payloads(spark, limit=5)
+    dup = payloads.unionByName(
+        payloads.limit(1).withColumn(
+            "payload", F.lit('{"body": "different"}')
+        )
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        post_with_retry(
+            dup, lambda attempt: (lambda url, p: True), max_attempts=1
+        )

@@ -123,6 +123,50 @@ def test_update_missing_key_touches_nothing(spark, nation_table):
     assert _snapshot(nation_table) == before
 
 
+def test_update_rejects_partition_column_mutation(spark, nation_table):
+    """Updating the partition column would strand the rewritten row in
+    a tmp leaf the swap never moves -- the helper must refuse instead
+    of silently dropping the row."""
+    before = _snapshot(nation_table)
+    with pytest.raises(ValueError, match="partition column"):
+        partitioned_update_by_key(
+            spark,
+            nation_table,
+            part_col="n_regionkey",
+            key_col="n_nationkey",
+            key_value=7,
+            updates={"n_regionkey": 4},
+        )
+    # table untouched after the refusal
+    assert _snapshot(nation_table) == before
+
+
+def test_swap_rejects_stray_partition_leaves(spark, nation_table):
+    """Defense-in-depth below the public API: a transform that moves
+    rows across partitions produces tmp leaves outside the touched set,
+    and _swap_partitions must reject the rewrite (and clean up tmp)
+    rather than discard or clobber rows."""
+    from pyspark.sql import functions as F
+
+    from hq_master_data_warehouse_spark.operators.ledger import (
+        _rewrite_touched_partitions,
+    )
+
+    before = _snapshot(nation_table)
+    with pytest.raises(ValueError, match="untouched partitions"):
+        _rewrite_touched_partitions(
+            spark,
+            nation_table,
+            part_col="n_regionkey",
+            transform=lambda sub: sub.withColumn(
+                "n_regionkey", F.lit(99)
+            ),
+            touched_pred=F.col("n_nationkey") == 7,
+        )
+    assert _snapshot(nation_table) == before
+    assert not os.path.isdir(nation_table.rstrip("/") + ".tmp")
+
+
 def test_delete_can_empty_a_partition(spark, tmp_path):
     """Deleting the only key in a partition removes the directory."""
     from pyspark.sql import functions as F

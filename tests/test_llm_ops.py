@@ -79,7 +79,65 @@ def test_feature_extract_shape_and_determinism(spark):
 
 def test_decode_unsupported_format_raises():
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n")
+        decode_image(b"GIF89a\x01\x00\x01\x00")
+
+
+def test_decode_png_all_filters_roundtrip():
+    """encode_png -> decode_image round-trips RGB pixels through every
+    scanline filter type (0-4), via real zlib compression."""
+    from hq_master_data_warehouse_spark.operators.multimodal import (
+        encode_png,
+    )
+
+    w, h = 4, 5
+    pixels = bytes((i * 37 + 11) % 256 for i in range(w * h * 3))
+    png = encode_png(pixels, w, h, "RGB", row_filters=[0, 1, 2, 3, 4])
+    img = decode_image(png)
+    assert (img["width"], img["height"], img["mode"]) == (w, h, "RGB")
+    assert img["pixels"] == pixels
+
+
+def test_decode_png_rgba_and_crc_guard():
+    from hq_master_data_warehouse_spark.operators.multimodal import (
+        encode_png,
+    )
+
+    w, h = 3, 2
+    pixels = bytes((i * 53 + 7) % 256 for i in range(w * h * 4))
+    png = encode_png(pixels, w, h, "RGBA", row_filters=[4, 2])
+    img = decode_image(png)
+    assert img["mode"] == "RGBA" and img["pixels"] == pixels
+    # corrupt one IDAT byte: the chunk CRC must catch it
+    corrupt = bytearray(png)
+    corrupt[len(png) // 2] ^= 0xFF
+    with pytest.raises((ValueError, Exception)):
+        decode_image(bytes(corrupt))
+
+
+def test_decode_png_rejects_exotic_variants():
+    """Palette/16-bit/interlaced PNGs raise NotImplementedError (format
+    breadth, not plumbing); a signature with no chunks is truncated."""
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    with pytest.raises(ValueError):
+        decode_image(sig)  # no IHDR/IDAT
+    pal_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)  # palette
+    with pytest.raises(NotImplementedError):
+        decode_image(
+            sig
+            + chunk(b"IHDR", pal_ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 6))
+        )
 
 
 def test_decode_ppm_with_comment():
@@ -172,6 +230,26 @@ def test_decode_image_query_runs_on_real_ppms(spark):
         assert 0.0 <= r.mean_byte <= 255.0
 
 
+def test_decode_png_query_matches_ppm_twin(spark):
+    """multimodal_decode_png frames the SAME payload bytes as the PPM
+    twin (different container, real zlib deflate + all five filters),
+    so per-doc stats must be identical."""
+    from hq_master_data_warehouse_spark.operators.multimodal import (
+        multimodal_decode_image,
+        multimodal_decode_png,
+    )
+
+    ppm = {
+        r.doc_id: (r.width, r.height, r.n_pixels, round(r.mean_byte, 9))
+        for r in multimodal_decode_image(spark, SF).collect()
+    }
+    png = {
+        r.doc_id: (r.width, r.height, r.n_pixels, round(r.mean_byte, 9))
+        for r in multimodal_decode_png(spark, SF).collect()
+    }
+    assert png == ppm and png
+
+
 @pytest.mark.parametrize("block_rows", [None, 64])
 def test_embedding_cosine_blocked_matches_naive_and_no_cartesian(
     spark, monkeypatch, block_rows
@@ -219,6 +297,30 @@ def test_embedding_cosine_blocked_matches_naive_and_no_cartesian(
     plan = dedup_embedding_cosine(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_cosine_zero_norm_guard():
+    """gemm_block gives an all-zero embedding cosine 0 to everything
+    (dropped by the threshold) instead of NaN rows -- NaN comparison
+    semantics could diverge between numpy and the SQL oracle."""
+    import numpy as np
+
+    na = np.linalg.norm(np.zeros((2, 4)), axis=1, keepdims=True)
+    guarded = np.zeros((2, 4)) / np.where(na == 0, 1.0, na)
+    assert not np.isnan(guarded).any()
+    assert (guarded == 0).all()
+
+
+def test_embedding_cosine_refuses_beyond_chunk_cap(spark, monkeypatch):
+    """The exact O(n^2) anchor is bounded: beyond EMB_MAX_CHUNKS it
+    must refuse with a pointer to the sub-quadratic ANN family rather
+    than build an unbounded driver-side chunk grid."""
+    from hq_master_data_warehouse_spark.operators import dedup as dd
+
+    monkeypatch.setattr(dd, "EMB_BLOCK_ROWS", 2)
+    monkeypatch.setattr(dd, "EMB_MAX_CHUNKS", 4)
+    with pytest.raises(ValueError, match="similarity_ann_lsh"):
+        dd.dedup_embedding_cosine(spark, SF)
 
 
 def test_ivf_topk_recall_vs_brute_force(spark):

@@ -185,6 +185,30 @@ def test_split_long_sum_equals_decimal_sum(spark, rows):
     assert got == want
 
 
+def test_split_long_sum_contract_boundary(spark):
+    """Pin the exact_scaled_sum precondition from its docstring: inputs
+    with MORE decimal digits than `scale` are outside the contract and
+    genuinely diverge from the decimal-cast form -- 0.00015 at scale 4
+    is the double 0.000149999..., so round() gives 1 unit (0.0001)
+    while CAST(... AS DECIMAL(30,4)) gives 0.0002.  If this test ever
+    starts failing, the contract was silently widened -- re-read the
+    docstring before 'fixing' it."""
+    from hq_master_data_warehouse_spark.functions.scalars import (
+        exact_scaled_sum,
+    )
+
+    df = spark.createDataFrame([(0.00015,)], "x double")
+    got = df.agg(exact_scaled_sum(F.col("x"), 4).alias("s")).collect()[0].s
+    want = (
+        df.agg(
+            F.sum(F.col("x").cast("decimal(30,4)")).cast("double").alias("s")
+        )
+        .collect()[0]
+        .s
+    )
+    assert got == 0.0001 and want == 0.0002  # documented divergence
+
+
 @settings(
     max_examples=10,
     deadline=None,
