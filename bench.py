@@ -7,10 +7,13 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed once as a warm-up (forces plan compilation and
 page-cache priming), then REPS timed runs measured to full
 materialization (noop sink -- no driver collect of big results).  The
-per-query number reported is the MEDIAN of the reps, which makes the
-round-over-round record robust to the +-30% session-level variance
-measured on this box; the individual rep timings are emitted alongside
-under "reps" so the spread is auditable.
+per-query number reported is the MEDIAN of the reps, and reps are
+INTERLEAVED round-robin across queries (pass 1 of every query, then
+pass 2, ...) so one busy window on a shared box cannot capture all of
+a single query's reps -- measured variance here comes in multi-minute
+load windows, so consecutive reps would all inherit the same bias.
+The individual rep timings are emitted under "reps" so the spread is
+auditable.
 """
 
 from __future__ import annotations
@@ -71,18 +74,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in HEADLINE if n in registry.QUERIES]
-    timings: dict[str, float] = {}
-    all_reps: dict[str, list[float]] = {}
-    for name in names:
-        fn = registry.QUERIES[name]
-        _materialize(fn(spark, SF_DIR))  # warm-up (plan compile + cache)
-        reps: list[float] = []
-        for _ in range(REPS):
+    all_reps: dict[str, list[float]] = {n: [] for n in names}
+    for name in names:  # warm-up pass (plan compile + cache)
+        _materialize(registry.QUERIES[name](spark, SF_DIR))
+    for _ in range(REPS):  # interleaved timed passes
+        for name in names:
             t0 = time.perf_counter()
-            _materialize(fn(spark, SF_DIR))
-            reps.append(round(time.perf_counter() - t0, 4))
-        all_reps[name] = reps
-        timings[name] = round(statistics.median(reps), 4)
+            _materialize(registry.QUERIES[name](spark, SF_DIR))
+            all_reps[name].append(round(time.perf_counter() - t0, 4))
+    timings = {
+        n: round(statistics.median(r), 4) for n, r in all_reps.items()
+    }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -1518,3 +1518,112 @@ def events_chi2_type_dow(
             ).alias("chi2"),
         )
     )
+
+
+# -- cohort lifetime value: cumulative revenue per acquisition cohort,
+#    normalized per customer -- retention's money twin and the other
+#    half of every growth dashboard.  Shapes: two grouped aggregates
+#    (first-order month per customer; revenue per cohort x age) plus a
+#    cumulative window that runs over the AGGREGATED cohort-age table
+#    only (bounded: cohorts x months, a few hundred rows at any scale)
+#    -- never over the fact table.  Money goes through exact decimal
+#    sums; the cumulative add runs in identical (age-ordered) sequence
+#    in both engines, so the doubles match bit-for-bit pre-round.
+@query(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+                    AS DATE) AS mo,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    first AS (
+        SELECT o_custkey, MIN(mo) AS cohort FROM o GROUP BY o_custkey
+    ),
+    sizes AS (
+        SELECT cohort, COUNT(*) AS cohort_customers
+        FROM first GROUP BY cohort
+    ),
+    rev AS (
+        SELECT f.cohort,
+               CAST(date_diff('month', f.cohort, o.mo) AS INT)
+                   AS age_months,
+               COUNT(*) AS n_orders,
+               CAST(SUM(o.cents) AS BIGINT) AS cents
+        FROM o JOIN first f USING (o_custkey)
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT r.cohort, r.age_months, r.n_orders, r.cents,
+               CAST(SUM(r.cents) OVER (
+                   PARTITION BY r.cohort ORDER BY r.age_months
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_cents,
+               s.cohort_customers
+        FROM rev r JOIN sizes s USING (cohort)
+    )
+    SELECT cohort, age_months, n_orders,
+           cents / 100.0 AS revenue,
+           ((2 * cum_cents + cohort_customers)
+            // (2 * cohort_customers)) / 100.0 AS ltv_per_customer
+    FROM cum
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # money rides as exact integer cents end-to-end (sums, the
+    # cumulative window, and the final per-customer division with
+    # half-away integer rounding) -- ROUND-on-double is never called,
+    # because its half-tie behavior differs between engines (Spark
+    # rounds the shortest decimal representation, DuckDB the binary
+    # value: 1258260.285 -> .29 vs .28).
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias(
+            "mo"
+        ),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    first = orders.groupBy("o_custkey").agg(F.min("mo").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(
+        F.count("*").alias("cohort_customers")
+    )
+    rev = (
+        orders.join(first, "o_custkey")
+        .groupBy(
+            "cohort",
+            (
+                (F.year("mo") - F.year("cohort")) * 12
+                + (F.month("mo") - F.month("cohort"))
+            )
+            .cast("int")
+            .alias("age_months"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.join(F.broadcast(sizes), "cohort")
+        .withColumn("cum_cents", F.sum("cents").over(w).cast("long"))
+        .select(
+            "cohort",
+            "age_months",
+            "n_orders",
+            (F.col("cents") / 100.0).alias("revenue"),
+            (
+                F.expr(
+                    "(2 * cum_cents + cohort_customers)"
+                    " div (2 * cohort_customers)"
+                )
+                / 100.0
+            ).alias("ltv_per_customer"),
+        )
+    )

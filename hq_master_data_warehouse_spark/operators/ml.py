@@ -236,3 +236,159 @@ def ml_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+# -- calibration (reliability) bins: the margin scorer's scores bucketed
+#    into unit-wide margin bins, each bin reporting count, empirical
+#    positive rate, and mean margin -- the reliability-diagram input
+#    every scored-corpus pipeline reports beside AUC.  The bin key is
+#    pure arithmetic on the bit-identical margin (no exp/sigmoid, whose
+#    last-ULP behavior is libm-dependent and could flip a boundary
+#    row's bin between engines); mean margins go through exact
+#    DECIMAL(18,6) sums of per-row rounded margins so the aggregate is
+#    order-independent.  One grouped aggregate over a map stage: scales.
+@query(
+    "ml_calibration_bins",
+    oracle=f"""
+    WITH m AS (
+        SELECT label % 2 = 1 AS pos,
+               list_sum(list_transform(
+                   generate_series(1, {EMB_DIM}),
+                   i -> CAST(embedding[i] AS DOUBLE) * ({_W_SQL})[i]
+               )) + {BIAS!r} AS margin
+        FROM embeddings
+    )
+    SELECT CAST(LEAST(GREATEST(FLOOR(margin + 5), 0), 9) AS INT)
+               AS bin,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS pos_rate,
+           ROUND(CAST(SUM(CAST(ROUND(margin, 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) / COUNT(*), 6) AS avg_margin
+    FROM m GROUP BY 1
+    """,
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = F.array(*[F.lit(x) for x in WEIGHTS])
+    prod = F.zip_with(
+        F.col("embedding"), w, lambda x, wi: x.cast("double") * wi
+    )
+    margin = (
+        F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v) + BIAS
+    )
+    scored = emb.select(
+        F.least(F.greatest(F.floor(margin + 5), F.lit(0)), F.lit(9))
+        .cast("int")
+        .alias("bin"),
+        (F.col("label") % 2 == 1).alias("pos"),
+        F.round(margin, 6).cast("decimal(18,6)").alias("m6"),
+    )
+    n = F.count("*")
+    return scored.groupBy("bin").agg(
+        n.alias("n"),
+        F.round(
+            F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("double")
+            / n,
+            6,
+        ).alias("pos_rate"),
+        F.round(F.sum("m6").cast("double") / n, 6).alias("avg_margin"),
+    )
+
+
+# -- Kolmogorov-Smirnov statistic of the margin scorer: the maximum
+#    gap between the positive and negative score CDFs.  Every rank is
+#    a bucketed two-pass _global_rank (margin-band buckets), never a
+#    single-partition window: the global rank gives cum_total at each
+#    row, the class-conditional rank gives the row's own class CDF
+#    step, and the OTHER class's cumulative count falls out as
+#    rk - rk_in -- so both empirical CDFs are known at every row
+#    without any table-sized unpartitioned Exchange.  Ties broken by
+#    vec_id so both engines rank identically.
+@query(
+    "ml_ks_statistic",
+    oracle=f"""
+    WITH m AS (
+        SELECT vec_id,
+               label % 2 = 1 AS pos,
+               list_sum(list_transform(
+                   generate_series(1, {EMB_DIM}),
+                   i -> CAST(embedding[i] AS DOUBLE) * ({_W_SQL})[i]
+               )) + {BIAS!r} AS margin
+        FROM embeddings
+    ),
+    r AS (
+        SELECT pos,
+               row_number() OVER (ORDER BY margin, vec_id) AS rk,
+               row_number() OVER (
+                   PARTITION BY pos ORDER BY margin, vec_id
+               ) AS rk_in
+        FROM m
+    ),
+    t AS (
+        SELECT CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos,
+               CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_neg
+        FROM m
+    )
+    SELECT t.n_pos, t.n_neg,
+           ROUND(MAX(ABS(
+               CAST(CASE WHEN pos THEN rk_in ELSE rk - rk_in END
+                    AS DOUBLE) / t.n_pos
+               - CAST(CASE WHEN pos THEN rk - rk_in ELSE rk_in END
+                      AS DOUBLE) / t.n_neg
+           )), 6) AS ks
+    FROM r CROSS JOIN t
+    GROUP BY t.n_pos, t.n_neg
+    """,
+)
+def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import _global_rank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = F.array(*[F.lit(x) for x in WEIGHTS])
+    prod = F.zip_with(
+        F.col("embedding"), w, lambda x, wi: x.cast("double") * wi
+    )
+    margin = (
+        F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v) + BIAS
+    )
+    m = emb.select(
+        "vec_id",
+        (F.col("label") % 2 == 1).alias("pos"),
+        margin.alias("margin"),
+    ).cache()
+    bucket = F.floor(F.col("margin"))
+    order = [F.col("margin"), F.col("vec_id")]
+    ranked = _global_rank(m, bucket, order, "rk")
+    # class-conditional global ranks: each class ranked separately
+    pos_rk = _global_rank(
+        m.filter(F.col("pos")), bucket, order, "rk_in"
+    ).select("vec_id", "rk_in")
+    neg_rk = _global_rank(
+        m.filter(~F.col("pos")), bucket, order, "rk_in"
+    ).select("vec_id", "rk_in")
+    with_in = ranked.join(pos_rk.unionByName(neg_rk), "vec_id")
+    tot = m.agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+        F.sum(F.when(~F.col("pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_neg"),
+    )
+    j = with_in.crossJoin(F.broadcast(tot))
+    cum_pos = F.when(
+        F.col("pos"), F.col("rk_in")
+    ).otherwise(F.col("rk") - F.col("rk_in"))
+    cum_neg = F.when(
+        F.col("pos"), F.col("rk") - F.col("rk_in")
+    ).otherwise(F.col("rk_in"))
+    gap = F.abs(
+        cum_pos.cast("double") / F.col("n_pos")
+        - cum_neg.cast("double") / F.col("n_neg")
+    )
+    return j.groupBy("n_pos", "n_neg").agg(
+        F.round(F.max(gap), 6).alias("ks")
+    )

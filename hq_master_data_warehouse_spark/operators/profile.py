@@ -75,3 +75,56 @@ def _col_sql(c: str) -> str:
 def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return profile_stats(docs, PROFILE_COLUMNS)
+
+
+# -- Benford first-digit profile: the classic data-forensics check for
+#    fabricated or truncated numeric columns, over o_totalprice.  The
+#    first significant digit comes from string arithmetic on the
+#    integer part (no log/pow on doubles, whose last-ULP behavior
+#    could differ per engine); expected shares are the Benford
+#    distribution log10(1 + 1/d) as literals.  One grouped count over
+#    a map stage -- scales like any profile.
+@query(
+    "dq_benford_first_digit",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    t AS (SELECT COUNT(*) AS total FROM d)
+    SELECT digit,
+           COUNT(*) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / t.total, 6) AS share,
+           ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford_share
+    FROM d CROSS JOIN t
+    GROUP BY digit, t.total
+    """,
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    d = orders.filter(F.col("o_totalprice") >= 1).select(
+        digit.alias("digit")
+    )
+    tot = d.agg(F.count("*").alias("total"))
+    benford = F.array(
+        *[F.lit(round(math.log10(1.0 + 1.0 / i), 6)) for i in range(1, 10)]
+    )
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .groupBy("digit", "total")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+                "share"
+            ),
+            F.element_at(benford, F.col("digit")).alias("benford_share"),
+        )
+    )

@@ -204,3 +204,54 @@ def sample_weighted_no_replacement(
             F.round("k", 6).alias("sample_key"),
         )
     )
+
+
+#: shard count for the deterministic corpus shuffle (training-shard
+#: write path); production uses O(cluster cores) shards.
+N_SHARDS = 8
+
+
+@query(
+    "pack_shuffle_shards",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST(concat('0x', substr(hh, 1, 8)) AS BIGINT)
+                % {N_SHARDS} AS INT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY CAST(concat('0x', substr(hh, 1, 8))
+                                 AS BIGINT) % {N_SHARDS}
+               ORDER BY hh, doc_id
+           ) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def pack_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle into N training shards --
+    the write path every pretraining run needs: reproducible
+    (hash-derived, seed-free), uniform (md5 is uniform over doc_ids),
+    and fully distributed.  Shard assignment is a pure map; the
+    intra-shard order is a row_number window PARTITIONED BY shard, so
+    each shard sorts independently in parallel -- at 100 TB use
+    O(cores) shards and this is exactly a repartition + local sort,
+    the same physical shape ``df.repartition(N).sortWithinPartitions``
+    produces, but with an oracle-checkable explicit (shard, pos) key.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("hh"),
+    )
+    shard = (
+        F.conv(F.substring("hh", 1, 8), 16, 10).cast("long") % N_SHARDS
+    ).cast("int")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("hh", "doc_id")
+    return (
+        docs.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )

@@ -534,3 +534,127 @@ def similarity_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= BATCH_K)
         .select("qid", "vec_id", "rnk", "cosine")
     )
+
+
+#: matryoshka truncation width (MRL-style embeddings expose usable
+#: prefixes; 16 of 64 dims is the standard 4x storage cut)
+MAT_DIM = 16
+
+
+@query(
+    "embedding_matryoshka_truncate",
+    oracle=f"""
+    SELECT vec_id,
+           ROUND(sqrt(list_sum(list_transform(
+               embedding[1:{MAT_DIM}],
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+           ))), 6) AS norm{MAT_DIM},
+           ROUND(CASE WHEN list_sum(list_transform(
+                     embedding[1:{MAT_DIM}],
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                 )) = 0 THEN 0.0
+                 ELSE CAST(embedding[1] AS DOUBLE)
+                      / sqrt(list_sum(list_transform(
+                            embedding[1:{MAT_DIM}],
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                        )))
+            END, 6) AS c0_renorm
+    FROM embeddings
+    """,
+)
+def embedding_matryoshka_truncate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka-style embedding truncation: keep the first MAT_DIM
+    dims and L2-renormalize -- the storage/recall trade every
+    embedding store ships (prefix dims carry most of the signal in
+    MRL-trained models).  Pure map stage, zero shuffle, JVM
+    higher-order fold (same sequential order as DuckDB's list_sum, so
+    doubles are bit-identical pre-round); zero-norm prefixes
+    renormalize to 0 by convention, matching the cosine kernel's
+    zero-vector guard."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    prefix = F.slice(F.col("embedding"), 1, MAT_DIM)
+    sq = F.aggregate(
+        prefix,
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    norm = F.sqrt(sq)
+    c0 = F.element_at(F.col("embedding"), 1).cast("double")
+    return emb.select(
+        "vec_id",
+        F.round(norm, 6).alias(f"norm{MAT_DIM}"),
+        F.round(
+            F.when(sq == 0, F.lit(0.0)).otherwise(c0 / norm), 6
+        ).alias("c0_renorm"),
+    )
+
+
+MMR_LAMBDA = 0.7
+MMR_K = 10
+MMR_CANDIDATES = 50
+
+
+@query("similarity_mmr_diversify")  # rows-only: iterative re-ranker
+def similarity_mmr_diversify(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: pick MMR_K results that
+    trade query relevance against redundancy, argmax of
+    ``lambda*rel - (1-lambda)*max_sim_to_selected`` at each step.
+
+    Scale shape: the expensive stage -- scoring the corpus against the
+    query -- is the fully distributed exact top-k; MMR itself re-ranks
+    only the MMR_CANDIDATES-row head, a bounded O(k * c * dim) numpy
+    loop (the standard reranker contract: rerankers run on the
+    retrieved head, never the corpus).  The bounded head collect is
+    the same sanctioned pattern as the convergence probes in
+    connected components."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    cos = F.round(cosine_expr(F.col("embedding"), F.col("qe")), 6)
+    head = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "embedding", cos.alias("rel"))
+        .orderBy(F.col("rel").desc(), F.col("vec_id"))
+        .limit(MMR_CANDIDATES)
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in head], dtype=np.int64)
+    rel = np.array([r.rel for r in head], dtype=np.float64)
+    V = np.array([r.embedding for r in head], dtype=np.float64)
+    norms = np.linalg.norm(V, axis=1, keepdims=True)
+    V = V / np.where(norms == 0, 1.0, norms)
+    sims = V @ V.T
+    selected: list[int] = []
+    max_sim = np.full(len(head), -np.inf)
+    out = []
+    for step in range(min(MMR_K, len(head))):
+        if selected:
+            score = MMR_LAMBDA * rel - (1 - MMR_LAMBDA) * max_sim
+        else:
+            score = rel.copy()
+        score[selected] = -np.inf
+        # deterministic tie-break: lowest vec_id among max scores
+        best = int(
+            np.lexsort((ids, -score))[0]
+        )
+        selected.append(best)
+        max_sim = np.maximum(max_sim, sims[best])
+        out.append(
+            (
+                step + 1,
+                int(ids[best]),
+                float(rel[best]),
+                float(score[best]) if step else float(rel[best]),
+            )
+        )
+    return spark.createDataFrame(
+        out, "rank int, vec_id long, rel double, mmr_score double"
+    )

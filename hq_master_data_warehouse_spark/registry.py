@@ -125,6 +125,13 @@ PRIORITY: tuple[str, ...] = ()
 # round's window automatically once everything older holds a record.
 DEFER_NEW: tuple[str, ...] = (
     "multimodal_decode_png",
+    "ml_calibration_bins",
+    "ml_ks_statistic",
+    "dq_benford_first_digit",
+    "pack_shuffle_shards",
+    "embedding_matryoshka_truncate",
+    "orders_cohort_ltv",
+    "similarity_mmr_diversify",
 )
 
 

@@ -485,3 +485,28 @@ def test_zorder_interleave_matches_python_model(spark):
     for r in rows:
         assert r.zval == model(r.a, r.b)
         assert r.zfile == r.zval >> (2 * ZORDER_BITS - 6)
+
+
+def test_mmr_diversify_invariants(spark):
+    """MMR re-ranking: k distinct picks, the first pick is the pure
+    top-relevance hit, every pick's relevance comes from the candidate
+    head, and the diversity penalty actually reorders vs pure top-k."""
+    from hq_master_data_warehouse_spark.operators.similarity import (
+        MMR_K,
+        similarity_cosine_topk,
+        similarity_mmr_diversify,
+    )
+
+    rows = similarity_mmr_diversify(spark, SF).collect()
+    assert len(rows) == MMR_K
+    assert len({r.vec_id for r in rows}) == MMR_K
+    assert [r.rank for r in rows] == list(range(1, MMR_K + 1))
+    topk = similarity_cosine_topk(spark, SF).collect()
+    # first MMR pick == most relevant candidate
+    assert rows[0].vec_id == topk[0].vec_id
+    assert abs(rows[0].rel - topk[0].cosine) < 1e-9
+    # the penalty reorders: the MMR sequence is not simply the top-k
+    assert [r.vec_id for r in rows] != [r.vec_id for r in topk]
+    # mmr_score is rel for the seed and <= rel afterwards
+    for r in rows[1:]:
+        assert r.mmr_score <= r.rel + 1e-9
