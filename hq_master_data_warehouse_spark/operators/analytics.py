@@ -1627,3 +1627,98 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_per_customer"),
         )
     )
+
+
+#: SES smoothing factor and the literal weight tables both engines
+#: share: SES unrolls to a linear filter s_t = sum_i w(i,t) * x_i with
+#: w(i,t) = a*(1-a)^(t-i) for i>1 and (1-a)^(t-1) for the seed term,
+#: so embedding the powers as literals makes the arithmetic
+#: bit-identical across engines (no libm pow at query time).
+SES_ALPHA = 0.3
+_SES_MAX_T = 120
+_SES_A = [SES_ALPHA * (1 - SES_ALPHA) ** j for j in range(_SES_MAX_T)]
+_SES_B = [(1 - SES_ALPHA) ** k for k in range(_SES_MAX_T)]
+_SES_A_SQL = "[" + ", ".join(repr(x) for x in _SES_A) + "]"
+_SES_B_SQL = "[" + ", ".join(repr(x) for x in _SES_B) + "]"
+
+
+# -- simple-exponential-smoothing revenue forecast: the classic
+#    one-parameter baseline every demand-planning dashboard carries.
+#    The recurrence is unrolled into a bounded linear filter over the
+#    MONTHLY aggregate table (one row per month -- dozens of rows at
+#    any corpus size), so the quadratic month x month join and the
+#    global row_number are both over a bounded-domain summary, never
+#    the fact table: the same shape as the bucket-count tables in
+#    _global_rank.  Money aggregates ride exact integer cents.
+@query(
+    "orders_forecast_ses",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+                    AS DATE) AS mo,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT mo, cents,
+               CAST(row_number() OVER (ORDER BY mo) AS INT) AS t
+        FROM m
+    )
+    SELECT cur.mo,
+           cur.cents / 100.0 AS revenue,
+           ROUND(SUM(
+               (prior.cents / 100.0)
+               * CASE WHEN prior.t = 1
+                      THEN ({_SES_B_SQL})[cur.t]
+                      ELSE ({_SES_A_SQL})[cur.t - prior.t + 1]
+                 END
+           ), 2) AS ses_level
+    FROM idx cur JOIN idx prior ON prior.t <= cur.t
+    GROUP BY cur.mo, cur.cents
+    """,
+)
+def orders_forecast_ses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    monthly = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.to_date(
+                F.date_trunc("month", F.col("o_orderdate"))
+            ).alias("mo"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("mo")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    # global row_number over the bounded monthly summary only
+    idx = monthly.withColumn(
+        "t",
+        F.row_number().over(Window.orderBy("mo")).cast("int"),
+    ).cache()
+    a_arr = F.array(*[F.lit(x) for x in _SES_A])
+    b_arr = F.array(*[F.lit(x) for x in _SES_B])
+    cur = idx.select(
+        F.col("mo"), F.col("cents"), F.col("t").alias("tc")
+    )
+    prior = idx.select(
+        F.col("cents").alias("pcents"), F.col("t").alias("tp")
+    )
+    weight = F.when(
+        F.col("tp") == 1, F.element_at(b_arr, F.col("tc"))
+    ).otherwise(F.element_at(a_arr, F.col("tc") - F.col("tp") + 1))
+    return (
+        cur.join(prior, F.col("tp") <= F.col("tc"))
+        .groupBy("mo", "cents")
+        .agg(
+            F.round(
+                F.sum((F.col("pcents") / 100.0) * weight), 2
+            ).alias("ses_level")
+        )
+        .select(
+            "mo",
+            (F.col("cents") / 100.0).alias("revenue"),
+            "ses_level",
+        )
+    )

@@ -132,6 +132,8 @@ DEFER_NEW: tuple[str, ...] = (
     "embedding_matryoshka_truncate",
     "orders_cohort_ltv",
     "similarity_mmr_diversify",
+    "graph_pagerank_copurchase",
+    "orders_forecast_ses",
 )
 
 
@@ -163,6 +165,7 @@ def load_catalog() -> None:
         dedup,
         distribution,
         filters,
+        graph,
         joins,
         layout,
         ledger,

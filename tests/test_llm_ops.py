@@ -510,3 +510,42 @@ def test_mmr_diversify_invariants(spark):
     # mmr_score is rel for the seed and <= rel afterwards
     for r in rows[1:]:
         assert r.mmr_score <= r.rel + 1e-9
+
+
+def test_pagerank_mass_and_teleport_floor(spark):
+    """PageRank invariants on the co-purchase graph: every rank is at
+    least the teleport floor, total mass is <= 1 (dangling nodes leak
+    mass in the simple variant, matching the oracle), and the rank
+    vector is non-constant (the graph actually redistributes mass)."""
+    from hq_master_data_warehouse_spark.operators.graph import (
+        PR_DAMPING,
+        graph_pagerank_copurchase,
+    )
+
+    rows = graph_pagerank_copurchase(spark, SF).collect()
+    n = len(rows)
+    assert n > 0
+    floor_ppm = (1 - PR_DAMPING) / n * 1e6
+    total = sum(r.rank_ppm for r in rows) / 1e6
+    assert all(r.rank_ppm >= floor_ppm - 1e-6 for r in rows)
+    assert total <= 1.0 + 1e-6
+    assert len({r.rank_ppm for r in rows}) > 1
+
+
+def test_ses_seed_and_smoothing_bounds(spark):
+    """SES invariants: the first month's level equals its revenue
+    (seed), and every level lies within the min/max of revenues seen
+    so far (convexity of exponential smoothing)."""
+    from hq_master_data_warehouse_spark.operators.analytics import (
+        orders_forecast_ses,
+    )
+
+    rows = sorted(
+        orders_forecast_ses(spark, SF).collect(), key=lambda r: r.mo
+    )
+    assert rows
+    assert abs(rows[0].ses_level - rows[0].revenue) < 0.01
+    lo = hi = rows[0].revenue
+    for r in rows:
+        lo, hi = min(lo, r.revenue), max(hi, r.revenue)
+        assert lo - 0.01 <= r.ses_level <= hi + 0.01
