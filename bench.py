@@ -60,6 +60,9 @@ HEADLINE = [
     "text_unigram_surprisal",
     "orders_rfm_scores",
     "egress_retry_audit",
+    # round 4 additions
+    "graph_pagerank_copurchase",
+    "ml_ks_statistic",
 ]
 
 

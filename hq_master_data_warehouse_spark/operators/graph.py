@@ -100,7 +100,13 @@ def graph_pagerank_copurchase(
     deg = edges.groupBy("src").agg(
         F.count("*").cast("double").alias("d")
     )
-    out_mass = edges.join(deg, "src")  # src, dst, d
+    # pre-partition the (big) edge side on the per-iteration join key
+    # and cache it: every iteration's rank join then reuses this
+    # layout and only the per-node rank table (orders of magnitude
+    # smaller than the edges) moves through a shuffle per iteration.
+    out_mass = (
+        edges.join(deg, "src").repartition("src").cache()
+    )  # src, dst, d
     parts = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("v")
     )
