@@ -474,3 +474,113 @@ def audit_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("fp").cast("string").alias("checksum"),
         )
     )
+
+
+#: KMV sketch size (k minimum hash values); estimate = (k-1)/h_k
+KMV_K = 64
+_KMV_BITS = 48  # 12 hex chars -> exact in a double
+
+
+@query(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT CAST(concat('0x', substr(
+                   md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                   AS hv
+        FROM events
+    ),
+    mink AS (
+        SELECT hv FROM h ORDER BY hv LIMIT {KMV_K}
+    ),
+    truth AS (SELECT COUNT(*) AS exact_distinct FROM h)
+    SELECT {KMV_K} AS k,
+           truth.exact_distinct,
+           ROUND(({KMV_K} - 1)
+                 / (CAST(MAX(mink.hv) AS DOUBLE)
+                    / {2**_KMV_BITS}), 4) AS kmv_estimate
+    FROM mink CROSS JOIN truth
+    GROUP BY truth.exact_distinct
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch -- unlike HLL,
+    fully DETERMINISTIC given the hash, so the sketch itself is
+    oracle-checkable across engines (the HLL twin
+    `agg_approx_sketches` is rows-only because register layouts are
+    engine-specific).  The k smallest 48-bit md5 values estimate
+    distinct as (k-1)/h_(k): mergeable (union = merge + re-truncate,
+    the partial-aggregate law), fixed memory, and the distributed
+    top-k is a TakeOrdered, never a global sort.  Exact distinct
+    rides along for the error audit."""
+    events = load_table(spark, sf_dir, "events")
+    h = events.select(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 12),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv")
+    ).distinct()
+    mink = h.orderBy("hv").limit(KMV_K)
+    truth = h.agg(F.count("*").alias("exact_distinct"))
+    return (
+        mink.crossJoin(F.broadcast(truth))
+        .groupBy("exact_distinct")
+        .agg(
+            F.round(
+                (KMV_K - 1)
+                / (F.max("hv").cast("double") / float(2**_KMV_BITS)),
+                4,
+            ).alias("kmv_estimate")
+        )
+        .select(F.lit(KMV_K).alias("k"), "exact_distinct", "kmv_estimate")
+    )
+
+
+@query(
+    "events_activity_bitmap",
+    oracle="""
+    WITH b AS (
+        SELECT user_id,
+               CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE)
+                   AS mo,
+               bit_or(1::BIGINT << (CAST(day(CAST(ts AS TIMESTAMP))
+                                         AS INT) - 1)) AS day_bitmap
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT user_id, mo,
+           CAST(day_bitmap AS BIGINT) AS day_bitmap,
+           CAST(bit_count(day_bitmap) AS INT) AS active_days
+    FROM b
+    """,
+)
+def events_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user-month activity as a 31-bit day bitmap: ``bit_or`` of
+    ``1 << (day-1)`` -- the roaring-bitmap-lite pattern for
+    distinct-day counting and cohort overlap at 100 TB (bitmaps merge
+    with OR in the partial aggregate, cost one long per user-month,
+    and popcount replaces COUNT(DISTINCT day)).  Cross-engine exact:
+    bit arithmetic has no rounding."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id",
+            F.to_date(F.date_trunc("month", F.col("ts"))).alias("mo"),
+        )
+        .agg(
+            F.bit_or(
+                # shiftleft's Python binding wants a literal shift;
+                # the expression form takes the per-row day offset
+                F.expr("shiftleft(CAST(1 AS BIGINT), day(ts) - 1)")
+            ).alias("day_bitmap")
+        )
+        .select(
+            "user_id",
+            "mo",
+            F.col("day_bitmap").cast("long").alias("day_bitmap"),
+            F.bit_count("day_bitmap").cast("int").alias("active_days"),
+        )
+    )

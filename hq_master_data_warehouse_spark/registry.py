@@ -134,6 +134,8 @@ DEFER_NEW: tuple[str, ...] = (
     "similarity_mmr_diversify",
     "graph_pagerank_copurchase",
     "orders_forecast_ses",
+    "sketch_kmv_distinct",
+    "events_activity_bitmap",
 )
 
 
