@@ -1636,10 +1636,29 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: bit-identical across engines (no libm pow at query time).
 SES_ALPHA = 0.3
 _SES_MAX_T = 120
-_SES_A = [SES_ALPHA * (1 - SES_ALPHA) ** j for j in range(_SES_MAX_T)]
-_SES_B = [(1 - SES_ALPHA) ** k for k in range(_SES_MAX_T)]
-_SES_A_SQL = "[" + ", ".join(repr(x) for x in _SES_A) + "]"
-_SES_B_SQL = "[" + ", ".join(repr(x) for x in _SES_B) + "]"
+#: weights quantized to 9 decimal digits and carried as EXACT DECIMAL
+#: literals: a double weight table makes the level a sum of doubles,
+#: and when that sum lands within an ULP of a .005 cent boundary the
+#: two engines' final ROUND-on-double disagree (observed live at
+#: sf0.001: 4695438.225 -> .23 Spark / .22 DuckDB).  Decimal weights x
+#: integer cents keep the whole filter exact and order-independent;
+#: the only rounding is HALF_UP on an exact decimal, identical in
+#: both engines.
+from decimal import Decimal as _Dec
+
+_SES_A = [
+    _Dec(f"{SES_ALPHA * (1 - SES_ALPHA) ** j:.9f}")
+    for j in range(_SES_MAX_T)
+]
+_SES_B = [
+    _Dec(f"{(1 - SES_ALPHA) ** k:.9f}") for k in range(_SES_MAX_T)
+]
+_SES_A_SQL = (
+    "[" + ", ".join(f"CAST({x} AS DECIMAL(10,9))" for x in _SES_A) + "]"
+)
+_SES_B_SQL = (
+    "[" + ", ".join(f"CAST({x} AS DECIMAL(10,9))" for x in _SES_B) + "]"
+)
 
 
 # -- simple-exponential-smoothing revenue forecast: the classic
@@ -1667,13 +1686,13 @@ _SES_B_SQL = "[" + ", ".join(repr(x) for x in _SES_B) + "]"
     )
     SELECT cur.mo,
            cur.cents / 100.0 AS revenue,
-           ROUND(SUM(
-               (prior.cents / 100.0)
+           CAST(ROUND(SUM(
+               CAST(prior.cents AS DECIMAL(20,0))
                * CASE WHEN prior.t = 1
                       THEN ({_SES_B_SQL})[cur.t]
                       ELSE ({_SES_A_SQL})[cur.t - prior.t + 1]
                  END
-           ), 2) AS ses_level
+           ), 0) AS DOUBLE) / 100.0 AS ses_level
     FROM idx cur JOIN idx prior ON prior.t <= cur.t
     GROUP BY cur.mo, cur.cents
     """,
@@ -1697,8 +1716,9 @@ def orders_forecast_ses(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
         F.row_number().over(Window.orderBy("mo")).cast("int"),
     ).cache()
-    a_arr = F.array(*[F.lit(x) for x in _SES_A])
-    b_arr = F.array(*[F.lit(x) for x in _SES_B])
+    dec = "decimal(10,9)"
+    a_arr = F.array(*[F.lit(x).cast(dec) for x in _SES_A])
+    b_arr = F.array(*[F.lit(x).cast(dec) for x in _SES_B])
     cur = idx.select(
         F.col("mo"), F.col("cents"), F.col("t").alias("tc")
     )
@@ -1708,12 +1728,22 @@ def orders_forecast_ses(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight = F.when(
         F.col("tp") == 1, F.element_at(b_arr, F.col("tc"))
     ).otherwise(F.element_at(a_arr, F.col("tc") - F.col("tp") + 1))
+    # exact decimal cents x decimal weights: the level is an exact
+    # decimal, so HALF_UP rounding agrees with the oracle by value,
+    # not by luck of the double ULP.  Decimal agg leaves codegen, but
+    # only over the bounded month x month join.
     return (
         cur.join(prior, F.col("tp") <= F.col("tc"))
         .groupBy("mo", "cents")
         .agg(
-            F.round(
-                F.sum((F.col("pcents") / 100.0) * weight), 2
+            (
+                F.round(
+                    F.sum(
+                        F.col("pcents").cast("decimal(20,0)") * weight
+                    ),
+                    0,
+                ).cast("double")
+                / 100.0
             ).alias("ses_level")
         )
         .select(

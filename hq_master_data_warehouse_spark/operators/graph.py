@@ -134,3 +134,153 @@ def graph_pagerank_copurchase(
         F.col("v").alias("part_id"),
         F.round(F.col("r") * 1e6, 4).alias("rank_ppm"),
     )
+
+
+# -- triangle counting with degree-ordered orientation: every edge is
+#    directed from its lower-(degree, id) endpoint to the higher one,
+#    which (a) counts each triangle exactly once and (b) bounds the
+#    per-vertex out-degree by O(sqrt(E)) on any graph -- the classic
+#    trick that keeps the wedge join from exploding on skewed/hub
+#    vertices at 100 TB.  Both engines express the same oriented
+#    wedge join; counts are exact integers, the clustering
+#    coefficient is exact-integer ppm (no ROUND-on-double).
+_TRI_EDGES = """
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+"""
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH und AS ({_TRI_EDGES}),
+    deg AS (
+        SELECT x AS node, COUNT(*) AS d FROM (
+            SELECT u AS x FROM und UNION ALL SELECT v FROM und
+        ) GROUP BY 1
+    ),
+    ori AS (
+        SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v)
+                    THEN e.u ELSE e.v END AS s,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v)
+                    THEN e.v ELSE e.u END AS t,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v)
+                    THEN dv.d ELSE du.d END AS dt
+        FROM und e
+        JOIN deg du ON du.node = e.u
+        JOIN deg dv ON dv.node = e.v
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n_tri
+        FROM ori e1
+        JOIN ori e2 ON e2.s = e1.s
+                   AND (e1.dt, e1.t) < (e2.dt, e2.t)
+        JOIN ori e3 ON e3.s = e1.t AND e3.t = e2.t
+    ),
+    wedge AS (
+        SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+        FROM deg
+    )
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM und) AS n_edges,
+           (SELECT n_tri FROM tri) AS n_triangles,
+           (SELECT CAST((2000000 * 3 * n_tri + n_wedges)
+                        // (2 * n_wedges) AS BIGINT)
+            FROM tri, wedge) AS clustering_ppm
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global clustering coefficient (ppm) of
+    the part co-purchase graph.  Each oriented edge carries its
+    head's (degree, id) rank so wedges enumerate each unordered
+    out-neighbor pair once and the closing edge's orientation is
+    known -- every join is a pure equi-join (never an OR-condition
+    nested loop) and each triangle is counted exactly once, from its
+    order-minimal vertex."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v")
+    )
+    und = (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .cache()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+        .cache()
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    ori = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(lower, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+        )
+        .cache()
+    )
+    e1 = ori.select(
+        F.col("s").alias("s1"),
+        F.col("t").alias("t1"),
+        F.col("dt").alias("dt1"),
+    )
+    e2 = ori.select(
+        F.col("s").alias("s2"),
+        F.col("t").alias("t2"),
+        F.col("dt").alias("dt2"),
+    )
+    e3 = ori.select(F.col("s").alias("s3"), F.col("t").alias("t3"))
+    # equi-join on the wedge apex; the (dt, t) ordering both dedups
+    # the out-neighbor pair AND guarantees the closing edge is
+    # oriented t1 -> t2, so the close is an equi-join too.
+    wedges = e1.join(e2, F.col("s2") == F.col("s1")).filter(
+        (F.col("dt1") < F.col("dt2"))
+        | ((F.col("dt1") == F.col("dt2")) & (F.col("t1") < F.col("t2")))
+    )
+    closed = wedges.join(
+        e3,
+        (F.col("s3") == F.col("t1")) & (F.col("t3") == F.col("t2")),
+    )
+    n_tri2 = closed.agg(F.count("*").alias("n_tri"))
+    n_wedge = deg.agg(
+        F.sum(
+            F.expr("d * (d - 1) div 2")
+        ).alias("n_wedges")
+    )
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    n_edges = und.agg(F.count("*").alias("n_edges"))
+    return (
+        n_nodes.crossJoin(n_edges)
+        .crossJoin(n_tri2)
+        .crossJoin(n_wedge)
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("n_tri").alias("n_triangles"),
+            F.expr(
+                "(2000000L * 3 * n_tri + n_wedges)"
+                " div (2L * n_wedges)"
+            ).alias("clustering_ppm"),
+        )
+    )

@@ -241,3 +241,105 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("segment", "tier")
         .agg(F.count("*").alias("n_customers"))
     )
+
+
+#: bloom-prefilter geometry: m = 2^17 bits (16 KiB as 2048 longs --
+#: driver/broadcast-trivial), k = 4 probes.  At ~4k build keys the
+#: false-positive rate is ~(1 - e^(-4*4096/131072))^4 ~ 2e-4.
+_BLOOM_M = 1 << 17
+_BLOOM_K = 4
+
+
+def _bloom_words(dim_keys, key: str) -> list[int]:
+    """Build the bloom bitmap from the (small) build side: explode k
+    seeded xxhash64 probes per key, OR per 64-bit word, collect the
+    <= m/64 populated words.  The collect is bounded by the BITMAP
+    size (2048 rows), never the key count -- the same bounded-probe
+    pattern as the cosine chunk grid."""
+    from pyspark.sql import functions as FF
+
+    seeds = FF.explode(
+        FF.array(*[FF.lit(i) for i in range(_BLOOM_K)])
+    ).alias("seed")
+    pos = FF.pmod(
+        FF.xxhash64(FF.col(key), FF.col("seed")), FF.lit(_BLOOM_M)
+    )
+    words = (
+        dim_keys.select(FF.col(key), seeds)
+        .select(
+            (pos / 64).cast("long").alias("word"),
+            FF.expr(
+                f"shiftleft(1L, cast(pmod(xxhash64({key}, seed),"
+                f" {_BLOOM_M}) % 64 as int))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(FF.bit_or("mask").alias("mask"))
+        .collect()
+    )
+    full = [0] * (_BLOOM_M // 64)
+    for r in words:
+        full[int(r["word"])] = int(r["mask"])
+    return full
+
+
+# -- J6 (engine surface): bloom-runtime-filter semi-join.  The exact
+#    semi-join result is UNCHANGED (false positives are removed by
+#    the final equi-join; the oracle is the plain semi-join) -- the
+#    bloom stage exists to drop ~all non-matching fact rows BEFORE
+#    the shuffle, the same trade Spark's AQE InjectRuntimeFilter
+#    makes internally.  Expressed explicitly: the 16 KiB bitmap rides
+#    the plan as an array literal, the probe is 4 JVM-side
+#    xxhash64+bit_get expressions inside whole-stage codegen, zero
+#    extra shuffles and zero Python in the row path.
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) / 100.0 AS revenue
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+    GROUP BY 1
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join orders to BUILDING-segment customers with an
+    explicit bloom pre-filter on the fact side before the exact
+    (broadcast) semi-join.  Result is bit-identical to the plain
+    semi-join by construction."""
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    bitmap = F.lit(_bloom_words(dim, "c_custkey"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    cond = None
+    for i in range(_BLOOM_K):
+        pos = F.pmod(
+            F.xxhash64(F.col("o_custkey"), F.lit(i)), F.lit(_BLOOM_M)
+        )
+        word = F.element_at(bitmap, (pos / 64).cast("int") + 1)
+        hit = F.bit_get(word, (pos % 64).cast("int")) == 1
+        cond = hit if cond is None else (cond & hit)
+    candidates = orders.filter(cond)
+    exact = candidates.join(F.broadcast(dim),
+                            candidates["o_custkey"] == dim["c_custkey"],
+                            "left_semi")
+    return (
+        exact.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                )
+                / 100.0
+            ).alias("revenue"),
+        )
+    )

@@ -1,0 +1,668 @@
+"""Record-lifecycle and rule-mining analytics (engine surface).
+
+Warehouse maintenance and behavioral-analytics shapes the reference's
+ledger workflow implies but its API never names: CDC log application
+(the generalization of `supabase/functions/clay-webhook/index.ts`'s
+upsert stream -- reference webhooks are an insert/update CDC feed),
+gaps-and-islands activity streaks, Kaplan-Meier repeat-purchase
+survival, MATCH_RECOGNIZE-style shape detection over a revenue series,
+association-rule mining over the co-purchase basket, referential-
+integrity audits across the star schema's FK edges, and exact weighted
+medians.
+
+Cross-engine conventions (see tests/driver_check.py hazard notes):
+money rides exact integer cents; ratios are reported as exact-integer
+parts-per-million via integer division (``a DIV b`` / ``a // b``), so
+no ROUND-on-double ever decides an output digit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.loaders import load_table
+
+
+def _cents(col: F.Column) -> F.Column:
+    """Exact 2-decimal money -> integer cents in a long."""
+    return F.round(col * 100).cast("long")
+
+
+# -- CDC apply: a change-log (insert/update/delete per key, ordered by
+#    a sequence) collapsed to the final snapshot, last-writer-wins.
+#    The standard merge shape behind every lakehouse MERGE INTO: ONE
+#    shuffle on the key, a per-key window picking the newest record,
+#    then a filter dropping keys whose final op is a delete.  At
+#    100 TB the window partitions on the real key (user_id) -- no
+#    bounded-domain or single-partition window anywhere.
+@query(
+    "ingest_cdc_apply",
+    oracle="""
+    WITH log AS (
+        SELECT user_id,
+               ts,
+               event_id,
+               CASE WHEN event_id % 10 = 0 THEN 'D'
+                    WHEN event_id % 10 <= 3 THEN 'I'
+                    ELSE 'U' END AS op,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    latest AS (
+        SELECT user_id, op, cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+        FROM log
+    )
+    SELECT user_id, op AS last_op, cents AS last_cents, n_ops
+    FROM latest
+    WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def ingest_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC log (derived deterministically from `events`) to
+    produce the live snapshot: newest record per key wins; keys whose
+    newest op is a delete vanish.  Ref: the clay-webhook upsert feed
+    (supabase/functions/clay-webhook/index.ts) is this op with op='U'
+    only."""
+    log = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_id") % 10 == 0, "D")
+        .when(F.col("event_id") % 10 <= 3, "I")
+        .otherwise("U")
+        .alias("op"),
+        _cents(F.col("value")).alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        log.select(
+            "user_id",
+            "op",
+            "cents",
+            F.row_number().over(w).alias("rn"),
+            F.count("*")
+            .over(Window.partitionBy("user_id"))
+            .alias("n_ops"),
+        )
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.col("op").alias("last_op"),
+            F.col("cents").alias("last_cents"),
+            "n_ops",
+        )
+    )
+
+
+# -- gaps-and-islands: consecutive-day activity streaks per user.  The
+#    island key (day minus per-user day rank) turns runs of
+#    consecutive dates into equal constants -- the classic trick,
+#    entirely windowed on the REAL user key: one shuffle, scales.
+@query(
+    "events_activity_streaks",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    r AS (
+        SELECT user_id, day,
+               day - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY day) AS INTEGER)
+                   AS island
+        FROM d
+    ),
+    s AS (
+        SELECT user_id, island,
+               COUNT(*) AS streak_len, MIN(day) AS streak_start
+        FROM r GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(SUM(streak_len) AS BIGINT) AS active_days,
+           COUNT(*) AS n_streaks,
+           MAX(streak_len) AS max_streak,
+           MIN(CASE WHEN streak_len = ms THEN streak_start END)
+               AS best_streak_start
+    FROM (SELECT *, MAX(streak_len) OVER (PARTITION BY user_id) AS ms
+          FROM s)
+    GROUP BY user_id
+    """,
+)
+def events_activity_streaks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Longest consecutive-active-day streak per user (gaps &
+    islands); earliest start date breaks max-length ties so the
+    output is deterministic in both engines."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    wu = Window.partitionBy("user_id").orderBy("day")
+    r = d.select(
+        "user_id",
+        "day",
+        F.date_sub(
+            F.col("day"), F.row_number().over(wu)
+        ).alias("island"),
+    )
+    s = r.groupBy("user_id", "island").agg(
+        F.count("*").alias("streak_len"),
+        F.min("day").alias("streak_start"),
+    )
+    ms = s.withColumn(
+        "ms",
+        F.max("streak_len").over(Window.partitionBy("user_id")),
+    )
+    return ms.groupBy("user_id").agg(
+        F.sum("streak_len").alias("active_days"),
+        F.count("*").alias("n_streaks"),
+        F.max("streak_len").alias("max_streak"),
+        F.min(
+            F.when(
+                F.col("streak_len") == F.col("ms"),
+                F.col("streak_start"),
+            )
+        ).alias("best_streak_start"),
+    )
+
+
+# -- Kaplan-Meier: time from first to second order, right-censored at
+#    the study end for one-order customers.  The estimator runs over
+#    the DISTINCT-DURATION summary (bounded by the date-range span in
+#    days, never the fact table), so the ordered cumulative windows
+#    are bounded-domain -- same precedent as the monthly SES table.
+#    EXP(SUM(LN)) can differ from the other engine by ~1 ULP per
+#    term; at ROUND(.,4) the collision band is ~1e-11 wide -- accepted
+#    (same class as graph_pagerank_copurchase's rank_ppm rounding).
+@query(
+    "orders_survival_km",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey,
+               CAST(o_orderdate AS DATE) AS d,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ),
+    study AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS fin FROM orders),
+    subj AS (
+        SELECT f.o_custkey,
+               CASE WHEN s.d IS NULL
+                    THEN date_diff('day', f.d, study.fin)
+                    ELSE date_diff('day', f.d, s.d) END AS dur,
+               CASE WHEN s.d IS NULL THEN 0 ELSE 1 END AS ev
+        FROM (SELECT * FROM seq WHERE rn = 1) f
+        CROSS JOIN study
+        LEFT JOIN (SELECT * FROM seq WHERE rn = 2) s
+               ON s.o_custkey = f.o_custkey
+    ),
+    tab AS (
+        SELECT dur AS t,
+               CAST(SUM(ev) AS BIGINT) AS d_events,
+               COUNT(*) AS leaving
+        FROM subj GROUP BY dur
+    ),
+    risk AS (
+        SELECT t, d_events,
+               CAST(SUM(leaving) OVER (
+                   ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_risk
+        FROM tab
+    )
+    SELECT t AS duration_days,
+           n_risk,
+           d_events AS n_events,
+           ROUND(CASE WHEN MIN(1.0 - CAST(d_events AS DOUBLE) / n_risk)
+                           OVER w = 0.0
+                      THEN 0.0
+                      ELSE EXP(SUM(LN(
+                          CASE WHEN d_events < n_risk
+                               THEN 1.0 - CAST(d_events AS DOUBLE)
+                                          / n_risk
+                               ELSE 1.0 END)) OVER w)
+                 END, 4) AS survival
+    FROM risk
+    WHERE d_events > 0
+    WINDOW w AS (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of the first->second order interval.
+    Durations with no event are censoring-only and appear in n_risk
+    but not as output rows, per the standard estimator."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        "o_orderkey",
+    )
+    wseq = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    seq = orders.select(
+        "o_custkey", "d", F.row_number().over(wseq).alias("rn")
+    )
+    first = seq.filter(F.col("rn") == 1).select(
+        "o_custkey", F.col("d").alias("d1")
+    )
+    second = seq.filter(F.col("rn") == 2).select(
+        F.col("o_custkey").alias("ck2"), F.col("d").alias("d2")
+    )
+    fin = orders.agg(F.max("d").alias("fin"))
+    subj = (
+        first.crossJoin(F.broadcast(fin))
+        .join(second, first["o_custkey"] == second["ck2"], "left")
+        .select(
+            F.when(
+                F.col("d2").isNull(),
+                F.datediff(F.col("fin"), F.col("d1")),
+            )
+            .otherwise(F.datediff(F.col("d2"), F.col("d1")))
+            .alias("dur"),
+            F.when(F.col("d2").isNull(), 0)
+            .otherwise(1)
+            .alias("ev"),
+        )
+    )
+    tab = subj.groupBy(F.col("dur").alias("t")).agg(
+        F.sum("ev").alias("d_events"), F.count("*").alias("leaving")
+    )
+    wdesc = (
+        Window.orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = tab.select(
+        "t",
+        "d_events",
+        F.sum("leaving").over(wdesc).alias("n_risk"),
+    )
+    wasc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    factor = 1.0 - F.col("d_events").cast("double") / F.col("n_risk")
+    # LN argument guarded to 1.0 (exact zero contribution) on rows
+    # where everyone at risk fails: DuckDB ERRORS on ln(0) and Spark
+    # returns NULL -- neither may reach the window sum.  The outer
+    # CASE then pins survival to 0 from that row on.
+    safe_ln = F.log(
+        F.when(
+            F.col("d_events") < F.col("n_risk"), factor
+        ).otherwise(F.lit(1.0))
+    )
+    surv = F.when(F.min(factor).over(wasc) == 0.0, 0.0).otherwise(
+        F.exp(F.sum(safe_ln).over(wasc))
+    )
+    return (
+        risk.select(
+            F.col("t").alias("duration_days"),
+            "n_risk",
+            F.col("d_events").alias("n_events"),
+            F.round(surv, 4).alias("survival"),
+            F.col("d_events").alias("_d"),
+        )
+        .filter(F.col("_d") > 0)
+        .drop("_d")
+    )
+
+
+# -- MATCH_RECOGNIZE-style shape detection: strict two-day-down,
+#    two-day-up V-shapes in the daily revenue series, via LAG/LEAD
+#    over the bounded daily summary (exact integer cents -- every
+#    comparison and output value is integer-derived).
+@query(
+    "window_pattern_vshape",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1
+    ),
+    lagged AS (
+        SELECT day, cents,
+               LAG(cents, 2)  OVER w AS l2,
+               LAG(cents, 1)  OVER w AS l1,
+               LEAD(cents, 1) OVER w AS n1,
+               LEAD(cents, 2) OVER w AS n2
+        FROM daily WINDOW w AS (ORDER BY day)
+    )
+    SELECT day AS trough_day,
+           cents / 100.0 AS trough_revenue,
+           (l2 - cents) / 100.0 AS decline,
+           (n2 - cents) / 100.0 AS recovery
+    FROM lagged
+    WHERE l2 > l1 AND l1 > cents AND cents < n1 AND n1 < n2
+    """,
+)
+def window_pattern_vshape(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """V-shape (down-down-up-up) pattern match over daily revenue.
+    The LAG/LEAD window is global but over the bounded per-day
+    summary (one row per calendar day), the same bounded-domain
+    precedent as the SES monthly table."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.to_date("o_orderdate").alias("day"),
+            _cents(F.col("o_totalprice")).alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").alias("cents"))
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "cents",
+        F.lag("cents", 2).over(w).alias("l2"),
+        F.lag("cents", 1).over(w).alias("l1"),
+        F.lead("cents", 1).over(w).alias("n1"),
+        F.lead("cents", 2).over(w).alias("n2"),
+    )
+    return lagged.filter(
+        (F.col("l2") > F.col("l1"))
+        & (F.col("l1") > F.col("cents"))
+        & (F.col("cents") < F.col("n1"))
+        & (F.col("n1") < F.col("n2"))
+    ).select(
+        F.col("day").alias("trough_day"),
+        (F.col("cents") / 100.0).alias("trough_revenue"),
+        ((F.col("l2") - F.col("cents")) / 100.0).alias("decline"),
+        ((F.col("n2") - F.col("cents")) / 100.0).alias("recovery"),
+    )
+
+
+#: ppm ratio via exact integer half-away division: no double ever
+#: decides a digit.  a, b are long expressions; b > 0.
+def _ppm_sql(a: str, b: str) -> str:
+    return f"(2000000 * ({a}) + ({b})) // (2 * ({b}))"
+
+
+def _ppm(a: str, b: str) -> F.Column:
+    """Spark twin of _ppm_sql over SQL fragments naming long columns:
+    `div` is Spark's exact integer division on longs (the `/`
+    operator would detour through double and lose exactness past
+    2^53)."""
+    return F.expr(
+        f"(2000000L * ({a}) + ({b})) div (2L * ({b}))"
+    ).cast("long")
+
+
+# -- association rules over the order basket: support / confidence /
+#    lift for directed part pairs.  Pair counts explode per-order
+#    C(k,2) with k bounded by basket size (~7 in TPC-H) -- the
+#    standard market-basket shape; the global top-20 is a distributed
+#    TakeOrderedAndProject, never a single-partition sort of the pair
+#    table.  Ratios are exact-integer ppm (see _ppm): n_ab * 2e6 and
+#    N * 2e6 stay far below 2^63 up to ~10^12 baskets.
+@query(
+    "basket_association_rules",
+    oracle=f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    nn AS (SELECT COUNT(DISTINCT o) AS n FROM op),
+    item AS (SELECT p, COUNT(*) AS n_item FROM op GROUP BY p),
+    pair AS (
+        SELECT a.p AS ante, b.p AS cons, COUNT(*) AS n_ab
+        FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p
+        GROUP BY a.p, b.p
+    )
+    SELECT ante, cons, n_ab,
+           {_ppm_sql("n_ab", "ia.n_item")} AS conf_ppm,
+           {_ppm_sql("n_ab * nn.n", "ia.n_item * ic.n_item")}
+               AS lift_ppm
+    FROM pair
+    JOIN item ia ON ia.p = ante
+    JOIN item ic ON ic.p = cons
+    CROSS JOIN nn
+    WHERE n_ab >= 3
+    ORDER BY lift_ppm DESC, ante, cons
+    LIMIT 20
+    """,
+)
+def basket_association_rules(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-20 directed association rules by lift (min support 3).
+    lift_ppm multiplies counts BEFORE dividing (exact longs), so the
+    int64 bound is n_ab * N * 2e6 -- safe to ~10^6 baskets per rule
+    at 10^6-basket corpora; beyond that the multiply widens to
+    DECIMAL (not needed at any driver SF)."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("o"),
+            F.col("l_partkey").alias("p"),
+        )
+        .distinct()
+    )
+    n = op.select("o").distinct().count()
+    item = op.groupBy("p").agg(F.count("*").alias("n_item"))
+    a = op.select("o", F.col("p").alias("ante"))
+    b = op.select(F.col("o").alias("o2"), F.col("p").alias("cons"))
+    pair = (
+        a.join(b, (a["o"] == b["o2"]) & (F.col("ante") != F.col("cons")))
+        .groupBy("ante", "cons")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    ia = item.select(
+        F.col("p").alias("ante"), F.col("n_item").alias("na")
+    )
+    ic = item.select(
+        F.col("p").alias("cons"), F.col("n_item").alias("nc")
+    )
+    out = (
+        pair.join(ia, "ante")
+        .join(ic, "cons")
+        .select(
+            "ante",
+            "cons",
+            "n_ab",
+            _ppm("n_ab", "na").alias("conf_ppm"),
+            _ppm(f"n_ab * {n}L", "na * nc").alias("lift_ppm"),
+        )
+    )
+    return out.orderBy(
+        F.col("lift_ppm").desc(), "ante", "cons"
+    ).limit(20)
+
+
+# -- referential-integrity audit over every FK edge of the star
+#    schema: child row count + orphan count per edge, via LEFT ANTI
+#    joins (broadcast for the small parents).  The lakehouse
+#    equivalent of the reference's Postgres FK constraints
+#    (supabase-schema.sql REFERENCES clauses), which a parquet lake
+#    must re-check by query.
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+           (SELECT COUNT(*) FROM lineitem) AS child_rows,
+           (SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+               AS orphan_rows
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                               WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation',
+           (SELECT COUNT(*) FROM supplier),
+           (SELECT COUNT(*) FROM supplier s
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = s.s_nationkey))
+    UNION ALL
+    SELECT 'nation.n_regionkey->region',
+           (SELECT COUNT(*) FROM nation),
+           (SELECT COUNT(*) FROM nation n
+             WHERE NOT EXISTS (SELECT 1 FROM region r
+                               WHERE r.r_regionkey = n.n_regionkey))
+    """,
+)
+def dq_referential_integrity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Orphan audit for all seven FK edges.  Each leg is one
+    broadcast (parent side is the smaller table or a key projection)
+    anti-join count -- at 100 TB the lineitem legs broadcast the
+    distinct parent keys, never shuffle the fact table."""
+    t = {
+        name: load_table(spark, sf_dir, name)
+        for name in (
+            "lineitem",
+            "orders",
+            "part",
+            "supplier",
+            "customer",
+            "nation",
+            "region",
+        )
+    }
+
+    def leg(
+        edge: str, child: DataFrame, ck: str, parent: DataFrame, pk: str
+    ) -> DataFrame:
+        c = child.select(F.col(ck).alias("k"))
+        p = parent.select(F.col(pk).alias("k")).distinct()
+        orphans = c.join(F.broadcast(p), "k", "left_anti")
+        return (
+            c.agg(F.count("*").alias("child_rows"))
+            .crossJoin(orphans.agg(F.count("*").alias("orphan_rows")))
+            .select(
+                F.lit(edge).alias("fk_edge"),
+                "child_rows",
+                "orphan_rows",
+            )
+        )
+
+    legs = [
+        leg(
+            "lineitem.l_orderkey->orders",
+            t["lineitem"], "l_orderkey", t["orders"], "o_orderkey",
+        ),
+        leg(
+            "lineitem.l_partkey->part",
+            t["lineitem"], "l_partkey", t["part"], "p_partkey",
+        ),
+        leg(
+            "lineitem.l_suppkey->supplier",
+            t["lineitem"], "l_suppkey", t["supplier"], "s_suppkey",
+        ),
+        leg(
+            "orders.o_custkey->customer",
+            t["orders"], "o_custkey", t["customer"], "c_custkey",
+        ),
+        leg(
+            "customer.c_nationkey->nation",
+            t["customer"], "c_nationkey", t["nation"], "n_nationkey",
+        ),
+        leg(
+            "supplier.s_nationkey->nation",
+            t["supplier"], "s_nationkey", t["nation"], "n_nationkey",
+        ),
+        leg(
+            "nation.n_regionkey->region",
+            t["nation"], "n_regionkey", t["region"], "r_regionkey",
+        ),
+    ]
+    out = legs[0]
+    for other in legs[1:]:
+        out = out.unionAll(other)
+    return out
+
+
+# -- exact weighted median: the smallest value whose cumulative
+#    weight reaches half the total.  Runs on the (group, value)
+#    summary -- the per-group ordered window scans each group's
+#    DISTINCT values once after one shuffle; the standard exact-
+#    median shape (no sampling, no approx_percentile).
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH g AS (
+        SELECT l_returnflag AS flag,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+               SUM(CAST(l_quantity AS BIGINT)) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT flag, cents, w,
+               SUM(w) OVER (PARTITION BY flag ORDER BY cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cw,
+               SUM(w) OVER (PARTITION BY flag) AS tot
+        FROM g
+    )
+    SELECT flag,
+           MIN(cents) / 100.0 AS weighted_median,
+           CAST(MIN(tot) AS BIGINT) AS total_weight
+    FROM c
+    WHERE 2 * cw >= tot
+    GROUP BY flag
+    """,
+)
+def agg_weighted_median(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantity-weighted exact median price per return flag (lower
+    median: least value v with 2 * W(<=v) >= W_total)."""
+    g = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            _cents(F.col("l_extendedprice")).alias("cents"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("flag", "cents")
+        .agg(F.sum("q").alias("w"))
+    )
+    wc = (
+        Window.partitionBy("flag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = g.select(
+        "flag",
+        "cents",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(Window.partitionBy("flag")).alias("tot"),
+    )
+    return (
+        c.filter(2 * F.col("cw") >= F.col("tot"))
+        .groupBy("flag")
+        .agg(
+            (F.min("cents") / 100.0).alias("weighted_median"),
+            F.min("tot").alias("total_weight"),
+        )
+    )

@@ -211,3 +211,57 @@ def privacy_dp_noisy_counts(
         "c_mktsegment",
         F.round(F.col("true_count") - noise, 6).alias("noisy_count"),
     )
+
+
+L_DIVERSITY = 3
+
+
+# -- l-diversity: the refinement of k-anonymity that also requires
+#    each quasi-identifier group to carry at least L DISTINCT
+#    sensitive values (a k-anonymous group whose members all share
+#    one sensitive value still leaks it).  One grouped count +
+#    count-distinct over the QI tuple -- a single shuffle, same shape
+#    as the k-anonymity audit at any scale.
+@query(
+    "privacy_l_diversity",
+    oracle=f"""
+    SELECT c_nationkey AS nation,
+           c_mktsegment AS segment,
+           COUNT(*) AS k_size,
+           CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS
+                BIGINT)) AS BIGINT) AS l_distinct,
+           COUNT(*) >= {K_ANON}
+               AND COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS
+                   BIGINT)) >= {L_DIVERSITY} AS is_safe
+    FROM customer
+    GROUP BY 1, 2
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity + l-diversity audit over the (nation, segment)
+    quasi-identifier with the $1000 account-balance band as the
+    sensitive attribute.  FLOOR on acctbal/1000 is exact for the
+    2-decimal fixture domain (no half-tie hazard: floor, not
+    round)."""
+    cust = load_table(spark, sf_dir, "customer")
+    sensitive = F.floor(F.col("c_acctbal") / 1000.0).cast("long")
+    return (
+        cust.groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count("*").alias("k_size"),
+            F.countDistinct(sensitive).alias("l_distinct"),
+        )
+        .select(
+            "nation",
+            "segment",
+            "k_size",
+            "l_distinct",
+            (
+                (F.col("k_size") >= K_ANON)
+                & (F.col("l_distinct") >= L_DIVERSITY)
+            ).alias("is_safe"),
+        )
+    )

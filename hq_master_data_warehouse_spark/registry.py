@@ -136,6 +136,16 @@ DEFER_NEW: tuple[str, ...] = (
     "orders_forecast_ses",
     "sketch_kmv_distinct",
     "events_activity_bitmap",
+    "ingest_cdc_apply",
+    "events_activity_streaks",
+    "orders_survival_km",
+    "window_pattern_vshape",
+    "basket_association_rules",
+    "dq_referential_integrity",
+    "agg_weighted_median",
+    "graph_triangle_count",
+    "privacy_l_diversity",
+    "join_bloom_prefilter",
 )
 
 
@@ -171,6 +181,7 @@ def load_catalog() -> None:
         joins,
         layout,
         ledger,
+        lifecycle,
         ml,
         multimodal,
         privacy,
