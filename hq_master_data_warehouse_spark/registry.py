@@ -146,6 +146,9 @@ DEFER_NEW: tuple[str, ...] = (
     "graph_triangle_count",
     "privacy_l_diversity",
     "join_bloom_prefilter",
+    "source_txn_log_snapshot",
+    "source_txn_log_time_travel",
+    "source_txn_log_pruned_scan",
 )
 
 
@@ -194,7 +197,7 @@ def load_catalog() -> None:
         text,
         windows,
     )
-    from .sources import formats, ingest  # noqa: F401
+    from .sources import formats, ingest, txn_log  # noqa: F401
     from .streaming import jobs  # noqa: F401
     from .plans import tpch  # noqa: F401
     from .plans import tpch_ext  # noqa: F401

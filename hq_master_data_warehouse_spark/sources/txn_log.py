@@ -1,0 +1,289 @@
+"""Minimal transaction-log table format: versioned snapshots, time
+travel, and zone-map file pruning over plain parquet (engine surface).
+
+The reference mutates rows through Postgres MVCC (supabase-schema.sql
+tables behind src/app/api routes); a parquet lake gets the same
+read-consistency guarantees from a Delta/Iceberg-style commit log.
+This module implements the core of that design from first principles
+(public format ideas -- log of add/remove actions, atomic commit by
+rename, snapshot = fold of the log, per-file column stats for
+skipping), NOT a port of any implementation:
+
+- table dir = data files (each one parquet directory written by one
+  job) + ``_txn_log/<version>.json`` actions:
+  ``{"version": N, "add": [{"path", "min_key", "max_key"}...],
+  "remove": [path...]}``.
+- a commit is ``os.rename(tmp, <version>.json)`` -- atomic on POSIX,
+  so readers see a version fully or not at all (the same primitive
+  the raw-parquet ledger swap in operators/ledger.py lacks; this is
+  the documented production path made concrete).
+- snapshot AS OF v = fold add/remove actions for versions <= v; the
+  live file set feeds ONE ``spark.read.parquet(*files)`` scan, so
+  Catalyst still gets pushdown/pruning inside each file.
+- the log is driver-side metadata (KBs for thousands of commits) --
+  identical to Delta's driver-side log replay; the DATA path stays
+  fully distributed.
+- per-file min/max key stats in the log enable zone-map skipping:
+  a key-range query prunes files BEFORE Spark ever lists them, the
+  lakehouse analogue of parquet row-group stats one level up.
+
+At 100 TB: log replay is O(commits) driver work; checkpointing the
+folded state every K commits (not needed at fixture scale) bounds it.
+File skipping is what makes selective scans cheap: a 1% key-range
+predicate over a key-clustered table reads ~1% of files.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import dec_sum, dec_sum_sql
+from ..registry import query
+from .loaders import load_table
+
+LOG_DIR = "_txn_log"
+
+
+def _table_dir(sf_dir: str) -> str:
+    # the layout constant is part of the tag so a keyspan change
+    # invalidates stale stagings instead of silently reusing them
+    tag = hashlib.md5(
+        f"{sf_dir}:{FILE_KEYSPAN}".encode()
+    ).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"hqmdw_txn_{tag}")
+
+
+def commit(table_dir: str, version: int, add, remove) -> None:
+    """Write one log action atomically (tmp file + rename).  ``add``
+    is a list of {"path", "min_key", "max_key"} dicts, ``remove`` a
+    list of paths."""
+    log = os.path.join(table_dir, LOG_DIR)
+    os.makedirs(log, exist_ok=True)
+    final = os.path.join(log, f"{version:08d}.json")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"version": version, "add": add, "remove": remove}, f
+        )
+    os.rename(tmp, final)
+
+
+def live_files(table_dir: str, version: int | None = None) -> list[dict]:
+    """Fold the commit log up to ``version`` (inclusive; None = head)
+    into the live file-info list.  Uncommitted ``*.tmp`` files are
+    invisible by construction -- only fully renamed commits parse."""
+    log = os.path.join(table_dir, LOG_DIR)
+    state: dict[str, dict] = {}
+    for name in sorted(os.listdir(log)):
+        if not name.endswith(".json"):
+            continue
+        v = int(name.split(".")[0])
+        if version is not None and v > version:
+            break
+        with open(os.path.join(log, name)) as f:
+            action = json.load(f)
+        for path in action.get("remove", []):
+            state.pop(path, None)
+        for info in action.get("add", []):
+            state[info["path"]] = info
+    return list(state.values())
+
+
+def read_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    key_range: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Read the table as of ``version``; with ``key_range`` the
+    per-file zone maps prune non-overlapping files before the scan."""
+    files = live_files(table_dir, version)
+    if key_range is not None:
+        lo, hi = key_range
+        files = [
+            f
+            for f in files
+            if f["max_key"] >= lo and f["min_key"] <= hi
+        ]
+    if not files:
+        raise ValueError("empty snapshot")
+    paths = [os.path.join(table_dir, f["path"]) for f in files]
+    return spark.read.parquet(*paths)
+
+
+def _write_file(df: DataFrame, table_dir: str, name: str) -> dict:
+    """Write one data file (a single-job parquet dir) and return its
+    log entry with key zone-map stats."""
+    path = os.path.join(table_dir, name)
+    df.write.mode("overwrite").parquet(path)
+    stats = df.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).collect()[0]
+    return {
+        "path": name,
+        "min_key": int(stats["lo"]),
+        "max_key": int(stats["hi"]),
+    }
+
+
+#: deterministic mutation constants shared with the oracles below.
+DEL_MOD = 7
+READD_MOD = 14
+#: v0 splits orders into key-range-clustered files of this many keys,
+#: so the zone maps are tight and a range query can actually skip
+#: (sf0.001's keyspace is 1500 keys -> 3 files; sf0.01 -> 30).
+FILE_KEYSPAN = 500
+
+
+def build_txn_table(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotently stage the fixture transaction table:
+
+    v0  initial load of `orders`, clustered into key-range files
+    v1  DELETE WHERE o_orderkey % 7 = 0   (rewrite touched files)
+    v2  re-insert the % 14 = 0 half of the deleted rows (new file)
+
+    Final state is SQL-expressible over the original parquet, which
+    is exactly what the oracles check.
+    """
+    table_dir = _table_dir(sf_dir)
+    done = os.path.join(table_dir, "_ready")
+    if os.path.exists(done):
+        return table_dir
+    orders = load_table(spark, sf_dir, "orders")
+    os.makedirs(table_dir, exist_ok=True)
+
+    # v0: key-clustered initial files
+    buckets = (
+        orders.select(
+            (F.col("o_orderkey") / FILE_KEYSPAN).cast("long").alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    adds = []
+    for r in sorted(x["b"] for x in buckets):
+        part = orders.filter(
+            (F.col("o_orderkey") / FILE_KEYSPAN).cast("long") == r
+        )
+        adds.append(_write_file(part, table_dir, f"data-v0-{r:05d}"))
+    commit(table_dir, 0, adds, [])
+
+    # v1: delete keys % DEL_MOD == 0 -- rewrite only touched files
+    # (every file contains such keys here; partition-pruned rewrite
+    # is exercised separately in operators/ledger.py)
+    adds1, removes1 = [], []
+    for info in live_files(table_dir, 0):
+        src = os.path.join(table_dir, info["path"])
+        kept = spark.read.parquet(src).filter(
+            F.col("o_orderkey") % DEL_MOD != 0
+        )
+        name = info["path"].replace("v0", "v1")
+        adds1.append(_write_file(kept, table_dir, name))
+        removes1.append(info["path"])
+    commit(table_dir, 1, adds1, removes1)
+
+    # v2: re-insert the even half of what v1 deleted, as one append
+    readd = orders.filter(F.col("o_orderkey") % READD_MOD == 0)
+    adds2 = [_write_file(readd, table_dir, "data-v2-readd")]
+    commit(table_dir, 2, adds2, [])
+
+    with open(done, "w") as f:
+        f.write("ok")
+    return table_dir
+
+
+_AGG_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           {money}
+    FROM orders
+    {where}
+    GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "source_txn_log_snapshot",
+    oracle=_AGG_SQL.format(
+        money=dec_sum_sql("o_totalprice", "total_price"),
+        where=f"""WHERE o_orderkey % {DEL_MOD} <> 0
+                     OR o_orderkey % {READD_MOD} = 0""",
+    ),
+)
+def source_txn_log_snapshot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Head snapshot (v2) after load -> delete -> partial re-insert:
+    the oracle recomputes the same final state directly from the
+    original parquet, so a log-fold bug (missed remove, double add)
+    fails the hash."""
+    table_dir = build_txn_table(spark, sf_dir)
+    snap = read_snapshot(spark, table_dir)
+    return snap.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        dec_sum("o_totalprice", "total_price"),
+    )
+
+
+@query(
+    "source_txn_log_time_travel",
+    oracle=_AGG_SQL.format(
+        money=dec_sum_sql("o_totalprice", "total_price"),
+        where=f"WHERE o_orderkey % {DEL_MOD} <> 0",
+    ),
+)
+def source_txn_log_time_travel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AS OF version 1 (after the delete, before the re-insert):
+    time travel = folding one commit fewer."""
+    table_dir = build_txn_table(spark, sf_dir)
+    snap = read_snapshot(spark, table_dir, version=1)
+    return snap.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        dec_sum("o_totalprice", "total_price"),
+    )
+
+
+#: key range for the pruned scan: under two file-spans wide, so zone
+#: maps skip at least one file at sf0.001 and ~90% of files at
+#: sf0.01+.
+PRUNE_LO = 600
+PRUNE_HI = 1400
+
+
+@query(
+    "source_txn_log_pruned_scan",
+    oracle=_AGG_SQL.format(
+        money=dec_sum_sql("o_totalprice", "total_price"),
+        where=f"""WHERE (o_orderkey % {DEL_MOD} <> 0
+                      OR o_orderkey % {READD_MOD} = 0)
+                    AND o_orderkey BETWEEN {PRUNE_LO} AND {PRUNE_HI}""",
+    ),
+)
+def source_txn_log_pruned_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Key-range scan that consults the log's per-file min/max zone
+    maps FIRST: files whose range cannot overlap are never given to
+    Spark (tests assert the skip count).  The in-file predicate is
+    still pushed to parquet for row-group pruning inside survivors."""
+    table_dir = build_txn_table(spark, sf_dir)
+    snap = read_snapshot(
+        spark, table_dir, key_range=(PRUNE_LO, PRUNE_HI)
+    )
+    return (
+        snap.filter(
+            F.col("o_orderkey").between(PRUNE_LO, PRUNE_HI)
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dec_sum("o_totalprice", "total_price"),
+        )
+    )

@@ -1,0 +1,106 @@
+"""Transaction-log table format guarantees that SQL-oracle equality
+cannot express: commit atomicity, uncommitted-state invisibility,
+time-travel version pinning, and zone-map file skipping."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hq_master_data_warehouse_spark.sources.txn_log import (
+    PRUNE_HI,
+    PRUNE_LO,
+    build_txn_table,
+    commit,
+    live_files,
+    read_snapshot,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def table_dir(spark):
+    return build_txn_table(spark, SF)
+
+
+def test_versions_fold_monotonically(spark, table_dir):
+    v0 = {f["path"] for f in live_files(table_dir, 0)}
+    v1 = {f["path"] for f in live_files(table_dir, 1)}
+    v2 = {f["path"] for f in live_files(table_dir, 2)}
+    head = {f["path"] for f in live_files(table_dir)}
+    assert head == v2
+    # v1 rewrote every v0 file; v2 appended one
+    assert v0.isdisjoint(v1)
+    assert v1 < v2 and len(v2) == len(v1) + 1
+
+
+def test_time_travel_pins_row_counts(spark, table_dir):
+    n0 = read_snapshot(spark, table_dir, version=0).count()
+    n1 = read_snapshot(spark, table_dir, version=1).count()
+    n2 = read_snapshot(spark, table_dir, version=2).count()
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    assert n0 == orders.count()
+    assert n1 == orders.filter(F.col("o_orderkey") % 7 != 0).count()
+    assert n2 == orders.filter(
+        (F.col("o_orderkey") % 7 != 0) | (F.col("o_orderkey") % 14 == 0)
+    ).count()
+    assert n1 < n2 < n0
+
+
+def test_uncommitted_tmp_commit_is_invisible(spark, table_dir):
+    log = os.path.join(table_dir, "_txn_log")
+    tmp = os.path.join(log, "00000099.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {"version": 99, "add": [], "remove": ["data-v2-readd"]}, f
+        )
+    try:
+        head = {f["path"] for f in live_files(table_dir)}
+        assert "data-v2-readd" in head, (
+            "a half-written commit must not be replayed"
+        )
+    finally:
+        os.remove(tmp)
+
+
+def test_commit_is_rename_atomic(table_dir, tmp_path):
+    # commit() must never leave a partial .json visible: it writes
+    # .tmp then renames.  Simulate by committing into a fresh dir
+    # and checking no .tmp survives and the file parses whole.
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    commit(d, 0, [{"path": "a", "min_key": 1, "max_key": 2}], [])
+    log = os.listdir(os.path.join(d, "_txn_log"))
+    assert log == ["00000000.json"]
+    with open(os.path.join(d, "_txn_log", log[0])) as f:
+        assert json.load(f)["version"] == 0
+
+
+def test_zone_map_pruning_skips_files(spark, table_dir):
+    all_files = live_files(table_dir)
+    lo, hi = PRUNE_LO, PRUNE_HI
+    surviving = [
+        f
+        for f in all_files
+        if f["max_key"] >= lo and f["min_key"] <= hi
+    ]
+    assert len(surviving) < len(all_files), (
+        "the range predicate must actually skip files"
+    )
+    # pruned read equals unpruned read + filter (no lost rows at the
+    # boundary: zone maps are inclusive)
+    pruned = (
+        read_snapshot(spark, table_dir, key_range=(lo, hi))
+        .filter(F.col("o_orderkey").between(lo, hi))
+        .count()
+    )
+    full = (
+        read_snapshot(spark, table_dir)
+        .filter(F.col("o_orderkey").between(lo, hi))
+        .count()
+    )
+    assert pruned == full
