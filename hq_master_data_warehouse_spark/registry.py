@@ -149,6 +149,7 @@ DEFER_NEW: tuple[str, ...] = (
     "source_txn_log_snapshot",
     "source_txn_log_time_travel",
     "source_txn_log_pruned_scan",
+    "streaming_txn_log_sink",
 )
 
 

@@ -60,18 +60,26 @@ def _table_dir(sf_dir: str) -> str:
 
 
 def commit(table_dir: str, version: int, add, remove) -> None:
-    """Write one log action atomically (tmp file + rename).  ``add``
-    is a list of {"path", "min_key", "max_key"} dicts, ``remove`` a
-    list of paths."""
+    """Write one log action atomically with FIRST-WRITER-WINS
+    semantics: the tmp file is LINKED to the version name (link
+    fails with FileExistsError if that version was already
+    committed), so two concurrent writers racing on the same version
+    cannot both succeed -- the optimistic-concurrency primitive
+    transactional table formats build conflict resolution on.
+    ``add`` is a list of {"path", "min_key", "max_key"} dicts,
+    ``remove`` a list of paths."""
     log = os.path.join(table_dir, LOG_DIR)
     os.makedirs(log, exist_ok=True)
     final = os.path.join(log, f"{version:08d}.json")
-    tmp = final + ".tmp"
+    tmp = final + f".tmp{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(
             {"version": version, "add": add, "remove": remove}, f
         )
-    os.rename(tmp, final)
+    try:
+        os.link(tmp, final)
+    finally:
+        os.remove(tmp)
 
 
 def live_files(table_dir: str, version: int | None = None) -> list[dict]:
@@ -117,19 +125,54 @@ def read_snapshot(
     return spark.read.parquet(*paths)
 
 
-def _write_file(df: DataFrame, table_dir: str, name: str) -> dict:
+def _write_file(
+    df: DataFrame,
+    table_dir: str,
+    name: str,
+    key_col: str = "o_orderkey",
+) -> dict:
     """Write one data file (a single-job parquet dir) and return its
     log entry with key zone-map stats."""
     path = os.path.join(table_dir, name)
     df.write.mode("overwrite").parquet(path)
     stats = df.agg(
-        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+        F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
     ).collect()[0]
     return {
         "path": name,
         "min_key": int(stats["lo"]),
         "max_key": int(stats["hi"]),
     }
+
+
+def committed_versions(table_dir: str) -> list[int]:
+    """Versions present in the log (committed only)."""
+    log = os.path.join(table_dir, LOG_DIR)
+    return sorted(
+        int(n.split(".")[0])
+        for n in os.listdir(log)
+        if n.endswith(".json")
+    )
+
+
+def commit_batch_idempotent(
+    table_dir: str, version: int, add, remove
+) -> bool:
+    """Commit IF this version has not been committed yet; return
+    whether a commit happened.  With version = the streaming batch_id
+    this is the txn-log exactly-once sink contract: a replayed
+    micro-batch (failure/retry) re-derives the same version number
+    and becomes a no-op instead of double-appending."""
+    log = os.path.join(table_dir, LOG_DIR)
+    final = os.path.join(log, f"{version:08d}.json")
+    if os.path.exists(final):
+        return False
+    try:
+        commit(table_dir, version, add, remove)
+    except FileExistsError:
+        # lost the race to a concurrent writer -- their commit stands
+        return False
+    return True
 
 
 #: deterministic mutation constants shared with the oracles below.

@@ -104,3 +104,33 @@ def test_zone_map_pruning_skips_files(spark, table_dir):
         .count()
     )
     assert pruned == full
+
+
+def test_commit_first_writer_wins(tmp_path):
+    d = str(tmp_path / "w")
+    os.makedirs(d)
+    from hq_master_data_warehouse_spark.sources.txn_log import (
+        commit_batch_idempotent,
+    )
+
+    assert commit_batch_idempotent(
+        d, 5, [{"path": "a", "min_key": 1, "max_key": 2}], []
+    )
+    # same version again: the first commit stands, no overwrite
+    assert not commit_batch_idempotent(
+        d, 5, [{"path": "b", "min_key": 9, "max_key": 9}], []
+    )
+    assert [f["path"] for f in live_files(d, 5)] == ["a"]
+    with pytest.raises(FileExistsError):
+        commit(d, 5, [{"path": "c", "min_key": 0, "max_key": 0}], [])
+
+
+def test_streaming_txn_log_sink_exactly_once_versions(spark):
+    from hq_master_data_warehouse_spark.registry import QUERIES, load_catalog
+
+    load_catalog()
+    out = QUERIES["streaming_txn_log_sink"](spark, SF).collect()
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert all(r["n_versions"] == 2 for r in out)
+    # two append-only batches of the same feed: exactly 2x the rows
+    assert sum(r["n_events"] for r in out) == 2 * n_events
