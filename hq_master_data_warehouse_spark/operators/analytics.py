@@ -1752,3 +1752,189 @@ def orders_forecast_ses(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ses_level",
         )
     )
+
+
+def _global_prefix_sum(
+    df: DataFrame,
+    bucket: "F.Column",
+    sort_cols: list,
+    value: str,
+    out: str,
+    bucket_desc: bool = False,
+) -> DataFrame:
+    """Distributed global INCLUSIVE prefix sum of ``value`` in
+    ``sort_cols`` order -- the running-total twin of _global_rank and
+    the same two-pass shape: one shuffle on a coarse range bucket,
+    local cumulative sums in parallel, per-bucket TOTALS (tiny)
+    prefix-summed and broadcast back as offsets."""
+    b = df.withColumn("_b", bucket)
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = b.withColumn("_lcs", F.sum(value).over(w_in))
+    totals = b.groupBy("_b").agg(F.sum(value).alias("_bt"))
+    order = F.col("_b").desc() if bucket_desc else F.col("_b").asc()
+    w_pfx = Window.orderBy(order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = totals.select(
+        "_b",
+        F.coalesce(F.sum("_bt").over(w_pfx), F.lit(0)).alias("_off"),
+    )
+    return (
+        local.join(F.broadcast(prefix), "_b")
+        .withColumn(out, (F.col("_off") + F.col("_lcs")).cast("long"))
+        .drop("_b", "_lcs", "_off")
+    )
+
+
+# -- Gini coefficient of customer revenue concentration: the standard
+#    inequality summary every revenue dashboard carries next to the
+#    top-decile share.  G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))
+#    over ascending-sorted x: ranks come from the distributed
+#    two-pass _global_rank (never a single-partition sort); every
+#    input to the final formula is an exact integer, and both engines
+#    evaluate the identical double expression on those integers, so
+#    the ROUND(6) digits cannot diverge.
+@query(
+    "agg_gini_revenue",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey AS ck,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, ck) AS rk
+        FROM cust
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) / 100.0 AS total_revenue,
+           ROUND(
+               (2.0 * CAST(SUM(rk * cents) AS DOUBLE)
+                - (CAST(COUNT(*) AS DOUBLE) + 1.0)
+                  * CAST(SUM(cents) AS DOUBLE))
+               / (CAST(COUNT(*) AS DOUBLE)
+                  * CAST(SUM(cents) AS DOUBLE)), 6) AS gini
+    FROM ranked
+    """,
+)
+def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini over per-customer revenue (exact cents; rank*cents sums
+    ride DECIMAL(38,0) for overflow headroom far past 100 TB customer
+    counts -- the decimal agg runs over the per-customer summary, not
+    the fact table)."""
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("c"),
+        )
+        .groupBy("ck")
+        .agg(F.sum("c").alias("cents"))
+    )
+    ranked = _global_rank(
+        cust,
+        F.floor(F.col("cents") / 100000),
+        [F.col("cents"), F.col("ck")],
+        "rk",
+    )
+    s = F.sum(
+        (F.col("rk") * F.col("cents")).cast("decimal(38,0)")
+    ).cast("double")
+    t = F.sum(F.col("cents").cast("decimal(38,0)"))
+    n = F.count("*")
+    return ranked.agg(
+        n.cast("long").alias("n_customers"),
+        (t.cast("double") / 100.0).alias("total_revenue"),
+        F.round(
+            (2.0 * s - (n.cast("double") + 1.0) * t.cast("double"))
+            / (n.cast("double") * t.cast("double")),
+            6,
+        ).alias("gini"),
+    )
+
+
+#: ABC thresholds as exact integer comparisons: A while cum <= 80% of
+#: total (5*cum <= 4*T), B while cum <= 95% (20*cum <= 19*T).
+_ABC_CLASS_SQL = """
+    CASE WHEN 5 * cum <= 4 * tot THEN 'A'
+         WHEN 20 * cum <= 19 * tot THEN 'B'
+         ELSE 'C' END
+"""
+
+
+# -- ABC (Pareto) classification of parts by cumulative revenue
+#    share: the inventory-management classic (A ~ top 80% of revenue,
+#    B next 15%, C tail).  The global running share comes from
+#    _global_prefix_sum (two-pass, banded on a revenue decade), so no
+#    table-sized single-partition window; class boundaries are exact
+#    integer comparisons on cents -- no percentage double ever
+#    decides a row's class.
+@query(
+    "orders_abc_classification",
+    oracle=f"""
+    WITH pr AS (
+        SELECT l_partkey AS pk,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                   AS cents
+        FROM lineitem GROUP BY 1
+    ),
+    c AS (
+        SELECT cents,
+               CAST(SUM(cents) OVER (
+                   ORDER BY cents DESC, pk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum,
+               CAST(SUM(cents) OVER () AS BIGINT) AS tot
+        FROM pr
+    )
+    SELECT {_ABC_CLASS_SQL} AS abc_class,
+           COUNT(*) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) / 100.0 AS class_revenue
+    FROM c
+    GROUP BY 1
+    """,
+)
+def orders_abc_classification(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A/B/C revenue classes over parts (80/95 cumulative cuts,
+    revenue-descending, partkey tie-break)."""
+    pr = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("pk"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("c"),
+        )
+        .groupBy("pk")
+        .agg(F.sum("c").alias("cents"))
+    )
+    cum = _global_prefix_sum(
+        pr,
+        F.floor(F.log10(F.col("cents") + 1) * 4),
+        [F.col("cents").desc(), F.col("pk")],
+        "cents",
+        "cum",
+        bucket_desc=True,
+    )
+    tot = pr.agg(F.sum("cents").alias("tot"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(_ABC_CLASS_SQL).alias("abc_class"),
+            "cents",
+        )
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            (F.sum("cents") / 100.0).alias("class_revenue"),
+        )
+    )

@@ -392,3 +392,81 @@ def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("n_pos", "n_neg").agg(
         F.round(F.max(gap), 6).alias("ks")
     )
+
+
+# -- average precision (area under the PR curve, the retrieval-eval
+#    twin of ml_auc_rank): rank all items by margin descending; AP =
+#    mean over positives of precision@rank.  Both global ranks (items
+#    by score, positives by rank) go through the two-pass
+#    _global_rank; precision terms are exact-integer ratios j/rk and
+#    only their SUM is floating -- the ROUND(5) quantum sits ~7
+#    orders of magnitude above the worst-case summation ULP drift.
+@query(
+    "ml_average_precision",
+    oracle=f"""
+    WITH m AS (
+        SELECT vec_id,
+               label % 2 = 1 AS pos,
+               list_sum(list_transform(
+                   generate_series(1, {EMB_DIM}),
+                   i -> CAST(embedding[i] AS DOUBLE) * ({_W_SQL})[i]
+               )) + {BIAS!r} AS margin
+        FROM embeddings
+    ),
+    r AS (
+        SELECT pos,
+               CAST(row_number() OVER (ORDER BY margin DESC, vec_id)
+                    AS BIGINT) AS rk
+        FROM m
+    ),
+    p AS (
+        SELECT rk,
+               CAST(row_number() OVER (ORDER BY rk) AS BIGINT) AS j
+        FROM r WHERE pos
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pos,
+           ROUND(SUM(CAST(j AS DOUBLE) / rk) / COUNT(*), 5)
+               AS avg_precision
+    FROM p
+    """,
+)
+def ml_average_precision(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .analytics import _global_rank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = F.array(*[F.lit(x) for x in WEIGHTS])
+    prod = F.zip_with(
+        F.col("embedding"), w, lambda x, wi: x.cast("double") * wi
+    )
+    margin = (
+        F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v) + BIAS
+    )
+    m = emb.select(
+        "vec_id",
+        (F.col("label") % 2 == 1).alias("pos"),
+        margin.alias("margin"),
+    )
+    ranked = _global_rank(
+        m,
+        F.floor(F.col("margin")),
+        [F.col("margin").desc(), F.col("vec_id")],
+        "rk",
+        bucket_desc=True,
+    )
+    positives = ranked.filter(F.col("pos")).select("rk")
+    indexed = _global_rank(
+        positives,
+        F.floor(F.col("rk") / 4096),
+        [F.col("rk")],
+        "j",
+    )
+    return indexed.agg(
+        F.count("*").cast("long").alias("n_pos"),
+        F.round(
+            F.sum(F.col("j").cast("double") / F.col("rk"))
+            / F.count("*"),
+            5,
+        ).alias("avg_precision"),
+    )

@@ -150,6 +150,10 @@ DEFER_NEW: tuple[str, ...] = (
     "source_txn_log_time_travel",
     "source_txn_log_pruned_scan",
     "streaming_txn_log_sink",
+    "layout_txn_log_compact",
+    "agg_gini_revenue",
+    "orders_abc_classification",
+    "ml_average_precision",
 )
 
 

@@ -13,10 +13,11 @@ skipping), NOT a port of any implementation:
   job) + ``_txn_log/<version>.json`` actions:
   ``{"version": N, "add": [{"path", "min_key", "max_key"}...],
   "remove": [path...]}``.
-- a commit is ``os.rename(tmp, <version>.json)`` -- atomic on POSIX,
-  so readers see a version fully or not at all (the same primitive
-  the raw-parquet ledger swap in operators/ledger.py lacks; this is
-  the documented production path made concrete).
+- a commit is an atomic ``os.link(tmp, <version>.json)`` -- readers
+  see a version fully or not at all, and two writers racing on the
+  same version number cannot both win (the primitive the raw-parquet
+  ledger swap in operators/ledger.py lacks; this is the documented
+  production path made concrete).
 - snapshot AS OF v = fold add/remove actions for versions <= v; the
   live file set feeds ONE ``spark.read.parquet(*files)`` scan, so
   Catalyst still gets pushdown/pruning inside each file.
@@ -50,11 +51,13 @@ from .loaders import load_table
 LOG_DIR = "_txn_log"
 
 
-def _table_dir(sf_dir: str) -> str:
+def _table_dir(sf_dir: str, variant: str = "") -> str:
     # the layout constant is part of the tag so a keyspan change
-    # invalidates stale stagings instead of silently reusing them
+    # invalidates stale stagings instead of silently reusing them;
+    # ``variant`` gives mutating queries (compaction) a private
+    # instance so they never perturb the shared staged fixture
     tag = hashlib.md5(
-        f"{sf_dir}:{FILE_KEYSPAN}".encode()
+        f"{sf_dir}:{FILE_KEYSPAN}:{variant}".encode()
     ).hexdigest()[:8]
     return os.path.join(tempfile.gettempdir(), f"hqmdw_txn_{tag}")
 
@@ -184,7 +187,9 @@ READD_MOD = 14
 FILE_KEYSPAN = 500
 
 
-def build_txn_table(spark: SparkSession, sf_dir: str) -> str:
+def build_txn_table(
+    spark: SparkSession, sf_dir: str, variant: str = ""
+) -> str:
     """Idempotently stage the fixture transaction table:
 
     v0  initial load of `orders`, clustered into key-range files
@@ -194,7 +199,7 @@ def build_txn_table(spark: SparkSession, sf_dir: str) -> str:
     Final state is SQL-expressible over the original parquet, which
     is exactly what the oracles check.
     """
-    table_dir = _table_dir(sf_dir)
+    table_dir = _table_dir(sf_dir, variant)
     done = os.path.join(table_dir, "_ready")
     if os.path.exists(done):
         return table_dir
@@ -329,4 +334,56 @@ def source_txn_log_pruned_scan(
             F.count("*").alias("n_orders"),
             dec_sum("o_totalprice", "total_price"),
         )
+    )
+
+
+def compact_table(spark: SparkSession, table_dir: str) -> int:
+    """OPTIMIZE: fold every live file of the head snapshot into one
+    compacted file and commit the swap as a SINGLE atomic version --
+    readers either see the old file set or the new one, never a mix,
+    and every pre-compaction version remains time-travelable (the log
+    keeps the old actions; only future folds skip the removed files).
+    Returns the version the compaction committed (or the existing
+    head if a prior run already compacted).
+
+    At 100 TB compaction runs per table-partition against the small
+    files a streaming sink leaves behind (streaming_txn_log_sink);
+    the commit is idempotent on its version number, so a re-run after
+    a crash cannot double-apply."""
+    versions = committed_versions(table_dir)
+    head = versions[-1]
+    target = head + 1
+    live = live_files(table_dir, head)
+    if len(live) <= 1:
+        return head
+    snap = read_snapshot(spark, table_dir, head).coalesce(1)
+    info = _write_file(snap, table_dir, f"data-compact-{target:05d}")
+    commit_batch_idempotent(
+        table_dir, target, [info], [f["path"] for f in live]
+    )
+    return target
+
+
+@query(
+    "layout_txn_log_compact",
+    oracle=_AGG_SQL.format(
+        money=dec_sum_sql("o_totalprice", "total_price"),
+        where=f"""WHERE o_orderkey % {DEL_MOD} <> 0
+                     OR o_orderkey % {READD_MOD} = 0""",
+    ),
+)
+def layout_txn_log_compact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Compaction as a transaction: a PRIVATE instance of the fixture
+    table (variant dir -- the shared staging stays untouched for the
+    other txn-log queries) is compacted to one file, then read at
+    head.  The oracle is the same final-state SQL as the snapshot
+    query: compaction must be content-neutral or the hash fails."""
+    table_dir = build_txn_table(spark, sf_dir, variant="compact")
+    compact_table(spark, table_dir)
+    snap = read_snapshot(spark, table_dir)
+    return snap.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        dec_sum("o_totalprice", "total_price"),
     )

@@ -205,3 +205,89 @@ def test_ppm_division_is_half_away_exact():
         "SELECT " + _ppm_sql("2", "3")
     ).fetchone()
     assert v == 666667  # 666666.67 rounds up
+
+
+def test_gini_matches_bruteforce(spark):
+    import pyspark.sql.functions as FF
+
+    out = _run(spark, "agg_gini_revenue").collect()[0]
+    rows = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select(
+            FF.col("o_custkey").alias("ck"),
+            FF.round(FF.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("c"),
+        )
+        .groupBy("ck")
+        .agg(FF.sum("c").alias("cents"))
+        .collect()
+    )
+    xs = sorted((r["cents"], r["ck"]) for r in rows)
+    n = len(xs)
+    t = sum(c for c, _ in xs)
+    s = sum((i + 1) * c for i, (c, _) in enumerate(xs))
+    gini = (2.0 * s - (n + 1.0) * t) / (n * 1.0 * t)
+    assert out["n_customers"] == n
+    assert abs(out["gini"] - round(gini, 6)) < 1e-9
+    assert 0.0 <= out["gini"] < 1.0
+
+
+def test_abc_classes_partition_and_order(spark):
+    rows = {r["abc_class"]: r for r in _run(
+        spark, "orders_abc_classification").collect()}
+    assert set(rows) == {"A", "B", "C"}
+    total = sum(r["class_revenue"] for r in rows.values())
+    # A holds at most 80% (boundary-exclusive beyond) and more
+    # revenue per part than C
+    assert rows["A"]["class_revenue"] <= 0.8 * total + 0.01
+    a_rpp = rows["A"]["class_revenue"] / rows["A"]["n_parts"]
+    c_rpp = rows["C"]["class_revenue"] / rows["C"]["n_parts"]
+    assert a_rpp > c_rpp
+
+
+def test_average_precision_matches_bruteforce(spark):
+    out = _run(spark, "ml_average_precision").collect()[0]
+    from hq_master_data_warehouse_spark.operators.ml import (
+        BIAS,
+        WEIGHTS,
+    )
+
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    scored = sorted(
+        (
+            -(sum(float(x) * w for x, w in zip(r["embedding"], WEIGHTS))
+              + BIAS),
+            r["vec_id"],
+            r["label"] % 2 == 1,
+        )
+        for r in rows
+    )
+    ap, cum = 0.0, 0
+    for k, (_, _, pos) in enumerate(scored, start=1):
+        if pos:
+            cum += 1
+            ap += cum / k
+    ap /= cum
+    assert out["n_pos"] == cum
+    assert abs(out["avg_precision"] - round(ap, 5)) < 1e-9
+
+
+def test_txn_compact_single_file_preserves_history(spark):
+    from hq_master_data_warehouse_spark.sources.txn_log import (
+        build_txn_table,
+        compact_table,
+        live_files,
+        read_snapshot,
+    )
+
+    td = build_txn_table(spark, SF, variant="compact")
+    v = compact_table(spark, td)  # idempotent on re-run
+    assert v == compact_table(spark, td)
+    assert len(live_files(td)) == 1
+    # compaction is content-neutral AND history stays time-travelable
+    head = read_snapshot(spark, td).count()
+    pre = read_snapshot(spark, td, version=2).count()
+    v1 = read_snapshot(spark, td, version=1).count()
+    assert head == pre
+    assert v1 < pre
