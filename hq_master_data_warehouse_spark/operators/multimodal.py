@@ -283,17 +283,23 @@ def encode_png(
 
 
 def decode_image(payload: bytes) -> dict:
-    """Pure-Python decode of the public formats reachable with the
-    standard library -- binary PPM (``P6``), 24-bit uncompressed BMP,
-    and 8-bit RGB/RGBA non-interlaced PNG (stdlib ``zlib``) -- to
-    ``{"width", "height", "mode", "pixels"}`` with ``pixels`` packed
-    row-major (top-down, no padding).  JPEG (DCT entropy coding)
-    still needs an external codec; production swaps this function for
-    PIL/opencv with the surrounding mapInPandas plumbing unchanged."""
+    """Pure-Python decode of the common public image formats with no
+    external codec: binary PPM (``P6``), 24-bit uncompressed BMP,
+    8-bit RGB/RGBA non-interlaced PNG (stdlib ``zlib``), and baseline
+    sequential JPEG (``operators/jpeg.py``: Huffman + DCT from the
+    public T.81 spec) -- to ``{"width", "height", "mode", "pixels"}``
+    with ``pixels`` packed row-major (top-down, no padding).
+    Production may still swap this for PIL/opencv (SIMD speed,
+    progressive JPEG); the surrounding mapInPandas plumbing is
+    unchanged either way."""
     import struct
 
     if payload[:8] == _PNG_SIG:
         return _png_decode(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if payload[:2] == b"P6":
         (_, w_tok, h_tok, max_tok), off = _ppm_tokens(payload, 4)
         width, height, maxval = int(w_tok), int(h_tok), int(max_tok)
@@ -342,9 +348,9 @@ def decode_image(payload: bytes) -> dict:
             "pixels": b"".join(rows),
         }
     raise NotImplementedError(
-        "unsupported image format (PPM P6, 24-bit BMP, and 8-bit "
-        "RGB/RGBA PNG decode here; JPEG needs PIL/opencv in "
-        "production)"
+        "unsupported image format (PPM P6, 24-bit BMP, 8-bit RGB/RGBA "
+        "PNG, and baseline JPEG decode here; progressive JPEG / other "
+        "containers need PIL/opencv in production)"
     )
 
 
@@ -537,6 +543,56 @@ def _decode_png_batches(
             out["n_pixels"].append(img["width"] * img["height"])
             out["mean_byte"].append(float(px.mean()) if px.size else 0.0)
         yield pd.DataFrame(out)
+
+
+def _decode_jpeg_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Lossy-codec round-trip inside one Arrow batch loop: frame each
+    payload's first 192 bytes as an 8x8 RGB image, encode to a real
+    baseline JPEG (Annex K tables, Huffman + DCT), decode through the
+    same ``decode_image`` entry point as PPM/BMP/PNG.  The mean byte
+    reflects the decoded (quantized) pixels -- lossy by design, but
+    deterministic: the same payload always yields identical output."""
+    import numpy as np
+
+    from .jpeg import encode_jpeg
+
+    w = h = 8
+    need = w * h * 3
+    for pdf in batches:
+        out = {
+            "doc_id": pdf["doc_id"],
+            "width": [],
+            "height": [],
+            "n_pixels": [],
+            "mean_byte": [],
+        }
+        for raw in pdf["payload"]:
+            buf = (bytes(raw) + b"x" * need)[:need]
+            jpg = encode_jpeg(buf, w, h)
+            img = decode_image(jpg)
+            px = np.frombuffer(img["pixels"], dtype=np.uint8)
+            out["width"].append(img["width"])
+            out["height"].append(img["height"])
+            out["n_pixels"].append(img["width"] * img["height"])
+            out["mean_byte"].append(float(px.mean()) if px.size else 0.0)
+        yield pd.DataFrame(out)
+
+
+@query("multimodal_decode_jpeg")  # rows-only: binary decode path
+def multimodal_decode_jpeg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Baseline-JPEG decode over ``mapInPandas``: document payloads
+    framed as real entropy-coded JPEGs and decoded by the pure-Python
+    T.81 baseline codec (`operators/jpeg.py`) -- the last image
+    format that previously needed an external library."""
+    docs = load_table(spark, sf_dir, "documents")
+    binary = with_binary_payload(docs).select("doc_id", "payload")
+    return binary.mapInPandas(
+        _decode_jpeg_batches, schema=_DECODE_SCHEMA
+    )
 
 
 @query("multimodal_decode_png")  # rows-only: binary decode path

@@ -154,6 +154,7 @@ DEFER_NEW: tuple[str, ...] = (
     "agg_gini_revenue",
     "orders_abc_classification",
     "ml_average_precision",
+    "multimodal_decode_jpeg",
 )
 
 

@@ -92,7 +92,9 @@ def live_files(table_dir: str, version: int | None = None) -> list[dict]:
     log = os.path.join(table_dir, LOG_DIR)
     state: dict[str, dict] = {}
     for name in sorted(os.listdir(log)):
-        if not name.endswith(".json"):
+        if not name.endswith(".json") or name.endswith(
+            ".checkpoint.json"
+        ):
             continue
         v = int(name.split(".")[0])
         if version is not None and v > version:
@@ -155,6 +157,7 @@ def committed_versions(table_dir: str) -> list[int]:
         int(n.split(".")[0])
         for n in os.listdir(log)
         if n.endswith(".json")
+        and not n.endswith(".checkpoint.json")
     )
 
 
@@ -387,3 +390,86 @@ def layout_txn_log_compact(
         F.count("*").alias("n_orders"),
         dec_sum("o_totalprice", "total_price"),
     )
+
+
+CHECKPOINT_EVERY = 10
+
+
+def write_checkpoint(table_dir: str, version: int) -> str:
+    """Materialize the folded live-file state AS OF ``version`` into
+    ``_txn_log/<version>.checkpoint.json`` (atomic link, same
+    first-writer-wins rule as commits).  Readers then start their
+    fold from the newest checkpoint <= the requested version instead
+    of replaying the whole log -- O(commits since checkpoint) driver
+    work, the same mechanism Delta/Iceberg use to bound log replay.
+    A checkpoint is derived state: losing or skipping one only costs
+    replay time, never correctness."""
+    state = live_files(table_dir, version)
+    log = os.path.join(table_dir, LOG_DIR)
+    final = os.path.join(log, f"{version:08d}.checkpoint.json")
+    if os.path.exists(final):
+        return final
+    tmp = final + f".tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "live": state}, f)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        pass  # concurrent checkpointer won; same derived content
+    finally:
+        os.remove(tmp)
+    return final
+
+
+def _latest_checkpoint(
+    table_dir: str, version: int | None
+) -> tuple[int, list[dict]] | None:
+    """Newest committed checkpoint at or below ``version``."""
+    log = os.path.join(table_dir, LOG_DIR)
+    best = None
+    for name in os.listdir(log):
+        if not name.endswith(".checkpoint.json"):
+            continue
+        v = int(name.split(".")[0])
+        if version is not None and v > version:
+            continue
+        if best is None or v > best:
+            best = v
+    if best is None:
+        return None
+    with open(
+        os.path.join(log, f"{best:08d}.checkpoint.json")
+    ) as f:
+        data = json.load(f)
+    return best, data["live"]
+
+
+def live_files_from_checkpoint(
+    table_dir: str, version: int | None = None
+) -> list[dict]:
+    """live_files() that starts from the newest usable checkpoint and
+    replays only the actions after it.  Equivalence with the full
+    fold is pytest-pinned."""
+    cp = _latest_checkpoint(table_dir, version)
+    if cp is None:
+        return live_files(table_dir, version)
+    cp_version, state_list = cp
+    state = {info["path"]: info for info in state_list}
+    log = os.path.join(table_dir, LOG_DIR)
+    for name in sorted(os.listdir(log)):
+        if not name.endswith(".json") or name.endswith(
+            ".checkpoint.json"
+        ):
+            continue
+        v = int(name.split(".")[0])
+        if v <= cp_version:
+            continue
+        if version is not None and v > version:
+            break
+        with open(os.path.join(log, name)) as f:
+            action = json.load(f)
+        for path in action.get("remove", []):
+            state.pop(path, None)
+        for info in action.get("add", []):
+            state[info["path"]] = info
+    return list(state.values())

@@ -134,3 +134,27 @@ def test_streaming_txn_log_sink_exactly_once_versions(spark):
     assert all(r["n_versions"] == 2 for r in out)
     # two append-only batches of the same feed: exactly 2x the rows
     assert sum(r["n_events"] for r in out) == 2 * n_events
+
+
+def test_checkpoint_fold_equivalence(spark, table_dir):
+    from hq_master_data_warehouse_spark.sources.txn_log import (
+        live_files_from_checkpoint,
+        write_checkpoint,
+    )
+
+    def key(files):
+        return sorted(f["path"] for f in files)
+
+    # checkpoint at v1, then verify every version folds identically
+    # whether starting from scratch or from the checkpoint
+    write_checkpoint(table_dir, 1)
+    for v in (0, 1, 2, None):
+        assert key(live_files_from_checkpoint(table_dir, v)) == key(
+            live_files(table_dir, v)
+        ), f"checkpoint fold diverges at version {v}"
+    # a checkpoint is NOT a commit: version list unchanged
+    from hq_master_data_warehouse_spark.sources.txn_log import (
+        committed_versions,
+    )
+
+    assert committed_versions(table_dir) == [0, 1, 2]
