@@ -314,3 +314,94 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_ppm"),
         )
     )
+
+
+BFS_MAX_HOPS = 3
+BFS_SOURCE_MOD = 1000
+
+
+# -- multi-source BFS hop distances: the third classic graph shape
+#    (after fixed-iteration PageRank and oriented triangle counting).
+#    Unrolled K deep as iterative frontier-join + grouped MIN -- per
+#    iteration ONE broadcast join against the cached edge partitions
+#    plus one small-aggregate shuffle, the same broadcast-state
+#    pattern as PageRank (the distance table is one row per REACHED
+#    node, orders of magnitude below the edges).  The oracle is a
+#    bounded recursive CTE: identical semantics, declaratively
+#    stated.
+@query(
+    "graph_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE und AS ({_TRI_EDGES}),
+    e AS (
+        SELECT u AS src, v AS dst FROM und
+        UNION ALL
+        SELECT v AS src, u AS dst FROM und
+    ),
+    walk(v, d) AS (
+        SELECT p_partkey, 0 FROM part
+        WHERE p_partkey % {BFS_SOURCE_MOD} = 1
+        UNION
+        SELECT e.dst, walk.d + 1
+        FROM walk JOIN e ON e.src = walk.v
+        WHERE walk.d < {BFS_MAX_HOPS}
+    ),
+    dist AS (SELECT v, MIN(d) AS d FROM walk GROUP BY v)
+    SELECT COALESCE(dist.d, -1) AS hops,
+           COUNT(*) AS n_parts
+    FROM part LEFT JOIN dist ON dist.v = part.p_partkey
+    GROUP BY 1
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-distance histogram of the co-purchase graph from the
+    deterministic source set (p_partkey % {BFS_SOURCE_MOD} == 1),
+    depth-bounded at {BFS_MAX_HOPS}; parts the BFS never reaches
+    report -1."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("w")
+    )
+    und = (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("w"))
+        .select("u", "w")
+        .distinct()
+    )
+    edges = (
+        und.select(F.col("u").alias("src"), F.col("w").alias("dst"))
+        .unionAll(
+            und.select(
+                F.col("w").alias("src"), F.col("u").alias("dst")
+            )
+        )
+        .cache()
+    )
+    parts = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("v")
+    )
+    dist = parts.filter(
+        F.col("v") % BFS_SOURCE_MOD == 1
+    ).select("v", F.lit(0).alias("d"))
+    for _ in range(BFS_MAX_HOPS):
+        step = (
+            edges.join(F.broadcast(dist), edges["src"] == dist["v"])
+            .select(F.col("dst").alias("v"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.unionAll(step)
+            .groupBy("v")
+            .agg(F.min("d").alias("d"))
+        )
+    return (
+        parts.join(F.broadcast(dist), "v", "left")
+        .groupBy(F.coalesce(F.col("d"), F.lit(-1)).alias("hops"))
+        .agg(F.count("*").alias("n_parts"))
+    )

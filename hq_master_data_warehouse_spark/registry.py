@@ -155,6 +155,7 @@ DEFER_NEW: tuple[str, ...] = (
     "orders_abc_classification",
     "ml_average_precision",
     "multimodal_decode_jpeg",
+    "graph_bfs_hops",
 )
 
 

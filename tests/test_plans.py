@@ -240,3 +240,31 @@ def test_embedding_cosine_is_cogrouped_not_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "FlatMapCoGroupsInPandas" in plan or "CoGroup" in plan
+
+
+def test_lifecycle_windows_partition_on_real_keys(spark):
+    plan = _plan(spark, "ingest_cdc_apply")
+    assert "hashpartitioning(user_id" in plan
+    assert "CartesianProduct" not in plan
+    plan = _plan(spark, "agg_weighted_median")
+    assert "hashpartitioning(flag" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_graph_plans_are_equi_join_only(spark):
+    for name in (
+        "graph_pagerank_copurchase",
+        "graph_triangle_count",
+        "graph_bfs_hops",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        if name != "graph_triangle_count":
+            # triangle count's only nested-loop joins are the final
+            # 1-row x 1-row scalar assembly crossJoins -- harmless;
+            # the wedge/close joins themselves are pinned equi by
+            # the CartesianProduct assertion above
+            assert "BroadcastNestedLoopJoin" not in plan, name
+    # iterative state joins must broadcast (map-side, edges static)
+    for name in ("graph_pagerank_copurchase", "graph_bfs_hops"):
+        assert "BroadcastHashJoin" in _plan(spark, name), name
