@@ -265,3 +265,147 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_safe"),
         )
     )
+
+
+T_CLOSENESS_PPM = 200_000  # t = 0.20
+
+
+# -- t-closeness: the third rung of the anonymity ladder (k-anonymity
+#    -> l-diversity -> t-closeness).  A group can be k-anonymous and
+#    l-diverse yet still leak if its sensitive-value DISTRIBUTION
+#    diverges from the table's: t-closeness bounds the Earth Mover's
+#    Distance between the two.  For the ordered $1000 balance bands
+#    with unit ground distance, EMD = (1/(m-1)) * sum_j |CumP_j -
+#    CumQ_j| -- a sum of rationals with denominator k*N, so the audit
+#    reports EXACT integer ppm via the same half-away integer
+#    division as the basket rules: no double ever decides a digit
+#    (int64-safe through ~10^7-customer tables; the DECIMAL widening
+#    is mechanical beyond that).  Plan: one grouped count, a bounded
+#    dense grid (groups x 11 bands, broadcast), per-group ordered
+#    cumsum on real keys.  Scales.
+@query(
+    "privacy_t_closeness",
+    oracle=f"""
+    WITH cust AS (
+        SELECT c_nationkey AS nation, c_mktsegment AS segment,
+               CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS b
+        FROM customer
+    ),
+    buckets AS (SELECT DISTINCT b FROM cust),
+    m AS (SELECT COUNT(*) AS m FROM buckets),
+    nn AS (SELECT COUNT(*) AS n FROM cust),
+    gcum AS (
+        SELECT b,
+               CAST(SUM(COUNT(*)) OVER (ORDER BY b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_g
+        FROM cust GROUP BY b
+    ),
+    grp AS (
+        SELECT nation, segment, COUNT(*) AS k_size FROM cust
+        GROUP BY 1, 2
+    ),
+    cell AS (
+        SELECT g.nation, g.segment, g.k_size, bk.b,
+               COUNT(c.b) AS cnt
+        FROM grp g
+        CROSS JOIN buckets bk
+        LEFT JOIN cust c
+          ON c.nation = g.nation AND c.segment = g.segment
+         AND c.b = bk.b
+        GROUP BY 1, 2, 3, 4
+    ),
+    cums AS (
+        SELECT nation, segment, k_size, b,
+               CAST(SUM(cnt) OVER (PARTITION BY nation, segment
+                    ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS cum_k
+        FROM cell
+    )
+    SELECT c.nation, c.segment,
+           CAST(MIN(c.k_size) AS BIGINT) AS k_size,
+           CAST((2000000 * SUM(ABS(nn.n * c.cum_k
+                                   - c.k_size * gcum.cum_g))
+                 + (m.m - 1) * MIN(c.k_size) * nn.n)
+                // (2 * (m.m - 1) * MIN(c.k_size) * nn.n)
+                AS BIGINT) AS t_ppm,
+           ((2000000 * SUM(ABS(nn.n * c.cum_k
+                               - c.k_size * gcum.cum_g))
+             + (m.m - 1) * MIN(c.k_size) * nn.n)
+            // (2 * (m.m - 1) * MIN(c.k_size) * nn.n))
+               <= {T_CLOSENESS_PPM} AS is_close
+    FROM cums c
+    JOIN gcum ON gcum.b = c.b
+    CROSS JOIN m CROSS JOIN nn
+    GROUP BY c.nation, c.segment, m.m, nn.n
+    """,
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer t-closeness audit over the (nation, segment)
+    quasi-identifier and the ordered $1000 balance bands."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 1000.0)
+        .cast("long")
+        .alias("b"),
+    )
+    buckets = cust.select("b").distinct()
+    m = buckets.count()
+    n = cust.count()
+    glob = (
+        cust.groupBy("b")
+        .agg(F.count("*").alias("gcnt"))
+        .select(
+            "b",
+            F.sum("gcnt")
+            .over(
+                Window.orderBy("b").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .alias("cum_g"),
+        )
+    )
+    grp = cust.groupBy("nation", "segment").agg(
+        F.count("*").alias("k_size")
+    )
+    counts = cust.groupBy("nation", "segment", "b").agg(
+        F.count("*").alias("cnt")
+    )
+    cell = (
+        grp.crossJoin(F.broadcast(buckets))
+        .join(counts, ["nation", "segment", "b"], "left")
+        .select(
+            "nation",
+            "segment",
+            "k_size",
+            "b",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("nation", "segment")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = cell.select(
+        "nation",
+        "segment",
+        "k_size",
+        "b",
+        F.sum("cnt").over(wcum).alias("cum_k"),
+    )
+    j = cums.join(F.broadcast(glob), "b")
+    den_sql = f"(({m} - 1) * min(k_size) * {n}L)"
+    t_ppm = F.expr(
+        f"(2000000L * sum(abs({n}L * cum_k - k_size * cum_g))"
+        f" + {den_sql}) div (2L * {den_sql})"
+    ).cast("long")
+    return j.groupBy("nation", "segment").agg(
+        F.min("k_size").cast("long").alias("k_size"),
+        t_ppm.alias("t_ppm"),
+        (t_ppm <= T_CLOSENESS_PPM).alias("is_close"),
+    )

@@ -156,6 +156,7 @@ DEFER_NEW: tuple[str, ...] = (
     "ml_average_precision",
     "multimodal_decode_jpeg",
     "graph_bfs_hops",
+    "privacy_t_closeness",
 )
 
 

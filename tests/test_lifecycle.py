@@ -291,3 +291,15 @@ def test_txn_compact_single_file_preserves_history(spark):
     v1 = read_snapshot(spark, td, version=1).count()
     assert head == pre
     assert v1 < pre
+
+
+def test_t_closeness_bounds_and_consistency(spark):
+    rows = _run(spark, "privacy_t_closeness").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["t_ppm"] <= 1_000_000
+        assert r["is_close"] == (r["t_ppm"] <= 200_000)
+    # the whole-table "group" would have t = 0: every group's t is a
+    # divergence FROM the global distribution, so at least one group
+    # must be nonzero on real data
+    assert any(r["t_ppm"] > 0 for r in rows)
