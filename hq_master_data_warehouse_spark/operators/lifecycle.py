@@ -383,7 +383,13 @@ def window_pattern_vshape(
 #: ppm ratio via exact integer half-away division: no double ever
 #: decides a digit.  a, b are long expressions; b > 0.
 def _ppm_sql(a: str, b: str) -> str:
-    return f"(2000000 * ({a}) + ({b})) // (2 * ({b}))"
+    # explicit BIGINT casts: with INT32-typed operands (small
+    # literals, INTEGER columns) DuckDB would otherwise evaluate
+    # 2000000 * a in INT32 and raise an overflow past a ~= 1073
+    return (
+        f"(2000000 * CAST(({a}) AS BIGINT) + CAST(({b}) AS BIGINT))"
+        f" // (2 * CAST(({b}) AS BIGINT))"
+    )
 
 
 def _ppm(a: str, b: str) -> F.Column:

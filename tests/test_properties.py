@@ -250,3 +250,121 @@ def test_units_products_equal_decimal_products(spark, rows):
     ).collect()[0]
     assert got.dp == want.dp
     assert got.ch == want.ch
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10**12),
+    st.integers(min_value=1, max_value=10**12),
+)
+def test_ppm_integer_division_matches_fraction_model(a, b):
+    """_ppm_sql must equal round-half-away(1e6 * a/b) computed in
+    EXACT rational arithmetic -- for every a/b, including the
+    non-binary-representable tie cases that break ROUND-on-double."""
+    from fractions import Fraction
+
+    import duckdb
+
+    from hq_master_data_warehouse_spark.operators.lifecycle import (
+        _ppm_sql,
+    )
+
+    con = duckdb.connect()
+    (got,) = con.execute("SELECT " + _ppm_sql(str(a), str(b))).fetchone()
+    x = Fraction(a, b) * 1_000_000
+    frac = x - int(x)
+    expect = int(x) + (1 if frac >= Fraction(1, 2) else 0)
+    assert got == expect
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["add", "remove"]),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=0, max_value=29),
+)
+def test_txn_log_checkpoint_fold_equals_full_fold(tmp_path_factory, actions, cp_at):
+    """For ANY action sequence, folding from a checkpoint written at
+    any version equals the from-scratch fold at every version."""
+    import os
+
+    from hq_master_data_warehouse_spark.sources.txn_log import (
+        commit,
+        live_files,
+        live_files_from_checkpoint,
+        write_checkpoint,
+    )
+
+    d = str(tmp_path_factory.mktemp("txn"))
+    os.makedirs(os.path.join(d, "_txn_log"), exist_ok=True)
+    for v, (op, fid) in enumerate(actions):
+        info = {"path": f"f{fid}", "min_key": fid, "max_key": fid}
+        if op == "add":
+            commit(d, v, [info], [])
+        else:
+            commit(d, v, [], [f"f{fid}"])
+    cp = min(cp_at, len(actions) - 1)
+    write_checkpoint(d, cp)
+
+    def key(files):
+        return sorted(f["path"] for f in files)
+
+    for v in list(range(len(actions))) + [None]:
+        assert key(live_files_from_checkpoint(d, v)) == key(
+            live_files(d, v)
+        ), f"diverged at version {v} (checkpoint at {cp})"
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.integers(min_value=1, max_value=100),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_global_prefix_sum_matches_window_model(spark, rows):
+    """_global_prefix_sum (banded two-pass) must equal the plain
+    global cumulative window for any data, including duplicate sort
+    keys (id tie-break) and values spanning several bands."""
+    from pyspark.sql.window import Window
+
+    from hq_master_data_warehouse_spark.operators.analytics import (
+        _global_prefix_sum,
+    )
+
+    data = [(i, k, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, k long, v long")
+    got = {
+        r["id"]: r["cum"]
+        for r in _global_prefix_sum(
+            df,
+            F.floor(F.col("k") / 100),
+            [F.col("k"), F.col("id")],
+            "v",
+            "cum",
+        ).collect()
+    }
+    w = Window.orderBy("k", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    expect = {
+        r["id"]: r["cum"]
+        for r in df.select(
+            "id", F.sum("v").over(w).alias("cum")
+        ).collect()
+    }
+    assert got == expect
