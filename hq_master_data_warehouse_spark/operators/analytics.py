@@ -1837,6 +1837,7 @@ def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("ck")
         .agg(F.sum("c").alias("cents"))
+        .cache()  # _global_rank consumes its input twice
     )
     ranked = _global_rank(
         cust,
@@ -1844,8 +1845,11 @@ def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("cents"), F.col("ck")],
         "rk",
     )
+    # cast an OPERAND to decimal so the product itself is decimal --
+    # casting the int64 product would overflow silently first at the
+    # rank*cents scale the headroom claim covers
     s = F.sum(
-        (F.col("rk") * F.col("cents")).cast("decimal(38,0)")
+        F.col("rk").cast("decimal(38,0)") * F.col("cents")
     ).cast("double")
     t = F.sum(F.col("cents").cast("decimal(38,0)"))
     n = F.count("*")
@@ -1916,6 +1920,7 @@ def orders_abc_classification(
         )
         .groupBy("pk")
         .agg(F.sum("c").alias("cents"))
+        .cache()  # consumed by the two-pass prefix sum AND `tot`
     )
     cum = _global_prefix_sum(
         pr,

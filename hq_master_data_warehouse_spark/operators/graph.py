@@ -11,12 +11,14 @@ edges and degrees are computed once and cached across iterations.
 
 At 100 TB: the per-iteration state is one (node, rank) row per node
 -- orders of magnitude smaller than the edge set -- so the rank table
-BROADCASTS to the cached edge partitions (map-side join, the edges
-never re-shuffle) and each iteration pays one shuffle of the
-partially-aggregated inflows.  When the node table outgrows broadcast
-(billions of nodes) the join degrades gracefully to shuffle-on-src
-against the same cached layout; localCheckpoint truncates lineage if
-K grows.
+is EXPLICITLY broadcast to the cached edge partitions (map-side join,
+the edges never re-shuffle) and each iteration pays one shuffle of
+the partially-aggregated inflows.  The broadcast is a hard hint, not
+adaptive: when a deployment's node table outgrows the broadcast limit
+(billions of nodes) the hint must be dropped so the join plans as
+shuffle-on-src against the same cached layout -- a one-line config
+point, called out here because SCALE.md treats these notes as the
+contract; localCheckpoint truncates lineage if K grows.
 """
 
 from __future__ import annotations
@@ -29,6 +31,33 @@ from ..sources.loaders import load_table
 
 PR_DAMPING = 0.85
 PR_ITERS = 5
+
+def _copurchase_und(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected distinct co-purchase pair set (u < w) -- the shared
+    edge derivation for every graph operator here (its SQL twin is
+    _TRI_EDGES / _edges_sql).  Deriving the u < w half first means
+    the distinct -- the heaviest shuffle in each graph query -- moves
+    half the rows of the directed formulation; callers cache it (or
+    the directed union built from it) per their iteration shape."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("w")
+    )
+    return (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("w"))
+        .select("u", "w")
+        .distinct()  # pairs repeat across orders: dedup is the point
+    )
+
+
 
 
 def _edges_sql() -> str:
@@ -85,30 +114,11 @@ def graph_pagerank_copurchase(
     so the order-dependent last-ULP of the per-node double sums (hash
     aggregation order differs between engines) sits ~1e9 below the
     rounding quantum."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    a = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("w")
-    )
-    # derive the UNDIRECTED pair set (u < w) first: the distinct --
-    # the heaviest shuffle in the whole query -- moves half the rows
-    # of the directed formulation, then both directions materialize
-    # shuffle-free as a union of projections.
     # cached: the subtree feeds FOUR consumers (two union branches
     # and, through them, the degree aggregate) -- without the cache
     # the join+distinct would re-execute for each even with exchange
     # reuse across only some of them.
-    und = (
-        a.join(b, "k")
-        .filter(F.col("u") < F.col("w"))
-        .select("u", "w")
-        .distinct()
-        .cache()
-    )
+    und = _copurchase_und(spark, sf_dir).cache()
     edges = und.select(
         F.col("u").alias("src"), F.col("w").alias("dst")
     ).unionAll(
@@ -230,22 +240,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     known -- every join is a pure equi-join (never an OR-condition
     nested loop) and each triangle is counted exactly once, from its
     order-minimal vertex."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v")
-    )
     und = (
-        a.join(b, "k")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
+        _copurchase_und(spark, sf_dir)
+        .select("u", F.col("w").alias("v"))
         .cache()
     )
     deg = (
@@ -358,23 +355,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic source set (p_partkey % {BFS_SOURCE_MOD} == 1),
     depth-bounded at {BFS_MAX_HOPS}; parts the BFS never reaches
     report -1."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("w")
-    )
-    und = (
-        a.join(b, "k")
-        .filter(F.col("u") < F.col("w"))
-        .select("u", "w")
-        .distinct()
-    )
+    und = _copurchase_und(spark, sf_dir)
     edges = (
         und.select(F.col("u").alias("src"), F.col("w").alias("dst"))
         .unionAll(

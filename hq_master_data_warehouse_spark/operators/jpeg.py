@@ -188,7 +188,12 @@ class _BitReader:
         if self.nbits == 0:
             self._fill()
         self.nbits -= 1
-        return (self.bits >> self.nbits) & 1
+        bit = (self.bits >> self.nbits) & 1
+        # truncate consumed high bits: without this the accumulator
+        # grows one Python-int limb per scan byte and every shift
+        # becomes O(stream length) -- quadratic decode on real files
+        self.bits &= (1 << self.nbits) - 1
+        return bit
 
     def read_bits(self, n: int) -> int:
         v = 0
@@ -244,6 +249,9 @@ def decode_jpeg(payload: bytes) -> dict:
     while True:
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker
+        while payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

@@ -447,7 +447,7 @@ def ml_average_precision(
         "vec_id",
         (F.col("label") % 2 == 1).alias("pos"),
         margin.alias("margin"),
-    )
+    ).cache()  # _global_rank consumes its input twice
     ranked = _global_rank(
         m,
         F.floor(F.col("margin")),
@@ -455,7 +455,7 @@ def ml_average_precision(
         "rk",
         bucket_desc=True,
     )
-    positives = ranked.filter(F.col("pos")).select("rk")
+    positives = ranked.filter(F.col("pos")).select("rk").cache()
     indexed = _global_rank(
         positives,
         F.floor(F.col("rk") / 4096),

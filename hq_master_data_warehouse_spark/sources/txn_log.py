@@ -223,7 +223,7 @@ def build_txn_table(
             (F.col("o_orderkey") / FILE_KEYSPAN).cast("long") == r
         )
         adds.append(_write_file(part, table_dir, f"data-v0-{r:05d}"))
-    commit(table_dir, 0, adds, [])
+    commit_batch_idempotent(table_dir, 0, adds, [])
 
     # v1: delete keys % DEL_MOD == 0 -- rewrite only touched files
     # (every file contains such keys here; partition-pruned rewrite
@@ -237,12 +237,12 @@ def build_txn_table(
         name = info["path"].replace("v0", "v1")
         adds1.append(_write_file(kept, table_dir, name))
         removes1.append(info["path"])
-    commit(table_dir, 1, adds1, removes1)
+    commit_batch_idempotent(table_dir, 1, adds1, removes1)
 
     # v2: re-insert the even half of what v1 deleted, as one append
     readd = orders.filter(F.col("o_orderkey") % READD_MOD == 0)
     adds2 = [_write_file(readd, table_dir, "data-v2-readd")]
-    commit(table_dir, 2, adds2, [])
+    commit_batch_idempotent(table_dir, 2, adds2, [])
 
     with open(done, "w") as f:
         f.write("ok")
@@ -360,10 +360,31 @@ def compact_table(spark: SparkSession, table_dir: str) -> int:
     if len(live) <= 1:
         return head
     snap = read_snapshot(spark, table_dir, head).coalesce(1)
-    info = _write_file(snap, table_dir, f"data-compact-{target:05d}")
-    commit_batch_idempotent(
+    name = f"data-compact-{target:05d}"
+    info = _write_file(snap, table_dir, name)
+    won = commit_batch_idempotent(
         table_dir, target, [info], [f["path"] for f in live]
     )
+    if not won:
+        # a concurrent writer claimed this version first: this
+        # compaction did NOT happen.  Remove the orphan data file
+        # ONLY if the winning commit does not itself reference the
+        # same (deterministic) path -- a concurrent COMPACTOR writes
+        # the identical name and its committed entry must keep its
+        # file.  Report the actual head so the caller can retry on
+        # the new state rather than believe a swap that never
+        # committed.
+        with open(
+            os.path.join(table_dir, LOG_DIR, f"{target:08d}.json")
+        ) as f:
+            winner = json.load(f)
+        if name not in {a["path"] for a in winner.get("add", [])}:
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(table_dir, name), ignore_errors=True
+            )
+        return committed_versions(table_dir)[-1]
     return target
 
 
