@@ -672,3 +672,160 @@ def agg_weighted_median(
             F.min("tot").alias("total_weight"),
         )
     )
+
+
+# -- inter-arrival gap statistics: the queueing-theory view of the
+#    event stream (burstiness, idle periods).  Gaps are EXACT integer
+#    seconds from per-user LAG; min/max are exact; the median is the
+#    exact lower median via the same cumulative-count window as
+#    agg_weighted_median -- no approx_percentile, no float quantile.
+#    Shuffles: one on user_id (LAG), one on the bounded (gap)
+#    summary.  Scales.
+@query(
+    "events_interarrival_stats",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               CAST(date_diff('second', lag(ts) OVER w, ts) AS BIGINT)
+                   AS gap
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    gaps AS (SELECT gap FROM g WHERE gap IS NOT NULL),
+    freq AS (SELECT gap, COUNT(*) AS c FROM gaps GROUP BY gap),
+    c AS (
+        SELECT gap, c,
+               CAST(SUM(c) OVER (ORDER BY gap
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cw,
+               CAST(SUM(c) OVER () AS BIGINT) AS tot
+        FROM freq
+    )
+    SELECT (SELECT MIN(gap) FROM gaps) AS min_gap_s,
+           (SELECT MIN(gap) FROM c WHERE 2 * cw >= tot)
+               AS median_gap_s,
+           (SELECT MAX(gap) FROM gaps) AS max_gap_s,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM gaps) AS n_gaps
+    """,
+)
+def events_interarrival_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact inter-event gap profile across all users (seconds)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+            ).alias("gap")
+        )
+        .filter(F.col("gap").isNotNull())
+        .cache()  # feeds min/max agg AND the median frequency table
+    )
+    freq = gaps.groupBy("gap").agg(F.count("*").alias("c"))
+    wc = Window.orderBy("gap").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = freq.select(
+        "gap",
+        F.sum("c").over(wc).alias("cw"),
+        F.sum("c").over(Window.partitionBy()).alias("tot"),
+    )
+    med = c.filter(2 * F.col("cw") >= F.col("tot")).agg(
+        F.min("gap").alias("median_gap_s")
+    )
+    stats = gaps.agg(
+        F.min("gap").alias("min_gap_s"),
+        F.max("gap").alias("max_gap_s"),
+        F.count("*").alias("n_gaps"),
+    )
+    return stats.crossJoin(med).select(
+        "min_gap_s", "median_gap_s", "max_gap_s", "n_gaps"
+    )
+
+
+# -- primary-key uniqueness audit across the star schema: the twin of
+#    dq_referential_integrity for the OTHER half of what Postgres
+#    constraints enforced in the reference (PRIMARY KEY vs FOREIGN
+#    KEY).  One grouped count per table; duplicate_keys counts KEYS
+#    with multiplicity > 1, extra_rows counts the surplus rows they
+#    carry.  lineitem's key is composite (orderkey, linenumber).
+@query(
+    "dq_duplicate_key_audit",
+    oracle="""
+    WITH a AS (
+        SELECT 'customer.c_custkey' AS pk, c_custkey AS k1, 0 AS k2
+        FROM customer
+        UNION ALL
+        SELECT 'orders.o_orderkey', o_orderkey, 0 FROM orders
+        UNION ALL
+        SELECT 'part.p_partkey', p_partkey, 0 FROM part
+        UNION ALL
+        SELECT 'supplier.s_suppkey', s_suppkey, 0 FROM supplier
+        UNION ALL
+        SELECT 'lineitem.(l_orderkey,l_linenumber)',
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    g AS (
+        SELECT pk, k1, k2, COUNT(*) AS c FROM a GROUP BY pk, k1, k2
+    )
+    SELECT pk,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS duplicate_keys,
+           CAST(SUM(c - 1) AS BIGINT) AS extra_rows
+    FROM g GROUP BY pk
+    """,
+)
+def dq_duplicate_key_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Primary-key uniqueness audit: per declared key, how many key
+    values exist, how many are duplicated, and how many surplus rows
+    the duplicates carry."""
+    def leg(pk: str, df: DataFrame, k1: str, k2=None) -> DataFrame:
+        sel = df.select(
+            F.lit(pk).alias("pk"),
+            F.col(k1).alias("k1"),
+            (F.col(k2) if k2 else F.lit(0)).cast("long").alias("k2"),
+        )
+        return sel
+
+    legs = [
+        leg(
+            "customer.c_custkey",
+            load_table(spark, sf_dir, "customer"), "c_custkey",
+        ),
+        leg(
+            "orders.o_orderkey",
+            load_table(spark, sf_dir, "orders"), "o_orderkey",
+        ),
+        leg(
+            "part.p_partkey",
+            load_table(spark, sf_dir, "part"), "p_partkey",
+        ),
+        leg(
+            "supplier.s_suppkey",
+            load_table(spark, sf_dir, "supplier"), "s_suppkey",
+        ),
+        leg(
+            "lineitem.(l_orderkey,l_linenumber)",
+            load_table(spark, sf_dir, "lineitem"),
+            "l_orderkey",
+            "l_linenumber",
+        ),
+    ]
+    a = legs[0]
+    for other in legs[1:]:
+        a = a.unionAll(other)
+    g = a.groupBy("pk", "k1", "k2").agg(F.count("*").alias("c"))
+    return g.groupBy("pk").agg(
+        F.count("*").alias("n_keys"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("duplicate_keys"),
+        F.sum(F.col("c") - 1).cast("long").alias("extra_rows"),
+    )

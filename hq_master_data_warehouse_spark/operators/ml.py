@@ -470,3 +470,96 @@ def ml_average_precision(
             5,
         ).alias("avg_precision"),
     )
+
+
+# -- exact linear-SHAP feature attribution: for a linear scorer the
+#    Shapley value of feature i on a row is phi_i = w_i*(x_i - mu_i)
+#    EXACTLY (no sampling -- the interventional Shapley value of a
+#    linear model has a closed form).  Global importance = mean |phi|
+#    per feature.  Components are quantized to exact 1e-6 integer
+#    units so every aggregate (per-dim sums, the dispersion
+#    sum |n*x_i - S_i|) is an exact integer -- the only floating
+#    step is one identical final expression per FEATURE, so engines
+#    cannot drift.  Plan: posexplode -> two grouped aggregates over
+#    (dim) keys with the 64-row dim summary broadcast back.  Scales.
+@query(
+    "ml_shap_linear_attribution",
+    oracle=f"""
+    WITH m AS (
+        SELECT t.i AS i,
+               CAST(ROUND(CAST(embedding[t.i] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS xq
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(generate_series(1, {EMB_DIM}))
+                    AS i) t
+    ),
+    s AS (
+        SELECT i, CAST(SUM(xq) AS BIGINT) AS sv,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM m GROUP BY i
+    ),
+    d AS (
+        SELECT m.i,
+               CAST(SUM(ABS(s.n * m.xq - s.sv)) AS BIGINT) AS disp,
+               MIN(s.n) AS n
+        FROM m JOIN s USING (i) GROUP BY m.i
+    )
+    SELECT i - 1 AS feature,
+           CAST(({_W_SQL})[i] AS DOUBLE) AS weight,
+           ROUND(ABS(CAST(({_W_SQL})[i] AS DOUBLE)) * disp
+                 / (CAST(n AS DOUBLE) * n * 1000000.0), 6)
+               AS mean_abs_phi
+    FROM d
+    ORDER BY mean_abs_phi DESC, feature
+    LIMIT 10
+    """,
+)
+def ml_shap_linear_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-10 features of the linear margin scorer by exact mean
+    absolute Shapley value."""
+    exploded = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.posexplode("embedding").alias("pos", "x"))
+        .select(
+            "pos",
+            F.round(F.col("x").cast("double") * 1000000)
+            .cast("long")
+            .alias("xq"),
+        )
+        .cache()  # feeds the per-dim sums AND the dispersion pass
+    )
+    s = exploded.groupBy("pos").agg(
+        F.sum("xq").alias("sv"), F.count("*").alias("n")
+    )
+    d = (
+        exploded.join(F.broadcast(s), "pos")
+        .groupBy("pos")
+        .agg(
+            F.sum(
+                F.abs(F.col("n") * F.col("xq") - F.col("sv"))
+            ).alias("disp"),
+            F.min("n").alias("n"),
+        )
+    )
+    w_arr = F.array(*[F.lit(x) for x in WEIGHTS])
+    weight = F.element_at(w_arr, F.col("pos") + 1)
+    return (
+        d.select(
+            F.col("pos").alias("feature"),
+            weight.alias("weight"),
+            F.round(
+                F.abs(weight)
+                * F.col("disp")
+                / (
+                    F.col("n").cast("double")
+                    * F.col("n")
+                    * 1000000.0
+                ),
+                6,
+            ).alias("mean_abs_phi"),
+        )
+        .orderBy(F.col("mean_abs_phi").desc(), "feature")
+        .limit(10)
+    )

@@ -157,6 +157,9 @@ DEFER_NEW: tuple[str, ...] = (
     "multimodal_decode_jpeg",
     "graph_bfs_hops",
     "privacy_t_closeness",
+    "events_interarrival_stats",
+    "dq_duplicate_key_audit",
+    "ml_shap_linear_attribution",
 )
 
 

@@ -303,3 +303,54 @@ def test_t_closeness_bounds_and_consistency(spark):
     # divergence FROM the global distribution, so at least one group
     # must be nonzero on real data
     assert any(r["t_ppm"] > 0 for r in rows)
+
+
+def test_interarrival_stats_ordering(spark):
+    r = _run(spark, "events_interarrival_stats").collect()[0]
+    assert 0 <= r["min_gap_s"] <= r["median_gap_s"] <= r["max_gap_s"]
+    assert r["n_gaps"] > 0
+
+
+def test_duplicate_key_audit_finds_real_fixture_issue(spark):
+    rows = {r["pk"]: r for r in _run(
+        spark, "dq_duplicate_key_audit").collect()}
+    assert len(rows) == 5
+    # single-column keys are clean in the fixtures...
+    for pk in (
+        "customer.c_custkey",
+        "orders.o_orderkey",
+        "part.p_partkey",
+        "supplier.s_suppkey",
+    ):
+        assert rows[pk]["duplicate_keys"] == 0
+        assert rows[pk]["extra_rows"] == 0
+        assert rows[pk]["n_keys"] > 0
+    # ...but the synthetic generator does NOT enforce lineitem's
+    # composite (l_orderkey, l_linenumber) key -- a REAL data-quality
+    # issue in the fixture that this audit exists to surface
+    li = rows["lineitem.(l_orderkey,l_linenumber)"]
+    assert li["duplicate_keys"] > 0
+    assert li["extra_rows"] >= li["duplicate_keys"]
+
+
+def test_shap_linear_matches_bruteforce(spark):
+    from hq_master_data_warehouse_spark.operators.ml import WEIGHTS
+
+    out = _run(spark, "ml_shap_linear_attribution").collect()
+    assert len(out) == 10
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    n = len(rows)
+    xq = [
+        [round(float(x) * 1_000_000) for x in r["embedding"]]
+        for r in rows
+    ]
+    phis = []
+    for i, w in enumerate(WEIGHTS):
+        s = sum(col[i] for col in xq)
+        disp = sum(abs(n * col[i] - s) for col in xq)
+        phis.append((round(abs(w) * disp / (n * n * 1e6), 6), i, w))
+    phis.sort(key=lambda t: (-t[0], t[1]))
+    for got, (phi, i, w) in zip(out, phis[:10]):
+        assert got["feature"] == i
+        assert got["weight"] == w
+        assert abs(got["mean_abs_phi"] - phi) < 1e-9
