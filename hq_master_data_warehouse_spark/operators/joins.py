@@ -343,3 +343,85 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+# -- binned interval (range) join: for every 'error' event, count the
+#    same user's follow-up activity inside a 10-minute incident
+#    window [ts, ts+10min).  A naive formulation is an inequality
+#    join (ts BETWEEN ...) that Spark can only run as a nested loop;
+#    this plan EXPLODES each window into the 10-minute epoch bins it
+#    covers (<= 2 rows) and joins on (user_id, bin) -- a pure hash
+#    equi-join -- keeping the range predicate as a post-key filter.
+#    A window's exploded bins are distinct, and an event's own bin
+#    matches exactly one of them, so no pair-dedup is needed.  Scales:
+#    shuffle keys are (user, time-bin), naturally unskewed; the bin
+#    width is chosen == the window width so the blow-up factor is
+#    bounded by 2.  (The oracle states the plain inequality join.)
+@query(
+    "join_range_binned",
+    oracle="""
+    WITH w AS (
+        SELECT event_id AS window_id, user_id,
+               ts AS w_start, ts + INTERVAL 10 MINUTE AS w_end
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT w.window_id,
+           COUNT(e.event_id) AS n_follow,
+           CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(COALESCE(SUM(CAST(ROUND(e.value * 100) AS BIGINT)), 0)
+                AS BIGINT) AS follow_value_cents
+    FROM w LEFT JOIN events e
+      ON e.user_id = w.user_id
+     AND e.event_type IN ('click', 'view', 'purchase')
+     AND e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY w.window_id
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    width = 600  # seconds; == window length, bounds explode factor at 2
+    sec = lambda c: c.cast("double")  # noqa: E731  epoch seconds
+    w = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("window_id"),
+        F.col("user_id").alias("w_user"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    w = w.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(sec(F.col("w_start")) / width),
+                F.floor(sec(F.col("w_end")) / width),
+            )
+        ),
+    )
+    probe = events.filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    ).select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        F.col("event_type").alias("e_type"),
+        F.col("value").alias("e_value"),
+        F.floor(sec(F.col("ts")) / width).alias("e_bin"),
+    )
+    joined = w.join(
+        probe,
+        (F.col("w_user") == F.col("e_user"))
+        & (F.col("bin") == F.col("e_bin"))
+        & (F.col("e_ts") >= F.col("w_start"))
+        & (F.col("e_ts") < F.col("w_end")),
+        "left",
+    )
+    return joined.groupBy("window_id").agg(
+        F.count("e_id").alias("n_follow"),
+        F.sum(
+            F.when(F.col("e_type") == "purchase", 1).otherwise(0)
+        ).alias("n_purchase"),
+        F.coalesce(
+            F.sum(F.round(F.col("e_value") * 100).cast("long")),
+            F.lit(0),
+        ).alias("follow_value_cents"),
+    )

@@ -1,0 +1,464 @@
+"""Statistical modelling operators: closed-form OLS trend fits, A/B
+test z-statistics, cross-validation fold audits, lagged
+autocorrelation, seasonality indices, and equi-depth histograms.
+
+These are the "small-model, big-data" shapes a warehouse runs beside
+its analytics (the reference stores only raw KPIs --
+src/app/api/companies/route.ts aggregates counts; this family is the
+statistics layer a 100 TB corpus needs on top).  Every query follows
+the engine's exact-arithmetic convention: per-row values become
+integer units (cents / day indices) summed losslessly (long or
+split-long/decimal), and the FINAL statistic is a fixed double
+expression over those exact sums, rounded -- so Spark and the DuckDB
+oracle agree bit-for-bit regardless of partition order.
+
+Scale notes: every operator here reduces the raw table to a bounded
+intermediate (per-group sums, per-day counts, a ~10-row fold table)
+in ONE map-side-combinable aggregation; the statistics are computed
+on the reduced table, so nothing downstream of the first shuffle
+grows with the input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import exact_units_sum
+from ..registry import query
+from ..sources.loaders import load_table
+from .lifecycle import _cents
+
+
+def _md5_bucket(col: F.Column, mod: int) -> F.Column:
+    """Deterministic cross-engine hash bucket: first 4 hex digits of
+    md5 (16 bits -- uniform, injective on the observed key domain is
+    not required, only identical assignment in both engines)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % mod
+    )
+
+
+_MD5_BUCKET_SQL = (
+    "CAST(concat('0x', substr(md5(CAST({key} AS VARCHAR)), 1, 4)) AS INT)"
+    " % {mod}"
+)
+
+
+# -- OLS daily revenue trend per order priority: slope / intercept /
+#    r^2 of order value (cents) against the day index, closed form
+#    from five exact sums.  The sums are the ONLY aggregation (one
+#    shuffle, map-side combined, 5 longs per group); x*y <= ~1.2e11
+#    per row rides the split-long accumulator, exact past 1e12 rows.
+#    The final stats are one double expression over the per-group sum
+#    rows, identical text in both engines -> identical doubles.
+@query(
+    "ml_ols_daily_trend",
+    oracle="""
+    WITH pts AS (
+        SELECT o_orderpriority,
+               date_diff('day', DATE '1995-01-01',
+                         CAST(o_orderdate AS DATE)) AS x,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+        FROM orders
+    ),
+    s AS (
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+        FROM pts GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+               AS slope_cents_per_day,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 6) AS intercept_cents,
+           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS r_squared
+    FROM s
+    """,
+)
+def ml_ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.select(
+        "o_orderpriority",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+        .cast("long")
+        .alias("x"),
+        _cents(F.col("o_totalprice")).alias("y"),
+    )
+    # x <= ~2.4e3, y <= ~5e7: sx/sxx fit a plain long sum to ~1.5e12
+    # rows; sy/syy/sxy ride the split-long path (per-row units
+    # y*y <= 2.5e15 exceeds the split bound -- keep y*y in decimal).
+    s = pts.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        exact_units_sum(F.col("y"), 0).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(
+            (F.col("y").cast("decimal(20,0)") * F.col("y")).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("double")
+        .alias("syy"),
+        exact_units_sum(F.col("x") * F.col("y"), 0).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    slope = cov_n / varx_n
+    return s.select(
+        "o_orderpriority",
+        n.cast("long").alias("n"),
+        F.round(slope, 6).alias("slope_cents_per_day"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept_cents"),
+        F.round((cov_n * cov_n) / (varx_n * vary_n), 6).alias(
+            "r_squared"
+        ),
+    )
+
+
+# -- two-proportion A/B z-test: users hash-split into two arms by
+#    md5 (stable across retries and engines -- never rand()), arm
+#    conversion = "user made >= 1 high-value (>150) purchase" (the
+#    plain any-purchase flag saturates at 1.0 on this fixture's
+#    ~66-events-per-user traffic -- a degenerate pooled variance).
+#    One grouped aggregate to a per-user flag table, one to the
+#    2-row arm table, then the pooled z statistic on the
+#    driver-sized result.  Degenerate pools (all/none converted, or
+#    an empty arm) yield NULL via NULLIF in BOTH engines instead of
+#    an ANSI divide-by-zero.
+@query(
+    "ml_ab_test_ztest",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               {_MD5_BUCKET_SQL.format(key="user_id", mod=2)} AS arm,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+                    AS BIGINT) AS x_a,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+                    AS BIGINT) AS x_b
+        FROM u
+    )
+    SELECT n_a, x_a, n_b, x_b,
+           ROUND(CAST(x_a AS DOUBLE) / NULLIF(n_a, 0), 6) AS rate_a,
+           ROUND(CAST(x_b AS DOUBLE) / NULLIF(n_b, 0), 6) AS rate_b,
+           ROUND((CAST(x_a AS DOUBLE) / NULLIF(n_a, 0)
+                  - CAST(x_b AS DOUBLE) / NULLIF(n_b, 0))
+                 / NULLIF(sqrt(
+                       (CAST(x_a + x_b AS DOUBLE) / NULLIF(n_a + n_b, 0))
+                       * (1 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                       * (1.0 / NULLIF(n_a, 0)
+                          + 1.0 / NULLIF(n_b, 0))), 0), 6) AS z_score
+    FROM arms
+    """,
+)
+def ml_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    u = events.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    u = u.withColumn("arm", _md5_bucket(F.col("user_id"), 2))
+    arms = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("x_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("x_b"),
+    )
+
+    def _nz(c: F.Column) -> F.Column:
+        return F.nullif(c, F.lit(0))
+
+    n_a, x_a = F.col("n_a").cast("double"), F.col("x_a").cast("double")
+    n_b, x_b = F.col("n_b").cast("double"), F.col("x_b").cast("double")
+    pooled = (x_a + x_b) / _nz(
+        (F.col("n_a") + F.col("n_b")).cast("double")
+    )
+    denom = F.sqrt(
+        pooled
+        * (1 - pooled)
+        * (F.lit(1.0) / _nz(n_a) + F.lit(1.0) / _nz(n_b))
+    )
+    z = (x_a / _nz(n_a) - x_b / _nz(n_b)) / _nz(denom)
+    return arms.select(
+        "n_a", "x_a", "n_b", "x_b",
+        F.round(x_a / _nz(n_a), 6).alias("rate_a"),
+        F.round(x_b / _nz(n_b), 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+# -- k-fold cross-validation audit: deterministic md5 fold assignment
+#    (leak-free: an order's fold never depends on data order or
+#    cluster size) plus the per-fold balance stats a training
+#    pipeline checks before fitting -- row counts, distinct
+#    customers, revenue, class (open-order) share.  One aggregation;
+#    distinct customers per fold is the only expensive part and is
+#    itself a partial-aggregatable count-distinct.
+@query(
+    "ml_crossval_folds",
+    oracle=f"""
+    SELECT {_MD5_BUCKET_SQL.format(key="o_orderkey", mod=5)} AS fold,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS DOUBLE) / 100 AS revenue,
+           ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1
+                               ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+               AS open_share
+    FROM orders GROUP BY fold
+    """,
+)
+def ml_crossval_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    folds = orders.withColumn(
+        "fold", _md5_bucket(F.col("o_orderkey"), 5)
+    )
+    return folds.groupBy("fold").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        (exact_units_sum(_cents(F.col("o_totalprice")), 0) / 100)
+        .alias("revenue"),
+        F.round(
+            F.sum(
+                F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)
+            ).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("open_share"),
+    )
+
+
+# -- lagged autocorrelation of the daily event count series (lags
+#    1..7): the stationarity probe behind anomaly detection and
+#    capacity forecasts.  The raw stream collapses to ONE row per
+#    calendar day first, so the pair join runs on a date-domain-
+#    bounded table (thousands of rows at any input scale); the
+#    7-row lag table broadcasts and (day + lag = day') is a pure
+#    equi-join.  Pearson r per lag from exact integer sums.
+@query(
+    "events_autocorrelation",
+    oracle="""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                   AS d,
+               COUNT(*) AS cnt
+        FROM events GROUP BY d
+    ),
+    pairs AS (
+        SELECT g.lag, a.cnt AS x, b.cnt AS y
+        FROM generate_series(1, 7) AS g(lag)
+        JOIN daily a ON TRUE
+        JOIN daily b ON b.d = a.d + g.lag
+    ),
+    s AS (
+        SELECT lag, COUNT(*) AS n_pairs,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+        FROM pairs GROUP BY lag
+    )
+    SELECT lag, n_pairs,
+           ROUND((n_pairs * sxy - sx * sy)
+                 / (sqrt(n_pairs * sxx - sx * sx)
+                    * sqrt(n_pairs * syy - sy * sy)), 6) AS autocorr
+    FROM s
+    """,
+)
+def events_autocorrelation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.count("*").alias("cnt"))
+    lags = spark.range(1, 8).select(F.col("id").cast("long").alias("lag"))
+    a = daily.crossJoin(F.broadcast(lags))
+    b = daily.select(
+        F.col("d").alias("d2"), F.col("cnt").alias("y")
+    )
+    # (a.d + lag) = b.d2 is an equi-key -> shuffle/broadcast HASH join,
+    # never a nested loop (pinned in tests/test_stats.py).
+    pairs = a.join(b, a.d + a.lag == b.d2).select(
+        "lag", F.col("cnt").alias("x"), "y"
+    )
+    # per-day counts are bounded by the day's traffic; the decimal
+    # cast keeps x*y exact even at 1e9-events-per-day scale.
+    s = pairs.groupBy("lag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x").cast("decimal(20,0)") * F.col("x")).cast(
+            "decimal(38,0)"
+        )).cast("double").alias("sxx"),
+        F.sum((F.col("y").cast("decimal(20,0)") * F.col("y")).cast(
+            "decimal(38,0)"
+        )).cast("double").alias("syy"),
+        F.sum((F.col("x").cast("decimal(20,0)") * F.col("y")).cast(
+            "decimal(38,0)"
+        )).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    r = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "lag",
+        n.cast("long").alias("n_pairs"),
+        F.round(r, 6).alias("autocorr"),
+    )
+
+
+# -- day-of-week seasonality index: average daily revenue per weekday
+#    relative to the overall daily average (index 1.0 = a flat week).
+#    Two bounded aggregations (per-date, then per-dow) plus a 1-row
+#    broadcast of the overall totals.  dow is aligned to DuckDB's
+#    Sunday=0 labeling (Spark dayofweek is Sunday=1).
+@query(
+    "orders_dow_seasonality",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               dayofweek(CAST(o_orderdate AS DATE)) AS dow,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY day, dow
+    ),
+    per_dow AS (
+        SELECT dow, COUNT(*) AS n_days,
+               CAST(SUM(cents) AS DOUBLE) AS dow_cents
+        FROM daily GROUP BY dow
+    ),
+    total AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS t_days,
+               CAST(SUM(cents) AS DOUBLE) AS t_cents
+        FROM daily
+    )
+    SELECT dow, n_days,
+           ROUND(dow_cents / n_days / 100, 2) AS avg_daily_revenue,
+           ROUND((dow_cents / n_days) / (t_cents / t_days), 6)
+               AS seasonality_index
+    FROM per_dow CROSS JOIN total
+    """,
+)
+def orders_dow_seasonality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day"),
+        (F.dayofweek(F.col("o_orderdate").cast("date")) - 1).alias(
+            "dow"
+        ),
+    ).agg(F.sum(_cents(F.col("o_totalprice"))).alias("cents"))
+    per_dow = daily.groupBy("dow").agg(
+        F.count("*").alias("n_days"),
+        F.sum("cents").cast("double").alias("dow_cents"),
+    )
+    total = daily.agg(
+        F.count("*").cast("double").alias("t_days"),
+        F.sum("cents").cast("double").alias("t_cents"),
+    )
+    j = per_dow.crossJoin(F.broadcast(total))
+    return j.select(
+        "dow",
+        "n_days",
+        F.round(F.col("dow_cents") / F.col("n_days") / 100, 2).alias(
+            "avg_daily_revenue"
+        ),
+        F.round(
+            (F.col("dow_cents") / F.col("n_days"))
+            / (F.col("t_cents") / F.col("t_days")),
+            6,
+        ).alias("seasonality_index"),
+    )
+
+
+# -- equi-depth (decile) histogram of order value: NTILE(10)
+#    semantics stated by the oracle, computed WITHOUT the global
+#    single-partition NTILE sort -- the distributed two-pass
+#    _global_rank (bucketed on a coarse monotone price band) plus the
+#    arithmetic _ntile_from_rank, the same scale-safe shape the RFM
+#    query pins.  Output: 10 rows with exact bucket populations,
+#    price bounds and revenue.
+@query(
+    "agg_histogram_equidepth",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_totalprice,
+               NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                   AS decile
+        FROM orders
+    )
+    SELECT decile, COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS lo_price,
+           MAX(o_totalprice) AS hi_price,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS DOUBLE) / 100 AS revenue
+    FROM ranked GROUP BY decile
+    """,
+)
+def agg_histogram_equidepth(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .analytics import _global_rank, _ntile_from_rank
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    ranked = _global_rank(
+        orders,
+        F.floor(F.col("o_totalprice") / 1000),
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        "rn",
+    )
+    total = orders.agg(F.count("*").alias("n_rows"))
+    ranked = ranked.crossJoin(F.broadcast(total))
+    ranked = ranked.withColumn(
+        "decile",
+        _ntile_from_rank(F.col("rn"), F.col("n_rows"), 10),
+    )
+    return ranked.groupBy("decile").agg(
+        F.count("*").alias("n_orders"),
+        F.min("o_totalprice").alias("lo_price"),
+        F.max("o_totalprice").alias("hi_price"),
+        (exact_units_sum(_cents(F.col("o_totalprice")), 0) / 100)
+        .alias("revenue"),
+    )

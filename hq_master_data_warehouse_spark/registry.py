@@ -160,6 +160,13 @@ DEFER_NEW: tuple[str, ...] = (
     "events_interarrival_stats",
     "dq_duplicate_key_audit",
     "ml_shap_linear_attribution",
+    "ml_ols_daily_trend",
+    "ml_ab_test_ztest",
+    "ml_crossval_folds",
+    "events_autocorrelation",
+    "orders_dow_seasonality",
+    "agg_histogram_equidepth",
+    "join_range_binned",
 )
 
 
@@ -205,6 +212,7 @@ def load_catalog() -> None:
         setops,
         similarity,
         skew,
+        stats,
         text,
         windows,
     )
