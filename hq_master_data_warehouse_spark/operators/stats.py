@@ -21,6 +21,8 @@ grows with the input.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -461,4 +463,453 @@ def agg_histogram_equidepth(
         F.max("o_totalprice").alias("hi_price"),
         (exact_units_sum(_cents(F.col("o_totalprice")), 0) / 100)
         .alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval
+# ---------------------------------------------------------------------------
+# The distributed bootstrap: true with-replacement resampling needs
+# global coordination, but for large n the multinomial row counts of
+# a bootstrap replica converge to independent Poisson(1) draws -- so
+# each row derives its OWN per-replica multiplicity from a hash, one
+# pass, fully map-side-combinable (the standard trick from the
+# large-scale-learning literature).  Multiplicities come from a
+# 16-bit md5 bucket pushed through the Poisson(1) inverse CDF as
+# INTEGER threshold literals -- both engines compare integers, no
+# float boundary can disagree.
+
+_B_REPLICAS = 64
+
+#: Poisson(1) CDF scaled to the 16-bit md5 bucket domain; multiplicity
+#: k = number of thresholds <= u (capped at 8; P(X>8) ~ 1e-6).
+_POIS_TH = [24109, 48219, 60273, 64292, 65296, 65497, 65531, 65535]
+
+#: discrete 95% interval on B sorted replica means: percentile_disc
+#: convention, 1-based ranks ceil(0.025*B) and ceil(0.975*B).
+_CI_LO_RANK = math.ceil(0.025 * _B_REPLICAS)
+_CI_HI_RANK = math.ceil(0.975 * _B_REPLICAS)
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_TH)
+    )
+    return f"CASE {branches} ELSE {len(_POIS_TH)} END"
+
+
+def _pois_mult(u: F.Column) -> F.Column:
+    expr = F.lit(len(_POIS_TH))
+    for k in range(len(_POIS_TH) - 1, -1, -1):
+        expr = F.when(u < _POIS_TH[k], k).otherwise(expr)
+    return expr
+
+
+# -- bootstrap CI for the mean order value: B=64 Poisson replicas in
+#    ONE aggregation pass (the replica id is a broadcast 64-row
+#    explode; partial aggregation reduces each partition to B rows
+#    before the shuffle), then the percentile bracket over the 64
+#    replica means -- a driver-sized list.  Replica means divide two
+#    exact integers, so both engines see identical doubles.
+@query(
+    "ml_bootstrap_mean_ci",
+    oracle=f"""
+    WITH b AS (SELECT UNNEST(generate_series(0, {_B_REPLICAS - 1}))
+                   AS rep),
+    w AS (
+        SELECT rep,
+               {_pois_case_sql(
+                   "CAST(concat('0x', substr(md5(concat(CAST(o_orderkey"
+                   " AS VARCHAR), ':', CAST(rep AS VARCHAR))), 1, 4))"
+                   " AS INT)")} AS mult,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders CROSS JOIN b
+    ),
+    means AS (
+        SELECT rep,
+               CAST(SUM(CAST(mult AS HUGEINT) * cents) AS DOUBLE)
+                   / CAST(SUM(mult) AS DOUBLE) / 100 AS m
+        FROM w GROUP BY rep
+    ),
+    base AS (
+        SELECT COUNT(*) AS n_orders,
+               ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                          AS DOUBLE) / COUNT(*) / 100, 4) AS mean_value
+        FROM orders
+    )
+    SELECT n_orders, mean_value,
+           ROUND(list_sort(list(m))[{_CI_LO_RANK}], 4) AS ci_lo,
+           ROUND(list_sort(list(m))[{_CI_HI_RANK}], 4) AS ci_hi,
+           {_B_REPLICAS} AS n_replicas
+    FROM means CROSS JOIN base
+    GROUP BY n_orders, mean_value
+    """,
+)
+def ml_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", _cents(F.col("o_totalprice")).alias("cents")
+    )
+    reps = spark.range(_B_REPLICAS).select(
+        F.col("id").cast("int").alias("rep")
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("rep").cast("string"),
+                )
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("int")
+    w = orders.crossJoin(F.broadcast(reps)).select(
+        "rep", _pois_mult(u).alias("mult"), "cents"
+    )
+    means = w.groupBy("rep").agg(
+        (
+            F.sum(
+                (F.col("mult").cast("decimal(20,0)") * F.col("cents"))
+                .cast("decimal(38,0)")
+            ).cast("double")
+            / F.sum("mult").cast("double")
+            / 100
+        ).alias("m")
+    )
+    bracket = means.agg(
+        F.round(
+            F.element_at(
+                F.sort_array(F.collect_list("m")), _CI_LO_RANK
+            ),
+            4,
+        ).alias("ci_lo"),
+        F.round(
+            F.element_at(
+                F.sort_array(F.collect_list("m")), _CI_HI_RANK
+            ),
+            4,
+        ).alias("ci_hi"),
+    )
+    base = orders.agg(
+        F.count("*").alias("n_orders"),
+        F.round(
+            exact_units_sum(F.col("cents"), 0)
+            / F.count("*").cast("double")
+            / 100,
+            4,
+        ).alias("mean_value"),
+    )
+    return base.crossJoin(F.broadcast(bracket)).select(
+        "n_orders",
+        "mean_value",
+        "ci_lo",
+        "ci_hi",
+        F.lit(_B_REPLICAS).alias("n_replicas"),
+    )
+
+
+# -- multivariate OLS via the normal equations: order value regressed
+#    on (day index, day-of-week), solved closed-form with Cramer's
+#    rule on the 3x3 Gram matrix.  ONE aggregation pass collects the
+#    nine exact sums; the solve is a fixed double expression over a
+#    single row.  The same shape extends to any small feature count
+#    -- the Gram matrix is O(p^2) per partition, never O(n).
+@query(
+    "ml_ols_multivariate",
+    oracle="""
+    WITH pts AS (
+        SELECT date_diff('day', DATE '1995-01-01',
+                         CAST(o_orderdate AS DATE)) AS x1,
+               dayofweek(CAST(o_orderdate AS DATE)) AS x2,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+        FROM orders
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x1) AS DOUBLE) AS s1,
+               CAST(SUM(x2) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS s11,
+               CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) AS s12,
+               CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS s22,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x1 AS HUGEINT) * y) AS DOUBLE) AS s1y,
+               CAST(SUM(CAST(x2 AS HUGEINT) * y) AS DOUBLE) AS s2y
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND((sy * (s11 * s22 - s12 * s12)
+                  - s1 * (s1y * s22 - s12 * s2y)
+                  + s2 * (s1y * s12 - s11 * s2y))
+                 / (n * (s11 * s22 - s12 * s12)
+                    - s1 * (s1 * s22 - s12 * s2)
+                    + s2 * (s1 * s12 - s11 * s2)), 6) AS b0_cents,
+           ROUND((n * (s1y * s22 - s12 * s2y)
+                  - sy * (s1 * s22 - s12 * s2)
+                  + s2 * (s1 * s2y - s1y * s2))
+                 / (n * (s11 * s22 - s12 * s12)
+                    - s1 * (s1 * s22 - s12 * s2)
+                    + s2 * (s1 * s12 - s11 * s2)), 6)
+               AS b1_cents_per_day,
+           ROUND((n * (s11 * s2y - s1y * s12)
+                  - s1 * (s1 * s2y - s1y * s2)
+                  + sy * (s1 * s12 - s11 * s2))
+                 / (n * (s11 * s22 - s12 * s12)
+                    - s1 * (s1 * s22 - s12 * s2)
+                    + s2 * (s1 * s12 - s11 * s2)), 6)
+               AS b2_cents_per_dow
+    FROM s
+    """,
+)
+def ml_ols_multivariate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.select(
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+        .cast("long")
+        .alias("x1"),
+        # DuckDB dow labels (Sunday=0); the -1 alignment keeps the
+        # coefficient comparable across engines
+        (F.dayofweek(F.col("o_orderdate").cast("date")) - 1)
+        .cast("long")
+        .alias("x2"),
+        _cents(F.col("o_totalprice")).alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        exact_units_sum(F.col("y"), 0).alias("sy"),
+        exact_units_sum(F.col("x1") * F.col("y"), 0).alias("s1y"),
+        exact_units_sum(F.col("x2") * F.col("y"), 0).alias("s2y"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    sy, s1y, s2y = F.col("sy"), F.col("s1y"), F.col("s2y")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    b0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    ) / det
+    b1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    ) / det
+    b2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    ) / det
+    return s.select(
+        n.cast("long").alias("n"),
+        F.round(b0, 6).alias("b0_cents"),
+        F.round(b1, 6).alias("b1_cents_per_day"),
+        F.round(b2, 6).alias("b2_cents_per_dow"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend forecast
+# ---------------------------------------------------------------------------
+# The two-parameter extension of the SES baseline
+# (operators/analytics.py orders_forecast_ses): level AND trend
+# recursions
+#     l_t = a*y_t + (1-a)*(l_{t-1} + b_{t-1})
+#     b_t = g*(l_t - l_{t-1}) + (1-g)*b_{t-1}
+# with l_1 = y_1, b_1 = y_2 - y_1.  Both states are LINEAR in the
+# observations, so the coupled recursion unrolls into weight tables
+# computed once from powers of the 2x2 companion matrix
+#     A = [[1-a, 1-a], [-a*g, 1-a*g]],  input vector v = (a, a*g):
+#     s_t = A^(t-1) s_1 + sum_{j=2..t} A^(t-j) v y_j.
+# Interior weights depend only on the lag t-j; the j=1 / j=2 columns
+# carry the initialization boundary.  Weights are quantized to
+# 9-decimal literals SHARED by both engines -- the quantized filter is
+# the operator's definition, so cross-engine equality is exact by
+# construction, not by float luck (same rationale as the SES decimal
+# weight tables).  The month x month unrolled join is quadratic only
+# over the bounded monthly summary, never the fact table.
+
+HOLT_ALPHA = 0.3
+HOLT_GAMMA = 0.2
+_HOLT_MAX_T = 120
+
+
+def _holt_weight_tables() -> tuple[list, list, list, list, list, list]:
+    """(C1_l, C1_b, C2_l, C2_b, LAG_l, LAG_b) as 9-dp Decimals.
+
+    C1[t] / C2[t] (1-based t) are the boundary coefficients of y_1 /
+    y_2 in (l_t, b_t); C2 already INCLUDES the interior A^(t-2) v
+    term, so query-side j=2 reads one array.  LAG[k] (0-based lag
+    k=t-j) covers j >= 3.
+    """
+    from decimal import Decimal
+
+    a, g = HOLT_ALPHA, HOLT_GAMMA
+    A = ((1 - a, 1 - a), (-a * g, 1 - a * g))
+    v = (a, a * g)
+
+    def mat_vec(m, x):
+        return (
+            m[0][0] * x[0] + m[0][1] * x[1],
+            m[1][0] * x[0] + m[1][1] * x[1],
+        )
+
+    def mat_mul(m, n):
+        return (
+            (
+                m[0][0] * n[0][0] + m[0][1] * n[1][0],
+                m[0][0] * n[0][1] + m[0][1] * n[1][1],
+            ),
+            (
+                m[1][0] * n[0][0] + m[1][1] * n[1][0],
+                m[1][0] * n[0][1] + m[1][1] * n[1][1],
+            ),
+        )
+
+    q = lambda x: Decimal(f"{x:.9f}")  # noqa: E731
+    powers = [((1.0, 0.0), (0.0, 1.0))]
+    for _ in range(_HOLT_MAX_T):
+        powers.append(mat_mul(A, powers[-1]))
+    c1l, c1b, c2l, c2b, lagl, lagb = [], [], [], [], [], []
+    for k in range(_HOLT_MAX_T):
+        wl, wb = mat_vec(powers[k], v)
+        lagl.append(q(wl))
+        lagb.append(q(wb))
+    for t in range(1, _HOLT_MAX_T + 1):
+        p = powers[t - 1]
+        y1l, y1b = mat_vec(p, (1.0, -1.0))
+        c1l.append(q(y1l))
+        c1b.append(q(y1b))
+        e2l, e2b = mat_vec(p, (0.0, 1.0))
+        if t >= 2:
+            il, ib = mat_vec(powers[t - 2], v)
+        else:
+            il, ib = 0.0, 0.0
+        c2l.append(q(e2l + il))
+        c2b.append(q(e2b + ib))
+    return c1l, c1b, c2l, c2b, lagl, lagb
+
+
+_H_C1L, _H_C1B, _H_C2L, _H_C2B, _H_LAGL, _H_LAGB = _holt_weight_tables()
+_H_DEC = "DECIMAL(12,9)"
+
+
+def _dec_arr_sql(xs) -> str:
+    return "[" + ", ".join(f"CAST({x} AS {_H_DEC})" for x in xs) + "]"
+
+
+def _holt_weight_sql(component: str) -> str:
+    c1, c2, lag = {
+        "l": (_H_C1L, _H_C2L, _H_LAGL),
+        "b": (_H_C1B, _H_C2B, _H_LAGB),
+    }[component]
+    return f"""CASE WHEN prior.t = 1 THEN ({_dec_arr_sql(c1)})[cur.t]
+               WHEN prior.t = 2 THEN ({_dec_arr_sql(c2)})[cur.t]
+               ELSE ({_dec_arr_sql(lag)})[cur.t - prior.t + 1] END"""
+
+
+@query(
+    "orders_forecast_holt",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+                    AS DATE) AS mo,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT mo, cents,
+               CAST(row_number() OVER (ORDER BY mo) AS INT) AS t
+        FROM m
+    ),
+    states AS (
+        SELECT cur.mo, cur.cents,
+               SUM(CAST(prior.cents AS DECIMAL(20,0))
+                   * {_holt_weight_sql("l")}) AS lev,
+               SUM(CAST(prior.cents AS DECIMAL(20,0))
+                   * {_holt_weight_sql("b")}) AS trd
+        FROM idx cur JOIN idx prior ON prior.t <= cur.t
+        WHERE cur.t >= 2
+        GROUP BY cur.mo, cur.cents
+    )
+    SELECT mo, cents / 100.0 AS revenue,
+           CAST(ROUND(lev, 0) AS DOUBLE) / 100.0 AS holt_level,
+           CAST(ROUND(trd, 0) AS DOUBLE) / 100.0 AS holt_trend,
+           CAST(ROUND(lev + trd, 0) AS DOUBLE) / 100.0
+               AS forecast_next
+    FROM states
+    """,
+)
+def orders_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    monthly = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.to_date(
+                F.date_trunc("month", F.col("o_orderdate"))
+            ).alias("mo"),
+            _cents(F.col("o_totalprice")).alias("cents"),
+        )
+        .groupBy("mo")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    # global row_number over the bounded monthly summary only (same
+    # audited shape as orders_forecast_ses)
+    idx = monthly.withColumn(
+        "t", F.row_number().over(Window.orderBy("mo")).cast("int")
+    ).cache()
+    dec = _H_DEC.lower()
+
+    def arr(xs):
+        return F.array(*[F.lit(x).cast(dec) for x in xs])
+
+    def weight(c1, c2, lag):
+        tc, tp = F.col("tc"), F.col("tp")
+        return (
+            F.when(tp == 1, F.element_at(arr(c1), tc))
+            .when(tp == 2, F.element_at(arr(c2), tc))
+            .otherwise(F.element_at(arr(lag), tc - tp + 1))
+        )
+
+    cur = idx.select(
+        F.col("mo"), F.col("cents"), F.col("t").alias("tc")
+    ).filter(F.col("tc") >= 2)
+    prior = idx.select(
+        F.col("cents").alias("pcents"), F.col("t").alias("tp")
+    )
+    pc = F.col("pcents").cast("decimal(20,0)")
+    states = (
+        cur.join(prior, F.col("tp") <= F.col("tc"))
+        .groupBy("mo", "cents")
+        .agg(
+            F.sum(pc * weight(_H_C1L, _H_C2L, _H_LAGL)).alias("lev"),
+            F.sum(pc * weight(_H_C1B, _H_C2B, _H_LAGB)).alias("trd"),
+        )
+    )
+    return states.select(
+        "mo",
+        (F.col("cents") / 100.0).alias("revenue"),
+        (F.round(F.col("lev"), 0).cast("double") / 100.0).alias(
+            "holt_level"
+        ),
+        (F.round(F.col("trd"), 0).cast("double") / 100.0).alias(
+            "holt_trend"
+        ),
+        (
+            F.round(F.col("lev") + F.col("trd"), 0).cast("double")
+            / 100.0
+        ).alias("forecast_next"),
     )

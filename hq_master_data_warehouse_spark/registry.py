@@ -167,6 +167,9 @@ DEFER_NEW: tuple[str, ...] = (
     "orders_dow_seasonality",
     "agg_histogram_equidepth",
     "join_range_binned",
+    "ml_bootstrap_mean_ci",
+    "ml_ols_multivariate",
+    "orders_forecast_holt",
 )
 
 

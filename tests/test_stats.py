@@ -165,3 +165,85 @@ def test_range_binned_equals_naive_and_plan(spark):
     # at least one window actually observed follow-up traffic,
     # otherwise the equivalence is vacuous
     assert any(r["n_follow"] > 0 for r in got.values())
+
+
+def test_bootstrap_ci_brackets_mean(spark):
+    row = stats.ml_bootstrap_mean_ci(spark, SF_DIR_001).collect()[0]
+    assert row.n_replicas == stats._B_REPLICAS
+    assert row.ci_lo <= row.ci_hi
+    # at n=1500 the resampling error of the mean is small: the CI
+    # must bracket the point estimate and be non-degenerate
+    assert row.ci_lo <= row.mean_value <= row.ci_hi
+    assert row.ci_hi - row.ci_lo > 0
+    # width sanity: a 95% CI of the mean ~ 4 sigma/sqrt(n); it must
+    # not be wider than the raw value range
+    assert row.ci_hi - row.ci_lo < 50_000
+
+
+def test_poisson_multiplicity_distribution():
+    # the integer thresholds must reproduce Poisson(1) pmf to ~1e-4
+    import math
+
+    prev = 0
+    for k, t in enumerate(stats._POIS_TH):
+        pmf = math.exp(-1) / math.factorial(k)
+        got = (t - prev) / 65536
+        assert abs(got - pmf) < 1e-3, (k, got, pmf)
+        prev = t
+
+
+def test_ols_multivariate_matches_numpy(spark):
+    import numpy as np
+
+    row = stats.ml_ols_multivariate(spark, SF_DIR_001).collect()[0]
+    pts = load_table(spark, SF_DIR_001, "orders").select(
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).alias("x1"),
+        (F.dayofweek(F.col("o_orderdate").cast("date")) - 1).alias("x2"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+    ).collect()
+    X = np.array([[1.0, r.x1, r.x2] for r in pts])
+    y = np.array([float(r.y) for r in pts])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert row.n == len(pts)
+    assert row.b0_cents == pytest.approx(beta[0], rel=1e-6)
+    assert row.b1_cents_per_day == pytest.approx(beta[1], rel=1e-6)
+    assert row.b2_cents_per_dow == pytest.approx(beta[2], rel=1e-4)
+
+
+def test_holt_matches_direct_recursion(spark):
+    rows = {
+        r.mo: r
+        for r in stats.orders_forecast_holt(spark, SF_DIR_001).collect()
+    }
+    monthly = sorted(
+        (r.mo, r.cents)
+        for r in load_table(spark, SF_DIR_001, "orders")
+        .select(
+            F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias(
+                "mo"
+            ),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias(
+                "cents"
+            ),
+        )
+        .groupBy("mo")
+        .agg(F.sum("cents").alias("cents"))
+        .collect()
+    )
+    y = [c for _, c in monthly]
+    a, g = stats.HOLT_ALPHA, stats.HOLT_GAMMA
+    lev, trd = float(y[0]), float(y[1] - y[0])
+    for t in range(2, len(y) + 1):
+        prev = lev
+        lev = a * y[t - 1] + (1 - a) * (lev + trd)
+        trd = g * (lev - prev) + (1 - g) * trd
+        mo = monthly[t - 1][0]
+        got = rows[mo]
+        assert got.holt_level == pytest.approx(lev / 100, rel=1e-6)
+        assert got.holt_trend == pytest.approx(trd / 100, rel=2e-3)
+        assert got.forecast_next == pytest.approx(
+            (lev + trd) / 100, rel=1e-5
+        )
+    # first month has no defined trend (init needs y2) -> not emitted
+    assert monthly[0][0] not in rows
+    assert len(rows) == len(monthly) - 1
