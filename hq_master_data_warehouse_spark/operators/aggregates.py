@@ -584,3 +584,126 @@ def events_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_count("day_bitmap").cast("int").alias("active_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+# The other classic mergeable frequency sketch beside KMV (above):
+# d=4 independent hash rows x w=256 counters.  The counter table is
+# ~1 KB no matter the stream size and its cells are plain grouped
+# counts -- fully map-side-combinable, mergeable across partitions /
+# days / shards by cell-wise addition, which is the whole point at
+# 100 TB (the exact vocabulary count table it approximates needs a
+# vocab-sized shuffle; the sketch needs a 1024-row one).  Hashes are
+# md5-derived so the DuckDB oracle reproduces the sketch EXACTLY --
+# estimates and all -- making the one-sided error property
+# (est >= true count) directly checkable per token.
+#
+# Heavy hitters = tokens whose CMS estimate clears 1% of the stream;
+# the probe joins the bounded vocabulary against the broadcast
+# counter grid and takes the min over the d rows.
+
+_CMS_D = 4
+_CMS_W = 256
+
+from .text import _TOKENS_SQL as _CMS_TOKENS_SQL  # noqa: E402
+
+
+def _cms_bucket_sql(d: str, tok: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat(CAST({d} AS VARCHAR),"
+        f" ':', {tok})), 1, 4)) AS INT) % {_CMS_W}"
+    )
+
+
+def _cms_bucket(d: F.Column, tok: F.Column) -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(d.cast("string"), F.lit(":"), tok)),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % _CMS_W
+    )
+
+
+@query(
+    "sketch_cms_heavy_hitters",
+    oracle=f"""
+    WITH cnt AS (
+        SELECT tok, COUNT(*) AS n
+        FROM (SELECT unnest({_CMS_TOKENS_SQL}) AS tok FROM documents)
+        GROUP BY tok
+    ),
+    total AS (
+        SELECT CAST(FLOOR(CAST(SUM(n) AS DOUBLE) / 100) AS BIGINT)
+            AS thresh
+        FROM cnt
+    ),
+    grid AS (SELECT UNNEST(generate_series(0, {_CMS_D - 1})) AS d),
+    counters AS (
+        SELECT d, {_cms_bucket_sql("d", "tok")} AS b,
+               CAST(SUM(n) AS BIGINT) AS c
+        FROM cnt CROSS JOIN grid
+        GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT cnt.tok, cnt.n, MIN(c) AS cms_est
+        FROM cnt CROSS JOIN grid
+        JOIN counters
+          ON counters.d = grid.d
+         AND counters.b = {_cms_bucket_sql("grid.d", "cnt.tok")}
+        GROUP BY cnt.tok, cnt.n
+    )
+    SELECT tok AS token, n AS true_n, cms_est
+    FROM est CROSS JOIN total
+    WHERE cms_est >= thresh
+    """,
+)
+def sketch_cms_heavy_hitters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .text import _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(
+            F.explode(_tokens(F.col("text"))).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    thresh = cnt.agg(
+        F.floor(F.sum("n").cast("double") / 100)
+        .cast("long")
+        .alias("thresh")
+    )
+    grid = spark.range(_CMS_D).select(F.col("id").cast("int").alias("d"))
+    counters = (
+        cnt.crossJoin(F.broadcast(grid))
+        .groupBy(
+            "d", _cms_bucket(F.col("d"), F.col("tok")).alias("b")
+        )
+        .agg(F.sum("n").cast("long").alias("c"))
+    )
+    est = (
+        cnt.crossJoin(F.broadcast(grid))
+        .withColumn("b", _cms_bucket(F.col("d"), F.col("tok")))
+        .join(F.broadcast(counters), ["d", "b"])
+        .groupBy("tok", "n")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return (
+        est.crossJoin(F.broadcast(thresh))
+        .filter(F.col("cms_est") >= F.col("thresh"))
+        .select(
+            F.col("tok").alias("token"),
+            F.col("n").alias("true_n"),
+            "cms_est",
+        )
+    )

@@ -474,3 +474,68 @@ def agg_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("c_acctbal", 0.5), 6).alias("median_bal"),
         F.round(F.percentile("c_acctbal", 0.9), 6).alias("p90_bal"),
     )
+
+
+# -- business-day lead time: calendar arithmetic Spark and SQL both
+#    lack as a primitive (NETWORKDAYS in spreadsheets).  Weekday
+#    count in [epoch, d) has the closed form
+#        B(j) = 5 * floor(j/7) + least(j mod 7, 5)
+#    with j = days since a fixed MONDAY epoch (1992-01-06), so the
+#    lead time between two dates is B(j_ship) - B(j_order) -- pure
+#    integer expressions, no calendar table, no per-day explode (the
+#    naive approach explodes one row per elapsed day: 100x row
+#    amplification on month-long leads).  One equi-join
+#    lineitem->orders on the order key and one bounded groupBy on the
+#    lead-time domain (~40 values).
+@query(
+    "datetime_business_days",
+    oracle="""
+    WITH j AS (
+        SELECT date_diff('day', DATE '1992-01-06',
+                         CAST(o.o_orderdate AS DATE)) AS j0,
+               date_diff('day', DATE '1992-01-06',
+                         CAST(l.l_shipdate AS DATE)) AS j1
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT (CAST(FLOOR(j1 / 7) AS BIGINT) * 5 + LEAST(j1 % 7, 5))
+           - (CAST(FLOOR(j0 / 7) AS BIGINT) * 5 + LEAST(j0 % 7, 5))
+               AS business_days,
+           COUNT(*) AS n_lineitems
+    FROM j
+    GROUP BY business_days
+    """,
+)
+def datetime_business_days(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    j = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-06"))
+        .cast("long")
+        .alias("j0"),
+        F.datediff(F.col("l_shipdate"), F.lit("1992-01-06"))
+        .cast("long")
+        .alias("j1"),
+    )
+
+    def bdays(col: F.Column) -> F.Column:
+        return F.floor(col / 7).cast("long") * 5 + F.least(
+            F.pmod(col, 7), F.lit(5).cast("long")
+        )
+
+    return (
+        j.select(
+            (bdays(F.col("j1")) - bdays(F.col("j0"))).alias(
+                "business_days"
+            )
+        )
+        .groupBy("business_days")
+        .agg(F.count("*").alias("n_lineitems"))
+    )

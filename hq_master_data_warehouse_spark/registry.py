@@ -170,6 +170,9 @@ DEFER_NEW: tuple[str, ...] = (
     "ml_bootstrap_mean_ci",
     "ml_ols_multivariate",
     "orders_forecast_holt",
+    "sketch_cms_heavy_hitters",
+    "source_fixedwidth_roundtrip",
+    "datetime_business_days",
 )
 
 

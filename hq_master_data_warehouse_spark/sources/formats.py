@@ -212,3 +212,68 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
         .select("n_nationkey", "n_name", "n_regionkey")
     )
+
+
+#: fixed-width layout for the customer table: (name, start, width)
+#: -- 1-based start offsets, printf-padded on write.
+FIXED_LAYOUT = [
+    ("c_custkey", 1, 12),
+    ("c_name", 13, 25),
+    ("c_nationkey", 38, 6),
+    ("c_acctbal", 44, 12),
+    ("c_mktsegment", 56, 10),
+]
+
+
+@query(
+    "source_fixedwidth_roundtrip",
+    oracle=f"""
+    SELECT c_mktsegment, COUNT(*) AS n_customers,
+           {dec_sum_sql('c_acctbal', 'total_bal')}
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def source_fixedwidth_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """customer → fixed-width text (printf-padded columns, the
+    mainframe/EDI interchange layout) → positional substring parse →
+    agg.  Schema lives entirely in FIXED_LAYOUT: the read side slices
+    1-based (start, width) spans, trims pad spaces, and casts -- no
+    delimiter, no quoting, line-splittable so the read parallelizes
+    like CSV.  The oracle runs on the original parquet, so any
+    truncation or pad/trim loss in the round-trip fails the hash.
+    """
+    path = _stage_dir("fixedwidth_customer", sf_dir)
+    if not os.path.exists(path):
+        line = F.format_string(
+            "%-12s%-25s%-6s%12.2f%-10s",
+            F.col("c_custkey").cast("string"),
+            F.col("c_name"),
+            F.col("c_nationkey").cast("string"),
+            F.col("c_acctbal"),
+            F.col("c_mktsegment"),
+        )
+        load_table(spark, sf_dir, "customer").select(
+            line.alias("value")
+        ).write.mode("overwrite").text(path + ".tmp")
+        os.rename(path + ".tmp", path)
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.trim(F.substring("value", 1, 12)).cast("long").alias(
+            "c_custkey"
+        ),
+        F.trim(F.substring("value", 13, 25)).alias("c_name"),
+        F.trim(F.substring("value", 38, 6)).cast("int").alias(
+            "c_nationkey"
+        ),
+        F.trim(F.substring("value", 44, 12)).cast("double").alias(
+            "c_acctbal"
+        ),
+        F.trim(F.substring("value", 56, 10)).alias("c_mktsegment"),
+    )
+    return parsed.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        dec_sum("c_acctbal", "total_bal"),
+    )

@@ -247,3 +247,80 @@ def test_holt_matches_direct_recursion(spark):
     # first month has no defined trend (init needs y2) -> not emitted
     assert monthly[0][0] not in rows
     assert len(rows) == len(monthly) - 1
+
+
+def test_cms_one_sided_error_and_no_false_negatives(spark):
+    from hq_master_data_warehouse_spark.operators import aggregates
+    from hq_master_data_warehouse_spark.operators.text import _tokens
+
+    rows = aggregates.sketch_cms_heavy_hitters(
+        spark, SF_DIR_001
+    ).collect()
+    assert rows, "fixture corpus must have heavy hitters"
+    # CMS guarantee: estimates never undercount
+    for r in rows:
+        assert r.cms_est >= r.true_n, r
+    # no false negatives: every token at/above the 1% threshold must
+    # be reported (est >= true >= thresh)
+    docs = load_table(spark, SF_DIR_001, "documents")
+    cnt = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in cnt)
+    thresh = total // 100
+    reported = {r.token for r in rows}
+    for r in cnt:
+        if r["count"] >= thresh:
+            assert r.tok in reported, r
+
+
+def test_fixedwidth_roundtrip_lossless(spark):
+    from hq_master_data_warehouse_spark.sources import formats
+
+    # run the query once so the staged text dir exists
+    formats.source_fixedwidth_roundtrip(spark, SF_DIR_001).collect()
+    path = formats._stage_dir("fixedwidth_customer", SF_DIR_001)
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.trim(F.substring("value", 1, 12)).cast("long").alias("k"),
+        F.trim(F.substring("value", 13, 25)).alias("name"),
+        F.trim(F.substring("value", 44, 12)).cast("double").alias("bal"),
+    )
+    orig = load_table(spark, SF_DIR_001, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    got = {r.k: (r.name, r.bal) for r in parsed.collect()}
+    want = {r.k: (r.name, r.bal) for r in orig.collect()}
+    assert got == want
+
+
+def test_business_days_formula():
+    import datetime
+
+    epoch = datetime.date(1992, 1, 6)  # a Monday
+    assert epoch.weekday() == 0
+
+    def bdays_closed(d: datetime.date) -> int:
+        j = (d - epoch).days
+        return (j // 7) * 5 + min(j % 7, 5)
+
+    def bdays_loop(d0: datetime.date, d1: datetime.date) -> int:
+        n, d = 0, d0
+        while d < d1:
+            if d.weekday() < 5:
+                n += 1
+            d += datetime.timedelta(days=1)
+        return n
+
+    for start in [datetime.date(1995, 1, 1), datetime.date(1997, 6, 15)]:
+        for span in [0, 1, 5, 6, 7, 13, 30, 90]:
+            end = start + datetime.timedelta(days=span)
+            assert (
+                bdays_closed(end) - bdays_closed(start)
+                == bdays_loop(start, end)
+            ), (start, span)
