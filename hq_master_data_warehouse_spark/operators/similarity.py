@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.loaders import load_table
+from .text import _TOKENS_SQL as _RRF_TOKENS_SQL
 
 EMB_DIM = 64
 
@@ -658,3 +659,145 @@ def similarity_mmr_diversify(
     return spark.createDataFrame(
         out, "rank int, vec_id long, rel double, mmr_score double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (hybrid search)
+# ---------------------------------------------------------------------------
+# The standard way to combine a lexical and a semantic retriever
+# without score calibration: each candidate contributes
+# 1/(60 + rank_i) per list it appears in, which only consumes RANKS
+# -- so BM25-vs-cosine scale mismatch is irrelevant.  Both input
+# rankings are cut to their top-K *before* fusion (orderBy+limit is a
+# distributed TakeOrdered -- no global sort materializes), so the
+# fusion join touches 2K rows no matter the corpus size.  The lexical
+# ranking here is exact-integer (matched query terms, then total term
+# frequency, then doc id), the semantic ranking orders the ROUNDED
+# cosine -- both totally ordered with deterministic tie-breaks, so
+# ranks and the fused list match the oracle exactly.
+
+RRF_K = 60
+RRF_TOPK = 50
+RRF_TERMS = ("data", "spark", "table")
+
+
+@query(
+    "similarity_rerank_rrf",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, tok
+        FROM (SELECT doc_id, unnest({_RRF_TOKENS_SQL}) AS tok
+              FROM documents)
+        WHERE tok IN {RRF_TERMS!r}
+    ),
+    lexs AS (
+        SELECT doc_id, COUNT(DISTINCT tok) AS n_terms,
+               COUNT(*) AS tf_total
+        FROM tf GROUP BY doc_id
+    ),
+    lexr AS (
+        SELECT doc_id, lex_rank FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY n_terms DESC,
+                                      tf_total DESC, doc_id)
+                       AS lex_rank
+            FROM lexs
+        ) WHERE lex_rank <= {RRF_TOPK}
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    sems AS (
+        SELECT e.vec_id AS doc_id,
+               ROUND(list_cosine_similarity(
+                   list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(q.qe, x -> CAST(x AS DOUBLE))
+               ), 6) AS cosine
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 0
+    ),
+    semr AS (
+        SELECT doc_id, sem_rank FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id)
+                       AS sem_rank
+            FROM sems
+        ) WHERE sem_rank <= {RRF_TOPK}
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+               l.lex_rank, s.sem_rank,
+               ROUND(COALESCE(1.0 / ({RRF_K} + l.lex_rank), 0)
+                     + COALESCE(1.0 / ({RRF_K} + s.sem_rank), 0), 6)
+                   AS rrf_score
+        FROM lexr l FULL JOIN semr s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, lex_rank, sem_rank, rrf_score
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def similarity_rerank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .text import _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    lexs = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").isin(*RRF_TERMS))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("tok").alias("n_terms"),
+            F.count("*").alias("tf_total"),
+        )
+    )
+    # distributed TakeOrdered cut; the window after it ranks <= K rows
+    lex_top = lexs.orderBy(
+        F.desc("n_terms"), F.desc("tf_total"), F.asc("doc_id")
+    ).limit(RRF_TOPK)
+    lexr = lex_top.withColumn(
+        "lex_rank",
+        F.row_number().over(
+            Window.orderBy(
+                F.desc("n_terms"), F.desc("tf_total"), F.asc("doc_id")
+            )
+        ),
+    ).select("doc_id", "lex_rank")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    sems = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_expr(F.col("embedding"), F.col("qe")), 6
+            ).alias("cosine"),
+        )
+    )
+    sem_top = sems.orderBy(F.desc("cosine"), F.asc("doc_id")).limit(
+        RRF_TOPK
+    )
+    semr = sem_top.withColumn(
+        "sem_rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+        ),
+    ).select("doc_id", "sem_rank")
+    fused = lexr.join(semr, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / (RRF_K + F.col("lex_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (RRF_K + F.col("sem_rank")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(20)

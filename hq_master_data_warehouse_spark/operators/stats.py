@@ -913,3 +913,142 @@ def orders_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("forecast_next"),
     )
+
+
+# -- leak-free target encoding: the categorical-feature encoder used
+#    before gradient boosting -- each row's category is replaced by
+#    the mean target of OTHER folds, so a row never sees its own fold
+#    (the leak source in naive mean encoding).  Computed without a
+#    per-row pass: per-(category, fold) sums in one aggregation, the
+#    per-category totals by re-aggregating the 25-row fold table, and
+#    the out-of-fold mean falls out as (total - fold) / (n - n_fold)
+#    -- exact integer cents, one fixed double division.
+@query(
+    "ml_target_encoding",
+    oracle=f"""
+    WITH r AS (
+        SELECT c.c_mktsegment AS segment,
+               {_MD5_BUCKET_SQL.format(key="o.o_orderkey", mod=5)}
+                   AS fold,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    per_fold AS (
+        SELECT segment, fold, COUNT(*) AS n_f,
+               CAST(SUM(y) AS BIGINT) AS s_f
+        FROM r GROUP BY segment, fold
+    ),
+    per_cat AS (
+        SELECT segment, CAST(SUM(n_f) AS BIGINT) AS n,
+               CAST(SUM(s_f) AS BIGINT) AS s
+        FROM per_fold GROUP BY segment
+    )
+    SELECT f.segment, f.fold, f.n_f AS n_rows,
+           ROUND(CAST(c.s - f.s_f AS DOUBLE)
+                 / NULLIF(c.n - f.n_f, 0) / 100, 4) AS oof_encoding
+    FROM per_fold f JOIN per_cat c ON f.segment = c.segment
+    """,
+)
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    r = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        _md5_bucket(F.col("o_orderkey"), 5).alias("fold"),
+        _cents(F.col("o_totalprice")).alias("y"),
+    )
+    per_fold = r.groupBy("segment", "fold").agg(
+        F.count("*").alias("n_f"),
+        F.sum("y").cast("long").alias("s_f"),
+    )
+    per_cat = per_fold.groupBy("segment").agg(
+        F.sum("n_f").cast("long").alias("n"),
+        F.sum("s_f").cast("long").alias("s"),
+    )
+    j = per_fold.join(F.broadcast(per_cat), "segment")
+    return j.select(
+        "segment",
+        "fold",
+        F.col("n_f").alias("n_rows"),
+        F.round(
+            (F.col("s") - F.col("s_f")).cast("double")
+            / F.nullif(
+                (F.col("n") - F.col("n_f")), F.lit(0)
+            ).cast("double")
+            / 100,
+            4,
+        ).alias("oof_encoding"),
+    )
+
+
+# -- weight of evidence + information value: the credit-scoring
+#    bin-quality metric.  Binary target = high-value order; per
+#    priority bin, WoE = ln(share-of-good / share-of-bad) and the
+#    bin's IV contribution.  The shares are exact integer ratios;
+#    ln() is applied ONCE per bin to an identical double in both
+#    engines (never summed across rows, so no order dependence --
+#    the same discipline as the entropy query).
+@query(
+    "ml_woe_iv",
+    oracle="""
+    WITH r AS (
+        SELECT o_orderpriority AS bin,
+               CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END
+                   AS good
+        FROM orders
+    ),
+    b AS (
+        SELECT bin,
+               CAST(SUM(good) AS BIGINT) AS n_good,
+               CAST(SUM(1 - good) AS BIGINT) AS n_bad
+        FROM r GROUP BY bin
+    ),
+    t AS (
+        SELECT CAST(SUM(n_good) AS BIGINT) AS t_good,
+               CAST(SUM(n_bad) AS BIGINT) AS t_bad
+        FROM b
+    )
+    SELECT bin, n_good, n_bad,
+           ROUND(ln((CAST(n_good AS DOUBLE) / t_good)
+                    / (CAST(n_bad AS DOUBLE) / t_bad)), 6) AS woe,
+           ROUND((CAST(n_good AS DOUBLE) / t_good
+                  - CAST(n_bad AS DOUBLE) / t_bad)
+                 * ln((CAST(n_good AS DOUBLE) / t_good)
+                      / (CAST(n_bad AS DOUBLE) / t_bad)), 6)
+               AS iv_contrib
+    FROM b CROSS JOIN t
+    """,
+)
+def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    r = orders.select(
+        F.col("o_orderpriority").alias("bin"),
+        F.when(F.col("o_totalprice") > 200000, 1)
+        .otherwise(0)
+        .alias("good"),
+    )
+    b = r.groupBy("bin").agg(
+        F.sum("good").cast("long").alias("n_good"),
+        F.sum(1 - F.col("good")).cast("long").alias("n_bad"),
+    )
+    t = b.agg(
+        F.sum("n_good").cast("long").alias("t_good"),
+        F.sum("n_bad").cast("long").alias("t_bad"),
+    )
+    j = b.crossJoin(F.broadcast(t))
+    pg = F.col("n_good").cast("double") / F.col("t_good")
+    pb = F.col("n_bad").cast("double") / F.col("t_bad")
+    woe = F.log(pg / pb)
+    return j.select(
+        "bin",
+        "n_good",
+        "n_bad",
+        F.round(woe, 6).alias("woe"),
+        F.round((pg - pb) * woe, 6).alias("iv_contrib"),
+    )

@@ -173,6 +173,9 @@ DEFER_NEW: tuple[str, ...] = (
     "sketch_cms_heavy_hitters",
     "source_fixedwidth_roundtrip",
     "datetime_business_days",
+    "ml_target_encoding",
+    "ml_woe_iv",
+    "similarity_rerank_rrf",
 )
 
 
