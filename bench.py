@@ -63,6 +63,9 @@ HEADLINE = [
     # round 4 additions
     "graph_pagerank_copurchase",
     "ml_ks_statistic",
+    "ml_bootstrap_mean_ci",
+    "sketch_cms_heavy_hitters",
+    "join_range_binned",
 ]
 
 

@@ -1052,3 +1052,167 @@ def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(woe, 6).alias("woe"),
         F.round((pg - pb) * woe, 6).alias("iv_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponential time-decay scoring
+# ---------------------------------------------------------------------------
+# Recency-weighted engagement (feed-ranking / trending style):
+# each event contributes 2^(-age_days / half_life).  A naive
+# formulation computes pow() per row and SUMs doubles -- partition-
+# order-dependent and engine-divergent.  Here age is an exact integer
+# day count indexing a BOUNDED table of quantized decimal weights
+# (the literal table is the operator's definition, shared by both
+# engines), so the decayed aggregates are exact decimal sums --
+# order-independent, map-side combinable, and bit-identical
+# cross-engine.  Ages beyond the table clamp to weight 0 (fully
+# decayed), which also bounds the literal table size forever.
+
+DECAY_HALF_LIFE_DAYS = 7
+DECAY_REF_DATE = "2024-02-01"
+_DECAY_MAX_AGE = 64
+
+from decimal import Decimal as _Decimal  # noqa: E402
+
+_DECAY_W = [
+    _Decimal(f"{2.0 ** (-age / DECAY_HALF_LIFE_DAYS):.9f}")
+    for age in range(_DECAY_MAX_AGE)
+]
+_DECAY_W_SQL = (
+    "["
+    + ", ".join(f"CAST({w} AS DECIMAL(10,9))" for w in _DECAY_W)
+    + "]"
+)
+
+
+@query(
+    "events_decay_weighted_score",
+    oracle=f"""
+    WITH r AS (
+        SELECT event_type,
+               date_diff('day', CAST(ts AS DATE),
+                         DATE '{DECAY_REF_DATE}') AS age,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    w AS (
+        SELECT event_type, cents,
+               CASE WHEN age BETWEEN 0 AND {_DECAY_MAX_AGE - 1}
+                    THEN ({_DECAY_W_SQL})[age + 1]
+                    ELSE CAST(0 AS DECIMAL(10,9)) END AS wt
+        FROM r
+    )
+    SELECT event_type, COUNT(*) AS n_events,
+           ROUND(SUM(wt), 6) AS decayed_count,
+           CAST(ROUND(SUM(CAST(cents AS DECIMAL(20,0)) * wt), 0)
+                AS DOUBLE) / 100 AS decayed_value
+    FROM w GROUP BY event_type
+    """,
+)
+def events_decay_weighted_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    age = F.datediff(
+        F.lit(DECAY_REF_DATE), F.col("ts").cast("date")
+    )
+    warr = F.array(
+        *[F.lit(w).cast("decimal(10,9)") for w in _DECAY_W]
+    )
+    wt = F.when(
+        (age >= 0) & (age < _DECAY_MAX_AGE),
+        F.element_at(warr, age + 1),
+    ).otherwise(F.lit("0").cast("decimal(10,9)"))
+    r = events.select(
+        "event_type",
+        wt.alias("wt"),
+        _cents(F.col("value")).alias("cents"),
+    )
+    return r.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("wt"), 6).alias("decayed_count"),
+        (
+            F.round(
+                F.sum(F.col("cents").cast("decimal(20,0)") * F.col("wt")),
+                0,
+            ).cast("double")
+            / 100
+        ).alias("decayed_value"),
+    )
+
+
+# -- 3-sigma control chart on daily event volume: the Shewhart chart
+#    behind pipeline volume monitoring.  Center line and sigma come
+#    from exact integer day-count sums (population variance via
+#    n*Sxx - Sx^2); every day is judged against limits computed over
+#    the WHOLE period -- one bounded per-day aggregate, a 1-row
+#    broadcast of the limits, and an integer comparison restated as
+#    exact cross-multiplication (no sqrt boundary can flip a flag:
+#    (n*cnt - Sx)^2 > 9 * (n*Sxx - Sx^2) compares exact integers).
+@query(
+    "dq_control_chart_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        FROM events GROUP BY day
+    ),
+    lim AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cnt) AS BIGINT) AS sx,
+               CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS BIGINT) AS sxx
+        FROM daily
+    )
+    SELECT day, cnt,
+           ROUND(CAST(sx AS DOUBLE) / n, 4) AS center,
+           ROUND(sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 / n, 4) AS sigma,
+           (CAST(n AS HUGEINT) * cnt - sx)
+               * (CAST(n AS HUGEINT) * cnt - sx)
+               > 9 * (CAST(n AS HUGEINT) * sxx
+                      - CAST(sx AS HUGEINT) * sx) AS out_of_control
+    FROM daily CROSS JOIN lim
+    """,
+)
+def dq_control_chart_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    lim = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("sx"),
+        F.sum(
+            (F.col("cnt").cast("decimal(20,0)") * F.col("cnt")).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("long")
+        .alias("sxx"),
+    )
+    j = daily.crossJoin(F.broadcast(lim))
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    dev = (
+        n.cast("decimal(38,0)") * F.col("cnt") - sx
+    )
+    return j.select(
+        "day",
+        "cnt",
+        F.round(sx.cast("double") / n, 4).alias("center"),
+        F.round(
+            F.sqrt(
+                n.cast("double") * sxx - sx.cast("double") * sx
+            )
+            / n,
+            4,
+        ).alias("sigma"),
+        (
+            dev * dev
+            > 9
+            * (
+                n.cast("decimal(38,0)") * sxx
+                - sx.cast("decimal(38,0)") * sx
+            )
+        ).alias("out_of_control"),
+    )

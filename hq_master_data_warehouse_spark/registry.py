@@ -176,6 +176,8 @@ DEFER_NEW: tuple[str, ...] = (
     "ml_target_encoding",
     "ml_woe_iv",
     "similarity_rerank_rrf",
+    "events_decay_weighted_score",
+    "dq_control_chart_daily",
 )
 
 

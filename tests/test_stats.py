@@ -397,3 +397,58 @@ def test_rrf_fuses_both_rankings(spark):
     assert any(r.sem_rank is not None for r in rows)
     scores = [r.rrf_score for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_decay_weights_halve_per_half_life():
+    from decimal import Decimal
+
+    w = stats._DECAY_W
+    assert w[0] == Decimal("1.000000000")
+    for age in range(0, len(w) - stats.DECAY_HALF_LIFE_DAYS):
+        ratio = float(w[age + stats.DECAY_HALF_LIFE_DAYS]) / max(
+            float(w[age]), 1e-12
+        )
+        assert ratio == pytest.approx(0.5, abs=1e-6)
+
+
+def test_decay_score_recomputed(spark):
+    rows = stats.events_decay_weighted_score(
+        spark, SF_DIR_001
+    ).collect()
+    raw = (
+        load_table(spark, SF_DIR_001, "events")
+        .select(
+            "event_type",
+            F.datediff(
+                F.lit(stats.DECAY_REF_DATE), F.col("ts").cast("date")
+            ).alias("age"),
+        )
+        .collect()
+    )
+    for r in rows:
+        ages = [x.age for x in raw if x.event_type == r.event_type]
+        assert r.n_events == len(ages)
+        want = float(
+            sum(
+                stats._DECAY_W[a]
+                for a in ages
+                if 0 <= a < stats._DECAY_MAX_AGE
+            )
+        )
+        got = float(r.decayed_count)  # Spark decimal round -> Decimal
+        assert got == pytest.approx(want, abs=1e-4)
+        # decayed mass is strictly positive and below the raw count
+        assert 0 < got < r.n_events
+
+
+def test_control_chart_limits(spark):
+    rows = stats.dq_control_chart_daily(spark, SF_DIR_001).collect()
+    cnts = [r.cnt for r in rows]
+    n = len(cnts)
+    mean = sum(cnts) / n
+    var = sum((c - mean) ** 2 for c in cnts) / n
+    sigma = var**0.5
+    for r in rows:
+        assert r.center == pytest.approx(mean, abs=1e-3)
+        assert r.sigma == pytest.approx(sigma, abs=1e-3)
+        assert r.out_of_control == (abs(r.cnt - mean) > 3 * sigma + 1e-9)
