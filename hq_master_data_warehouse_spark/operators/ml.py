@@ -563,3 +563,211 @@ def ml_shap_linear_attribution(
         .orderBy(F.col("mean_abs_phi").desc(), "feature")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# NDCG@k and the scalar classification report
+# ---------------------------------------------------------------------------
+
+NDCG_K = 10
+
+#: 1/log2(i+1) discount for positions 1..k, quantized to 9-dp decimal
+#: literals shared by both engines (the quantized discount IS the
+#: metric definition -- same discipline as the SES/Holt/decay weight
+#: tables; no transcendental is evaluated at query time).
+import math  # noqa: E402
+from decimal import Decimal as _NDec  # noqa: E402
+
+_NDCG_DISC = [
+    _NDec(f"{1.0 / math.log2(i + 1):.9f}") for i in range(1, NDCG_K + 1)
+]
+_NDCG_DISC_SQL = (
+    "["
+    + ", ".join(f"CAST({d} AS DECIMAL(10,9))" for d in _NDCG_DISC)
+    + "]"
+)
+
+
+# -- NDCG@10 of the margin ranking against a graded relevance target
+#    (label mod 4 -> gain 2^rel - 1).  Both the model ranking and the
+#    ideal ranking are top-k cuts (distributed TakeOrdered -- no
+#    global sort materializes); the discounted sums multiply integer
+#    gains by the decimal discount table, so DCG/IDCG are exact and
+#    the final ratio is one double division.
+@query(
+    "ml_ndcg_at_k",
+    oracle=f"""
+    WITH m AS (
+        SELECT vec_id,
+               CAST(pow(2, label % 4) AS BIGINT) - 1 AS gain,
+               list_sum(list_transform(
+                   generate_series(1, {EMB_DIM}),
+                   i -> CAST(embedding[i] AS DOUBLE) * ({_W_SQL})[i]
+               )) + {BIAS!r} AS margin
+        FROM embeddings
+    ),
+    model AS (
+        SELECT gain, ROW_NUMBER() OVER (ORDER BY margin DESC, vec_id)
+                   AS pos
+        FROM m QUALIFY pos <= {NDCG_K}
+    ),
+    ideal AS (
+        SELECT gain, ROW_NUMBER() OVER (ORDER BY gain DESC, vec_id)
+                   AS pos
+        FROM m QUALIFY pos <= {NDCG_K}
+    ),
+    s AS (
+        SELECT (SELECT SUM(CAST(gain AS DECIMAL(20,0))
+                           * ({_NDCG_DISC_SQL})[pos]) FROM model)
+                   AS dcg,
+               (SELECT SUM(CAST(gain AS DECIMAL(20,0))
+                           * ({_NDCG_DISC_SQL})[pos]) FROM ideal)
+                   AS idcg
+    )
+    SELECT CAST(dcg AS DOUBLE) AS dcg_at_k,
+           CAST(idcg AS DOUBLE) AS idcg_at_k,
+           ROUND(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6)
+               AS ndcg_at_k
+    FROM s
+    """,
+)
+def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = F.array(*[F.lit(x) for x in WEIGHTS])
+    prod = F.zip_with(
+        F.col("embedding"), w, lambda x, wi: x.cast("double") * wi
+    )
+    margin = (
+        F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v) + BIAS
+    )
+    m = emb.select(
+        "vec_id",
+        (
+            F.pow(F.lit(2), (F.col("label") % 4)).cast("long") - 1
+        ).alias("gain"),
+        margin.alias("margin"),
+    )
+    disc = F.array(
+        *[F.lit(d).cast("decimal(10,9)") for d in _NDCG_DISC]
+    )
+
+    def topk_dcg(df, order_cols, alias):
+        top = df.orderBy(*order_cols).limit(NDCG_K)
+        ranked = top.withColumn(
+            "pos", F.row_number().over(Window.orderBy(*order_cols))
+        )
+        return ranked.agg(
+            F.sum(
+                F.col("gain").cast("decimal(20,0)")
+                * F.element_at(disc, F.col("pos"))
+            ).alias(alias)
+        )
+
+    dcg = topk_dcg(
+        m, [F.desc("margin"), F.asc("vec_id")], "dcg"
+    )
+    idcg = topk_dcg(m, [F.desc("gain"), F.asc("vec_id")], "idcg")
+    j = dcg.crossJoin(F.broadcast(idcg))
+    return j.select(
+        F.col("dcg").cast("double").alias("dcg_at_k"),
+        F.col("idcg").cast("double").alias("idcg_at_k"),
+        F.round(
+            F.col("dcg").cast("double") / F.col("idcg").cast("double"),
+            6,
+        ).alias("ndcg_at_k"),
+    )
+
+
+# -- scalar classification report: precision / recall / F1 / MCC /
+#    Cohen's kappa from the four exact confusion counts in ONE
+#    aggregation pass -- the derived metrics the confusion-matrix
+#    query (above) stops short of.  Every statistic is a fixed double
+#    expression over exact integers; degenerate denominators go NULL
+#    via NULLIF in both engines.
+@query(
+    "ml_classification_report",
+    oracle=f"""
+    WITH scored AS (
+        SELECT label % 2 = 1 AS actual,
+               list_sum(list_transform(
+                   generate_series(1, {EMB_DIM}),
+                   i -> CAST(embedding[i] AS DOUBLE) * ({_W_SQL})[i]
+               )) + {BIAS!r} > 0 AS predicted
+        FROM embeddings
+    ),
+    c AS (
+        SELECT CAST(SUM(CASE WHEN actual AND predicted THEN 1
+                             ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN NOT actual AND predicted THEN 1
+                             ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN actual AND NOT predicted THEN 1
+                             ELSE 0 END) AS BIGINT) AS fn,
+               CAST(SUM(CASE WHEN NOT actual AND NOT predicted THEN 1
+                             ELSE 0 END) AS BIGINT) AS tn
+        FROM scored
+    )
+    SELECT tp, fp, fn, tn,
+           ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0), 6)
+               AS precision_,
+           ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6)
+               AS recall_,
+           ROUND(2.0 * tp / NULLIF(2 * tp + fp + fn, 0), 6) AS f1,
+           ROUND((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                 / NULLIF(sqrt(CAST(tp + fp AS DOUBLE))
+                          * sqrt(CAST(tp + fn AS DOUBLE))
+                          * sqrt(CAST(tn + fp AS DOUBLE))
+                          * sqrt(CAST(tn + fn AS DOUBLE)), 0), 6)
+               AS mcc,
+           ROUND((2.0 * (CAST(tp AS DOUBLE) * tn
+                         - CAST(fp AS DOUBLE) * fn))
+                 / NULLIF(CAST(tp + fp AS DOUBLE) * (fp + tn)
+                          + CAST(tp + fn AS DOUBLE) * (fn + tn), 0), 6)
+               AS kappa
+    FROM c
+    """,
+)
+def ml_classification_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = F.array(*[F.lit(x) for x in WEIGHTS])
+    prod = F.zip_with(
+        F.col("embedding"), w, lambda x, wi: x.cast("double") * wi
+    )
+    margin = (
+        F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v) + BIAS
+    )
+    scored = emb.select(
+        (F.col("label") % 2 == 1).alias("actual"),
+        (margin > 0).alias("predicted"),
+    )
+    a, p = F.col("actual"), F.col("predicted")
+    c = scored.agg(
+        F.sum(F.when(a & p, 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(~a & p, 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(a & ~p, 1).otherwise(0)).cast("long").alias("fn"),
+        F.sum(F.when(~a & ~p, 1).otherwise(0)).cast("long").alias("tn"),
+    )
+    tp, fp = F.col("tp").cast("double"), F.col("fp").cast("double")
+    fn, tn = F.col("fn").cast("double"), F.col("tn").cast("double")
+
+    def _nz(x):
+        return F.nullif(x, F.lit(0.0))
+
+    mcc = (tp * tn - fp * fn) / _nz(
+        F.sqrt(tp + fp) * F.sqrt(tp + fn) * F.sqrt(tn + fp)
+        * F.sqrt(tn + fn)
+    )
+    kappa = (2.0 * (tp * tn - fp * fn)) / _nz(
+        (tp + fp) * (fp + tn) + (tp + fn) * (fn + tn)
+    )
+    return c.select(
+        "tp", "fp", "fn", "tn",
+        F.round(tp / _nz(tp + fp), 6).alias("precision_"),
+        F.round(tp / _nz(tp + fn), 6).alias("recall_"),
+        F.round(2.0 * tp / _nz(2 * tp + fp + fn), 6).alias("f1"),
+        F.round(mcc, 6).alias("mcc"),
+        F.round(kappa, 6).alias("kappa"),
+    )

@@ -178,6 +178,8 @@ DEFER_NEW: tuple[str, ...] = (
     "similarity_rerank_rrf",
     "events_decay_weighted_score",
     "dq_control_chart_daily",
+    "ml_ndcg_at_k",
+    "ml_classification_report",
 )
 
 

@@ -452,3 +452,43 @@ def test_control_chart_limits(spark):
         assert r.center == pytest.approx(mean, abs=1e-3)
         assert r.sigma == pytest.approx(sigma, abs=1e-3)
         assert r.out_of_control == (abs(r.cnt - mean) > 3 * sigma + 1e-9)
+
+
+def test_ndcg_bounds_and_ideal(spark):
+    from hq_master_data_warehouse_spark.operators import ml
+
+    row = ml.ml_ndcg_at_k(spark, SF_DIR_001).collect()[0]
+    assert 0 < row.ndcg_at_k <= 1.0
+    assert row.dcg_at_k <= row.idcg_at_k
+    # IDCG recomputed: top-k gains sorted desc over the whole set
+    emb = load_table(spark, SF_DIR_001, "embeddings").collect()
+    gains = sorted(
+        (2 ** (r.label % 4) - 1 for r in emb), reverse=True
+    )[: ml.NDCG_K]
+    want = sum(
+        g * float(d) for g, d in zip(gains, ml._NDCG_DISC)
+    )
+    assert row.idcg_at_k == pytest.approx(want, abs=1e-4)
+
+
+def test_classification_report_recomputed(spark):
+    from hq_master_data_warehouse_spark.operators import ml
+
+    row = ml.ml_classification_report(spark, SF_DIR_001).collect()[0]
+    tp, fp, fn, tn = row.tp, row.fp, row.fn, row.tn
+    n = tp + fp + fn + tn
+    assert n == load_table(spark, SF_DIR_001, "embeddings").count()
+    prec = tp / (tp + fp)
+    rec = tp / (tp + fn)
+    assert row.precision_ == pytest.approx(prec, abs=1e-6)
+    assert row.recall_ == pytest.approx(rec, abs=1e-6)
+    assert row.f1 == pytest.approx(
+        2 * prec * rec / (prec + rec), abs=1e-6
+    )
+    mcc = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    assert row.mcc == pytest.approx(mcc, abs=1e-6)
+    po = (tp + tn) / n
+    pe = ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) / n**2
+    assert row.kappa == pytest.approx((po - pe) / (1 - pe), abs=1e-6)
