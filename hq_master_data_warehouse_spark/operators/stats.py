@@ -1216,3 +1216,170 @@ def dq_control_chart_daily(
             )
         ).alias("out_of_control"),
     )
+
+
+# -- rolling 28-day OLS slope of daily revenue: trend detection as a
+#    WINDOWED regression -- the rolling sufficient statistics (n, Sx,
+#    Sy, Sxx, Sxy) accumulate over a RANGE frame on the integer day
+#    index (gap-correct on sparse calendars, identical semantics in
+#    both engines), and the slope is the same closed form as
+#    ml_ols_daily_trend applied per frame.  The window runs
+#    partition-less but only over the per-day summary -- bounded by
+#    the date domain, the audited pattern of the other rolling
+#    queries.  Frames with <2 points or zero x-variance yield NULL
+#    via NULLIF.
+ROLL_OLS_DAYS = 28
+
+
+@query(
+    "window_rolling_ols_slope",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1995-01-01',
+                         CAST(o_orderdate AS DATE)) AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY d
+    ),
+    w AS (
+        SELECT d,
+               CAST(COUNT(*) OVER fr AS DOUBLE) AS n,
+               CAST(SUM(d) OVER fr AS DOUBLE) AS sx,
+               CAST(SUM(y) OVER fr AS DOUBLE) AS sy,
+               CAST(SUM(CAST(d AS HUGEINT) * d) OVER fr AS DOUBLE)
+                   AS sxx,
+               CAST(SUM(CAST(d AS HUGEINT) * y) OVER fr AS DOUBLE)
+                   AS sxy
+        FROM daily
+        WINDOW fr AS (ORDER BY d RANGE BETWEEN {ROLL_OLS_DAYS - 1}
+                      PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(DATE '1995-01-01' + INTERVAL (d) DAY AS DATE) AS day,
+           CAST(n AS BIGINT) AS n_days,
+           ROUND((n * sxy - sx * sy)
+                 / NULLIF(n * sxx - sx * sx, 0), 6)
+               AS slope_cents_per_day
+    FROM w
+    """,
+)
+def window_rolling_ols_slope(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.sum(_cents(F.col("o_totalprice"))).alias("y"))
+    fr = (
+        Window.orderBy("d")
+        .rangeBetween(-(ROLL_OLS_DAYS - 1), Window.currentRow)
+    )
+    dd = F.col("d")
+    w = daily.select(
+        "d",
+        F.count("*").over(fr).cast("double").alias("n"),
+        F.sum("d").over(fr).cast("double").alias("sx"),
+        F.sum("y").over(fr).cast("double").alias("sy"),
+        F.sum((dd.cast("decimal(20,0)") * dd).cast("decimal(38,0)"))
+        .over(fr)
+        .cast("double")
+        .alias("sxx"),
+        F.sum(
+            (dd.cast("decimal(20,0)") * F.col("y")).cast(
+                "decimal(38,0)"
+            )
+        )
+        .over(fr)
+        .cast("double")
+        .alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    return w.select(
+        F.date_add(F.lit("1995-01-01"), F.col("d").cast("int")).alias(
+            "day"
+        ),
+        n.cast("long").alias("n_days"),
+        F.round(
+            (n * F.col("sxy") - sx * sy)
+            / F.nullif(n * F.col("sxx") - sx * sx, F.lit(0.0)),
+            6,
+        ).alias("slope_cents_per_day"),
+    )
+
+
+# -- randomized response (Warner's method): the classic local-DP
+#    collection mechanism.  Each row reports its true bit with
+#    probability 3/4 and a uniform coin otherwise; both "coins" come
+#    from disjoint md5 bits, so the mechanism is deterministic per
+#    row, reproducible across engines and retries, and the DEBIASED
+#    aggregate (pi = (p_observed - 1/8) / (3/4)) can be compared
+#    against the true rate it may never see in production.  One
+#    aggregation pass, exact integer counts, fixed double debias
+#    expression.
+@query(
+    "privacy_randomized_response",
+    oracle="""
+    WITH r AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS truth,
+               CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)),
+                                        1, 4)) AS INT) AS u
+        FROM events
+    ),
+    obs AS (
+        SELECT truth,
+               CASE WHEN u < 49152 THEN truth
+                    ELSE u % 2 END AS report
+        FROM r
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(truth) AS BIGINT) AS n_true,
+               CAST(SUM(report) AS BIGINT) AS n_report
+        FROM obs
+    )
+    SELECT n, n_true, n_report,
+           ROUND(CAST(n_true AS DOUBLE) / n, 6) AS true_rate,
+           ROUND(CAST(n_report AS DOUBLE) / n, 6) AS observed_rate,
+           ROUND((CAST(n_report AS DOUBLE) / n - 0.125) / 0.75, 6)
+               AS debiased_rate
+    FROM s
+    """,
+)
+def privacy_randomized_response(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    u = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 4),
+        16,
+        10,
+    ).cast("int")
+    truth = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    obs = events.select(
+        truth.alias("truth"),
+        F.when(u < 49152, truth).otherwise(u % 2).alias("report"),
+    )
+    s = obs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("truth").cast("long").alias("n_true"),
+        F.sum("report").cast("long").alias("n_report"),
+    )
+    n = F.col("n").cast("double")
+    return s.select(
+        "n",
+        "n_true",
+        "n_report",
+        F.round(F.col("n_true").cast("double") / n, 6).alias(
+            "true_rate"
+        ),
+        F.round(F.col("n_report").cast("double") / n, 6).alias(
+            "observed_rate"
+        ),
+        F.round(
+            (F.col("n_report").cast("double") / n - 0.125) / 0.75, 6
+        ).alias("debiased_rate"),
+    )

@@ -180,6 +180,9 @@ DEFER_NEW: tuple[str, ...] = (
     "dq_control_chart_daily",
     "ml_ndcg_at_k",
     "ml_classification_report",
+    "layout_txn_log_vacuum",
+    "window_rolling_ols_slope",
+    "privacy_randomized_response",
 )
 
 

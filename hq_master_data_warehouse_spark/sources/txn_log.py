@@ -494,3 +494,85 @@ def live_files_from_checkpoint(
         for info in action.get("add", []):
             state[info["path"]] = info
     return list(state.values())
+
+
+def vacuum_table(
+    table_dir: str, retain_last: int = 2, min_age_s: float = 0.0
+) -> dict:
+    """VACUUM: physically delete data files unreachable from the last
+    ``retain_last`` committed versions.  Completes the lakehouse
+    lifecycle (append -> compact -> checkpoint -> vacuum): compaction
+    swaps files out of the LIVE set but keeps them for time travel;
+    vacuum is the explicit, destructive step that trades history for
+    space.  Time travel to versions older than the retention horizon
+    becomes invalid afterwards -- exactly the production-format
+    contract.
+
+    Safety: deletion only considers files older than ``min_age_s``
+    (mtime guard), the same defense real formats use so a concurrent
+    writer's just-written-but-not-yet-committed file is not swept;
+    with the default 0 the caller asserts no concurrent writers
+    (true for the private fixture instances here).  The log itself is
+    never deleted, so the operation is idempotent and an interrupted
+    run just leaves more orphans for the next one.
+    """
+    import shutil
+    import time
+
+    versions = committed_versions(table_dir)
+    retained = versions[-retain_last:]
+    keep: set[str] = set()
+    for v in retained:
+        keep.update(f["path"] for f in live_files(table_dir, v))
+    now = time.time()
+    deleted = []
+    for name in sorted(os.listdir(table_dir)):
+        # "_"-prefixed entries are table metadata (the commit log,
+        # the staging-complete marker), never data -- same convention
+        # as production formats' _delta_log/_metadata dirs
+        if (
+            name.startswith("_")
+            or name.endswith(".tmp")
+            or name in keep
+        ):
+            continue
+        full = os.path.join(table_dir, name)
+        if now - os.path.getmtime(full) < min_age_s:
+            continue
+        if os.path.isdir(full):
+            shutil.rmtree(full)
+        else:
+            os.remove(full)
+        deleted.append(name)
+    return {
+        "deleted": deleted,
+        "retained": sorted(keep),
+        "horizon": retained[0],
+    }
+
+
+@query(
+    "layout_txn_log_vacuum",
+    oracle=_AGG_SQL.format(
+        money=dec_sum_sql("o_totalprice", "total_price"),
+        where=f"""WHERE o_orderkey % {DEL_MOD} <> 0
+                     OR o_orderkey % {READD_MOD} = 0""",
+    ),
+)
+def layout_txn_log_vacuum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Compact a PRIVATE instance of the fixture table, vacuum
+    everything but the head version, and read the head snapshot.
+    The oracle is the same final-state SQL as the other txn-log
+    queries: vacuum must be invisible to the live snapshot or the
+    hash fails.  The destructive half of the contract (pre-horizon
+    time travel now raises) is pinned in tests/test_txn_log.py."""
+    table_dir = build_txn_table(spark, sf_dir, variant="vacuum")
+    compact_table(spark, table_dir)
+    vacuum_table(table_dir, retain_last=1)
+    snap = read_snapshot(spark, table_dir)
+    return snap.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        dec_sum("o_totalprice", "total_price"),
+    )

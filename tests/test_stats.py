@@ -492,3 +492,60 @@ def test_classification_report_recomputed(spark):
     po = (tp + tn) / n
     pe = ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) / n**2
     assert row.kappa == pytest.approx((po - pe) / (1 - pe), abs=1e-6)
+
+
+def test_rolling_ols_slope_matches_numpy(spark):
+    import numpy as np
+
+    rows = sorted(
+        stats.window_rolling_ols_slope(spark, SF_DIR_001).collect(),
+        key=lambda r: r.day,
+    )
+    daily = sorted(
+        (r.d, r.y)
+        for r in load_table(spark, SF_DIR_001, "orders")
+        .groupBy(
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+            .cast("long")
+            .alias("d")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("y")
+        )
+        .collect()
+    )
+    assert len(rows) == len(daily)
+    # spot-check a sample of frames against numpy
+    for i in range(0, len(daily), max(1, len(daily) // 15)):
+        d_i = daily[i][0]
+        frame = [
+            (d, y)
+            for d, y in daily
+            if d_i - (stats.ROLL_OLS_DAYS - 1) <= d <= d_i
+        ]
+        r = rows[i]
+        assert r.n_days == len(frame)
+        if len(frame) >= 2 and len({d for d, _ in frame}) > 1:
+            x = np.array([d for d, _ in frame], dtype=float)
+            y = np.array([y for _, y in frame], dtype=float)
+            slope = np.polyfit(x, y, 1)[0]
+            assert r.slope_cents_per_day == pytest.approx(
+                slope, rel=1e-4, abs=1e-3
+            )
+        else:
+            assert r.slope_cents_per_day is None
+
+
+def test_randomized_response_debias(spark):
+    row = stats.privacy_randomized_response(
+        spark, SF_DIR_001
+    ).collect()[0]
+    assert row.n_true + 0 <= row.n
+    # debias formula inverts the mechanism's expectation
+    want = (row.n_report / row.n - 0.125) / 0.75
+    assert row.debiased_rate == pytest.approx(want, abs=1e-6)
+    # the debiased estimate should land near the true rate (n=1000;
+    # binomial noise ~ 3/sqrt(n) after the 4/3 inflation)
+    assert abs(row.debiased_rate - row.true_rate) < 0.1

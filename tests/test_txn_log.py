@@ -158,3 +158,66 @@ def test_checkpoint_fold_equivalence(spark, table_dir):
     )
 
     assert committed_versions(table_dir) == [0, 1, 2]
+
+
+def test_vacuum_destroys_history_but_not_head(spark):
+    from hq_master_data_warehouse_spark.sources import txn_log
+
+    table_dir = txn_log.build_txn_table(
+        spark, "/root/testdata/sf0.001", variant="vacuum-pytest"
+    )
+    txn_log.compact_table(spark, table_dir)
+    versions = txn_log.committed_versions(table_dir)
+    head = versions[-1]
+    before = {
+        r.o_orderpriority: (r.n_orders, r.total)
+        for r in txn_log.read_snapshot(spark, table_dir)
+        .groupBy("o_orderpriority")
+        .agg(
+            __import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n_orders"),
+            __import__("pyspark.sql.functions", fromlist=["F"]).sum("o_totalprice").alias("total"),
+        )
+        .collect()
+    }
+    stats = txn_log.vacuum_table(table_dir, retain_last=1)
+    assert stats["deleted"], "compaction must have left orphans"
+    assert stats["horizon"] == head
+    # head snapshot unchanged
+    after = {
+        r.o_orderpriority: (r.n_orders, r.total)
+        for r in txn_log.read_snapshot(spark, table_dir)
+        .groupBy("o_orderpriority")
+        .agg(
+            __import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n_orders"),
+            __import__("pyspark.sql.functions", fromlist=["F"]).sum("o_totalprice").alias("total"),
+        )
+        .collect()
+    }
+    assert after == before
+    # pre-horizon time travel now fails: its files are gone
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        txn_log.read_snapshot(spark, table_dir, versions[0]).collect()
+    # idempotent: nothing left to sweep
+    again = txn_log.vacuum_table(table_dir, retain_last=1)
+    assert again["deleted"] == []
+
+
+def test_vacuum_mtime_guard_spares_young_files(spark, tmp_path):
+    import os
+
+    from hq_master_data_warehouse_spark.sources import txn_log
+
+    table_dir = txn_log.build_txn_table(
+        spark, "/root/testdata/sf0.001", variant="vacuum-guard"
+    )
+    txn_log.compact_table(spark, table_dir)
+    # everything on disk is young: a guarded vacuum must sweep nothing
+    stats = txn_log.vacuum_table(
+        table_dir, retain_last=1, min_age_s=3600
+    )
+    assert stats["deleted"] == []
+    # files still present -> old snapshots still readable
+    v0 = txn_log.committed_versions(table_dir)[0]
+    assert txn_log.read_snapshot(spark, table_dir, v0).count() > 0
