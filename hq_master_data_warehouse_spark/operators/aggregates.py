@@ -707,3 +707,157 @@ def sketch_cms_heavy_hitters(
             "cms_est",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch
+# ---------------------------------------------------------------------------
+# The canonical mergeable cardinality sketch beside KMV (above) and
+# CMS: m=64 registers, each holding the max leading-zero rank seen in
+# its hash substream.  Registers are MAX-aggregates -- map-side
+# combinable and mergeable cell-wise, the 100 TB point.  Like the CMS
+# the whole sketch is md5-derived and arithmetic-only (bit length via
+# a generated comparison ladder, 2^-M from a quantized decimal table),
+# so the DuckDB oracle reproduces every register and the estimate
+# EXACTLY -- Spark's own approx_count_distinct is checked rows-only
+# elsewhere (agg_approx_sketches); this one is exact-checkable.
+
+_HLL_M = 64  # registers
+_HLL_RANK_BITS = 26  # hash bits left after the bucket index
+_HLL_ALPHA = 0.709  # bias constant for m=64
+#: alpha*m^2 precomputed ONCE and spliced as the same double
+#: literal into both engines (a 0.709*64*64 written in SQL would
+#: evaluate in DuckDB's decimal arithmetic -- ULP-divergent from
+#: the Python double product)
+_HLL_AMM = _HLL_ALPHA * _HLL_M * _HLL_M
+
+#: 2^-r for r=0..27 as exact decimal literals (2^-27 needs 27 dp).
+from decimal import Decimal as _HllDec  # noqa: E402
+
+_HLL_POW = [
+    _HllDec(1) / (_HllDec(2) ** r)
+    for r in range(_HLL_RANK_BITS + 2)
+]
+_HLL_POW_SQL = (
+    "["
+    + ", ".join(f"CAST({p} AS DECIMAL(30,28))" for p in _HLL_POW)
+    + "]"
+)
+
+
+def _hll_rank_sql(w: str) -> str:
+    """leading-zero rank of the 26-bit value ``w`` as a CASE ladder
+    (floor(log2) without log -- portable and branch-identical in both
+    engines)."""
+    branches = " ".join(
+        f"WHEN {w} >= {1 << b} THEN {_HLL_RANK_BITS - b}"
+        for b in range(_HLL_RANK_BITS - 1, -1, -1)
+    )
+    return f"CASE {branches} ELSE {_HLL_RANK_BITS + 1} END"
+
+
+def _hll_rank(w: F.Column) -> F.Column:
+    expr = F.lit(_HLL_RANK_BITS + 1)
+    for b in range(_HLL_RANK_BITS):
+        expr = F.when(w >= (1 << b), _HLL_RANK_BITS - b).otherwise(
+            expr
+        )
+    return expr
+
+
+@query(
+    "sketch_hll_distinct",
+    oracle=f"""
+    WITH h AS (
+        SELECT CAST(concat('0x',
+                   substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))
+                   AS BIGINT) AS u32
+        FROM orders
+    ),
+    split AS (
+        SELECT u32 % {_HLL_M} AS bucket,
+               u32 // {_HLL_M} AS w
+        FROM h
+    ),
+    regs AS (
+        SELECT bucket, MAX({_hll_rank_sql("w")}) AS m_j
+        FROM split GROUP BY bucket
+    ),
+    z AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+               SUM(({_HLL_POW_SQL})[m_j + 1]) AS z_used
+        FROM regs
+    ),
+    est AS (
+        SELECT {_HLL_M} - n_used AS v_zero,
+               {_HLL_AMM!r}
+                   / (CAST(z_used AS DOUBLE) + ({_HLL_M} - n_used))
+                   AS raw
+        FROM z
+    ),
+    truth AS (
+        SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_true
+        FROM orders
+    )
+    SELECT {_HLL_M} AS n_registers, v_zero,
+           ROUND(CASE WHEN raw <= 2.5 * {_HLL_M} AND v_zero > 0
+                      THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE)
+                                         / v_zero)
+                      ELSE raw END, 2) AS hll_estimate,
+           n_true
+    FROM est CROSS JOIN truth
+    """,
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    u32 = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    split = orders.select(
+        (u32 % _HLL_M).alias("bucket"),
+        F.floor(u32 / _HLL_M).cast("long").alias("w"),
+    )
+    regs = split.groupBy("bucket").agg(
+        F.max(_hll_rank(F.col("w"))).alias("m_j")
+    )
+    pow_arr = F.array(
+        *[F.lit(p).cast("decimal(30,28)") for p in _HLL_POW]
+    )
+    z = regs.agg(
+        F.count("*").cast("long").alias("n_used"),
+        F.sum(F.element_at(pow_arr, F.col("m_j") + 1)).alias(
+            "z_used"
+        ),
+    )
+    truth = orders.agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_true")
+    )
+    est = z.select(
+        (F.lit(_HLL_M) - F.col("n_used")).alias("v_zero"),
+        (
+            F.lit(_HLL_AMM)
+            / (
+                F.col("z_used").cast("double")
+                + (F.lit(_HLL_M) - F.col("n_used"))
+            )
+        ).alias("raw"),
+    )
+    out = est.crossJoin(F.broadcast(truth))
+    small = (F.col("raw") <= 2.5 * _HLL_M) & (F.col("v_zero") > 0)
+    return out.select(
+        F.lit(_HLL_M).alias("n_registers"),
+        "v_zero",
+        F.round(
+            F.when(
+                small,
+                _HLL_M
+                * F.log(
+                    F.lit(float(_HLL_M)) / F.col("v_zero")
+                ),
+            ).otherwise(F.col("raw")),
+            2,
+        ).alias("hll_estimate"),
+        "n_true",
+    )

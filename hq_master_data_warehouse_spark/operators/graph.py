@@ -386,3 +386,98 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce(F.col("d"), F.lit(-1)).alias("hops"))
         .agg(F.count("*").alias("n_parts"))
     )
+
+
+# -- Jaccard link prediction: score NON-adjacent part pairs by
+#    |N(a) n N(b)| / |N(a) u N(b)| over the co-purchase graph -- the
+#    classical common-neighbors recommender.  Candidate pairs come
+#    from a wedge join on the shared neighbor (two equi-joins on the
+#    cached directed edge set -- the same cost class as the triangle
+#    count, bounded by sum-of-degrees-squared under the order-basket
+#    blocking); existing edges are anti-joined away because link
+#    prediction ranks ABSENT links.  The score divides two exact
+#    integers; top-k is a distributed TakeOrdered with full
+#    deterministic tie-breaks.
+LINKPRED_TOPK = 25
+
+
+@query(
+    "graph_link_prediction_jaccard",
+    oracle=f"""
+    WITH und AS ({_TRI_EDGES}),
+    dir AS (
+        SELECT u AS src, v AS dst FROM und
+        UNION ALL
+        SELECT v, u FROM und
+    ),
+    deg AS (
+        SELECT src AS node, COUNT(*) AS d FROM dir GROUP BY 1
+    ),
+    cand AS (
+        SELECT e1.dst AS a, e2.dst AS b, COUNT(*) AS cn
+        FROM dir e1 JOIN dir e2
+          ON e1.src = e2.src AND e1.dst < e2.dst
+        GROUP BY 1, 2
+    ),
+    absent AS (
+        SELECT c.a, c.b, c.cn
+        FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM und
+                          WHERE und.u = c.a AND und.v = c.b)
+    )
+    SELECT a, b, cn,
+           ROUND(CAST(cn AS DOUBLE) / (da.d + db.d - cn), 6)
+               AS jaccard
+    FROM absent
+    JOIN deg da ON da.node = a
+    JOIN deg db ON db.node = b
+    ORDER BY jaccard DESC, a, b
+    LIMIT {LINKPRED_TOPK}
+    """,
+)
+def graph_link_prediction_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    und = _copurchase_und(spark, sf_dir).cache()
+    dirr = und.union(
+        und.select(F.col("w").alias("u"), F.col("u").alias("w"))
+    ).select(F.col("u").alias("src"), F.col("w").alias("dst"))
+    deg = dirr.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    e1 = dirr.select("src", F.col("dst").alias("a"))
+    e2 = dirr.select("src", F.col("dst").alias("b"))
+    cand = (
+        e1.join(e2, "src")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cn"))
+    )
+    absent = cand.join(
+        und,
+        (cand["a"] == und["u"]) & (cand["b"] == und["w"]),
+        "left_anti",
+    )
+    da = deg.select(
+        F.col("node").alias("a"), F.col("d").alias("da")
+    )
+    db = deg.select(
+        F.col("node").alias("b"), F.col("d").alias("db")
+    )
+    scored = (
+        absent.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "cn",
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("da") + F.col("db") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard"), F.asc("a"), F.asc("b")
+    ).limit(LINKPRED_TOPK)

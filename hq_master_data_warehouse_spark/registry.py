@@ -183,6 +183,8 @@ DEFER_NEW: tuple[str, ...] = (
     "layout_txn_log_vacuum",
     "window_rolling_ols_slope",
     "privacy_randomized_response",
+    "sketch_hll_distinct",
+    "graph_link_prediction_jaccard",
 )
 
 

@@ -549,3 +549,68 @@ def test_randomized_response_debias(spark):
     # the debiased estimate should land near the true rate (n=1000;
     # binomial noise ~ 3/sqrt(n) after the 4/3 inflation)
     assert abs(row.debiased_rate - row.true_rate) < 0.1
+
+
+def test_hll_estimate_and_mergeability(spark):
+    from hq_master_data_warehouse_spark.operators import aggregates
+
+    row = aggregates.sketch_hll_distinct(spark, SF_DIR_001).collect()[0]
+    assert row.n_registers == aggregates._HLL_M
+    # m=64 -> ~13% standard error; 3 sigma bound
+    assert abs(row.hll_estimate - row.n_true) / row.n_true < 0.4
+    # mergeability: registers of the whole stream == cell-wise max of
+    # the registers of two disjoint halves
+    orders = load_table(spark, SF_DIR_001, "orders")
+    u32 = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    split = orders.select(
+        (u32 % aggregates._HLL_M).alias("bucket"),
+        F.floor(u32 / aggregates._HLL_M).cast("long").alias("w"),
+        (F.col("o_orderkey") % 2).alias("half"),
+    )
+    whole = {
+        r.bucket: r.m
+        for r in split.groupBy("bucket")
+        .agg(F.max(aggregates._hll_rank(F.col("w"))).alias("m"))
+        .collect()
+    }
+    halves: dict[int, int] = {}
+    for h in (0, 1):
+        for r in (
+            split.filter(F.col("half") == h)
+            .groupBy("bucket")
+            .agg(F.max(aggregates._hll_rank(F.col("w"))).alias("m"))
+            .collect()
+        ):
+            halves[r.bucket] = max(halves.get(r.bucket, 0), r.m)
+    assert halves == whole
+
+
+def test_link_prediction_scores_absent_pairs(spark):
+    from hq_master_data_warehouse_spark.operators import graph
+
+    rows = graph.graph_link_prediction_jaccard(
+        spark, SF_DIR_001
+    ).collect()
+    assert 0 < len(rows) <= graph.LINKPRED_TOPK
+    und = {
+        (r.u, r.w)
+        for r in graph._copurchase_und(spark, SF_DIR_001).collect()
+    }
+    nbrs: dict[int, set] = {}
+    for u, w in und:
+        nbrs.setdefault(u, set()).add(w)
+        nbrs.setdefault(w, set()).add(u)
+    for r in rows:
+        assert (r.a, r.b) not in und, "predicted an existing edge"
+        inter = nbrs[r.a] & nbrs[r.b]
+        union = nbrs[r.a] | nbrs[r.b]
+        assert r.cn == len(inter)
+        assert r.jaccard == pytest.approx(
+            len(inter) / len(union), abs=1e-6
+        )
+    scores = [r.jaccard for r in rows]
+    assert scores == sorted(scores, reverse=True)
