@@ -771,3 +771,210 @@ def ml_classification_report(
         F.round(mcc, 6).alias("mcc"),
         F.round(kappa, 6).alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Power-iteration PCA (top principal direction) with an exact oracle
+# ---------------------------------------------------------------------------
+# Iterative linear algebra on the engine: K rounds of
+#     v  <-  normalize( E^T (E v) )
+# over the embedding matrix.  Each matvec is TWO grouped-sum
+# aggregations (rows x dims long format) -- the canonical distributed
+# shape; the 64-row state vector broadcasts, the data never
+# re-shuffles.  Exact cross-engine equality for an ITERATIVE float
+# algorithm comes from quantizing every intermediate to scaled
+# integers: embeddings enter as round(e * 1e6) units, each iteration
+# re-quantizes the direction to 1e6-scaled ints after a double
+# max-rescale + unit-normalize, and every SUM runs over exact
+# integers (HUGEINT / decimal(38)).  A double x 10^k can never land
+# exactly on .5 (that would need a 5-adic denominator, impossible for
+# dyadic doubles), so every round() is tie-free and the unrolled
+# DuckDB CTE chain reproduces the Spark result bit-for-bit.
+# (Spark's own iterative path is the same plan Catalyst sees from the
+# unrolled loop -- no driver-side collect of data, only the bounded
+# 64-row state flows between stages.)
+
+PCA_ITERS = 4
+PCA_OUT_DIMS = 8
+_PCA_SE = 10**6  # embedding unit scale
+_PCA_SV = 10**6  # direction component scale
+_PCA_V0 = 125000  # 1/sqrt(64) at scale 1e6
+
+
+def _pca_oracle() -> str:
+    ctes = [
+        f"""base AS MATERIALIZED (
+        SELECT vec_id, i AS dim,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {_PCA_SE})
+                    AS BIGINT) AS units
+        FROM embeddings CROSS JOIN generate_series(1, {EMB_DIM}) g(i)
+    )""",
+        f"""v0 AS MATERIALIZED (
+        SELECT i AS dim, CAST({_PCA_V0} AS BIGINT) AS val
+        FROM generate_series(1, {EMB_DIM}) g(i)
+    )""",
+    ]
+    for k in range(1, PCA_ITERS + 1):
+        p = k - 1
+        ctes.append(f"""dot{k} AS MATERIALIZED (
+        SELECT b.vec_id, CAST(SUM(b.units * v.val) AS BIGINT) AS dot
+        FROM base b JOIN v{p} v ON v.dim = b.dim GROUP BY 1
+    )""")
+        ctes.append(f"""w{k} AS MATERIALIZED (
+        SELECT b.dim, SUM(CAST(b.units AS HUGEINT) * d.dot) AS w
+        FROM base b JOIN dot{k} d ON d.vec_id = b.vec_id GROUP BY 1
+    )""")
+        ctes.append(
+            f"m{k} AS MATERIALIZED (SELECT MAX(ABS(w)) AS m FROM w{k})"
+        )
+        ctes.append(f"""vp{k} AS MATERIALIZED (
+        SELECT dim, CAST(ROUND(CAST(w AS DOUBLE) / CAST(m AS DOUBLE)
+                               * {_PCA_SV}) AS BIGINT) AS val
+        FROM w{k} CROSS JOIN m{k}
+    )""")
+        ctes.append(
+            f"n{k} AS MATERIALIZED (SELECT SUM(val * val) AS n2 FROM vp{k})"
+        )
+        ctes.append(f"""v{k} AS MATERIALIZED (
+        SELECT dim, CAST(ROUND(val / sqrt(CAST(n2 AS DOUBLE))
+                               * {_PCA_SV}) AS BIGINT) AS val
+        FROM vp{k} CROSS JOIN n{k}
+    )""")
+    K = PCA_ITERS
+    ctes.append(f"""dotF AS MATERIALIZED (
+        SELECT b.vec_id, CAST(SUM(b.units * v.val) AS BIGINT) AS dot
+        FROM base b JOIN v{K} v ON v.dim = b.dim GROUP BY 1
+    )""")
+    ctes.append(f"""ray AS MATERIALIZED (
+        SELECT SUM(CAST(CAST(ROUND(CAST(dot AS DOUBLE) / {_PCA_SE})
+                             AS BIGINT) AS HUGEINT)
+                   * CAST(ROUND(CAST(dot AS DOUBLE) / {_PCA_SE})
+                          AS BIGINT)) AS s
+        FROM dotF
+    )""")
+    ctes.append(
+        f"nv AS MATERIALIZED (SELECT SUM(val * val) AS n2 FROM v{K})"
+    )
+    comps = ",\n           ".join(
+        f"ROUND(CAST(MAX(CASE WHEN dim = {d} THEN val END) AS DOUBLE)"
+        f" / {_PCA_SV}, 6) AS c{d}"
+        for d in range(1, PCA_OUT_DIMS + 1)
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT ROUND((SELECT CAST(s AS DOUBLE) FROM ray)
+                 / (SELECT CAST(n2 AS DOUBLE) FROM nv), 4)
+               AS eigenvalue,
+           {comps}
+    FROM v{K}
+    """
+
+
+@query("ml_pca_power_iteration", oracle=_pca_oracle())
+def ml_pca_power_iteration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "e")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("e").cast("double") * _PCA_SE)
+        .cast("long")
+        .alias("units"),
+    )
+    base = base.cache()
+    spark_range = spark.range(1, EMB_DIM + 1)
+    v = spark_range.select(
+        F.col("id").cast("int").alias("dim"),
+        F.lit(_PCA_V0).cast("long").alias("val"),
+    )
+    for _ in range(PCA_ITERS):
+        dot = (
+            base.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(
+                F.sum(F.col("units") * F.col("val"))
+                .cast("long")
+                .alias("dot")
+            )
+        )
+        w = (
+            base.join(F.broadcast(dot), "vec_id")
+            .groupBy("dim")
+            .agg(
+                F.sum(
+                    (
+                        F.col("units").cast("decimal(20,0)")
+                        * F.col("dot")
+                    ).cast("decimal(38,0)")
+                ).alias("w")
+            )
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        vp = w.crossJoin(F.broadcast(m)).select(
+            "dim",
+            F.round(
+                F.col("w").cast("double")
+                / F.col("m").cast("double")
+                * _PCA_SV
+            )
+            .cast("long")
+            .alias("val"),
+        )
+        n2 = vp.agg(
+            F.sum(F.col("val") * F.col("val")).alias("n2")
+        )
+        v = vp.crossJoin(F.broadcast(n2)).select(
+            "dim",
+            F.round(
+                F.col("val")
+                / F.sqrt(F.col("n2").cast("double"))
+                * _PCA_SV
+            )
+            .cast("long")
+            .alias("val"),
+        )
+        # the 64-row state is re-read by THREE branches next
+        # iteration (dot, then transitively m/n2); without cutting
+        # lineage here Spark re-executes the whole prior chain per
+        # branch -- exponential in the iteration count (the DuckDB
+        # twin needs AS MATERIALIZED for the same reason).  A
+        # localCheckpoint of 64 rows is the bounded-state analogue of
+        # the graph family's iteration checkpointing.
+        v = v.localCheckpoint(eager=True)
+    dot_f = (
+        base.join(F.broadcast(v), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("units") * F.col("val"))
+            .cast("long")
+            .alias("dot")
+        )
+    )
+    dr = F.round(F.col("dot").cast("double") / _PCA_SE).cast("long")
+    ray = dot_f.agg(
+        F.sum((dr.cast("decimal(20,0)") * dr).cast("decimal(38,0)"))
+        .alias("s")
+    )
+    nv = v.agg(F.sum(F.col("val") * F.col("val")).alias("n2"))
+    comps = v.groupBy().agg(
+        *[
+            F.round(
+                F.max(
+                    F.when(F.col("dim") == d, F.col("val"))
+                ).cast("double")
+                / _PCA_SV,
+                6,
+            ).alias(f"c{d}")
+            for d in range(1, PCA_OUT_DIMS + 1)
+        ]
+    )
+    lam = ray.crossJoin(F.broadcast(nv)).select(
+        F.round(
+            F.col("s").cast("double") / F.col("n2").cast("double"), 4
+        ).alias("eigenvalue")
+    )
+    return lam.crossJoin(F.broadcast(comps))

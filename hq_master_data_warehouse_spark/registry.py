@@ -185,6 +185,7 @@ DEFER_NEW: tuple[str, ...] = (
     "privacy_randomized_response",
     "sketch_hll_distinct",
     "graph_link_prediction_jaccard",
+    "ml_pca_power_iteration",
 )
 
 

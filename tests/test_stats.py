@@ -614,3 +614,57 @@ def test_link_prediction_scores_absent_pairs(spark):
         )
     scores = [r.jaccard for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_pca_power_iteration_matches_quantized_reference(spark):
+    import numpy as np
+
+    from hq_master_data_warehouse_spark.operators import ml
+
+    row = ml.ml_pca_power_iteration(spark, SF_DIR_001).collect()[0]
+    emb = load_table(spark, SF_DIR_001, "embeddings").collect()
+    # integer-unit matrix, same quantization as the operator
+    E = np.array(
+        [
+            [round(float(x) * ml._PCA_SE) for x in r.embedding]
+            for r in emb
+        ],
+        dtype=object,  # exact python ints
+    )
+    v = np.array([ml._PCA_V0] * ml.EMB_DIM, dtype=object)
+    for _ in range(ml.PCA_ITERS):
+        dot = E @ v
+        w = E.T @ dot
+        m = max(abs(int(x)) for x in w)
+        vp = np.array(
+            [round(float(int(x)) / m * ml._PCA_SV) for x in w],
+            dtype=object,
+        )
+        n2 = sum(int(x) ** 2 for x in vp)
+        v = np.array(
+            [
+                round(int(x) / math.sqrt(n2) * ml._PCA_SV)
+                for x in vp
+            ],
+            dtype=object,
+        )
+    dot = E @ v
+    dr = [round(int(x) / ml._PCA_SE) for x in dot]
+    lam = sum(d * d for d in dr) / sum(int(x) ** 2 for x in v)
+    assert row.eigenvalue == pytest.approx(lam, abs=1e-3)
+    for d in range(1, ml.PCA_OUT_DIMS + 1):
+        assert getattr(row, f"c{d}") == pytest.approx(
+            int(v[d - 1]) / ml._PCA_SV, abs=1e-6
+        )
+    # convergence sanity: the fixture's Gram spectrum is nearly flat
+    # (l2/l1 ~ 0.93), so K=4 cannot pin the exact top eigVECTOR --
+    # the oracle already pins the ITERATION bit-for-bit; here assert
+    # the Rayleigh quotient made real progress toward the top
+    # eigenVALUE: above the spectral mean, within the top of the
+    # spectrum, and far beyond the isotropic start.
+    Ef = np.array([[float(x) for x in r.embedding] for r in emb])
+    vals = np.linalg.eigvalsh(Ef.T @ Ef)
+    lam_scaled = row.eigenvalue / (ml._PCA_SE / ml._PCA_SE) ** 2
+    assert lam_scaled <= vals[-1] * 1.01
+    assert lam_scaled >= 0.7 * vals[-1]
+    assert lam_scaled > vals.mean()
