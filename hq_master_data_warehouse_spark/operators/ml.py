@@ -978,3 +978,334 @@ def ml_pca_power_iteration(
         ).alias("eigenvalue")
     )
     return lam.crossJoin(F.broadcast(comps))
+
+
+# ---------------------------------------------------------------------------
+# Decision stump (one boosting round)
+# ---------------------------------------------------------------------------
+# Supervised split search, the inner loop of every tree learner: find
+# the threshold on order value that best separates finished orders by
+# weighted Gini.  Distributed shape: ONE aggregation folds the fact
+# table to per-band (n, positives) counts over a bounded band domain;
+# candidate splits are prefix sums over that ~60-row table (window on
+# a bounded domain, the audited pattern); the winner is a
+# deterministic argmin (score, then band) on doubles computed by one
+# fixed expression from exact integers.
+STUMP_BAND = 8000  # dollars per candidate-threshold band
+
+
+@query(
+    "ml_decision_stump",
+    oracle=f"""
+    WITH r AS (
+        SELECT CAST(FLOOR(o_totalprice / {STUMP_BAND}) AS BIGINT)
+                   AS band,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+        FROM orders
+    ),
+    bands AS (
+        SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS p
+        FROM r GROUP BY band
+    ),
+    pref AS (
+        SELECT band,
+               SUM(n) OVER w AS nl, SUM(p) OVER w AS pl,
+               (SELECT SUM(n) FROM bands) AS nt,
+               (SELECT SUM(p) FROM bands) AS pt
+        FROM bands
+        WINDOW w AS (ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ),
+    scored AS (
+        SELECT band, nl, pl, nt - nl AS nr, pt - pl AS pr,
+               (nl * (1 - (CAST(pl AS DOUBLE) / nl)
+                          * (CAST(pl AS DOUBLE) / nl)
+                      - (CAST(nl - pl AS DOUBLE) / nl)
+                        * (CAST(nl - pl AS DOUBLE) / nl))
+                + (nt - nl)
+                  * (1 - (CAST(pt - pl AS DOUBLE) / (nt - nl))
+                         * (CAST(pt - pl AS DOUBLE) / (nt - nl))
+                     - (CAST((nt - nl) - (pt - pl) AS DOUBLE)
+                        / (nt - nl))
+                       * (CAST((nt - nl) - (pt - pl) AS DOUBLE)
+                          / (nt - nl))))
+               / nt AS score,
+               1 - (CAST(pt AS DOUBLE) / nt)
+                   * (CAST(pt AS DOUBLE) / nt)
+                 - (CAST(nt - pt AS DOUBLE) / nt)
+                   * (CAST(nt - pt AS DOUBLE) / nt) AS gini_root
+        FROM pref
+        WHERE nl > 0 AND nt - nl > 0
+    )
+    SELECT CAST(band AS BIGINT) AS split_band,
+           CAST((band + 1) * {STUMP_BAND} AS BIGINT)
+               AS threshold_dollars,
+           CAST(nl AS BIGINT) AS n_left,
+           CAST(pl AS BIGINT) AS pos_left,
+           CAST(nr AS BIGINT) AS n_right,
+           CAST(pr AS BIGINT) AS pos_right,
+           ROUND(score, 6) AS gini_split,
+           ROUND(gini_root, 6) AS gini_root
+    FROM scored
+    ORDER BY score, band
+    LIMIT 1
+    """,
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    r = orders.select(
+        F.floor(F.col("o_totalprice") / STUMP_BAND)
+        .cast("long")
+        .alias("band"),
+        F.when(F.col("o_orderstatus") == "F", 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    bands = r.groupBy("band").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    wpre = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = bands.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("p").cast("long").alias("pt"),
+    )
+    pref = (
+        bands.select(
+            "band",
+            F.sum("n").over(wpre).alias("nl"),
+            F.sum("p").over(wpre).alias("pl"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("nl") > 0) & ((F.col("nt") - F.col("nl")) > 0)
+        )
+    )
+    nl, pl = F.col("nl").cast("double"), F.col("pl").cast("double")
+    nt, pt = F.col("nt").cast("double"), F.col("pt").cast("double")
+    nr, pr = nt - nl, pt - pl
+
+    def gini(n, p):
+        return 1 - (p / n) * (p / n) - ((n - p) / n) * ((n - p) / n)
+
+    score = (nl * gini(nl, pl) + nr * gini(nr, pr)) / nt
+    scored = pref.select(
+        "band",
+        F.col("nl"),
+        F.col("pl"),
+        (F.col("nt") - F.col("nl")).alias("nr_i"),
+        (F.col("pt") - F.col("pl")).alias("pr_i"),
+        score.alias("score"),
+        gini(nt, pt).alias("gini_root"),
+    )
+    best = scored.orderBy("score", "band").limit(1)
+    return best.select(
+        F.col("band").alias("split_band"),
+        ((F.col("band") + 1) * STUMP_BAND)
+        .cast("long")
+        .alias("threshold_dollars"),
+        F.col("nl").alias("n_left"),
+        F.col("pl").alias("pos_left"),
+        F.col("nr_i").alias("n_right"),
+        F.col("pr_i").alias("pos_right"),
+        F.round("score", 6).alias("gini_split"),
+        F.round("gini_root", 6).alias("gini_root"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lloyd k-means (exact quantized iterations)
+# ---------------------------------------------------------------------------
+# The iterative companion to similarity_kmeans_assign (fixed
+# centroids): K=4 centroids actually MOVE for 2 Lloyd rounds.  Same
+# exactness discipline as the PCA above: embeddings enter as integer
+# units, distances are exact integer sums (so argmin assignment with
+# a (dist, cluster) tie-break is unambiguous), and the centroid
+# update rounds mean = S/C half-up via pure FLOOR((2S + C) / (2C))
+# -- no double .5 tie can exist and both engines share the formula.
+# Per iteration: one broadcast join for assignment (the K x 64
+# centroid table is tiny), one grouped sum for the update; empty
+# clusters keep their previous centroid via COALESCE.
+KMEANS_K = 4
+KMEANS_ITERS = 2
+
+
+def _kmeans_oracle() -> str:
+    ctes = [
+        f"""base AS MATERIALIZED (
+        SELECT vec_id, i AS dim,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {_PCA_SE})
+                    AS BIGINT) AS u
+        FROM embeddings CROSS JOIN generate_series(1, {EMB_DIM}) g(i)
+    )""",
+        f"""c0 AS MATERIALIZED (
+        SELECT vec_id AS cl, dim, u AS c
+        FROM base WHERE vec_id < {KMEANS_K}
+    )""",
+    ]
+    for k in range(1, KMEANS_ITERS + 1):
+        p = k - 1
+        ctes.append(f"""d{k} AS MATERIALIZED (
+        SELECT b.vec_id, c.cl,
+               SUM((b.u - c.c) * (b.u - c.c)) AS dist
+        FROM base b JOIN c{p} c ON c.dim = b.dim
+        GROUP BY 1, 2
+    )""")
+        ctes.append(f"""a{k} AS MATERIALIZED (
+        SELECT vec_id, cl FROM (
+            SELECT vec_id, cl,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cl) AS rn
+            FROM d{k}
+        ) WHERE rn = 1
+    )""")
+        ctes.append(f"""u{k} AS MATERIALIZED (
+        SELECT a.cl, b.dim,
+               CAST(FLOOR((2 * SUM(b.u) + COUNT(*))
+                          / (2.0 * COUNT(*))) AS BIGINT) AS c
+        FROM a{k} a JOIN base b ON b.vec_id = a.vec_id
+        GROUP BY 1, 2
+    )""")
+        ctes.append(f"""c{k} AS MATERIALIZED (
+        SELECT o.cl, o.dim, COALESCE(u.c, o.c) AS c
+        FROM c{p} o LEFT JOIN u{k} u
+          ON u.cl = o.cl AND u.dim = o.dim
+    )""")
+    K = KMEANS_ITERS
+    ctes.append(f"""df AS MATERIALIZED (
+        SELECT b.vec_id, c.cl,
+               SUM((b.u - c.c) * (b.u - c.c)) AS dist
+        FROM base b JOIN c{K} c ON c.dim = b.dim
+        GROUP BY 1, 2
+    )""")
+    ctes.append("""af AS MATERIALIZED (
+        SELECT vec_id, cl, dist FROM (
+            SELECT vec_id, cl, dist,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cl) AS rn
+            FROM df
+        ) WHERE rn = 1
+    )""")
+    ctes.append("""st AS MATERIALIZED (
+        SELECT cl, CAST(COUNT(*) AS BIGINT) AS n_members,
+               ROUND(CAST(SUM(dist) AS DOUBLE) / 1e12, 4) AS inertia
+        FROM af GROUP BY cl
+    )""")
+    ctes.append(f"""hd AS MATERIALIZED (
+        SELECT cl,
+               ROUND(CAST(MAX(CASE WHEN dim = 1 THEN c END)
+                          AS DOUBLE) / {_PCA_SE}, 6) AS c1,
+               ROUND(CAST(MAX(CASE WHEN dim = 2 THEN c END)
+                          AS DOUBLE) / {_PCA_SE}, 6) AS c2
+        FROM c{K} WHERE dim <= 2 GROUP BY cl
+    )""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT st.cl AS cluster, st.n_members, st.inertia, hd.c1, hd.c2
+    FROM st JOIN hd ON hd.cl = st.cl
+    """
+
+
+@query("ml_kmeans_lloyd", oracle=_kmeans_oracle())
+def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = (
+        emb.select(
+            "vec_id", F.posexplode("embedding").alias("pos", "e")
+        )
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).alias("dim"),
+            F.round(F.col("e").cast("double") * _PCA_SE)
+            .cast("long")
+            .alias("u"),
+        )
+        .cache()
+    )
+    cent = base.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cl"), "dim", F.col("u").alias("c")
+    )
+
+    def assign(centroids):
+        d = (
+            base.join(F.broadcast(centroids), "dim")
+            .groupBy("vec_id", "cl")
+            .agg(
+                F.sum(
+                    (F.col("u") - F.col("c"))
+                    * (F.col("u") - F.col("c"))
+                ).alias("dist")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cl")
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    for _ in range(KMEANS_ITERS):
+        a = assign(cent).select("vec_id", "cl")
+        upd = (
+            a.join(base, "vec_id")
+            .groupBy("cl", "dim")
+            .agg(
+                F.floor(
+                    (2 * F.sum("u") + F.count("*"))
+                    / (2.0 * F.count("*"))
+                )
+                .cast("long")
+                .alias("cn")
+            )
+        )
+        cent = (
+            cent.join(upd, ["cl", "dim"], "left")
+            .select(
+                "cl",
+                "dim",
+                F.coalesce(F.col("cn"), F.col("c")).alias("c"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    final = assign(cent)
+    stats = final.groupBy("cl").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.round(F.sum("dist").cast("double") / 1e12, 4).alias(
+            "inertia"
+        ),
+    )
+    heads = (
+        cent.filter(F.col("dim") <= 2)
+        .groupBy("cl")
+        .agg(
+            F.round(
+                F.max(
+                    F.when(F.col("dim") == 1, F.col("c"))
+                ).cast("double")
+                / _PCA_SE,
+                6,
+            ).alias("c1"),
+            F.round(
+                F.max(
+                    F.when(F.col("dim") == 2, F.col("c"))
+                ).cast("double")
+                / _PCA_SE,
+                6,
+            ).alias("c2"),
+        )
+    )
+    return stats.join(F.broadcast(heads), "cl").select(
+        F.col("cl").alias("cluster"),
+        "n_members",
+        "inertia",
+        "c1",
+        "c2",
+    )

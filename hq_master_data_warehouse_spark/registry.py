@@ -186,6 +186,8 @@ DEFER_NEW: tuple[str, ...] = (
     "sketch_hll_distinct",
     "graph_link_prediction_jaccard",
     "ml_pca_power_iteration",
+    "ml_decision_stump",
+    "ml_kmeans_lloyd",
 )
 
 

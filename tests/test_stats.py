@@ -668,3 +668,77 @@ def test_pca_power_iteration_matches_quantized_reference(spark):
     assert lam_scaled <= vals[-1] * 1.01
     assert lam_scaled >= 0.7 * vals[-1]
     assert lam_scaled > vals.mean()
+
+
+def test_decision_stump_is_true_argmin(spark):
+    from hq_master_data_warehouse_spark.operators import ml
+
+    row = ml.ml_decision_stump(spark, SF_DIR_001).collect()[0]
+    raw = (
+        load_table(spark, SF_DIR_001, "orders")
+        .select(
+            F.floor(F.col("o_totalprice") / ml.STUMP_BAND)
+            .cast("long")
+            .alias("band"),
+            F.when(F.col("o_orderstatus") == "F", 1)
+            .otherwise(0)
+            .alias("pos"),
+        )
+        .collect()
+    )
+    from collections import Counter
+
+    n_by, p_by = Counter(), Counter()
+    for r in raw:
+        n_by[r.band] += 1
+        p_by[r.band] += r.pos
+    nt, pt = sum(n_by.values()), sum(p_by.values())
+
+    def gini(n, p):
+        return 1 - (p / n) ** 2 - ((n - p) / n) ** 2
+
+    best = None
+    nl = pl = 0
+    for band in sorted(n_by):
+        nl += n_by[band]
+        pl += p_by[band]
+        if nl == 0 or nt - nl == 0:
+            continue
+        sc = (
+            nl * gini(nl, pl) + (nt - nl) * gini(nt - nl, pt - pl)
+        ) / nt
+        if best is None or sc < best[0]:
+            best = (sc, band, nl, pl)
+    assert row.split_band == best[1]
+    assert row.n_left == best[2] and row.pos_left == best[3]
+    assert row.gini_split == pytest.approx(best[0], abs=1e-6)
+    assert row.gini_root == pytest.approx(gini(nt, pt), abs=1e-6)
+    # a useful split never increases impurity
+    assert row.gini_split <= row.gini_root + 1e-9
+
+
+def test_kmeans_lloyd_partitions_and_improves(spark):
+    from hq_master_data_warehouse_spark.operators import ml
+
+    rows = ml.ml_kmeans_lloyd(spark, SF_DIR_001).collect()
+    n_vecs = load_table(spark, SF_DIR_001, "embeddings").count()
+    assert sum(r.n_members for r in rows) == n_vecs
+    assert len(rows) <= ml.KMEANS_K
+    assert all(r.n_members > 0 for r in rows)
+    # Lloyd monotonicity: final inertia <= inertia of the INITIAL
+    # centroids (recomputed independently in numpy on the same units)
+    import numpy as np
+
+    emb = load_table(spark, SF_DIR_001, "embeddings").collect()
+    U = np.array(
+        [
+            [round(float(x) * ml._PCA_SE) for x in r.embedding]
+            for r in sorted(emb, key=lambda r: r.vec_id)
+        ],
+        dtype=float,
+    )
+    C0 = U[: ml.KMEANS_K]
+    d0 = ((U[:, None, :] - C0[None, :, :]) ** 2).sum(axis=2)
+    inertia0 = d0.min(axis=1).sum() / 1e12
+    final = sum(r.inertia for r in rows)
+    assert final <= inertia0 + 1e-6
