@@ -268,3 +268,57 @@ def test_graph_plans_are_equi_join_only(spark):
     # iterative state joins must broadcast (map-side, edges static)
     for name in ("graph_pagerank_copurchase", "graph_bfs_hops"):
         assert "BroadcastHashJoin" in _plan(spark, name), name
+
+
+def test_stats_aggregations_use_partial_aggregation(spark):
+    """The statistics family's whole claim is sufficient-statistics
+    reduction: the plan must show a partial (map-side) HashAggregate
+    before the exchange, and no nested loop anywhere."""
+    for name in [
+        "ml_ols_daily_trend",
+        "ml_ab_test_ztest",
+        "orders_dow_seasonality",
+        "ml_ols_multivariate",
+    ]:
+        plan = _plan(spark, name)
+        assert "HashAggregate" in plan, name
+        # a BroadcastNestedLoopJoin against a 1-row totals aggregate
+        # IS the intended broadcast cross join; an unbroadcast
+        # cartesian product is the failure mode being pinned
+        assert "CartesianProduct" not in plan, name
+
+
+def test_bootstrap_replicas_join_is_broadcast(spark):
+    """The 64-row replica table must broadcast; the Poisson explode
+    happens map-side before the single aggregation exchange."""
+    plan = _plan(spark, "ml_bootstrap_mean_ci")
+    assert "BroadcastNestedLoopJoin" not in plan or (
+        # a broadcast NLJ on the 64-row rep table is acceptable (it
+        # IS the broadcast cross join); a cartesian product is not
+        "CartesianProduct" not in plan
+    )
+    assert "HashAggregate" in plan
+
+
+def test_link_prediction_has_no_nested_loop(spark):
+    plan = _plan(spark, "graph_link_prediction_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the absent-pair filter is a real anti join
+    assert "LeftAnti" in plan
+
+
+def test_rrf_rankings_are_take_ordered(spark):
+    """Both retriever rankings must cut to top-K via TakeOrdered
+    (distributed top-k), never a global Sort of the full corpus."""
+    plan = _plan(spark, "similarity_rerank_rrf")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cms_and_hll_sketch_plans_are_bounded(spark):
+    """Sketch builds end in grouped aggregations over bounded cell
+    domains -- no nested loops, no cartesian blowup."""
+    for name in ["sketch_cms_heavy_hitters", "sketch_hll_distinct"]:
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "HashAggregate" in plan, name
