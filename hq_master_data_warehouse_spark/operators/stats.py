@@ -1383,3 +1383,158 @@ def privacy_randomized_response(
             (F.col("n_report").cast("double") / n - 0.125) / 0.75, 6
         ).alias("debiased_rate"),
     )
+
+
+# -- rolling 7-day exact MEDIAN of daily revenue: Spark has no exact
+#    windowed percentile, so the trailing window is materialized by
+#    the same bounded-explode trick as join_range_binned -- each day
+#    contributes itself to the 7 target days it can serve (equi-join
+#    keys, never an inequality self-join / BNLJ), then an exact
+#    grouped percentile per target day.  Explode factor is the window
+#    length; the whole computation runs on the bounded per-day
+#    summary.  Median of exact integer cents interpolates the middle
+#    pair as (a+b)/2 -- a dyadic-exact double, identical in both
+#    engines.
+@query(
+    "window_rolling_median_7day",
+    oracle="""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1995-01-01',
+                         CAST(o_orderdate AS DATE)) AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY d
+    ),
+    contrib AS (
+        SELECT daily.d + off AS target, daily.y
+        FROM daily CROSS JOIN generate_series(0, 6) g(off)
+    ),
+    w AS (
+        SELECT c.target AS d, COUNT(*) AS n_days,
+               median(c.y) AS med
+        FROM contrib c
+        JOIN daily t ON t.d = c.target
+        GROUP BY c.target
+    )
+    SELECT CAST(DATE '1995-01-01' + INTERVAL (d) DAY AS DATE) AS day,
+           CAST(n_days AS BIGINT) AS n_days,
+           ROUND(CAST(med AS DOUBLE) / 100, 2) AS median_daily_revenue
+    FROM w
+    """,
+)
+def window_rolling_median_7day(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.sum(_cents(F.col("o_totalprice"))).alias("y"))
+    contrib = daily.select(
+        F.explode(
+            F.sequence(F.col("d"), F.col("d") + 6)
+        ).alias("target"),
+        "y",
+    )
+    targets = daily.select(F.col("d").alias("target"))
+    w = (
+        contrib.join(targets, "target")
+        .groupBy("target")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.percentile(F.col("y"), F.lit(0.5)).alias("med"),
+        )
+    )
+    return w.select(
+        F.date_add(
+            F.lit("1995-01-01"), F.col("target").cast("int")
+        ).alias("day"),
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(F.col("med").cast("double") / 100, 2).alias(
+            "median_daily_revenue"
+        ),
+    )
+
+
+# -- sessionized bounce rate: split each user's clickstream at
+#    30-minute inactivity gaps (lag + cumulative-flag windows, both
+#    PARTITIONED by user -- the scalable sessionization shape), then
+#    the share of single-event sessions per calendar day.  All
+#    counts exact; the rate is one fixed double division.
+SESSION_GAP_S = 1800
+
+
+@query(
+    "events_session_bounce_rate",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_S} SECOND
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS sid
+        FROM seq
+    ),
+    per AS (
+        SELECT user_id, sid, MIN(CAST(ts AS DATE)) AS day,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bounce,
+           ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS bounce_rate
+    FROM per GROUP BY day
+    """,
+)
+def events_session_bounce_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(wo).isNull()
+            | (
+                F.col("ts").cast("double")
+                - F.lag("ts").over(wo).cast("double")
+                > SESSION_GAP_S
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = seq.withColumn("sid", F.sum("new_s").over(wc))
+    per = sess.groupBy("user_id", "sid").agg(
+        F.min(F.col("ts").cast("date")).alias("day"),
+        F.count("*").alias("n_events"),
+    )
+    bounce = F.sum(
+        F.when(F.col("n_events") == 1, 1).otherwise(0)
+    )
+    return per.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        bounce.cast("long").alias("n_bounce"),
+        F.round(
+            bounce.cast("double") / F.count("*"), 6
+        ).alias("bounce_rate"),
+    )

@@ -188,6 +188,8 @@ DEFER_NEW: tuple[str, ...] = (
     "ml_pca_power_iteration",
     "ml_decision_stump",
     "ml_kmeans_lloyd",
+    "window_rolling_median_7day",
+    "events_session_bounce_rate",
 )
 
 

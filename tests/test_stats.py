@@ -742,3 +742,63 @@ def test_kmeans_lloyd_partitions_and_improves(spark):
     inertia0 = d0.min(axis=1).sum() / 1e12
     final = sum(r.inertia for r in rows)
     assert final <= inertia0 + 1e-6
+
+
+def test_rolling_median_matches_bruteforce(spark):
+    import statistics as st
+
+    rows = {
+        r.day: r
+        for r in stats.window_rolling_median_7day(
+            spark, SF_DIR_001
+        ).collect()
+    }
+    daily = sorted(
+        (r.d, r.y)
+        for r in load_table(spark, SF_DIR_001, "orders")
+        .groupBy(
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+            .cast("long")
+            .alias("d")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("y")
+        )
+        .collect()
+    )
+    assert len(rows) == len(daily)
+    import datetime
+
+    base = datetime.date(1995, 1, 1)
+    for i in range(0, len(daily), max(1, len(daily) // 20)):
+        d_i, _ = daily[i]
+        frame = [y for d, y in daily if d_i - 6 <= d <= d_i]
+        r = rows[base + datetime.timedelta(days=int(d_i))]
+        assert r.n_days == len(frame)
+        assert r.median_daily_revenue == pytest.approx(
+            round(st.median(frame) / 100, 2), abs=0.011
+        )
+
+
+def test_bounce_rate_consistency(spark):
+    rows = stats.events_session_bounce_rate(
+        spark, SF_DIR_001
+    ).collect()
+    assert rows
+    total_sessions = sum(r.n_sessions for r in rows)
+    total_events = load_table(spark, SF_DIR_001, "events").count()
+    # at least one session per user, at most one per event
+    users = (
+        load_table(spark, SF_DIR_001, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert users <= total_sessions <= total_events
+    for r in rows:
+        assert 0 <= r.n_bounce <= r.n_sessions
+        assert r.bounce_rate == pytest.approx(
+            r.n_bounce / r.n_sessions, abs=1e-6
+        )
