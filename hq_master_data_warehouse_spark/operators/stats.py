@@ -1538,3 +1538,235 @@ def events_session_bounce_rate(
             bounce.cast("double") / F.count("*"), 6
         ).alias("bounce_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-window DFT harmonics
+# ---------------------------------------------------------------------------
+# Spectral cadence analysis of the event stream: the discrete Fourier
+# transform of the daily count series over a fixed 28-day window, at
+# harmonics k=1..4 (k=4 is the 7-day week).  Per-row cos/sin would be
+# transcendental doubles summed in partition order -- divergent; the
+# phase (d*k) mod 28 has only 28 values, so the twiddle factors are a
+# QUANTIZED DECIMAL TABLE (the same discipline as the decay/NDCG/SES
+# tables) and the Fourier sums are exact decimal dot products of
+# integer counts with literal weights: order-independent, map-side
+# combinable, bit-identical cross-engine.
+
+FOURIER_N = 28
+FOURIER_HARMONICS = 4
+_FOURIER_REF = "2024-01-01"
+
+from decimal import Decimal as _FDec  # noqa: E402
+
+_COS_T = [
+    _FDec(f"{math.cos(2 * math.pi * p / FOURIER_N):.9f}")
+    for p in range(FOURIER_N)
+]
+_SIN_T = [
+    _FDec(f"{math.sin(2 * math.pi * p / FOURIER_N):.9f}")
+    for p in range(FOURIER_N)
+]
+
+
+def _dec_arr(xs) -> str:
+    return (
+        "["
+        + ", ".join(f"CAST({x} AS DECIMAL(12,9))" for x in xs)
+        + "]"
+    )
+
+
+@query(
+    "events_fourier_weekly_harmonics",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '{_FOURIER_REF}',
+                         CAST(ts AS DATE)) AS d,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events
+        WHERE CAST(ts AS DATE) >= DATE '{_FOURIER_REF}'
+          AND CAST(ts AS DATE) < DATE '{_FOURIER_REF}'
+              + INTERVAL {FOURIER_N} DAY
+        GROUP BY d
+    ),
+    terms AS (
+        SELECT g.k, daily.c, (daily.d * g.k) % {FOURIER_N} AS p
+        FROM daily
+        CROSS JOIN generate_series(1, {FOURIER_HARMONICS}) g(k)
+    ),
+    sums AS (
+        SELECT k,
+               SUM(CAST(c AS DECIMAL(20,0))
+                   * ({_dec_arr(_COS_T)})[p + 1]) AS re,
+               SUM(CAST(c AS DECIMAL(20,0))
+                   * ({_dec_arr(_SIN_T)})[p + 1]) AS im
+        FROM terms GROUP BY k
+    )
+    SELECT k,
+           ROUND(CAST(re AS DOUBLE), 4) AS re,
+           ROUND(-CAST(im AS DOUBLE), 4) AS im,
+           ROUND(sqrt(CAST(re AS DOUBLE) * CAST(re AS DOUBLE)
+                      + CAST(im AS DOUBLE) * CAST(im AS DOUBLE)), 4)
+               AS amplitude
+    FROM sums
+    """,
+)
+def events_fourier_weekly_harmonics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    d = F.datediff(F.col("ts").cast("date"), F.lit(_FOURIER_REF))
+    daily = (
+        events.filter((d >= 0) & (d < FOURIER_N))
+        .groupBy(d.alias("d"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    ks = spark.range(1, FOURIER_HARMONICS + 1).select(
+        F.col("id").cast("long").alias("k")
+    )
+    terms = daily.crossJoin(F.broadcast(ks)).select(
+        "k",
+        "c",
+        ((F.col("d") * F.col("k")) % FOURIER_N).alias("p"),
+    )
+    cos_arr = F.array(
+        *[F.lit(x).cast("decimal(12,9)") for x in _COS_T]
+    )
+    sin_arr = F.array(
+        *[F.lit(x).cast("decimal(12,9)") for x in _SIN_T]
+    )
+    sums = terms.groupBy("k").agg(
+        F.sum(
+            F.col("c").cast("decimal(20,0)")
+            * F.element_at(cos_arr, (F.col("p") + 1).cast("int"))
+        ).alias("re"),
+        F.sum(
+            F.col("c").cast("decimal(20,0)")
+            * F.element_at(sin_arr, (F.col("p") + 1).cast("int"))
+        ).alias("im"),
+    )
+    re_d = F.col("re").cast("double")
+    im_d = F.col("im").cast("double")
+    return sums.select(
+        "k",
+        F.round(re_d, 4).alias("re"),
+        F.round(-im_d, 4).alias("im"),
+        F.round(F.sqrt(re_d * re_d + im_d * im_d), 4).alias(
+            "amplitude"
+        ),
+    )
+
+
+# -- freshness SLA audit: per monitored table, the newest event/order
+#    timestamp, its lag against the pipeline reference date, and the
+#    SLA verdict -- the first DQ check any warehouse runs.  One
+#    min/max aggregation per table (metadata-cheap on parquet
+#    statistics at scale); the union output is bounded by the table
+#    count.
+FRESHNESS_REF = "2024-02-01"
+FRESHNESS_SLA_DAYS = {"orders": 12000, "lineitem": 12000, "events": 7}
+
+
+@query(
+    "dq_freshness_sla_audit",
+    oracle=f"""
+    SELECT 'orders' AS table_name,
+           CAST(MAX(o_orderdate) AS DATE) AS newest,
+           date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                     DATE '{FRESHNESS_REF}') AS lag_days,
+           date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                     DATE '{FRESHNESS_REF}')
+               <= {FRESHNESS_SLA_DAYS["orders"]} AS within_sla
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem',
+           CAST(MAX(l_shipdate) AS DATE),
+           date_diff('day', CAST(MAX(l_shipdate) AS DATE),
+                     DATE '{FRESHNESS_REF}'),
+           date_diff('day', CAST(MAX(l_shipdate) AS DATE),
+                     DATE '{FRESHNESS_REF}')
+               <= {FRESHNESS_SLA_DAYS["lineitem"]}
+    FROM lineitem
+    UNION ALL
+    SELECT 'events',
+           CAST(MAX(ts) AS DATE),
+           date_diff('day', CAST(MAX(ts) AS DATE),
+                     DATE '{FRESHNESS_REF}'),
+           date_diff('day', CAST(MAX(ts) AS DATE),
+                     DATE '{FRESHNESS_REF}')
+               <= {FRESHNESS_SLA_DAYS["events"]}
+    FROM events
+    """,
+)
+def dq_freshness_sla_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    def one(table: str, col: str) -> DataFrame:
+        df = load_table(spark, sf_dir, table)
+        newest = F.max(F.col(col).cast("date")).alias("newest")
+        agg = df.agg(newest)
+        lag = F.datediff(F.lit(FRESHNESS_REF), F.col("newest"))
+        return agg.select(
+            F.lit(table).alias("table_name"),
+            "newest",
+            lag.alias("lag_days"),
+            (lag <= FRESHNESS_SLA_DAYS[table]).alias("within_sla"),
+        )
+
+    return (
+        one("orders", "o_orderdate")
+        .unionByName(one("lineitem", "l_shipdate"))
+        .unionByName(one("events", "ts"))
+    )
+
+
+# -- partition-layout skew profile: row count, share, and deviation
+#    per year partition of the orders table, plus the max/mean skew
+#    factor every partition-sizing decision starts from.  Bounded
+#    output (one row per partition value), exact integer counts.
+@query(
+    "layout_partition_skew_stats",
+    oracle="""
+    WITH parts AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS part_year,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM orders GROUP BY part_year
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_rows) AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS np,
+               CAST(MAX(n_rows) AS BIGINT) AS mx
+        FROM parts
+    )
+    SELECT part_year, n_rows,
+           ROUND(CAST(n_rows AS DOUBLE) / t, 6) AS share,
+           ROUND(CAST(n_rows AS DOUBLE) * np / t, 4)
+               AS rel_to_mean,
+           ROUND(CAST(mx AS DOUBLE) * np / t, 4) AS skew_factor
+    FROM parts CROSS JOIN tot
+    """,
+)
+def layout_partition_skew_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    parts = orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("part_year")
+    ).agg(F.count("*").cast("long").alias("n_rows"))
+    tot = parts.agg(
+        F.sum("n_rows").cast("long").alias("t"),
+        F.count("*").cast("long").alias("np"),
+        F.max("n_rows").cast("long").alias("mx"),
+    )
+    j = parts.crossJoin(F.broadcast(tot))
+    n = F.col("n_rows").cast("double")
+    return j.select(
+        "part_year",
+        "n_rows",
+        F.round(n / F.col("t"), 6).alias("share"),
+        F.round(n * F.col("np") / F.col("t"), 4).alias("rel_to_mean"),
+        F.round(
+            F.col("mx").cast("double") * F.col("np") / F.col("t"), 4
+        ).alias("skew_factor"),
+    )

@@ -190,6 +190,9 @@ DEFER_NEW: tuple[str, ...] = (
     "ml_kmeans_lloyd",
     "window_rolling_median_7day",
     "events_session_bounce_rate",
+    "events_fourier_weekly_harmonics",
+    "dq_freshness_sla_audit",
+    "layout_partition_skew_stats",
 )
 
 

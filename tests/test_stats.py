@@ -802,3 +802,70 @@ def test_bounce_rate_consistency(spark):
         assert r.bounce_rate == pytest.approx(
             r.n_bounce / r.n_sessions, abs=1e-6
         )
+
+
+def test_fourier_matches_numpy_fft(spark):
+    import numpy as np
+
+    rows = {
+        r.k: r
+        for r in stats.events_fourier_weekly_harmonics(
+            spark, SF_DIR_001
+        ).collect()
+    }
+    assert sorted(rows) == list(range(1, stats.FOURIER_HARMONICS + 1))
+    daily = {
+        r.d: r.c
+        for r in load_table(spark, SF_DIR_001, "events")
+        .filter(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit(stats._FOURIER_REF)
+            ).between(0, stats.FOURIER_N - 1)
+        )
+        .groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit(stats._FOURIER_REF)
+            ).alias("d")
+        )
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    series = np.array(
+        [daily.get(d, 0) for d in range(stats.FOURIER_N)],
+        dtype=float,
+    )
+    spec = np.fft.fft(series)
+    for k, r in rows.items():
+        # quantized twiddles vs numpy's: agreement to ~1e-5 relative
+        assert r.re == pytest.approx(spec[k].real, abs=0.01)
+        assert r.im == pytest.approx(spec[k].imag, abs=0.01)
+        assert r.amplitude == pytest.approx(abs(spec[k]), abs=0.01)
+
+
+def test_freshness_audit_covers_tables(spark):
+    rows = {
+        r.table_name: r
+        for r in stats.dq_freshness_sla_audit(
+            spark, SF_DIR_001
+        ).collect()
+    }
+    assert set(rows) == {"orders", "lineitem", "events"}
+    # events end 2024-01-30, ref 2024-02-01 -> lag 2 days, inside SLA
+    assert rows["events"].lag_days == 2
+    assert rows["events"].within_sla
+    for r in rows.values():
+        assert r.lag_days >= 0
+
+
+def test_partition_skew_stats_sum_to_one(spark):
+    rows = stats.layout_partition_skew_stats(
+        spark, SF_DIR_001
+    ).collect()
+    assert sum(r.share for r in rows) == pytest.approx(1.0, abs=1e-4)
+    mx = max(r.n_rows for r in rows)
+    mean = sum(r.n_rows for r in rows) / len(rows)
+    for r in rows:
+        assert r.skew_factor == pytest.approx(mx / mean, abs=1e-3)
+        assert r.rel_to_mean == pytest.approx(
+            r.n_rows / mean, abs=1e-3
+        )
