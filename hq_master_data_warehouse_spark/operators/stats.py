@@ -1770,3 +1770,277 @@ def layout_partition_skew_stats(
             F.col("mx").cast("double") * F.col("np") / F.col("t"), 4
         ).alias("skew_factor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution
+# ---------------------------------------------------------------------------
+# Multi-touch attribution done properly: user journeys become an
+# absorbing Markov chain (channels transient; high-value purchase =
+# CONV and journey-end = NULL absorbing), the conversion probability
+# from START is the chain's absorption probability, and a channel's
+# credit is its REMOVAL EFFECT -- how much conversion drops when
+# every transition into that channel is redirected to NULL.  All six
+# chains (base + five removals) evaluate TOGETHER: the counts table
+# gains a `variant` key and the fixed-point iteration runs
+# vectorized over (variant, state) -- a ~40-row table no matter the
+# input size, so K iterations cost K joins over KBs.  Exactness: the
+# absorption fixed point p <- N p / d iterates in 1e9-scaled
+# integers with the all-integer half-up rounding FLOOR((2*num+d)/(2d))
+# (numerator/denominator are exact ints; the double quotient's gap
+# to any integer is >= 1/(2d) >> ulp, so FLOOR can never misfire),
+# making the whole iterative algorithm bit-identical cross-engine.
+
+ATTR_CONV_VALUE = 150  # purchase value > this = conversion
+ATTR_CHANNELS = ("click", "view", "signup", "error", "purchase")
+ATTR_ITERS = 10
+_ATTR_S = 10**9  # probability scale
+
+
+def _attr_counts_sql() -> str:
+    chans = ", ".join(f"('{c}')" for c in ATTR_CHANNELS)
+    return f"""evs AS MATERIALIZED (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase'
+                         AND value > {ATTR_CONV_VALUE}
+                    THEN 'CONV' ELSE event_type END AS st
+        FROM events
+    ),
+    seq AS MATERIALIZED (
+        SELECT user_id, st,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM evs
+    ),
+    firstc AS MATERIALIZED (
+        SELECT user_id,
+               MIN(CASE WHEN st = 'CONV' THEN rn END) AS fc
+        FROM seq GROUP BY user_id
+    ),
+    kept AS MATERIALIZED (
+        SELECT s.user_id, s.rn, s.st,
+               LEAD(s.st) OVER (PARTITION BY s.user_id
+                                ORDER BY s.rn) AS nxt
+        FROM seq s JOIN firstc f ON f.user_id = s.user_id
+        WHERE f.fc IS NULL OR s.rn <= f.fc
+    ),
+    trans AS MATERIALIZED (
+        SELECT 'start' AS s, st AS t FROM kept WHERE rn = 1
+        UNION ALL
+        SELECT st, COALESCE(nxt, 'NULL') FROM kept
+        WHERE st <> 'CONV'
+    ),
+    counts AS MATERIALIZED (
+        SELECT s, t, CAST(COUNT(*) AS BIGINT) AS n
+        FROM trans GROUP BY s, t
+    ),
+    variants AS MATERIALIZED (
+        SELECT 'base' AS variant
+        UNION ALL SELECT ch FROM (VALUES {chans}) x(ch)
+    ),
+    vc AS MATERIALIZED (
+        SELECT v.variant, c.s,
+               CASE WHEN c.t = v.variant THEN 'NULL' ELSE c.t END
+                   AS t,
+               CAST(SUM(c.n) AS BIGINT) AS n
+        FROM counts c CROSS JOIN variants v
+        GROUP BY 1, 2, 3
+    ),
+    rowtot AS MATERIALIZED (
+        SELECT variant, s, CAST(SUM(n) AS BIGINT) AS d
+        FROM vc GROUP BY 1, 2
+    )"""
+
+
+def _attr_iter_sql(k: int) -> str:
+    p = f"p{k - 1}"
+    return f"""p{k} AS MATERIALIZED (
+        SELECT vc.variant, vc.s,
+               CAST(FLOOR((2 * SUM(vc.n *
+                       CASE WHEN vc.t = 'CONV' THEN {_ATTR_S}
+                            WHEN vc.t = 'NULL' THEN 0
+                            ELSE COALESCE(pp.p, 0) END) + rt.d)
+                     / (2.0 * rt.d)) AS BIGINT) AS p
+        FROM vc
+        JOIN rowtot rt ON rt.variant = vc.variant AND rt.s = vc.s
+        LEFT JOIN {p} pp
+          ON pp.variant = vc.variant AND pp.s = vc.t
+        GROUP BY vc.variant, vc.s, rt.d
+    )"""
+
+
+def _attr_oracle() -> str:
+    ctes = [_attr_counts_sql()]
+    ctes.append("""p0 AS MATERIALIZED (
+        SELECT variant, s, CAST(0 AS BIGINT) AS p FROM rowtot
+    )""")
+    for k in range(1, ATTR_ITERS + 1):
+        ctes.append(_attr_iter_sql(k))
+    K = ATTR_ITERS
+    chans = ", ".join(f"'{c}'" for c in ATTR_CHANNELS)
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    starts AS MATERIALIZED (
+        SELECT variant, p FROM p{K} WHERE s = 'start'
+    ),
+    eff AS MATERIALIZED (
+        SELECT s.variant AS channel,
+               b.p AS base_p, s.p AS removal_p,
+               b.p - s.p AS effect
+        FROM starts s
+        CROSS JOIN (SELECT p FROM starts WHERE variant = 'base') b
+        WHERE s.variant IN ({chans})
+    ),
+    tot AS (SELECT SUM(effect) AS te FROM eff)
+    SELECT channel,
+           ROUND(CAST(base_p AS DOUBLE) / {_ATTR_S}, 6)
+               AS base_conversion,
+           ROUND(CAST(removal_p AS DOUBLE) / {_ATTR_S}, 6)
+               AS removal_conversion,
+           ROUND(CAST(effect AS DOUBLE) / {_ATTR_S}, 6)
+               AS removal_effect,
+           ROUND(CAST(effect AS DOUBLE) / NULLIF(CAST(te AS DOUBLE),
+                                                 0), 6)
+               AS attribution_share
+    FROM eff CROSS JOIN tot
+    """
+
+
+@query("events_attribution_markov", oracle=_attr_oracle())
+def events_attribution_markov(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    evs = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("value") > ATTR_CONV_VALUE),
+            "CONV",
+        )
+        .otherwise(F.col("event_type"))
+        .alias("st"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = evs.withColumn("rn", F.row_number().over(wo))
+    firstc = seq.groupBy("user_id").agg(
+        F.min(F.when(F.col("st") == "CONV", F.col("rn"))).alias("fc")
+    )
+    kept = (
+        seq.join(firstc, "user_id")
+        .filter(F.col("fc").isNull() | (F.col("rn") <= F.col("fc")))
+        .withColumn(
+            "nxt",
+            F.lead("st").over(
+                Window.partitionBy("user_id").orderBy("rn")
+            ),
+        )
+    )
+    trans = kept.filter(F.col("rn") == 1).select(
+        F.lit("start").alias("s"), F.col("st").alias("t")
+    ).unionByName(
+        kept.filter(F.col("st") != "CONV").select(
+            F.col("st").alias("s"),
+            F.coalesce(F.col("nxt"), F.lit("NULL")).alias("t"),
+        )
+    )
+    counts = trans.groupBy("s", "t").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    variants = spark.createDataFrame(
+        [("base",)] + [(c,) for c in ATTR_CHANNELS], ["variant"]
+    )
+    vc = (
+        counts.crossJoin(F.broadcast(variants))
+        .select(
+            "variant",
+            "s",
+            F.when(F.col("t") == F.col("variant"), "NULL")
+            .otherwise(F.col("t"))
+            .alias("t"),
+            "n",
+        )
+        .groupBy("variant", "s", "t")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    rowtot = vc.groupBy("variant", "s").agg(
+        F.sum("n").cast("long").alias("d")
+    ).localCheckpoint(eager=True)
+    p = rowtot.select(
+        "variant", "s", F.lit(0).cast("long").alias("p")
+    )
+    for _ in range(ATTR_ITERS):
+        pp = p.select(
+            F.col("variant").alias("pv"),
+            F.col("s").alias("ps"),
+            F.col("p").alias("pval"),
+        )
+        contrib = vc.join(
+            pp,
+            (F.col("variant") == F.col("pv"))
+            & (F.col("t") == F.col("ps")),
+            "left",
+        ).select(
+            "variant",
+            "s",
+            (
+                F.col("n")
+                * F.when(F.col("t") == "CONV", _ATTR_S)
+                .when(F.col("t") == "NULL", 0)
+                .otherwise(F.coalesce(F.col("pval"), F.lit(0)))
+            ).alias("np"),
+        )
+        p = (
+            contrib.groupBy("variant", "s")
+            .agg(F.sum("np").alias("num"))
+            .join(rowtot, ["variant", "s"])
+            .select(
+                "variant",
+                "s",
+                F.floor(
+                    (2 * F.col("num") + F.col("d"))
+                    / (2.0 * F.col("d"))
+                )
+                .cast("long")
+                .alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    starts = p.filter(F.col("s") == "start").select("variant", "p")
+    base = starts.filter(F.col("variant") == "base").select(
+        F.col("p").alias("base_p")
+    )
+    eff = (
+        starts.filter(F.col("variant") != "base")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("variant").alias("channel"),
+            "base_p",
+            F.col("p").alias("removal_p"),
+            (F.col("base_p") - F.col("p")).alias("effect"),
+        )
+    )
+    tot = eff.agg(F.sum("effect").alias("te"))
+    return eff.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        F.round(F.col("base_p").cast("double") / _ATTR_S, 6).alias(
+            "base_conversion"
+        ),
+        F.round(
+            F.col("removal_p").cast("double") / _ATTR_S, 6
+        ).alias("removal_conversion"),
+        F.round(F.col("effect").cast("double") / _ATTR_S, 6).alias(
+            "removal_effect"
+        ),
+        F.round(
+            F.col("effect").cast("double")
+            / F.nullif(F.col("te").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("attribution_share"),
+    )

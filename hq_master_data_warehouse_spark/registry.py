@@ -193,6 +193,7 @@ DEFER_NEW: tuple[str, ...] = (
     "events_fourier_weekly_harmonics",
     "dq_freshness_sla_audit",
     "layout_partition_skew_stats",
+    "events_attribution_markov",
 )
 
 

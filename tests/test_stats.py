@@ -869,3 +869,82 @@ def test_partition_skew_stats_sum_to_one(spark):
         assert r.rel_to_mean == pytest.approx(
             r.n_rows / mean, abs=1e-3
         )
+
+
+def test_markov_attribution_matches_python_chain(spark):
+    rows = {
+        r.channel: r
+        for r in stats.events_attribution_markov(
+            spark, SF_DIR_001
+        ).collect()
+    }
+    assert set(rows) == set(stats.ATTR_CHANNELS)
+    # rebuild journeys + transition counts in plain Python
+    evs = sorted(
+        load_table(spark, SF_DIR_001, "events")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    from collections import Counter, defaultdict
+
+    paths = defaultdict(list)
+    for r in evs:
+        st = (
+            "CONV"
+            if r.event_type == "purchase"
+            and r.value > stats.ATTR_CONV_VALUE
+            else r.event_type
+        )
+        paths[r.user_id].append(st)
+    counts = Counter()
+    for sts in paths.values():
+        if "CONV" in sts:
+            sts = sts[: sts.index("CONV") + 1]
+        counts[("start", sts[0])] += 1
+        for a, b in zip(sts, sts[1:]):
+            counts[(a, b)] += 1
+        if sts[-1] != "CONV":
+            counts[(sts[-1], "NULL")] += 1
+
+    def absorb(removed=None):
+        n = Counter()
+        for (s, t), c in counts.items():
+            n[(s, "NULL" if t == removed else t)] += c
+        states = {s for s, _ in n}
+        d = {s: sum(c for (a, _), c in n.items() if a == s)
+             for s in states}
+        p = {s: 0 for s in states}
+        for _ in range(stats.ATTR_ITERS):
+            new = {}
+            for s in states:
+                num = sum(
+                    c
+                    * (
+                        stats._ATTR_S
+                        if t == "CONV"
+                        else 0 if t == "NULL" else p.get(t, 0)
+                    )
+                    for (a, t), c in n.items()
+                    if a == s
+                )
+                new[s] = (2 * num + d[s]) // (2 * d[s])
+            p = new
+        return p["start"]
+
+    base = absorb()
+    effects = {c: base - absorb(c) for c in stats.ATTR_CHANNELS}
+    te = sum(effects.values())
+    for c, r in rows.items():
+        assert r.base_conversion == pytest.approx(
+            base / stats._ATTR_S, abs=1e-6
+        )
+        assert r.removal_effect == pytest.approx(
+            effects[c] / stats._ATTR_S, abs=1e-6
+        )
+        if te:
+            assert r.attribution_share == pytest.approx(
+                effects[c] / te, abs=1e-5
+            )
+    # removal can only hurt conversion
+    assert all(r.removal_effect >= 0 for r in rows.values())
