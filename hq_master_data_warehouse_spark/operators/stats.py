@@ -1394,7 +1394,13 @@ def privacy_randomized_response(
 #    length; the whole computation runs on the bounded per-day
 #    summary.  Median of exact integer cents interpolates the middle
 #    pair as (a+b)/2 -- a dyadic-exact double, identical in both
-#    engines.
+#    engines.  The median is emitted in CENTS, unrounded: an
+#    even-count frame yields an exact half-cent (dyadic -- exactly
+#    representable in double), while dividing by 100 and rounding to
+#    2 decimals would sit ON the rounding boundary, where Spark
+#    (BigDecimal shortest-repr HALF_UP) and DuckDB (binary-double
+#    round) disagree -- the documented cross-engine hazard the SES
+#    filter first hit.
 @query(
     "window_rolling_median_7day",
     oracle="""
@@ -1418,7 +1424,7 @@ def privacy_randomized_response(
     )
     SELECT CAST(DATE '1995-01-01' + INTERVAL (d) DAY AS DATE) AS day,
            CAST(n_days AS BIGINT) AS n_days,
-           ROUND(CAST(med AS DOUBLE) / 100, 2) AS median_daily_revenue
+           CAST(med AS DOUBLE) AS median_daily_cents
     FROM w
     """,
 )
@@ -1451,9 +1457,7 @@ def window_rolling_median_7day(
             F.lit("1995-01-01"), F.col("target").cast("int")
         ).alias("day"),
         F.col("n_days").cast("long").alias("n_days"),
-        F.round(F.col("med").cast("double") / 100, 2).alias(
-            "median_daily_revenue"
-        ),
+        F.col("med").cast("double").alias("median_daily_cents"),
     )
 
 

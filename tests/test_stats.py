@@ -777,8 +777,8 @@ def test_rolling_median_matches_bruteforce(spark):
         frame = [y for d, y in daily if d_i - 6 <= d <= d_i]
         r = rows[base + datetime.timedelta(days=int(d_i))]
         assert r.n_days == len(frame)
-        assert r.median_daily_revenue == pytest.approx(
-            round(st.median(frame) / 100, 2), abs=0.011
+        assert r.median_daily_cents == pytest.approx(
+            float(st.median(frame)), abs=1e-9
         )
 
 

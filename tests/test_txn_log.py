@@ -161,8 +161,16 @@ def test_checkpoint_fold_equivalence(spark, table_dir):
 
 
 def test_vacuum_destroys_history_but_not_head(spark):
+    import shutil
+
     from hq_master_data_warehouse_spark.sources import txn_log
 
+    # staged fixtures persist in /tmp across sessions; a prior run's
+    # vacuum already removed the orphans, so always start fresh
+    shutil.rmtree(
+        txn_log._table_dir("/root/testdata/sf0.001", "vacuum-pytest"),
+        ignore_errors=True,
+    )
     table_dir = txn_log.build_txn_table(
         spark, "/root/testdata/sf0.001", variant="vacuum-pytest"
     )
@@ -205,10 +213,14 @@ def test_vacuum_destroys_history_but_not_head(spark):
 
 
 def test_vacuum_mtime_guard_spares_young_files(spark, tmp_path):
-    import os
+    import shutil
 
     from hq_master_data_warehouse_spark.sources import txn_log
 
+    shutil.rmtree(
+        txn_log._table_dir("/root/testdata/sf0.001", "vacuum-guard"),
+        ignore_errors=True,
+    )
     table_dir = txn_log.build_txn_table(
         spark, "/root/testdata/sf0.001", variant="vacuum-guard"
     )
