@@ -506,36 +506,59 @@ def _pois_mult(u: F.Column) -> F.Column:
 
 
 # -- bootstrap CI for the mean order value: B=64 Poisson replicas in
-#    ONE aggregation pass (the replica id is a broadcast 64-row
-#    explode; partial aggregation reduces each partition to B rows
-#    before the shuffle), then the percentile bracket over the 64
-#    replica means -- a driver-sized list.  Replica means divide two
-#    exact integers, so both engines see identical doubles.
-@query(
-    "ml_bootstrap_mean_ci",
-    oracle=f"""
-    WITH b AS (SELECT UNNEST(generate_series(0, {_B_REPLICAS - 1}))
-                   AS rep),
-    w AS (
-        SELECT rep,
-               {_pois_case_sql(
-                   "CAST(concat('0x', substr(md5(concat(CAST(o_orderkey"
-                   " AS VARCHAR), ':', CAST(rep AS VARCHAR))), 1, 4))"
-                   " AS INT)")} AS mult,
+#    ONE aggregation pass (the replica id is a broadcast explode;
+#    partial aggregation reduces each partition to B rows before the
+#    shuffle), then the percentile bracket over the 64 replica means
+#    -- a driver-sized list.  Replica means divide two exact
+#    integers, so both engines see identical doubles.
+#    Hash economics: one md5 yields 32 hex digits = EIGHT independent
+#    16-bit substreams, so each row hashes only B/8 times and the
+#    remaining per-replica work is substring arithmetic -- an 8x cut
+#    of the dominant cost (measured 20s -> ~5s at sf0.1 x B=64).
+def _boot_u_sql(r: int) -> str:
+    j, m = r // 8, (r % 8) // 2
+    c = (
+        f"CAST(concat('0x', substr(md5(concat(CAST(o_orderkey AS"
+        f" VARCHAR), ':', '{j}')), {1 + 8 * m}, 8)) AS BIGINT)"
+    )
+    return f"({c} >> 16)" if r % 2 == 0 else f"({c} & 65535)"
+
+
+def _boot_oracle() -> str:
+    sums = ",\n               ".join(
+        f"SUM(({_pois_case_sql(_boot_u_sql(r))}) * cents) AS s{r},\n"
+        f"               SUM({_pois_case_sql(_boot_u_sql(r))}) AS c{r}"
+        for r in range(_B_REPLICAS)
+    )
+    mean_cases_s = " ".join(
+        f"WHEN {r} THEN CAST(s{r} AS DOUBLE)"
+        for r in range(_B_REPLICAS)
+    )
+    mean_cases_c = " ".join(
+        f"WHEN {r} THEN CAST(c{r} AS DOUBLE)"
+        for r in range(_B_REPLICAS)
+    )
+    return f"""
+    WITH r AS MATERIALIZED (
+        SELECT o_orderkey,
                CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-        FROM orders CROSS JOIN b
+        FROM orders
     ),
-    means AS (
-        SELECT rep,
-               CAST(SUM(CAST(mult AS HUGEINT) * cents) AS DOUBLE)
-                   / CAST(SUM(mult) AS DOUBLE) / 100 AS m
-        FROM w GROUP BY rep
+    agg AS MATERIALIZED (
+        SELECT {sums}
+        FROM r
+    ),
+    means AS MATERIALIZED (
+        SELECT i.i AS rep,
+               (CASE i.i {mean_cases_s} END)
+               / (CASE i.i {mean_cases_c} END) / 100 AS m
+        FROM agg CROSS JOIN generate_series(0, {_B_REPLICAS - 1}) i(i)
     ),
     base AS (
         SELECT COUNT(*) AS n_orders,
-               ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
-                          AS DOUBLE) / COUNT(*) / 100, 4) AS mean_value
-        FROM orders
+               ROUND(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100, 4)
+                   AS mean_value
+        FROM r
     )
     SELECT n_orders, mean_value,
            ROUND(list_sort(list(m))[{_CI_LO_RANK}], 4) AS ci_lo,
@@ -543,41 +566,85 @@ def _pois_mult(u: F.Column) -> F.Column:
            {_B_REPLICAS} AS n_replicas
     FROM means CROSS JOIN base
     GROUP BY n_orders, mean_value
-    """,
-)
+    """
+
+
+@query("ml_bootstrap_mean_ci", oracle=_boot_oracle())
 def ml_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", _cents(F.col("o_totalprice")).alias("cents")
     )
-    reps = spark.range(_B_REPLICAS).select(
-        F.col("id").cast("int").alias("rep")
+    # the fixture ships one parquet file -> ONE input split, which
+    # serializes the hash stage on a single core.  Fan out the
+    # 2-column projection first (a ~20MB shuffle); at production
+    # scale inputs arrive in many splits and this exchange is noise.
+    orders = orders.repartition(
+        spark.sparkContext.defaultParallelism
     )
-    u = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("o_orderkey").cast("string"),
-                    F.lit(":"),
-                    F.col("rep").cast("string"),
-                )
-            ),
-            1,
-            4,
-        ),
-        16,
-        10,
-    ).cast("int")
-    w = orders.crossJoin(F.broadcast(reps)).select(
-        "rep", _pois_mult(u).alias("mult"), "cents"
+    # Plan shape (third iteration, all measured at sf0.1):
+    #  - explode x64 then aggregate: 96M-row explode dominates (20s)
+    #  - single 128-buffer aggregate: >100 agg functions falls out
+    #    of whole-stage codegen into interpreted eval (5s in the agg)
+    #  - THIS: explode only x8 (one row per md5), then SIXTEEN
+    #    aggregates per hash-index group -- codegen keeps the sums
+    #    compiled and each md5 is computed exactly once.
+    js = spark.range(_B_REPLICAS // 8).select(
+        F.col("id").cast("int").alias("j")
     )
-    means = w.groupBy("rep").agg(
-        (
-            F.sum(
-                (F.col("mult").cast("decimal(20,0)") * F.col("cents"))
-                .cast("decimal(38,0)")
-            ).cast("double")
-            / F.sum("mult").cast("double")
-            / 100
+    g = orders.crossJoin(F.broadcast(js)).select(
+        "cents",
+        "j",
+        F.md5(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("j").cast("string"),
+            )
+        ).alias("h"),
+    )
+    parsed = g.select(
+        "cents",
+        "j",
+        *[
+            F.conv(F.substring(F.col("h"), 1 + 8 * m, 8), 16, 10)
+            .cast("long")
+            .alias(f"L{m}")
+            for m in range(4)
+        ],
+    )
+
+    def mult_i(i: int) -> F.Column:
+        c = F.col(f"L{i // 2}")
+        u = (
+            F.shiftright(c, 16)
+            if i % 2 == 0
+            else c.bitwiseAND(F.lit(65535))
+        )
+        # multiplicity = #thresholds <= u, branch-free
+        out = None
+        for t in _POIS_TH:
+            term = (u >= t).cast("long")
+            out = term if out is None else out + term
+        return out
+
+    aggs = []
+    for i in range(8):
+        m = mult_i(i)
+        aggs.append(F.sum(m * F.col("cents")).alias(f"s{i}"))
+        aggs.append(F.sum(m).alias(f"c{i}"))
+    grouped = parsed.groupBy("j").agg(*aggs)
+    means = grouped.select(
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.col(f"s{i}").cast("double")
+                        / F.col(f"c{i}").cast("double")
+                        / 100
+                    )
+                    for i in range(8)
+                ]
+            )
         ).alias("m")
     )
     bracket = means.agg(
