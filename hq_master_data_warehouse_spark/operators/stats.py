@@ -2115,3 +2115,107 @@ def events_attribution_markov(
             6,
         ).alias("attribution_share"),
     )
+
+
+# -- two-sample Poisson rate test: compares the first and last week's
+#    event arrival rates per type (the release-regression check).
+#    Counts and exposure windows are exact integers; the z statistic
+#    is one fixed double expression (normal approximation to the
+#    rate difference).  One aggregation, bounded output.
+@query(
+    "events_poisson_rate_test",
+    oracle="""
+    WITH r AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN CAST(ts AS DATE)
+                                  < DATE '2024-01-08'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN CAST(ts AS DATE)
+                                  >= DATE '2024-01-24'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, c1, c2,
+           ROUND(CAST(c1 AS DOUBLE) / 7, 4) AS rate_per_day_w1,
+           ROUND(CAST(c2 AS DOUBLE) / 7, 4) AS rate_per_day_w4,
+           ROUND((CAST(c1 AS DOUBLE) / 7 - CAST(c2 AS DOUBLE) / 7)
+                 / NULLIF(sqrt(CAST(c1 AS DOUBLE) / 49
+                               + CAST(c2 AS DOUBLE) / 49), 0), 4)
+               AS z_score
+    FROM r
+    """,
+)
+def events_poisson_rate_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    r = events.groupBy("event_type").agg(
+        F.sum(F.when(day < "2024-01-08", 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(day >= "2024-01-24", 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    c1, c2 = F.col("c1").cast("double"), F.col("c2").cast("double")
+    z = (c1 / 7 - c2 / 7) / F.nullif(
+        F.sqrt(c1 / 49 + c2 / 49), F.lit(0.0)
+    )
+    return r.select(
+        "event_type",
+        "c1",
+        "c2",
+        F.round(c1 / 7, 4).alias("rate_per_day_w1"),
+        F.round(c2 / 7, 4).alias("rate_per_day_w4"),
+        F.round(z, 4).alias("z_score"),
+    )
+
+
+# -- newsvendor stocking quantile: the classic OR rule -- stock the
+#    critical-ratio percentile of daily demand, q* = cu/(cu+co).
+#    Daily demand is the bounded per-day order count; the exact
+#    percentile interpolates between two integers ((1-g)*a + g*b with
+#    g a small rational -- identical fixed expression both engines).
+NEWSVENDOR_UNDERAGE = 4  # lost margin per unit short
+NEWSVENDOR_OVERAGE = 1  # holding cost per unit over
+
+
+@query(
+    "orders_newsvendor_quantile",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS demand
+        FROM orders GROUP BY day
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MIN(demand) AS BIGINT) AS min_demand,
+           CAST(MAX(demand) AS BIGINT) AS max_demand,
+           CAST({NEWSVENDOR_UNDERAGE / (NEWSVENDOR_UNDERAGE + NEWSVENDOR_OVERAGE)!r}
+                AS DOUBLE) AS critical_ratio,
+           ROUND(quantile_cont(demand,
+               {NEWSVENDOR_UNDERAGE / (NEWSVENDOR_UNDERAGE + NEWSVENDOR_OVERAGE)!r}), 4)
+               AS stock_level
+    FROM daily
+    """,
+)
+def orders_newsvendor_quantile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    q = NEWSVENDOR_UNDERAGE / (
+        NEWSVENDOR_UNDERAGE + NEWSVENDOR_OVERAGE
+    )
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.count("*").alias("demand"))
+    return daily.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.min("demand").cast("long").alias("min_demand"),
+        F.max("demand").cast("long").alias("max_demand"),
+        F.lit(q).alias("critical_ratio"),
+        F.round(F.percentile(F.col("demand"), F.lit(q)), 4).alias(
+            "stock_level"
+        ),
+    )

@@ -194,6 +194,8 @@ DEFER_NEW: tuple[str, ...] = (
     "dq_freshness_sla_audit",
     "layout_partition_skew_stats",
     "events_attribution_markov",
+    "events_poisson_rate_test",
+    "orders_newsvendor_quantile",
 )
 
 

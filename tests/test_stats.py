@@ -948,3 +948,36 @@ def test_markov_attribution_matches_python_chain(spark):
             )
     # removal can only hurt conversion
     assert all(r.removal_effect >= 0 for r in rows.values())
+
+
+def test_poisson_rate_test_recomputed(spark):
+    rows = stats.events_poisson_rate_test(spark, SF_DIR_001).collect()
+    assert {r.event_type for r in rows} == {
+        "click", "view", "signup", "error", "purchase",
+    }
+    for r in rows:
+        assert r.rate_per_day_w1 == pytest.approx(r.c1 / 7, abs=1e-3)
+        if r.c1 + r.c2 > 0:
+            z = (r.c1 / 7 - r.c2 / 7) / math.sqrt(
+                r.c1 / 49 + r.c2 / 49
+            )
+            assert r.z_score == pytest.approx(z, abs=1e-3)
+
+
+def test_newsvendor_quantile_bounds(spark):
+    row = stats.orders_newsvendor_quantile(
+        spark, SF_DIR_001
+    ).collect()[0]
+    assert row.critical_ratio == pytest.approx(0.8)
+    assert row.min_demand <= row.stock_level <= row.max_demand
+    # the 80th percentile must cover at least 80% of days
+    demands = sorted(
+        r.demand
+        for r in load_table(spark, SF_DIR_001, "orders")
+        .groupBy(F.col("o_orderdate").cast("date"))
+        .count()
+        .withColumnRenamed("count", "demand")
+        .collect()
+    )
+    covered = sum(1 for d in demands if d <= row.stock_level)
+    assert covered / len(demands) >= 0.8 - 1e-9
