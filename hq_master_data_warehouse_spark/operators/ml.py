@@ -1309,3 +1309,113 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c1",
         "c2",
     )
+
+
+# -- lift & gains table: the model-evaluation report sales/marketing
+#    actually reads -- score deciles (best first), cumulative capture
+#    of positives, and lift over the base rate.  Deciles come from
+#    the distributed two-pass _global_rank (margin-band buckets,
+#    best-first), never a single-partition NTILE sort; cumulative
+#    sums run over the bounded 10-row decile table.  Counts exact;
+#    lift/gains are fixed double ratios.
+@query(
+    "ml_lift_gains_table",
+    oracle=f"""
+    WITH m AS (
+        SELECT vec_id,
+               CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS pos,
+               list_sum(list_transform(
+                   generate_series(1, {EMB_DIM}),
+                   i -> CAST(embedding[i] AS DOUBLE) * ({_W_SQL})[i]
+               )) + {BIAS!r} AS margin
+        FROM embeddings
+    ),
+    ranked AS (
+        SELECT pos, NTILE(10) OVER (ORDER BY margin DESC, vec_id)
+                   AS decile
+        FROM m
+    ),
+    d AS (
+        SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS p
+        FROM ranked GROUP BY decile
+    ),
+    c AS (
+        SELECT decile, n, p,
+               CAST(SUM(n) OVER w AS BIGINT) AS cn,
+               CAST(SUM(p) OVER w AS BIGINT) AS cp,
+               (SELECT CAST(SUM(n) AS BIGINT) FROM d) AS tn,
+               (SELECT CAST(SUM(p) AS BIGINT) FROM d) AS tp
+        FROM d
+        WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW)
+    )
+    SELECT decile, n, p,
+           ROUND(CAST(cp AS DOUBLE) / tp, 6) AS cum_gain,
+           ROUND((CAST(cp AS DOUBLE) / cn)
+                 / (CAST(tp AS DOUBLE) / tn), 6) AS cum_lift
+    FROM c
+    """,
+)
+def ml_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .analytics import _global_rank, _ntile_from_rank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = F.array(*[F.lit(x) for x in WEIGHTS])
+    prod = F.zip_with(
+        F.col("embedding"), w, lambda x, wi: x.cast("double") * wi
+    )
+    margin = (
+        F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v) + BIAS
+    )
+    m = emb.select(
+        "vec_id",
+        F.when(F.col("label") % 2 == 1, 1).otherwise(0).alias("pos"),
+        margin.alias("margin"),
+    )
+    # best-first global rank: coarse margin band as the monotone
+    # bucket (descending), exact (margin DESC, vec_id) order within
+    ranked = _global_rank(
+        m,
+        F.floor(F.col("margin") * 4),
+        [F.desc("margin"), F.asc("vec_id")],
+        "rn",
+        bucket_desc=True,
+    )
+    total = m.agg(F.count("*").alias("n_rows"))
+    ranked = ranked.crossJoin(F.broadcast(total)).withColumn(
+        "decile", _ntile_from_rank(F.col("rn"), F.col("n_rows"), 10)
+    )
+    d = ranked.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = d.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("p").cast("long").alias("tp"),
+    )
+    c = d.select(
+        "decile",
+        "n",
+        "p",
+        F.sum("n").over(wc).cast("long").alias("cn"),
+        F.sum("p").over(wc).cast("long").alias("cp"),
+    ).crossJoin(F.broadcast(tot))
+    return c.select(
+        "decile",
+        "n",
+        "p",
+        F.round(
+            F.col("cp").cast("double") / F.col("tp"), 6
+        ).alias("cum_gain"),
+        F.round(
+            (F.col("cp").cast("double") / F.col("cn"))
+            / (F.col("tp").cast("double") / F.col("tn")),
+            6,
+        ).alias("cum_lift"),
+    )

@@ -196,6 +196,7 @@ DEFER_NEW: tuple[str, ...] = (
     "events_attribution_markov",
     "events_poisson_rate_test",
     "orders_newsvendor_quantile",
+    "ml_lift_gains_table",
 )
 
 

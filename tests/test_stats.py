@@ -981,3 +981,24 @@ def test_newsvendor_quantile_bounds(spark):
     )
     covered = sum(1 for d in demands if d <= row.stock_level)
     assert covered / len(demands) >= 0.8 - 1e-9
+
+
+def test_lift_gains_monotone_and_consistent(spark):
+    from hq_master_data_warehouse_spark.operators import ml
+
+    rows = sorted(
+        ml.ml_lift_gains_table(spark, SF_DIR_001).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    total = load_table(spark, SF_DIR_001, "embeddings").count()
+    assert sum(r.n for r in rows) == total
+    # cumulative gain is nondecreasing and ends at exactly 1
+    gains = [r.cum_gain for r in rows]
+    assert gains == sorted(gains)
+    assert gains[-1] == pytest.approx(1.0, abs=1e-9)
+    # the final cumulative lift is 1 by definition
+    assert rows[-1].cum_lift == pytest.approx(1.0, abs=1e-6)
+    # (no assertion on decile-1 lift: the toy weights are not a
+    # trained model -- the TABLE mechanics, not scorer quality, are
+    # under test)
