@@ -1419,3 +1419,208 @@ def ml_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_lift"),
     )
+
+
+# -- feature-store lag features: the per-(user, day) training-table
+#    backfill every online model needs -- same-day activity, trailing
+#    7-day counts, and recency of the last purchase.  All windows are
+#    PARTITIONED by user and RANGE-framed on the integer day index
+#    (gap-correct on sparse activity), so the shuffle key is the
+#    entity key and state never exceeds a user's active days.  Exact
+#    integer features only.
+@query(
+    "ml_feature_store_lags",
+    oracle="""
+    WITH ud AS (
+        SELECT user_id,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                   AS d,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_purchases
+        FROM events GROUP BY user_id, d
+    )
+    SELECT user_id, d AS day_index, n_events,
+           CAST(SUM(n_events) OVER w7 AS BIGINT) AS n_events_7d,
+           CAST(SUM(n_purchases) OVER w7 AS BIGINT)
+               AS n_purchases_7d,
+           d - MAX(CASE WHEN n_purchases > 0 THEN d END) OVER wall
+               AS days_since_purchase
+    FROM ud
+    WINDOW w7 AS (PARTITION BY user_id ORDER BY d
+                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
+           wall AS (PARTITION BY user_id ORDER BY d
+                    RANGE BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW)
+    """,
+)
+def ml_feature_store_lags(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    ud = events.groupBy(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_purchases"),
+    )
+    w7 = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    wall = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ud.select(
+        "user_id",
+        F.col("d").alias("day_index"),
+        "n_events",
+        F.sum("n_events").over(w7).cast("long").alias("n_events_7d"),
+        F.sum("n_purchases")
+        .over(w7)
+        .cast("long")
+        .alias("n_purchases_7d"),
+        (
+            F.col("d")
+            - F.max(
+                F.when(F.col("n_purchases") > 0, F.col("d"))
+            ).over(wall)
+        ).alias("days_since_purchase"),
+    )
+
+
+# -- simplified silhouette of the fixed-centroid clustering
+#    (similarity_kmeans_assign's centroids): per point,
+#    s = (b - a) / max(a, b) with a = distance to the assigned
+#    centroid and b = the best other centroid -- the centroid-based
+#    variant that avoids the O(n^2) pairwise matrix entirely.
+#    Distances are exact integer unit sums quantized to a coarser
+#    grid so the per-point score is computed by the all-integer
+#    half-up formula (the double quotient's gap to any integer
+#    exceeds its rounding error by construction); per-cluster means
+#    divide two exact integers.
+SIL_K = 4
+_SIL_SE = 10**6  # embedding unit scale
+_SIL_DQ = 10**6  # distance quantization divisor
+_SIL_S = 10**6  # silhouette output scale
+
+
+@query(
+    "ml_silhouette_simplified",
+    oracle=f"""
+    WITH base AS MATERIALIZED (
+        SELECT vec_id, i AS dim,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {_SIL_SE})
+                    AS BIGINT) AS u
+        FROM embeddings CROSS JOIN generate_series(1, {EMB_DIM}) g(i)
+    ),
+    cent AS MATERIALIZED (
+        SELECT vec_id AS cl, dim, u AS c FROM base
+        WHERE vec_id < {SIL_K}
+    ),
+    dist AS MATERIALIZED (
+        SELECT b.vec_id, c.cl,
+               CAST(FLOOR(CAST(SUM((b.u - c.c) * (b.u - c.c))
+                               AS DOUBLE) / {_SIL_DQ}) AS BIGINT)
+                   AS dq
+        FROM base b JOIN cent c ON c.dim = b.dim
+        GROUP BY 1, 2
+    ),
+    ranked AS MATERIALIZED (
+        SELECT vec_id, cl, dq,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dq, cl) AS rn
+        FROM dist
+    ),
+    ab AS MATERIALIZED (
+        SELECT r1.vec_id, r1.cl, r1.dq AS a, r2.dq AS b
+        FROM ranked r1 JOIN ranked r2
+          ON r2.vec_id = r1.vec_id AND r2.rn = 2
+        WHERE r1.rn = 1
+    ),
+    s AS MATERIALIZED (
+        SELECT vec_id, cl,
+               CASE WHEN a = 0 AND b = 0 THEN 0
+                    ELSE CAST(FLOOR((2 * (b - a) * {_SIL_S}
+                                     + GREATEST(a, b))
+                                    / (2.0 * GREATEST(a, b)))
+                         AS BIGINT) END AS sil
+        FROM ab
+    )
+    SELECT cl AS cluster, CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(CAST(SUM(sil) AS DOUBLE) / COUNT(*) / {_SIL_S}, 6)
+               AS mean_silhouette
+    FROM s GROUP BY cl
+    """,
+)
+def ml_silhouette_simplified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "e")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("e").cast("double") * _SIL_SE)
+        .cast("long")
+        .alias("u"),
+    )
+    cent = base.filter(F.col("vec_id") < SIL_K).select(
+        F.col("vec_id").alias("cl"), "dim", F.col("u").alias("c")
+    )
+    dist = (
+        base.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "cl")
+        .agg(
+            F.floor(
+                F.sum(
+                    (F.col("u") - F.col("c"))
+                    * (F.col("u") - F.col("c"))
+                ).cast("double")
+                / _SIL_DQ
+            )
+            .cast("long")
+            .alias("dq")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("dq", "cl")
+    ranked = dist.withColumn("rn", F.row_number().over(w))
+    r1 = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "cl", F.col("dq").alias("a")
+    )
+    r2 = ranked.filter(F.col("rn") == 2).select(
+        "vec_id", F.col("dq").alias("b")
+    )
+    ab = r1.join(r2, "vec_id")
+    mx = F.greatest(F.col("a"), F.col("b"))
+    sil = F.when(
+        (F.col("a") == 0) & (F.col("b") == 0), F.lit(0)
+    ).otherwise(
+        F.floor(
+            (2 * (F.col("b") - F.col("a")) * _SIL_S + mx)
+            / (2.0 * mx)
+        ).cast("long")
+    )
+    s = ab.select("vec_id", "cl", sil.alias("sil"))
+    return s.groupBy(F.col("cl").alias("cluster")).agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.round(
+            F.sum("sil").cast("double") / F.count("*") / _SIL_S, 6
+        ).alias("mean_silhouette"),
+    )

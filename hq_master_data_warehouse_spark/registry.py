@@ -197,6 +197,8 @@ DEFER_NEW: tuple[str, ...] = (
     "events_poisson_rate_test",
     "orders_newsvendor_quantile",
     "ml_lift_gains_table",
+    "ml_feature_store_lags",
+    "ml_silhouette_simplified",
 )
 
 

@@ -1002,3 +1002,53 @@ def test_lift_gains_monotone_and_consistent(spark):
     # (no assertion on decile-1 lift: the toy weights are not a
     # trained model -- the TABLE mechanics, not scorer quality, are
     # under test)
+
+
+def test_feature_store_lags_recomputed(spark):
+    from collections import defaultdict
+
+    from hq_master_data_warehouse_spark.operators import ml
+
+    rows = ml.ml_feature_store_lags(spark, SF_DIR_001).collect()
+    raw = load_table(spark, SF_DIR_001, "events").select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+        .alias("d"),
+        (F.col("event_type") == "purchase").alias("is_p"),
+    ).collect()
+    per = defaultdict(lambda: [0, 0])
+    for r in raw:
+        per[(r.user_id, r.d)][0] += 1
+        per[(r.user_id, r.d)][1] += int(r.is_p)
+    assert len(rows) == len(per)
+    for r in rows[:: max(1, len(rows) // 25)]:
+        k = (r.user_id, r.day_index)
+        assert r.n_events == per[k][0]
+        w7 = sum(
+            v[0]
+            for (u, d), v in per.items()
+            if u == r.user_id and r.day_index - 6 <= d <= r.day_index
+        )
+        assert r.n_events_7d == w7
+        pdays = [
+            d
+            for (u, d), v in per.items()
+            if u == r.user_id and v[1] > 0 and d <= r.day_index
+        ]
+        want = r.day_index - max(pdays) if pdays else None
+        assert r.days_since_purchase == want
+
+
+def test_silhouette_bounds_and_assignment(spark):
+    from hq_master_data_warehouse_spark.operators import ml
+
+    rows = ml.ml_silhouette_simplified(spark, SF_DIR_001).collect()
+    n_vecs = load_table(spark, SF_DIR_001, "embeddings").count()
+    assert sum(r.n_points for r in rows) == n_vecs
+    for r in rows:
+        assert -1.0 <= r.mean_silhouette <= 1.0
+    # centroid points themselves have a=0 -> s=1, so every cluster
+    # containing its own centroid has a strictly positive mean only
+    # if the rest doesn't drag it below; just assert no NaN and the
+    # clusters are the 4 fixed ids
+    assert {r.cluster for r in rows} <= set(range(ml.SIL_K))
