@@ -2219,3 +2219,171 @@ def orders_newsvendor_quantile(
             "stock_level"
         ),
     )
+
+
+# -- duplicate-payment audit: the finance DQ sweep for suspiciously
+#    similar payments -- same customer, amounts in the same 10k-dollar
+#    band, DIFFERENT order, dates within 90 days.  (Exact-amount
+#    matching is vacuous on continuous synthetic prices; the band is
+#    the realistic fuzzy-match blocking anyway.)  The pair join
+#    blocks on the (customer, amount-band) hash equi-join key with
+#    the date proximity as a post-key filter and a < tie-break so
+#    each pair reports once; candidate groups stay bounded at any
+#    scale, no inequality join, no cross product.
+@query(
+    "dq_duplicate_payment_audit",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) // 1000000
+                   AS band,
+               CAST(o_orderdate AS DATE) AS d
+        FROM orders
+    )
+    SELECT a.o_custkey AS custkey, a.band,
+           a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           a.cents AS cents_a, b.cents AS cents_b,
+           date_diff('day', a.d, b.d) AS days_apart
+    FROM o a JOIN o b
+      ON b.o_custkey = a.o_custkey AND b.band = a.band
+     AND b.o_orderkey > a.o_orderkey
+     AND abs(date_diff('day', a.d, b.d)) <= 90
+    """,
+)
+def dq_duplicate_payment_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        _cents(F.col("o_totalprice")).alias("cents"),
+        F.floor(_cents(F.col("o_totalprice")) / 1000000)
+        .cast("long")
+        .alias("band"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    a = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("band"),
+        F.col("o_orderkey").alias("order_a"),
+        F.col("cents").alias("cents_a"),
+        F.col("d").alias("da"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("band"),
+        F.col("o_orderkey").alias("order_b"),
+        F.col("cents").alias("cents_b"),
+        F.col("d").alias("db"),
+    )
+    pairs = a.join(b, ["custkey", "band"]).filter(
+        (F.col("order_b") > F.col("order_a"))
+        & (
+            F.abs(F.datediff(F.col("db"), F.col("da"))) <= 90
+        )
+    )
+    return pairs.select(
+        "custkey",
+        "band",
+        "order_a",
+        "order_b",
+        "cents_a",
+        "cents_b",
+        F.datediff(F.col("db"), F.col("da")).alias("days_apart"),
+    )
+
+
+from .ml import BIAS as _ECE_BIAS  # noqa: E402
+from .ml import EMB_DIM as _ECE_EMB_DIM  # noqa: E402
+from .ml import _W_SQL as _ECE_W_SQL  # noqa: E402
+
+
+# -- expected calibration error: one number summarizing the
+#    calibration-bins table (ml_calibration_bins).  Margins map to a
+#    declared probability via the clamped linear (margin+5)/10; per
+#    bin the |accuracy - confidence| term is computed from EXACT
+#    integer micro-unit numerators over a COMMON denominator, so the
+#    weighted sum across bins is a single exact integer total -- no
+#    per-bin double is ever summed (10-row double sums are partition-
+#    order-dependent; the integer total is not).
+@query(
+    "ml_calibration_ece",
+    oracle=f"""
+    WITH m AS (
+        SELECT label % 2 = 1 AS pos,
+               list_sum(list_transform(
+                   generate_series(1, {_ECE_EMB_DIM}),
+                   i -> CAST(embedding[i] AS DOUBLE) * ({_ECE_W_SQL})[i]
+               )) + {_ECE_BIAS!r} AS margin
+        FROM embeddings
+    ),
+    b AS (
+        SELECT CAST(LEAST(GREATEST(FLOOR(margin + 5), 0), 9) AS INT)
+                   AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+                   AS p,
+               CAST(SUM(CAST(ROUND(
+                   LEAST(GREATEST((margin + 5) / 10, 0), 1) * 1000000
+               ) AS BIGINT)) AS BIGINT) AS conf_micro
+        FROM m GROUP BY 1
+    ),
+    t AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nt,
+               CAST(SUM(ABS(p * 1000000 - conf_micro)) AS BIGINT)
+                   AS total_micro
+        FROM b
+    )
+    SELECT nt AS n_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_bins,
+           ROUND(CAST(total_micro AS DOUBLE) / nt / 1000000, 6)
+               AS ece
+    FROM t
+    """,
+)
+def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ml import BIAS, EMB_DIM, WEIGHTS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = F.array(*[F.lit(x) for x in WEIGHTS])
+    prod = F.zip_with(
+        F.col("embedding"), w, lambda x, wi: x.cast("double") * wi
+    )
+    margin = (
+        F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v) + BIAS
+    )
+    conf = F.least(
+        F.greatest((margin + 5) / 10, F.lit(0.0)), F.lit(1.0)
+    )
+    scored = emb.select(
+        F.least(F.greatest(F.floor(margin + 5), F.lit(0)), F.lit(9))
+        .cast("int")
+        .alias("bin"),
+        (F.col("label") % 2 == 1).alias("pos"),
+        F.round(conf * 1000000).cast("long").alias("conf_micro"),
+    )
+    b = scored.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("p"),
+        F.sum("conf_micro").cast("long").alias("cm"),
+    )
+    t = b.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.count("*").cast("long").alias("n_bins"),
+        F.sum(F.abs(F.col("p") * 1000000 - F.col("cm")))
+        .cast("long")
+        .alias("total_micro"),
+    )
+    return t.select(
+        F.col("nt").alias("n_rows"),
+        "n_bins",
+        F.round(
+            F.col("total_micro").cast("double")
+            / F.col("nt")
+            / 1000000,
+            6,
+        ).alias("ece"),
+    )

@@ -199,6 +199,8 @@ DEFER_NEW: tuple[str, ...] = (
     "ml_lift_gains_table",
     "ml_feature_store_lags",
     "ml_silhouette_simplified",
+    "dq_duplicate_payment_audit",
+    "ml_calibration_ece",
 )
 
 

@@ -1052,3 +1052,45 @@ def test_silhouette_bounds_and_assignment(spark):
     # if the rest doesn't drag it below; just assert no NaN and the
     # clusters are the 4 fixed ids
     assert {r.cluster for r in rows} <= set(range(ml.SIL_K))
+
+
+def test_duplicate_payment_audit_properties(spark):
+    rows = stats.dq_duplicate_payment_audit(
+        spark, SF_DIR_001
+    ).collect()
+    assert rows, "audit must flag candidate pairs on this fixture"
+    for r in rows:
+        assert r.order_a < r.order_b
+        assert abs(r.days_apart) <= 90
+        # same 10k-dollar band
+        assert r.cents_a // 1000000 == r.cents_b // 1000000 == r.band
+
+
+def test_calibration_ece_recomputed(spark):
+    from hq_master_data_warehouse_spark.operators import ml
+
+    row = stats.ml_calibration_ece(spark, SF_DIR_001).collect()[0]
+    assert 0 <= row.ece <= 1
+    # recompute from raw margins
+    emb = load_table(spark, SF_DIR_001, "embeddings").collect()
+    import collections
+
+    bins = collections.defaultdict(lambda: [0, 0, 0])
+    for r in emb:
+        margin = (
+            sum(
+                float(x) * wgt
+                for x, wgt in zip(r.embedding, ml.WEIGHTS)
+            )
+            + ml.BIAS
+        )
+        b = int(min(max(math.floor(margin + 5), 0), 9))
+        conf = min(max((margin + 5) / 10, 0.0), 1.0)
+        bins[b][0] += 1
+        bins[b][1] += int(r.label % 2 == 1)
+        bins[b][2] += round(conf * 1_000_000)
+    n = sum(v[0] for v in bins.values())
+    total = sum(abs(v[1] * 1_000_000 - v[2]) for v in bins.values())
+    assert row.n_rows == n
+    assert row.n_bins == len(bins)
+    assert row.ece == pytest.approx(total / n / 1_000_000, abs=1e-5)
