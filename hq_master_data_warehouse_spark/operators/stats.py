@@ -2387,3 +2387,158 @@ def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ece"),
     )
+
+
+# -- DAU/WAU stickiness: daily active users over trailing-7-day
+#    active users, the product-analytics engagement ratio.  The
+#    sliding DISTINCT count uses the bounded-explode trick: each
+#    (user, active-day) row contributes itself to the 7 target days
+#    it can serve, and the per-target distinct count is an exact
+#    grouped COUNT(DISTINCT) over equi-join keys -- no window over a
+#    distinct aggregate (which Spark cannot express) and no
+#    inequality join.
+@query(
+    "events_stickiness_dau_wau",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                   AS d
+        FROM events
+    ),
+    contrib AS (
+        SELECT ud.user_id, ud.d + off AS target
+        FROM ud CROSS JOIN generate_series(0, 6) g(off)
+    ),
+    wau AS (
+        SELECT c.target AS d,
+               CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau
+        FROM contrib c
+        JOIN (SELECT DISTINCT d FROM ud) t ON t.d = c.target
+        GROUP BY c.target
+    ),
+    dau AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d
+    )
+    SELECT CAST(DATE '2024-01-01' + INTERVAL (dau.d) DAY AS DATE)
+               AS day,
+           dau.dau, wau.wau,
+           ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON wau.d = dau.d
+    """,
+)
+def events_stickiness_dau_wau(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ud = events.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+        .cast("long")
+        .alias("d"),
+    ).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.col("d") + 6)
+        ).alias("target"),
+    )
+    days = ud.select("d").distinct().select(
+        F.col("d").alias("target")
+    )
+    wau = (
+        contrib.join(days, "target")
+        .groupBy("target")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+    dau = ud.groupBy("d").agg(
+        F.count("*").cast("long").alias("dau")
+    )
+    j = dau.join(wau, dau["d"] == wau["target"])
+    return j.select(
+        F.date_add(F.lit("2024-01-01"), F.col("d").cast("int")).alias(
+            "day"
+        ),
+        "dau",
+        "wau",
+        F.round(
+            F.col("dau").cast("double") / F.col("wau"), 6
+        ).alias("stickiness"),
+    )
+
+
+# -- additive seasonal decomposition (classical): daily revenue minus
+#    its CENTERED 7-day moving average gives the detrended series;
+#    averaging the detrended values by weekday gives the seasonal
+#    component.  Exactness: the detrended value is kept as the
+#    INTEGER 7*y - sum7 (never the fractional y - sum7/7), so every
+#    aggregate sums exact integers and only the final display
+#    divisions touch doubles.  Edge days without a full centered
+#    window are excluded, as in the classical method.
+@query(
+    "orders_seasonal_decomposition",
+    oracle="""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1995-01-01',
+                         CAST(o_orderdate AS DATE)) AS d,
+               dayofweek(CAST(o_orderdate AS DATE)) AS dow,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY d, dow
+    ),
+    ma AS (
+        SELECT d, dow, y,
+               CAST(SUM(y) OVER w AS BIGINT) AS sum7,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n7
+        FROM daily
+        WINDOW w AS (ORDER BY d RANGE BETWEEN 3 PRECEDING
+                     AND 3 FOLLOWING)
+    ),
+    det AS (
+        SELECT dow, 7 * y - sum7 AS det7
+        FROM ma WHERE n7 = 7
+    )
+    SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(CAST(SUM(det7) AS DOUBLE) / COUNT(*) / 700, 4)
+               AS seasonal_component,
+           ROUND(CAST(SUM(ABS(det7)) AS DOUBLE) / COUNT(*) / 700, 4)
+               AS mean_abs_detrended
+    FROM det GROUP BY dow
+    """,
+)
+def orders_seasonal_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+        .cast("long")
+        .alias("d"),
+        (F.dayofweek(F.col("o_orderdate").cast("date")) - 1).alias(
+            "dow"
+        ),
+    ).agg(F.sum(_cents(F.col("o_totalprice"))).alias("y"))
+    w = Window.orderBy("d").rangeBetween(-3, 3)
+    ma = daily.select(
+        "dow",
+        "y",
+        F.sum("y").over(w).cast("long").alias("sum7"),
+        F.count("*").over(w).cast("long").alias("n7"),
+    )
+    det = ma.filter(F.col("n7") == 7).select(
+        "dow", (7 * F.col("y") - F.col("sum7")).alias("det7")
+    )
+    return det.groupBy("dow").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(
+            F.sum("det7").cast("double") / F.count("*") / 700, 4
+        ).alias("seasonal_component"),
+        F.round(
+            F.sum(F.abs(F.col("det7"))).cast("double")
+            / F.count("*")
+            / 700,
+            4,
+        ).alias("mean_abs_detrended"),
+    )

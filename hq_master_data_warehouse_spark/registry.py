@@ -201,6 +201,8 @@ DEFER_NEW: tuple[str, ...] = (
     "ml_silhouette_simplified",
     "dq_duplicate_payment_audit",
     "ml_calibration_ece",
+    "events_stickiness_dau_wau",
+    "orders_seasonal_decomposition",
 )
 
 
