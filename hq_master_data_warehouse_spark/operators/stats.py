@@ -2542,3 +2542,103 @@ def orders_seasonal_decomposition(
             4,
         ).alias("mean_abs_detrended"),
     )
+
+
+# -- lexical diversity (type-token ratio): distinct tokens over total
+#    tokens per document, plus the hapax share -- corpus-quality
+#    signals a curation pipeline reads beside the Gopher-style
+#    repetition stats.  One explode + two grouped counts; ratios are
+#    exact-integer divisions.
+@query(
+    "text_lexical_diversity_ttr",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, unnest(string_split(lower(
+                   regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')),
+                   ' ')) AS tok
+        FROM documents
+    ),
+    tt AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+    c AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tt GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(n), 6) AS ttr,
+           ROUND(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS hapax_share
+    FROM c GROUP BY doc_id
+    """,
+)
+def text_lexical_diversity_ttr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.lower(
+                    F.regexp_replace(
+                        F.col("text"), "[^a-zA-Z0-9 ]", " "
+                    )
+                ),
+                " ",
+            )
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    c = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return c.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.round(
+            F.count("*").cast("double") / F.sum("n"), 6
+        ).alias("ttr"),
+        F.round(
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count("*"),
+            6,
+        ).alias("hapax_share"),
+    )
+
+
+# -- log-decade histogram: power-law-friendly binning of order value
+#    WITHOUT any log() call -- the decade of a positive integer is
+#    its digit count, so the bin is LENGTH(CAST(cents AS VARCHAR)),
+#    exact in both engines.  Bounded output (one row per decade).
+@query(
+    "agg_histogram_decade_bins",
+    oracle="""
+    WITH r AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT CAST(LENGTH(CAST(cents AS VARCHAR)) AS INT) AS decade,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM r GROUP BY decade
+    """,
+)
+def agg_histogram_decade_bins(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    r = orders.select(_cents(F.col("o_totalprice")).alias("cents"))
+    return r.groupBy(
+        F.length(F.col("cents").cast("string"))
+        .cast("int")
+        .alias("decade")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.min("cents").cast("long").alias("min_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )

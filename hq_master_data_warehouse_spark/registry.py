@@ -203,6 +203,8 @@ DEFER_NEW: tuple[str, ...] = (
     "ml_calibration_ece",
     "events_stickiness_dau_wau",
     "orders_seasonal_decomposition",
+    "text_lexical_diversity_ttr",
+    "agg_histogram_decade_bins",
 )
 
 

@@ -1174,3 +1174,47 @@ def test_seasonal_decomposition_sums_to_zero(spark):
             sum(abs(x) for x in dets) / len(dets) / 700, abs=0.011
         )
         assert r.mean_abs_detrended >= abs(r.seasonal_component)
+
+
+def test_ttr_bounds_and_sample(spark):
+    rows = stats.text_lexical_diversity_ttr(
+        spark, SF_DIR_001
+    ).collect()
+    docs = load_table(spark, SF_DIR_001, "documents").count()
+    assert len(rows) == docs
+    for r in rows:
+        assert 1 <= r.n_types <= r.n_tokens
+        assert 0 < r.ttr <= 1
+        assert 0 <= r.hapax_share <= 1
+    # brute-force one doc
+    import re as _re
+
+    doc = load_table(spark, SF_DIR_001, "documents").limit(1).collect()[0]
+    toks = [
+        t
+        for t in _re.sub(r"[^a-zA-Z0-9 ]", " ", doc.text).lower().split(" ")
+        if t
+    ]
+    from collections import Counter
+
+    c = Counter(toks)
+    r = next(x for x in rows if x.doc_id == doc.doc_id)
+    assert r.n_tokens == len(toks)
+    assert r.n_types == len(c)
+    assert r.hapax_share == pytest.approx(
+        sum(1 for v in c.values() if v == 1) / len(c), abs=1e-6
+    )
+
+
+def test_decade_bins_partition_everything(spark):
+    rows = stats.agg_histogram_decade_bins(
+        spark, SF_DIR_001
+    ).collect()
+    total = load_table(spark, SF_DIR_001, "orders").count()
+    assert sum(r.n_orders for r in rows) == total
+    for r in rows:
+        # bin membership: digit count of both extremes matches
+        assert len(str(r.min_cents)) == r.decade
+        assert len(str(r.max_cents)) == r.decade
+    decs = sorted(r.decade for r in rows)
+    assert decs == sorted(set(decs))
