@@ -93,6 +93,11 @@ def main() -> None:
     }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # per-rep spread goes to stderr so it stays auditable without
+    # bloating stdout: the driver tails only ~2 kB of stdout, and the
+    # compact headline JSON must be the LAST line (VERDICT r4 item 2 --
+    # inlining "reps" truncated the r4 record to parsed:null).
+    print(json.dumps({"reps": all_reps}), file=sys.stderr)
     print(
         json.dumps(
             {
@@ -100,7 +105,6 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
-                "reps": all_reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -148,7 +148,11 @@ def graph_pagerank_copurchase(
     # one inbound edge) -- tiny relative to the edges, so it
     # BROADCASTS and each iteration is a map-side hash join over the
     # cached edge partitions plus ONE shuffle of partially-aggregated
-    # inflows; the edge set never moves.
+    # inflows; the edge set never moves.  SCALE BOUND: broadcast state
+    # is O(V) per executor -- sound up to ~10^8 nodes (a few GB);
+    # beyond that drop the F.broadcast hint and let this become a
+    # shuffle hash join on src, with both sides pre-partitioned on the
+    # node key so the edge set still never re-shuffles (see SCALE.md).
     contrib = None
     for it in range(PR_ITERS):
         if contrib is None:  # r0 is the uniform 1/n vector

@@ -611,9 +611,10 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FEATURE_BINS = 16
 
-_FEATURE_SCHEMA = (
-    "doc_id long, byte_len long, feature array<double>"
-)
+# feature is a comma-joined fixed-scale string, not array<double>:
+# list cells crash the gate's canonicalizer (pandas factorize on an
+# unhashable cell) -- same encoding rule as array_functions_showcase.
+_FEATURE_SCHEMA = "doc_id long, byte_len long, feature string"
 
 
 def _featurize_batches(
@@ -630,7 +631,9 @@ def _featurize_batches(
             for byte in buf:
                 hist[byte % FEATURE_BINS] += 1
             total = max(len(buf), 1)
-            feats.append([h / total for h in hist])
+            feats.append(
+                ",".join(f"{h / total:.6f}" for h in hist)
+            )
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],

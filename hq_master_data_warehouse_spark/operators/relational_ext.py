@@ -225,15 +225,24 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- approximate sketches (rows-only: HLL/KLL internals are
 #    engine-specific; correctness asserted relative to exact counts in
 #    pytest).  This is the 100 TB cardinality path -- one pass, fixed
-#    memory, mergeable state.
+#    memory, mergeable state.  The quantile array is string-encoded
+#    (fixed-scale decimals) -- list cells crash the gate's
+#    canonicalizer, same rule as array_functions_showcase below.
 @query("agg_approx_sketches")
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     return lineitem.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
-        F.expr(
-            "approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)"
+        F.array_join(
+            F.transform(
+                F.expr(
+                    "approx_percentile("
+                    "l_extendedprice, array(0.5, 0.9), 1000)"
+                ),
+                lambda x: x.cast("decimal(18,2)").cast("string"),
+            ),
+            ",",
         ).alias("approx_price_quantiles"),
     )
 

@@ -1540,7 +1540,7 @@ SESSION_GAP_S = 1800
     "events_session_bounce_rate",
     oracle=f"""
     WITH seq AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_S} SECOND
                          OR LAG(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS new_s
@@ -1548,8 +1548,12 @@ SESSION_GAP_S = 1800
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
+        -- event_id tiebreak matches the lag step's order: duplicate
+        -- (user_id, ts) rows must split sessions identically in both
+        -- engines
         SELECT user_id, ts,
-               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_s) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING
                                 AND CURRENT ROW) AS sid
         FROM seq
@@ -1577,6 +1581,7 @@ def events_session_bounce_rate(
     seq = events.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             F.lag("ts").over(wo).isNull()
             | (
@@ -1589,9 +1594,11 @@ def events_session_bounce_rate(
         .otherwise(0)
         .alias("new_s"),
     )
+    # event_id tiebreak keeps the running sum's order identical to the
+    # lag step's (duplicate timestamps must sessionize deterministically)
     wc = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sess = seq.withColumn("sid", F.sum("new_s").over(wc))

@@ -110,102 +110,21 @@ PREVIOUSLY_CHECKED: tuple[str, ...] = (
     "agg_mode_per_group",
 )
 
-# Explicit front-of-window order for this round (round 4): EMPTY.
-# Round 4 touches recorded queries only defensively (zero-norm guard and
-# chunk-grid cap in dedup_embedding_cosine, deterministic retry dedup in
-# egress) -- output-identical at oracle scale, each pinned by a dedicated
-# pytest -- so no re-pin is needed and all ~50 window slots go to the 50
-# never-recorded names (32 oracle-backed first, then 18 rows-only).
-PRIORITY: tuple[str, ...] = ()
-
-# Queries ADDED this round: real and tested, but they must not displace
-# the 50 previously-registered never-recorded names from the ~50-slot
-# round-4 window (VERDICT r3 item 1: finish the record first).  They
-# sort to the BACK of the never-checked block and will front the next
-# round's window automatically once everything older holds a record.
-DEFER_NEW: tuple[str, ...] = (
-    "multimodal_decode_png",
-    "ml_calibration_bins",
-    "ml_ks_statistic",
-    "dq_benford_first_digit",
-    "pack_shuffle_shards",
-    "embedding_matryoshka_truncate",
-    "orders_cohort_ltv",
-    "similarity_mmr_diversify",
-    "graph_pagerank_copurchase",
-    "orders_forecast_ses",
-    "sketch_kmv_distinct",
-    "events_activity_bitmap",
-    "ingest_cdc_apply",
-    "events_activity_streaks",
-    "orders_survival_km",
-    "window_pattern_vshape",
-    "basket_association_rules",
-    "dq_referential_integrity",
-    "agg_weighted_median",
-    "graph_triangle_count",
-    "privacy_l_diversity",
-    "join_bloom_prefilter",
-    "source_txn_log_snapshot",
-    "source_txn_log_time_travel",
-    "source_txn_log_pruned_scan",
-    "streaming_txn_log_sink",
-    "layout_txn_log_compact",
-    "agg_gini_revenue",
-    "orders_abc_classification",
-    "ml_average_precision",
-    "multimodal_decode_jpeg",
-    "graph_bfs_hops",
-    "privacy_t_closeness",
-    "events_interarrival_stats",
-    "dq_duplicate_key_audit",
-    "ml_shap_linear_attribution",
-    "ml_ols_daily_trend",
-    "ml_ab_test_ztest",
-    "ml_crossval_folds",
-    "events_autocorrelation",
-    "orders_dow_seasonality",
-    "agg_histogram_equidepth",
-    "join_range_binned",
-    "ml_bootstrap_mean_ci",
-    "ml_ols_multivariate",
-    "orders_forecast_holt",
-    "sketch_cms_heavy_hitters",
-    "source_fixedwidth_roundtrip",
-    "datetime_business_days",
-    "ml_target_encoding",
-    "ml_woe_iv",
-    "similarity_rerank_rrf",
-    "events_decay_weighted_score",
-    "dq_control_chart_daily",
-    "ml_ndcg_at_k",
-    "ml_classification_report",
-    "layout_txn_log_vacuum",
-    "window_rolling_ols_slope",
-    "privacy_randomized_response",
-    "sketch_hll_distinct",
-    "graph_link_prediction_jaccard",
-    "ml_pca_power_iteration",
-    "ml_decision_stump",
-    "ml_kmeans_lloyd",
-    "window_rolling_median_7day",
-    "events_session_bounce_rate",
-    "events_fourier_weekly_harmonics",
-    "dq_freshness_sla_audit",
-    "layout_partition_skew_stats",
-    "events_attribution_markov",
-    "events_poisson_rate_test",
-    "orders_newsvendor_quantile",
-    "ml_lift_gains_table",
-    "ml_feature_store_lags",
-    "ml_silhouette_simplified",
-    "dq_duplicate_payment_audit",
-    "ml_calibration_ece",
-    "events_stickiness_dau_wau",
-    "orders_seasonal_decomposition",
-    "text_lexical_diversity_ttr",
-    "agg_histogram_decade_bins",
+# Explicit front-of-window order for this round (round 5): the two
+# queries whose round-4 records CRASHED the gate's canonicalizer on
+# array-typed output cells, now string-encoded (VERDICT r4 item 2).
+# They are rows-only (no oracle) so without a pin the oracle-backed
+# unrecorded mass would push them out of the ~50-slot window again.
+PRIORITY: tuple[str, ...] = (
+    "agg_approx_sketches",
+    "multimodal_feature_extract",
 )
+
+# Round 5 freezes the registry (VERDICT r4 item 1): no new queries, so
+# nothing to defer -- the ~81 round-4 names with no driver record fill
+# the window, oracle-backed first (ordered_queries' middle sort); the
+# remainder rotates into round 6 automatically via _recorded_names.
+DEFER_NEW: tuple[str, ...] = ()
 
 
 def ordered_queries() -> dict[str, QueryFn]:

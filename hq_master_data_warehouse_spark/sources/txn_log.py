@@ -519,7 +519,17 @@ def vacuum_table(
     import shutil
     import time
 
+    if retain_last < 1:
+        raise ValueError(
+            f"retain_last must be >= 1 (got {retain_last}): retaining "
+            "zero versions would delete every live data file"
+        )
     versions = committed_versions(table_dir)
+    if not versions:
+        raise ValueError(
+            f"vacuum_table: no committed versions in {table_dir!r} "
+            "(empty or never-committed log)"
+        )
     retained = versions[-retain_last:]
     keep: set[str] = set()
     for v in retained:

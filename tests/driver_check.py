@@ -91,7 +91,16 @@ def main() -> None:
     bad = 0
     for n in names:
         if n not in ORACLES:
-            print(f"{n}: SKIP (no oracle)")
+            # emulate the gate's ROWS-ONLY path: it still canonicalizes
+            # the Spark result (r4 evidence: array-typed cells crashed
+            # pandas factorize there), so run _canon and report rows
+            try:
+                spark_pd = QUERIES[n](spark, sf_dir).toPandas()
+                _canon(spark_pd)
+                print(f"{n}: ROWS-ONLY n={len(spark_pd)}")
+            except Exception as e:  # noqa: BLE001
+                bad += 1
+                print(f"{n}: CANON-CRASH {type(e).__name__}: {e}")
             continue
         r = check(spark, con, n, sf_dir)
         if r != "OK":

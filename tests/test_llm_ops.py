@@ -73,8 +73,12 @@ def test_feature_extract_shape_and_determinism(spark):
     out2 = multimodal_feature_extract(spark, SF).orderBy("doc_id").collect()
     assert out1 == out2
     for row in out1[:10]:
-        assert len(row.feature) == FEATURE_BINS
-        assert abs(sum(row.feature) - 1.0) < 1e-9
+        # feature is a comma-joined fixed-scale string (list cells
+        # crash the gate's canonicalizer)
+        vals = [float(x) for x in row.feature.split(",")]
+        assert len(vals) == FEATURE_BINS
+        # 16 bins x 5e-7 per-element formatting error headroom
+        assert abs(sum(vals) - 1.0) < 1e-4
 
 
 def test_decode_unsupported_format_raises():
@@ -381,7 +385,8 @@ def test_approx_sketches_within_error_bounds(spark):
     for r in agg_approx_sketches(spark, "/root/testdata/sf0.01").collect():
         # HLL++ default rsd is 5%; allow 3x headroom
         assert abs(r.approx_parts - r.exact_parts) <= 0.15 * r.exact_parts
-        q50, q90 = r.approx_price_quantiles
+        # quantiles are a comma-joined fixed-scale decimal string
+        q50, q90 = (float(x) for x in r.approx_price_quantiles.split(","))
         assert q50 <= q90
 
 

@@ -292,11 +292,9 @@ def test_bootstrap_replicas_join_is_broadcast(spark):
     """The 64-row replica table must broadcast; the Poisson explode
     happens map-side before the single aggregation exchange."""
     plan = _plan(spark, "ml_bootstrap_mean_ci")
-    assert "BroadcastNestedLoopJoin" not in plan or (
-        # a broadcast NLJ on the 64-row rep table is acceptable (it
-        # IS the broadcast cross join); a cartesian product is not
-        "CartesianProduct" not in plan
-    )
+    # a broadcast NLJ on the 64-row rep table is acceptable (it IS the
+    # broadcast cross join); an unbroadcast cartesian product never is
+    assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
 
 
