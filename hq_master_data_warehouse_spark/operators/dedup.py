@@ -481,6 +481,14 @@ EMB_BLOCK_ROWS = 8192
 #: (similarity_ann_lsh / similarity_ivf_topk / dedup_minhash_lsh).
 EMB_MAX_CHUNKS = 512
 
+#: Minimum input size before the grid widens for parallelism (below
+#: this, per-task Python-worker/Arrow startup dominates the GEMM and
+#: one cell is cheapest) and the widened chunk count (4 chunks -> 10
+#: grid cells, enough tasks to dodge the measured single-task stall
+#: while keeping per-cell work >= ~512x512 dot products).
+EMB_PAR_MIN_ROWS = 1024
+EMB_PAR_CHUNKS = 4
+
 
 @query(
     "dedup_embedding_cosine",
@@ -502,20 +510,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # one metadata-cheap count to size the grid; at 100 TB this would
     # come from table statistics instead.  Grid sizing balances two
-    # constraints: blocks must fit per-task memory (<= EMB_BLOCK_ROWS
-    # vectors a side), and multi-block inputs want enough grid cells
-    # to occupy the cluster (8 chunks -> 36 cells).  Inputs that fit
-    # ONE block stay one cell: widening below EMB_BLOCK_ROWS
-    # replicates every vector per matching cell for zero parallelism
-    # gain (the r4 min-8-chunk grid cost 1.9x on the 5k-vector sf0.1
-    # input -- VERDICT r4 item 3).
+    # constraints: blocks must fit per-task memory (the hard
+    # ceil(n/EMB_BLOCK_ROWS) floor), and the cogroup stage must not
+    # collapse to ONE task -- a single-cell plan serializes the whole
+    # pairwise pass into one straggler-magnet task (measured on the
+    # 2k-vector sf0.1 input, local[32], interleaved 8-rep A/B:
+    # 1 cell median 5.8 s with 3-8 s stalls vs 1.65 s rock-stable at
+    # 3-4 chunks; the r4 bench "regression" was this stall, not the
+    # grid).  Replication cost of a few chunks is negligible at any
+    # size where the widening triggers, and on a real cluster the
+    # pairwise pass should never be narrower than the executor count.
+    # Below EMB_PAR_MIN_ROWS per-task Python/Arrow startup dominates,
+    # so tiny inputs keep one cell.
     n_rows = load_table(spark, sf_dir, "embeddings").count()
-    if n_rows <= EMB_BLOCK_ROWS:
-        n_chunks = 1
-    else:
+    n_chunks = max(math.ceil(n_rows / EMB_BLOCK_ROWS), 1)
+    if n_rows >= EMB_PAR_MIN_ROWS:
         n_chunks = max(
-            math.ceil(n_rows / EMB_BLOCK_ROWS),
-            min(8, math.ceil(n_rows / 2048)),
+            n_chunks, min(EMB_PAR_CHUNKS, math.ceil(n_rows / 512))
         )
     if n_chunks > EMB_MAX_CHUNKS:
         raise ValueError(

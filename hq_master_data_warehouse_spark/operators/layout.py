@@ -26,7 +26,12 @@ from ..functions.scalars import dec_sum, dec_sum_sql
 from ..registry import query
 from ..sources.loaders import load_table
 
-N_BUCKETS = 8
+# Bucket count is a layout-time knob: enough buckets to spread the
+# zipper join across the cluster, each bucket big enough to amortize
+# file-open cost.  16 measured fastest at sf0.1 on local[32] (0.45 s
+# vs 0.64 s at 8 and 0.56 s at 32); at 100 TB this would be hundreds,
+# sized so a bucket ~ one task's worth of rows.
+N_BUCKETS = 16
 
 
 def _bucketed_table(
