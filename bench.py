@@ -35,7 +35,11 @@ from hq_master_data_warehouse_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
+# 4 reps = 5 total passes (warm-up + timed): enough samples for a
+# robust min while staying near the 4-pass runtime envelope every
+# prior driver round completed inside (worst observed noisy pass is
+# ~2.5x a clean one; an unknown driver timeout must not be risked).
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4")))
 
 # Headline set: flagship + the heaviest representative per family.
 HEADLINE = [
