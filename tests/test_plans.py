@@ -320,3 +320,50 @@ def test_cms_and_hll_sketch_plans_are_bounded(spark):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "HashAggregate" in plan, name
+
+
+def test_cohort_retention_is_join_free_windowed(spark):
+    """The r5 re-plan computes the per-user cohort week as a window
+    MIN over ONE user_id shuffle -- no groupBy + join-back, so the
+    plan must contain a user_id-partitioned Window and no join at all
+    (the join formulation needed a broadcastable |users|-row cohort
+    table, false at billions of users)."""
+    plan = _plan(spark, "events_cohort_retention")
+    assert "Window" in plan
+    for bad in (
+        "BroadcastHashJoin",
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+    ):
+        assert bad not in plan, bad
+
+
+def test_embedding_cosine_grid_widens_above_par_min(spark):
+    """Grid sizing contract: one cell below EMB_PAR_MIN_ROWS (per-task
+    startup dominates tiny GEMMs), EMB_PAR_CHUNKS cells once the input
+    is big enough that a single-task stage would serialize the whole
+    pairwise pass (measured: bimodal 5.8 s median single-cell vs
+    1.65 s stable at 4 chunks on the 2k-vector sf0.1 input)."""
+    import math
+
+    from hq_master_data_warehouse_spark.operators.dedup import (
+        EMB_BLOCK_ROWS,
+        EMB_PAR_CHUNKS,
+        EMB_PAR_MIN_ROWS,
+    )
+
+    def n_chunks_for(n_rows: int) -> int:
+        n_chunks = max(math.ceil(n_rows / EMB_BLOCK_ROWS), 1)
+        if n_rows >= EMB_PAR_MIN_ROWS:
+            n_chunks = max(
+                n_chunks, min(EMB_PAR_CHUNKS, math.ceil(n_rows / 512))
+            )
+        return n_chunks
+
+    assert n_chunks_for(500) == 1  # sf0.01 gate scale: one cell
+    assert n_chunks_for(EMB_PAR_MIN_ROWS) == 2
+    assert n_chunks_for(2000) == EMB_PAR_CHUNKS  # sf0.1 bench scale
+    # memory floor still dominates huge inputs
+    assert n_chunks_for(10 * EMB_BLOCK_ROWS) == 10
