@@ -41,6 +41,13 @@ def get_spark(
             shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
         ),
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # The generated-class cache defaults to 100 entries; a session
+        # running many distinct plans (this engine's workload profile)
+        # cycles past that and re-compiles stages on every revisit --
+        # measured +1.2 s per PageRank pass when 10 other queries run
+        # in between (4.6/3.7/3.3 s vs 3.5/2.4/2.2 s with the larger
+        # cache).  Generated classes are ~KBs each; 2000 is cheap.
+        "spark.sql.codegen.cache.maxEntries": "2000",
         # Timestamps in testdata are naive; keep session TZ stable so
         # results are deterministic regardless of host TZ.
         "spark.sql.session.timeZone": "UTC",
