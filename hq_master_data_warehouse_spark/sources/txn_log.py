@@ -40,6 +40,7 @@ import hashlib
 import json
 import os
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -74,7 +75,11 @@ def commit(table_dir: str, version: int, add, remove) -> None:
     log = os.path.join(table_dir, LOG_DIR)
     os.makedirs(log, exist_ok=True)
     final = os.path.join(log, f"{version:08d}.json")
-    tmp = final + f".tmp{os.getpid()}"
+    # tmp name must be unique per WRITER, not per process: two
+    # threads racing on the same version with a pid-only suffix
+    # would share the tmp path and trample each other before the
+    # os.link decides the winner.
+    tmp = final + f".tmp{os.getpid()}-{threading.get_ident()}"
     with open(tmp, "w") as f:
         json.dump(
             {"version": version, "add": add, "remove": remove}, f
@@ -151,11 +156,17 @@ def _write_file(
 
 
 def committed_versions(table_dir: str) -> list[int]:
-    """Versions present in the log (committed only)."""
+    """Versions present in the log (committed only); an absent log
+    dir is an empty table (no commit created it yet), not an error --
+    concurrent first writers race dir creation against this read."""
     log = os.path.join(table_dir, LOG_DIR)
+    try:
+        names = os.listdir(log)
+    except FileNotFoundError:
+        return []
     return sorted(
         int(n.split(".")[0])
-        for n in os.listdir(log)
+        for n in names
         if n.endswith(".json")
         and not n.endswith(".checkpoint.json")
     )
@@ -179,6 +190,60 @@ def commit_batch_idempotent(
         # lost the race to a concurrent writer -- their commit stands
         return False
     return True
+
+
+class CommitConflictError(RuntimeError):
+    """A concurrent commit invalidated this transaction's assumptions
+    (write-write conflict): a file it planned to remove is no longer
+    live at the head it must commit against.  Retrying blindly would
+    lose the other writer's update, so the caller must re-derive its
+    change set from the new head."""
+
+
+def commit_with_retry(
+    table_dir: str,
+    add,
+    remove,
+    max_attempts: int = 20,
+) -> int:
+    """Optimistic MULTI-WRITER commit on top of the first-writer-wins
+    primitive (the same layering Delta/Iceberg use): read the head
+    version, attempt head+1, and on losing the race (FileExistsError
+    inside ``commit``) re-read the head and retry.  Before every
+    attempt the transaction re-validates against the current live
+    set: every path in ``remove`` must still be live, else a
+    concurrent writer already removed/rewrote it and this commit
+    would silently drop their change -- that raises
+    ``CommitConflictError`` instead (blind-append ``add``-only
+    commits never conflict and always retry cleanly).
+
+    Returns the version actually committed.  At 100 TB scale the
+    retry loop costs one log-fold (driver-side metadata, O(commits)
+    past the last checkpoint) per attempt; contention is bounded by
+    writer count, not data size.
+    """
+    if max_attempts < 1:
+        raise ValueError("max_attempts must be >= 1")
+    remove = list(remove)
+    for _ in range(max_attempts):
+        versions = committed_versions(table_dir)
+        head = versions[-1] if versions else -1
+        if remove:
+            live = {f["path"] for f in live_files(table_dir, head)}
+            missing = [p for p in remove if p not in live]
+            if missing:
+                raise CommitConflictError(
+                    f"files no longer live at v{head}: {missing}"
+                )
+        try:
+            commit(table_dir, head + 1, add, remove)
+        except FileExistsError:
+            continue  # lost the race; re-read head and re-validate
+        return head + 1
+    raise RuntimeError(
+        f"commit_with_retry: gave up after {max_attempts} attempts "
+        f"(sustained contention on {table_dir!r})"
+    )
 
 
 #: deterministic mutation constants shared with the oracles below.

@@ -233,3 +233,99 @@ def test_vacuum_mtime_guard_spares_young_files(spark, tmp_path):
     # files still present -> old snapshots still readable
     v0 = txn_log.committed_versions(table_dir)[0]
     assert txn_log.read_snapshot(spark, table_dir, v0).count() > 0
+
+
+def test_concurrent_writers_all_commit_distinct_versions(tmp_path):
+    """8 threads x 5 blind-append commits race on the same log: the
+    optimistic retry loop must land all 40 at distinct versions with
+    no lost updates -- the multi-writer contract Delta/Iceberg build
+    on the same first-writer-wins primitive."""
+    import threading
+
+    from hq_master_data_warehouse_spark.sources.txn_log import (
+        commit_with_retry,
+        committed_versions,
+    )
+
+    d = str(tmp_path / "mw")
+    os.makedirs(d)
+    won: list[int] = []
+    lock = threading.Lock()
+    errors: list[BaseException] = []
+
+    def writer(wid: int) -> None:
+        try:
+            for i in range(5):
+                v = commit_with_retry(
+                    d,
+                    [{"path": f"w{wid}_{i}", "min_key": 0, "max_key": 0}],
+                    [],
+                    max_attempts=500,
+                )
+                with lock:
+                    won.append(v)
+        except BaseException as e:  # noqa: BLE001
+            with lock:
+                errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(w,)) for w in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert sorted(won) == list(range(40))  # every commit, no gaps
+    assert committed_versions(d) == list(range(40))
+    # every writer's every file is live: nothing was lost
+    paths = {f["path"] for f in live_files(d, None)}
+    assert paths == {f"w{w}_{i}" for w in range(8) for i in range(5)}
+
+
+def test_stale_remove_raises_conflict_not_lost_update(tmp_path):
+    """Write-write conflict detection: a transaction holding a stale
+    view that plans to remove a file another writer already removed
+    must get CommitConflictError, never a silent commit that drops
+    the other writer's change."""
+    from hq_master_data_warehouse_spark.sources.txn_log import (
+        CommitConflictError,
+        commit_with_retry,
+    )
+
+    d = str(tmp_path / "cf")
+    os.makedirs(d)
+    commit_with_retry(
+        d, [{"path": "base", "min_key": 0, "max_key": 9}], []
+    )
+    # writer A compacts base away
+    commit_with_retry(
+        d, [{"path": "compacted", "min_key": 0, "max_key": 9}], ["base"]
+    )
+    # writer B, stale, also wants to rewrite base
+    with pytest.raises(CommitConflictError, match="base"):
+        commit_with_retry(
+            d, [{"path": "other", "min_key": 0, "max_key": 9}], ["base"]
+        )
+    # blind appends never conflict
+    v = commit_with_retry(
+        d, [{"path": "append", "min_key": 1, "max_key": 1}], []
+    )
+    assert v == 2
+
+
+def test_vacuum_guards_empty_log_and_bad_retention(tmp_path):
+    """vacuum_table must refuse an empty/never-committed log and a
+    retention that would delete every live file."""
+    from hq_master_data_warehouse_spark.sources.txn_log import (
+        LOG_DIR,
+        vacuum_table,
+    )
+
+    d = str(tmp_path / "vg")
+    os.makedirs(os.path.join(d, LOG_DIR))
+    with pytest.raises(ValueError, match="never-committed"):
+        vacuum_table(d)
+    commit(d, 0, [{"path": "a", "min_key": 0, "max_key": 0}], [])
+    with pytest.raises(ValueError, match="retain_last"):
+        vacuum_table(d, retain_last=0)
