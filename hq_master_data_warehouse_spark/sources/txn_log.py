@@ -495,7 +495,9 @@ def write_checkpoint(table_dir: str, version: int) -> str:
     final = os.path.join(log, f"{version:08d}.checkpoint.json")
     if os.path.exists(final):
         return final
-    tmp = final + f".tmp{os.getpid()}"
+    # per-writer tmp name, same rule as commit(): concurrent threads
+    # of one process must not share a staging file
+    tmp = final + f".tmp{os.getpid()}-{threading.get_ident()}"
     with open(tmp, "w") as f:
         json.dump({"version": version, "live": state}, f)
     try:
