@@ -106,7 +106,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS ({_EVENTS_NS}),
     flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w > INTERVAL '10 minutes'
                     THEN 1 ELSE 0 END AS new_session
@@ -114,9 +114,11 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
+        -- event_id tiebreak matches the lag step's order so duplicate
+        -- (user_id, ts) rows sessionize deterministically
         SELECT user_id, ts,
                SUM(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS session_id
         FROM flagged
