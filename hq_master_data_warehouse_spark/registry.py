@@ -136,7 +136,10 @@ def ordered_queries() -> dict[str, QueryFn]:
     already hold a prior-round record."""
     load_catalog()
     checked = _recorded_names()
-    front = [n for n in PRIORITY if n in QUERIES]
+    # PRIORITY is self-retiring: a pinned name whose (re-)record has
+    # landed green in a later CORRECTNESS file stops consuming a
+    # front-of-window slot automatically next round.
+    front = [n for n in PRIORITY if n in QUERIES and n not in checked]
     seen = set(front)
     middle = [n for n in QUERIES if n not in seen and n not in checked]
     # within the never-checked block: oracle-backed names first,
