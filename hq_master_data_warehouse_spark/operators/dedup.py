@@ -483,11 +483,36 @@ EMB_MAX_CHUNKS = 512
 
 #: Minimum input size before the grid widens for parallelism (below
 #: this, per-task Python-worker/Arrow startup dominates the GEMM and
-#: one cell is cheapest) and the widened chunk count (4 chunks -> 10
-#: grid cells, enough tasks to dodge the measured single-task stall
-#: while keeping per-cell work >= ~512x512 dot products).
+#: one cell is cheapest) and the minimum rows a chunk should keep
+#: when widening (so per-cell work stays >= ~512x512 dot products).
 EMB_PAR_MIN_ROWS = 1024
-EMB_PAR_CHUNKS = 4
+EMB_ROWS_PER_CHUNK = 512
+
+
+def _grid_chunks(n_rows: int, parallelism: int) -> int:
+    """Chunk count for the triangular GEMM grid.
+
+    Two constraints compose: the HARD memory floor (a chunk must fit
+    per-task memory: ceil(n/EMB_BLOCK_ROWS)), and a parallelism floor
+    once the input is big enough to amortize per-task startup -- c
+    chunks give c(c+1)/2 grid cells, so c = ceil(sqrt(2*parallelism))
+    puts at least one cell on every core (local[32] -> 8 chunks / 36
+    cells; a 1000-core cluster -> 45 chunks / 1035 cells), capped so
+    no chunk shrinks below EMB_ROWS_PER_CHUNK rows.  A single-cell
+    plan is never acceptable above EMB_PAR_MIN_ROWS: it serializes
+    the whole pairwise pass into one straggler-magnet task (measured
+    bimodal 5.8 s median vs 1.65 s stable at 4 chunks on the same
+    2k-vector input)."""
+    import math
+
+    n_chunks = max(math.ceil(n_rows / EMB_BLOCK_ROWS), 1)
+    if n_rows >= EMB_PAR_MIN_ROWS:
+        par_chunks = math.ceil(math.sqrt(2 * max(parallelism, 1)))
+        n_chunks = max(
+            n_chunks,
+            min(par_chunks, math.ceil(n_rows / EMB_ROWS_PER_CHUNK)),
+        )
+    return n_chunks
 
 
 @query(
@@ -506,28 +531,13 @@ EMB_PAR_CHUNKS = 4
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
-
     # one metadata-cheap count to size the grid; at 100 TB this would
-    # come from table statistics instead.  Grid sizing balances two
-    # constraints: blocks must fit per-task memory (the hard
-    # ceil(n/EMB_BLOCK_ROWS) floor), and the cogroup stage must not
-    # collapse to ONE task -- a single-cell plan serializes the whole
-    # pairwise pass into one straggler-magnet task (measured on the
-    # 2k-vector sf0.1 input, local[32], interleaved 8-rep A/B:
-    # 1 cell median 5.8 s with 3-8 s stalls vs 1.65 s rock-stable at
-    # 3-4 chunks; the r4 bench "regression" was this stall, not the
-    # grid).  Replication cost of a few chunks is negligible at any
-    # size where the widening triggers, and on a real cluster the
-    # pairwise pass should never be narrower than the executor count.
-    # Below EMB_PAR_MIN_ROWS per-task Python/Arrow startup dominates,
-    # so tiny inputs keep one cell.
+    # come from table statistics instead.  Sizing rationale and the
+    # measured single-task-stall evidence live on _grid_chunks.
     n_rows = load_table(spark, sf_dir, "embeddings").count()
-    n_chunks = max(math.ceil(n_rows / EMB_BLOCK_ROWS), 1)
-    if n_rows >= EMB_PAR_MIN_ROWS:
-        n_chunks = max(
-            n_chunks, min(EMB_PAR_CHUNKS, math.ceil(n_rows / 512))
-        )
+    n_chunks = _grid_chunks(
+        n_rows, spark.sparkContext.defaultParallelism
+    )
     if n_chunks > EMB_MAX_CHUNKS:
         raise ValueError(
             f"dedup_embedding_cosine is the exact O(n^2) oracle anchor "

@@ -341,29 +341,26 @@ def test_cohort_retention_is_join_free_windowed(spark):
 
 
 def test_embedding_cosine_grid_widens_above_par_min(spark):
-    """Grid sizing contract: one cell below EMB_PAR_MIN_ROWS (per-task
-    startup dominates tiny GEMMs), EMB_PAR_CHUNKS cells once the input
-    is big enough that a single-task stage would serialize the whole
-    pairwise pass (measured: bimodal 5.8 s median single-cell vs
-    1.65 s stable at 4 chunks on the 2k-vector sf0.1 input)."""
-    import math
-
+    """Grid sizing contract (_grid_chunks): one cell below
+    EMB_PAR_MIN_ROWS (per-task startup dominates tiny GEMMs); above
+    it, enough chunks that the c(c+1)/2 grid cells cover the cluster
+    parallelism (a single-task stage serializes the whole pairwise
+    pass -- measured bimodal 5.8 s median single-cell vs 1.65 s
+    stable multi-cell on the 2k-vector sf0.1 input), capped so no
+    chunk shrinks below EMB_ROWS_PER_CHUNK; the per-task memory
+    floor always dominates huge inputs."""
     from hq_master_data_warehouse_spark.operators.dedup import (
         EMB_BLOCK_ROWS,
-        EMB_PAR_CHUNKS,
         EMB_PAR_MIN_ROWS,
+        _grid_chunks,
     )
 
-    def n_chunks_for(n_rows: int) -> int:
-        n_chunks = max(math.ceil(n_rows / EMB_BLOCK_ROWS), 1)
-        if n_rows >= EMB_PAR_MIN_ROWS:
-            n_chunks = max(
-                n_chunks, min(EMB_PAR_CHUNKS, math.ceil(n_rows / 512))
-            )
-        return n_chunks
-
-    assert n_chunks_for(500) == 1  # sf0.01 gate scale: one cell
-    assert n_chunks_for(EMB_PAR_MIN_ROWS) == 2
-    assert n_chunks_for(2000) == EMB_PAR_CHUNKS  # sf0.1 bench scale
+    assert _grid_chunks(500, 32) == 1  # sf0.01 gate scale: one cell
+    assert _grid_chunks(EMB_PAR_MIN_ROWS, 32) == 2  # 512-row cap
+    assert _grid_chunks(2000, 32) == 4  # sf0.1 bench scale: 10 cells
+    # enough data: cells >= cores (8 chunks -> 36 cells on 32 cores)
+    assert _grid_chunks(8000, 32) == 8
+    # 1000-core cluster: 45 chunks -> 1035 cells >= 1000 cores
+    assert _grid_chunks(100_000, 1000) == 45
     # memory floor still dominates huge inputs
-    assert n_chunks_for(10 * EMB_BLOCK_ROWS) == 10
+    assert _grid_chunks(10 * EMB_BLOCK_ROWS, 32) == 10
