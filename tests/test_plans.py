@@ -364,3 +364,30 @@ def test_embedding_cosine_grid_widens_above_par_min(spark):
     assert _grid_chunks(100_000, 1000) == 45
     # memory floor still dominates huge inputs
     assert _grid_chunks(10 * EMB_BLOCK_ROWS, 32) == 10
+
+
+def test_round4_wave_plans_have_no_cartesian(spark):
+    """Batch pin for the stats/dq/window wave: no unbroadcast
+    cartesian products anywhere.  (BroadcastNestedLoopJoins present
+    in some are the 1-row scalar-totals crossJoins; the
+    single-partition windows in seasonal decomposition / rolling OLS
+    run over day-level aggregates bounded by the calendar domain,
+    never raw rows -- both already-accepted shapes.)"""
+    for name in [
+        "events_attribution_markov",
+        "orders_seasonal_decomposition",
+        "window_rolling_median_7day",
+        "layout_partition_skew_stats",
+        "events_stickiness_dau_wau",
+        "dq_control_chart_daily",
+        "window_rolling_ols_slope",
+        "events_decay_weighted_score",
+        "orders_newsvendor_quantile",
+        "events_poisson_rate_test",
+        "ml_woe_iv",
+        "ml_target_encoding",
+        "ml_calibration_ece",
+        "orders_forecast_holt",
+        "dq_freshness_sla_audit",
+    ]:
+        assert "CartesianProduct" not in _plan(spark, name), name
