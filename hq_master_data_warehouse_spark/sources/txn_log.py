@@ -96,7 +96,14 @@ def live_files(table_dir: str, version: int | None = None) -> list[dict]:
     invisible by construction -- only fully renamed commits parse."""
     log = os.path.join(table_dir, LOG_DIR)
     state: dict[str, dict] = {}
-    for name in sorted(os.listdir(log)):
+    try:
+        entries = sorted(os.listdir(log))
+    except FileNotFoundError:
+        # Never-committed table: the live set is empty, same contract
+        # committed_versions() follows (ADVICE r5: an unguarded
+        # listdir leaked FileNotFoundError out of commit_with_retry).
+        return []
+    for name in entries:
         if not name.endswith(".json") or name.endswith(
             ".checkpoint.json"
         ):
@@ -229,6 +236,15 @@ def commit_with_retry(
         versions = committed_versions(table_dir)
         head = versions[-1] if versions else -1
         if remove:
+            if head == -1:
+                # Removing from a never-committed table can never
+                # succeed: nothing is live yet (ADVICE r5 -- raise
+                # the documented conflict, not FileNotFoundError or
+                # a confusing "no longer live at v-1").
+                raise CommitConflictError(
+                    f"cannot remove from empty table (no commits "
+                    f"yet): {remove}"
+                )
             live = {f["path"] for f in live_files(table_dir, head)}
             missing = [p for p in remove if p not in live]
             if missing:

@@ -329,3 +329,32 @@ def test_vacuum_guards_empty_log_and_bad_retention(tmp_path):
     commit(d, 0, [{"path": "a", "min_key": 0, "max_key": 0}], [])
     with pytest.raises(ValueError, match="retain_last"):
         vacuum_table(d, retain_last=0)
+
+
+def test_empty_table_remove_raises_conflict_not_oserror(tmp_path):
+    """ADVICE r5: a remove-bearing commit against a never-committed
+    table (no log dir at all, or an empty one) must raise the
+    documented CommitConflictError -- not leak FileNotFoundError out
+    of live_files, and not produce a 'no longer live at v-1' message."""
+    from hq_master_data_warehouse_spark.sources.txn_log import (
+        CommitConflictError,
+        commit_with_retry,
+    )
+
+    d = str(tmp_path / "empty")
+    os.makedirs(d)
+    # no log dir yet: live_files folds to the empty set, not an error
+    assert live_files(d) == []
+    with pytest.raises(CommitConflictError, match="empty table"):
+        commit_with_retry(
+            d, [{"path": "x", "min_key": 0, "max_key": 0}], ["ghost"]
+        )
+    # the failed attempt must not have committed anything
+    assert live_files(d) == []
+    # a clean blind append still lands at v0 afterwards
+    assert (
+        commit_with_retry(
+            d, [{"path": "x", "min_key": 0, "max_key": 0}], []
+        )
+        == 0
+    )
