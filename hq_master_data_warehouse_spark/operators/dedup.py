@@ -515,22 +515,13 @@ def _grid_chunks(n_rows: int, parallelism: int) -> int:
     return n_chunks
 
 
-@query(
-    "dedup_embedding_cosine",
-    oracle=f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(list_cosine_similarity(
-               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-               list_transform(b.embedding, x -> CAST(x AS DOUBLE))
-           ), 6) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE ROUND(list_cosine_similarity(
-              list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-              list_transform(b.embedding, x -> CAST(x AS DOUBLE))
-          ), 6) >= {COSINE_DUP_THRESHOLD}
-    """,
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def exact_cosine_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """Exact all-pairs cosine >= ``threshold`` via the blocked
+    triangular GEMM (the scale design documented above).  Shared by
+    dedup_embedding_cosine (the near-dup anchor) and
+    similarity_ann_recall_eval (the ANN ground-truth denominator)."""
     # one metadata-cheap count to size the grid; at 100 TB this would
     # come from table statistics instead.  Sizing rationale and the
     # measured single-task-stall evidence live on _grid_chunks.
@@ -599,7 +590,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
         ids_a = a_pdf["vec_id"].to_numpy()
         ids_b = b_pdf["vec_id"].to_numpy()
-        ia, ib = np.nonzero(cos >= COSINE_DUP_THRESHOLD)
+        ia, ib = np.nonzero(cos >= threshold)
         la, lb = ids_a[ia], ids_b[ib]
         if key[0] == key[1]:
             # diagonal cell: both sides hold the same chunk, so each
@@ -624,6 +615,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             gemm_block, "vec_a long, vec_b long, cosine double"
         )
     )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE))
+           ), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(
+              list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(b.embedding, x -> CAST(x AS DOUBLE))
+          ), 6) >= {COSINE_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_cosine_pairs(spark, sf_dir, COSINE_DUP_THRESHOLD)
 
 
 # -- pairwise edit-distance near-dup (SURVEY par.2.11 "SQL levenshtein

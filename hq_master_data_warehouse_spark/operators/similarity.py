@@ -592,6 +592,244 @@ def embedding_matryoshka_truncate(
     )
 
 
+# -- ANN quality evaluation (VERDICT r5 item 4): recall of both ANN
+#    paths against exact ground truth, as an ORACLE-BACKED query so
+#    the recall number itself is driver-checkable.  DuckDB reproduces
+#    the deterministic sha256 hyperplane family bit-for-bit (low bit
+#    of digest byte i == parity of hex digit 2i+2), so both engines
+#    build the same buckets; the ground-truth denominators are the
+#    exact blocked-GEMM pair set (dedup.exact_cosine_pairs) and the
+#    exact brute-force top-k.  Cosines feeding every ranking/argmax
+#    decision are rounded to 6 dp on BOTH sides so a cross-engine ULP
+#    cannot flip an assignment (same device as the kmeans oracle).
+_ANN_EVAL_PLANE_SQL = """
+    SELECT p,
+           list_transform(range(0, 64), i ->
+             CASE WHEN substr(
+                    CASE WHEN i < 32
+                         THEN sha256('plane' || p || ':0')
+                         ELSE sha256('plane' || p || ':1') END,
+                    2 * (CASE WHEN i < 32 THEN i ELSE i - 32 END) + 2,
+                    1)
+                  IN ('1','3','5','7','9','b','d','f')
+                  THEN 1.0 ELSE -1.0 END) AS plane
+    FROM range(0, 16) t(p)
+"""
+
+
+@query(
+    "similarity_ann_recall_eval",
+    oracle=f"""
+    WITH planes AS ({_ANN_EVAL_PLANE_SQL}),
+    signs AS (
+        SELECT e.vec_id, p.p,
+               CASE WHEN list_aggregate(
+                        list_transform(range(1, 65), i ->
+                            CAST(e.embedding[i] AS DOUBLE) * p.plane[i]),
+                        'sum') >= 0 THEN '1' ELSE '0' END AS s
+        FROM embeddings e CROSS JOIN planes p
+    ),
+    bands AS (
+        SELECT vec_id, CAST(p // {N_PLANES // PLANE_BANDS} AS INT) AS band,
+               string_agg(s, '' ORDER BY p) AS key
+        FROM signs GROUP BY vec_id, p // {N_PLANES // PLANE_BANDS}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+    ),
+    lsh_pairs AS (
+        SELECT c.vec_a
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.vec_a
+        JOIN embeddings eb ON eb.vec_id = c.vec_b
+        WHERE ROUND(list_cosine_similarity(
+                  list_transform(ea.embedding, x -> CAST(x AS DOUBLE)),
+                  list_transform(eb.embedding, x -> CAST(x AS DOUBLE))
+              ), 6) >= {ANN_THRESHOLD}
+    ),
+    exact_pairs AS (
+        SELECT a.vec_id
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(
+                  list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                  list_transform(b.embedding, x -> CAST(x AS DOUBLE))
+              ), 6) >= {ANN_THRESHOLD}
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    exact_topk AS (
+        SELECT e.vec_id
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 0
+        ORDER BY ROUND(list_cosine_similarity(
+                     list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                     list_transform(q.qe, x -> CAST(x AS DOUBLE))), 6)
+                 DESC,
+                 e.vec_id ASC
+        LIMIT {IVF_TOPK}
+    ),
+    cent AS (
+        SELECT vec_id AS centroid_id, embedding AS ce
+        FROM embeddings WHERE vec_id < {K_CENTROIDS}
+    ),
+    assigned AS (
+        SELECT vec_id, centroid_id AS list_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(
+                           list_transform(e.embedding,
+                                          x -> CAST(x AS DOUBLE)),
+                           list_transform(c.ce,
+                                          x -> CAST(x AS DOUBLE))), 6)
+                           DESC,
+                       c.centroid_id DESC
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT c.centroid_id AS list_id
+        FROM cent c CROSS JOIN q
+        ORDER BY ROUND(list_cosine_similarity(
+                     list_transform(c.ce, x -> CAST(x AS DOUBLE)),
+                     list_transform(q.qe, x -> CAST(x AS DOUBLE))), 6)
+                 DESC,
+                 c.centroid_id ASC
+        LIMIT {NPROBE}
+    ),
+    ivf_topk AS (
+        SELECT e.vec_id
+        FROM assigned a
+        JOIN probe p ON a.list_id = p.list_id
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        CROSS JOIN q
+        WHERE e.vec_id <> 0
+        ORDER BY ROUND(list_cosine_similarity(
+                     list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                     list_transform(q.qe, x -> CAST(x AS DOUBLE))), 6)
+                 DESC,
+                 e.vec_id ASC
+        LIMIT {IVF_TOPK}
+    )
+    SELECT method, hits, denom,
+           ROUND(CAST(hits AS DOUBLE) / denom, 4) AS recall
+    FROM (
+        SELECT 'ivf_top10' AS method,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ivf_topk
+                 WHERE vec_id IN (SELECT vec_id FROM exact_topk))
+                   AS hits,
+               CAST({IVF_TOPK} AS BIGINT) AS denom
+        UNION ALL
+        SELECT 'lsh_pairs' AS method,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lsh_pairs) AS hits,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM exact_pairs)
+                   AS denom
+    )
+    ORDER BY method
+    """,
+)
+def similarity_ann_recall_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall of the two ANN paths vs exact ground truth, one row per
+    method:
+
+    * ``ivf_top10`` -- recall@10 of IVF probing (rounded-cosine
+      variant of similarity_ivf_topk, so rankings are cross-engine
+      deterministic) against the exact brute-force top-10;
+    * ``lsh_pairs`` -- pair recall of similarity_ann_lsh against the
+      exact all-pairs set at the same threshold (LSH verified pairs
+      are a subset of the exact set by construction, so recall =
+      |LSH| / |exact|).
+
+    The denominators come from exact computations (brute-force top-k;
+    blocked-GEMM all-pairs), which is what makes this an evaluation
+    rather than a self-comparison.  At 100 TB this runs on a sampled
+    slice -- the eval is O(sample^2) by design, while the ANN paths
+    under test stay sub-quadratic on the full corpus."""
+    from .dedup import exact_cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    rcos = lambda a, b: F.round(cosine_expr(a, b), 6)  # noqa: E731
+
+    exact_ids = similarity_cosine_topk(spark, sf_dir).select("vec_id")
+
+    # IVF with every ranking decision on 6-dp-rounded cosine
+    centroids = emb.filter(F.col("vec_id") < K_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("ce"),
+    )
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "embedding",
+        F.struct(
+            rcos(F.col("embedding"), F.col("ce")).alias("cos"),
+            F.col("centroid_id").alias("cid"),
+        ).alias("sc"),
+    )
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.first("embedding").alias("embedding"),
+            F.max("sc").alias("best"),
+        )
+        .select("vec_id", "embedding", F.col("best.cid").alias("list_id"))
+    )
+    probe = (
+        centroids.crossJoin(F.broadcast(q))
+        .select("centroid_id", rcos(F.col("ce"), F.col("qe")).alias("qcos"))
+        .orderBy(F.desc("qcos"), F.asc("centroid_id"))
+        .limit(NPROBE)
+        .select(F.col("centroid_id").alias("list_id"))
+    )
+    ivf_ids = (
+        assigned.join(F.broadcast(probe), "list_id", "left_semi")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", rcos(F.col("embedding"), F.col("qe")).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(IVF_TOPK)
+        .select("vec_id")
+    )
+    ivf_row = (
+        ivf_ids.join(exact_ids, "vec_id", "left_semi")
+        .agg(F.count("*").alias("hits"))
+        .select(
+            F.lit("ivf_top10").alias("method"),
+            "hits",
+            F.lit(IVF_TOPK).cast("long").alias("denom"),
+        )
+    )
+
+    lsh_hits = similarity_ann_lsh(spark, sf_dir).agg(
+        F.count("*").alias("hits")
+    )
+    lsh_denom = exact_cosine_pairs(spark, sf_dir, ANN_THRESHOLD).agg(
+        F.count("*").alias("denom")
+    )
+    lsh_row = lsh_hits.crossJoin(F.broadcast(lsh_denom)).select(
+        F.lit("lsh_pairs").alias("method"), "hits", "denom"
+    )
+
+    return (
+        ivf_row.unionByName(lsh_row)
+        .select(
+            "method",
+            "hits",
+            "denom",
+            F.round(F.col("hits") / F.col("denom"), 4).alias("recall"),
+        )
+        .orderBy("method")
+    )
+
+
 MMR_LAMBDA = 0.7
 MMR_K = 10
 MMR_CANDIDATES = 50

@@ -554,3 +554,39 @@ def test_ses_seed_and_smoothing_bounds(spark):
     for r in rows:
         lo, hi = min(lo, r.revenue), max(hi, r.revenue)
         assert lo - 0.01 <= r.ses_level <= hi + 0.01
+
+
+def test_ann_recall_eval_matches_registered_queries(spark):
+    """The oracle-backed similarity_ann_recall_eval uses a 6-dp-rounded
+    cosine for rankings (cross-engine determinism); this bridges it to
+    the ACTUAL registered rows-only ANN queries: the recall numbers it
+    reports must equal recall computed directly from
+    similarity_ann_lsh / similarity_ivf_topk / the exact baselines."""
+    from hq_master_data_warehouse_spark.operators.dedup import (
+        exact_cosine_pairs,
+    )
+    from hq_master_data_warehouse_spark.operators.similarity import (
+        ANN_THRESHOLD,
+        IVF_TOPK,
+        similarity_ann_recall_eval,
+        similarity_cosine_topk,
+        similarity_ivf_topk,
+    )
+
+    rows = {
+        r.method: r for r in similarity_ann_recall_eval(spark, SF).collect()
+    }
+    assert set(rows) == {"ivf_top10", "lsh_pairs"}
+
+    lsh = len(_pairs(similarity_ann_lsh(spark, SF)))
+    exact_pairs = exact_cosine_pairs(spark, SF, ANN_THRESHOLD).count()
+    assert rows["lsh_pairs"].hits == lsh
+    assert rows["lsh_pairs"].denom == exact_pairs
+    assert rows["lsh_pairs"].recall == round(lsh / exact_pairs, 4)
+
+    exact_ids = {
+        r.vec_id for r in similarity_cosine_topk(spark, SF).collect()
+    }
+    ivf_ids = {r.vec_id for r in similarity_ivf_topk(spark, SF).collect()}
+    assert rows["ivf_top10"].hits == len(ivf_ids & exact_ids)
+    assert rows["ivf_top10"].denom == IVF_TOPK
