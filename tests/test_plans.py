@@ -391,3 +391,53 @@ def test_round4_wave_plans_have_no_cartesian(spark):
         "dq_freshness_sla_audit",
     ]:
         assert "CartesianProduct" not in _plan(spark, name), name
+
+
+# -- TPC-H family pins (VERDICT r5 item 5): a Spark upgrade or refactor
+#    must not silently regress q1-q22 / flagship into a cartesian or an
+#    unbounded nested-loop join.  BNLJ is tolerated ONLY for the two
+#    scalar-subquery queries (q11's group-total threshold, q22's avg
+#    acctbal) where the broadcast side is a 1-row aggregate -- the one
+#    sanctioned cross-join shape in this repo.
+_TPCH_BNLJ_OK = {"tpch_q11_important_stock", "tpch_q22_global_sales"}
+
+
+def _tpch_names():
+    registry.load_catalog()
+    return sorted(
+        n for n in registry.QUERIES if n.startswith("tpch_")
+    ) + ["flagship_range_counts"]
+
+
+def test_tpch_family_has_no_cartesian_or_stray_bnlj(spark):
+    for name in _tpch_names():
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        if name not in _TPCH_BNLJ_OK:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q18_semi_join_reduces_before_multiway_join(spark):
+    """q18's HAVING subquery must reach the 3-way join as a semi-join
+    reduction (plans/tpch.py:190), not as a post-join filter."""
+    plan = _plan(spark, "tpch_q18_large_volume_customer")
+    assert "LeftSemi" in plan
+
+
+def test_q21_self_joins_are_semi_plus_anti(spark):
+    """q21's EXISTS / NOT EXISTS pair over lineitem must plan as one
+    semi and one anti join -- never a correlated re-scan per row."""
+    plan = _plan(spark, "tpch_q21_waiting_orders")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q4_q20_exists_subqueries_plan_as_semi_joins(spark):
+    for name in ("tpch_q4_order_priority", "tpch_q20_excess_shipments"):
+        assert "LeftSemi" in _plan(spark, name), name
+
+
+def test_flagship_keeps_semi_join_shape(spark):
+    plan = _plan(spark, "flagship_range_counts")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
