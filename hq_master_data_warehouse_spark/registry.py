@@ -176,7 +176,7 @@ def load_catalog() -> None:
         text,
         windows,
     )
-    from .sources import formats, ingest, txn_log  # noqa: F401
+    from .sources import formats, ingest, kafka, txn_log  # noqa: F401
     from .streaming import jobs  # noqa: F401
     from .plans import tpch  # noqa: F401
     from .plans import tpch_ext  # noqa: F401

@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Derive an sf1-equivalent dataset (10x sf0.1) for the scale bench.
+
+The driver ships sf{0.001,0.01,0.1}; scale-degradation evidence
+(VERDICT r5 item 3) needs one decade more.  This replicates the
+DRIVER'S sf0.1 parquet 10x with referential-integrity-preserving key
+shifts -- every foreign key is offset by the same replica stride as
+its primary key, so join fanouts, group cardinalities per key, and
+value distributions match a true sf1 (TPC-H scales all non-dimension
+tables linearly).  Dimension tables (region, nation) keep their fixed
+cardinality, as in TPC-H.
+
+Caveat recorded in BENCH_SF1.md: text/embedding REPLICAS are exact
+duplicates of each other, so cross-document similarity ops
+(minhash/contamination) would see an artificial quadratic pair
+blowup -- those are excluded from the sf1 list, not because the
+engine can't run them but because replicated data measures the
+artifact, not the operator.
+
+Output: $SPARK_GRAFT_SF1_DIR (default /root/repo/.data/sf1), one
+parquet dir per table.  Idempotent: skips tables already generated.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/.data/sf1")
+REPLICAS = 10
+
+#: per-table key columns and the stride source table for each.
+#: stride = 10^ceil(log10(max_key+1)) of the SOURCE table's own key
+#: domain, so shifted keys never collide across replicas and foreign
+#: keys stay aligned with the primary keys they reference.
+KEY_COLS: dict[str, dict[str, str]] = {
+    "customer": {"c_custkey": "customer"},
+    "supplier": {"s_suppkey": "supplier"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
+    "lineitem": {
+        "l_orderkey": "orders",
+        "l_partkey": "part",
+        "l_suppkey": "supplier",
+    },
+    "events": {"event_id": "events", "user_id": "customer"},
+    "documents": {"doc_id": "documents"},
+    "embeddings": {"vec_id": "embeddings"},
+}
+COPY_TABLES = ["region", "nation"]
+
+
+def _strides(spark: SparkSession) -> dict[str, int]:
+    out = {}
+    for t in ("customer", "supplier", "part", "orders", "events",
+              "documents", "embeddings"):
+        key = {
+            "customer": "c_custkey",
+            "supplier": "s_suppkey",
+            "part": "p_partkey",
+            "orders": "o_orderkey",
+            "events": "event_id",
+            "documents": "doc_id",
+            "embeddings": "vec_id",
+        }[t]
+        mx = (
+            spark.read.parquet(f"{SRC}/{t}.parquet")
+            .agg(F.max(key))
+            .collect()[0][0]
+        )
+        stride = 10 ** len(str(int(mx)))
+        out[t] = stride
+    return out
+
+
+def _replicate(
+    df: DataFrame, keys: dict[str, str], strides: dict[str, int]
+) -> DataFrame:
+    rep = df.crossJoin(
+        F.broadcast(
+            df.sparkSession.range(REPLICAS).select(
+                F.col("id").cast("int").alias("__r")
+            )
+        )
+    )
+    for col, src_table in keys.items():
+        rep = rep.withColumn(
+            col,
+            (
+                F.col(col).cast("long")
+                + F.col("__r").cast("long") * strides[src_table]
+            ),
+        )
+    return rep.drop("__r")
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "16g")
+        .appName("gen-sf1")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(OUT, exist_ok=True)
+    strides = _strides(spark)
+    print("strides:", strides)
+
+    for t in COPY_TABLES:
+        dst = f"{OUT}/{t}.parquet"
+        if os.path.exists(dst):
+            continue
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(dst)
+        print(t, "copied")
+
+    for t, keys in KEY_COLS.items():
+        dst = f"{OUT}/{t}.parquet"
+        if os.path.exists(dst):
+            print(t, "exists, skipping")
+            continue
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        _replicate(df, keys, strides).write.mode("overwrite").parquet(
+            dst
+        )
+        n = spark.read.parquet(dst).count()
+        print(t, "replicated ->", n, "rows")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
