@@ -176,7 +176,13 @@ def load_catalog() -> None:
         text,
         windows,
     )
-    from .sources import formats, ingest, kafka, txn_log  # noqa: F401
+    from .sources import (  # noqa: F401
+        delta_export,
+        formats,
+        ingest,
+        kafka,
+        txn_log,
+    )
     from .streaming import jobs  # noqa: F401
     from .plans import tpch  # noqa: F401
     from .plans import tpch_ext  # noqa: F401
