@@ -441,3 +441,23 @@ def test_flagship_keeps_semi_join_shape(spark):
     plan = _plan(spark, "flagship_range_counts")
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round6_queries_plan_shapes(spark):
+    """Round-6 additions: no cartesian anywhere; the Kafka decode
+    parity stays pure-expression (no Python eval in the plan) with
+    two-phase aggregation; the recall eval's only nested-loop joins
+    are broadcast 1-row scalar aggregates."""
+    plan = _plan(spark, "streaming_kafka_decode_parity")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # decode is JVM expressions
+    assert "partial" in plan.lower()
+
+    plan = _plan(spark, "layout_delta_export_roundtrip")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+    plan = _plan(spark, "similarity_ann_recall_eval")
+    assert "CartesianProduct" not in plan
+    # the GEMM ground truth runs as the cogrouped Arrow path
+    assert "FlatMapCoGroupsInPandas" in plan
