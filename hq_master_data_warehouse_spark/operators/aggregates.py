@@ -861,3 +861,146 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hll_estimate"),
         "n_true",
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership (build + probe, exact cross-engine)
+# ---------------------------------------------------------------------------
+# The runtime-filter mechanic made first-class: build an M-bit Bloom
+# filter over the keys of one side (BUILDING-segment customers), probe
+# the other side's key domain (customers who placed orders), and audit
+# the filter's quality -- passes, true members, false positives, and
+# the realized FP rate.  This is exactly the structure Spark's AQE
+# injects as a runtime filter into large joins (see
+# join_bloom_prefilter); registering it as a query makes the
+# mechanism's CORRECTNESS driver-checkable: md5-derived bit positions
+# are reproduced bit-for-bit by the oracle, so the pass/FP counts are
+# exact, not statistical.
+#
+# Scale shape: the filter itself is <= M distinct set-bit rows
+# (M = 4096 -- kilobytes), so the probe is a BROADCAST join against
+# the bit table after a x K=4 explode of probe keys; no shuffle grows
+# with the probed table beyond its own distinct().  No false
+# negatives by construction (every build key sets all its K bits).
+BLOOM_M = 4096
+BLOOM_K = 4
+
+
+def _bloom_pos(key: F.Column, i: int) -> F.Column:
+    """Bit position i for a key: first 8 md5 hex chars of the salted
+    key, mod M -- identical arithmetic in the DuckDB oracle."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"bloom{i}:"), key.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % BLOOM_M
+    )
+
+
+def _bloom_pos_sql(key: str, i: int) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat('bloom{i}:', "
+        f"CAST({key} AS VARCHAR))), 1, 8)) AS BIGINT) % {BLOOM_M}"
+    )
+
+
+@query(
+    "sketch_bloom_membership",
+    oracle=f"""
+    WITH build AS (
+        SELECT c_custkey AS k FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+    ),
+    bits AS (
+        SELECT DISTINCT pos FROM build, (VALUES {", ".join(f"({i})" for i in range(BLOOM_K))}) h(i),
+        LATERAL (SELECT CASE h.i {" ".join(f"WHEN {i} THEN {_bloom_pos_sql('build.k', i)}" for i in range(BLOOM_K))} END AS pos) p
+    ),
+    probe AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    probe_hits AS (
+        SELECT pr.k, COUNT(*) AS n_hit
+        FROM probe pr, (VALUES {", ".join(f"({i})" for i in range(BLOOM_K))}) h(i),
+        LATERAL (SELECT CASE h.i {" ".join(f"WHEN {i} THEN {_bloom_pos_sql('pr.k', i)}" for i in range(BLOOM_K))} END AS pos) p
+        JOIN bits USING (pos)
+        GROUP BY pr.k
+    ),
+    pass AS (SELECT k FROM probe_hits WHERE n_hit = {BLOOM_K}),
+    agg AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM probe) AS n_probed,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM pass) AS n_pass,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM pass
+                WHERE k IN (SELECT k FROM build)) AS n_true
+    )
+    SELECT n_probed, n_bits_set, n_pass, n_true,
+           n_pass - n_true AS n_false_pos,
+           ROUND(CAST(n_pass - n_true AS DOUBLE)
+                 / (n_probed - n_true), 6) AS fp_rate
+    FROM agg
+    """,
+)
+def sketch_bloom_membership(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    build = customer.filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select(F.col("c_custkey").alias("k"))
+    bits = (
+        build.select(
+            F.explode(
+                F.array(
+                    *[_bloom_pos(F.col("k"), i) for i in range(BLOOM_K)]
+                )
+            ).alias("pos")
+        )
+        .distinct()  # <= M rows: the filter IS this tiny bit table
+    )
+    probe = orders.select(F.col("o_custkey").alias("k")).distinct()
+    probe_pos = probe.select(
+        "k",
+        F.explode(
+            F.array(*[_bloom_pos(F.col("k"), i) for i in range(BLOOM_K)])
+        ).alias("pos"),
+    )
+    hits = (
+        probe_pos.join(F.broadcast(bits), "pos")
+        .groupBy("k")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    passed = hits.filter(F.col("n_hit") == BLOOM_K).select("k")
+    n_true = passed.join(build, "k", "left_semi").agg(
+        F.count("*").cast("long").alias("n_true")
+    )
+    stats = (
+        probe.agg(F.count("*").cast("long").alias("n_probed"))
+        .crossJoin(
+            F.broadcast(
+                bits.agg(F.count("*").cast("long").alias("n_bits_set"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                passed.agg(F.count("*").cast("long").alias("n_pass"))
+            )
+        )
+        .crossJoin(F.broadcast(n_true))
+    )
+    return stats.select(
+        "n_probed",
+        "n_bits_set",
+        "n_pass",
+        "n_true",
+        (F.col("n_pass") - F.col("n_true")).alias("n_false_pos"),
+        F.round(
+            (F.col("n_pass") - F.col("n_true")).cast("double")
+            / (F.col("n_probed") - F.col("n_true")),
+            6,
+        ).alias("fp_rate"),
+    )

@@ -1957,3 +1957,141 @@ def orders_abc_classification(
             (F.sum("cents") / 100.0).alias("class_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency (interval sweep over sessions)
+# ---------------------------------------------------------------------------
+# Capacity planning's headline number: the maximum number of user
+# sessions open at the same instant, and the earliest instant it is
+# reached.  Sessions are the standard 30-minute-gap sessionization of
+# the events stream, each living on the half-open interval
+# [first_event, last_event + 60s).  The sweep is the classic +1/-1
+# endpoint encoding; at equal timestamps ends sort before starts
+# (delta ASC), which IS the half-open semantics, and user_id breaks
+# the remaining ties so both engines walk one canonical order.
+#
+# Scale shape: the running sum is NOT a single-partition global
+# window -- endpoints are bucketed by day, the within-bucket prefix
+# sum runs partitioned per bucket, and the cross-bucket offset is a
+# prefix sum over the tiny per-day total table (rows = distinct days
+# -- the same two-pass idiom as _global_rank).  The final reduction
+# is a scalar max + a filtered min.
+@query(
+    "events_peak_concurrency",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, session_no,
+               MIN(ts) AS start_ts,
+               MAX(ts) + INTERVAL 60 SECOND AS end_ts
+        FROM (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id
+                                    ORDER BY ts, new_s DESC
+                                    ROWS UNBOUNDED PRECEDING)
+                       AS session_no
+            FROM ordered
+        ) GROUP BY user_id, session_no
+    ),
+    endpoints AS (
+        SELECT start_ts AS ts, 1 AS delta, user_id FROM sessions
+        UNION ALL
+        SELECT end_ts AS ts, -1 AS delta, user_id FROM sessions
+    ),
+    swept AS (
+        SELECT ts,
+               SUM(delta) OVER (ORDER BY ts, delta, user_id
+                                ROWS UNBOUNDED PRECEDING) AS open_now
+        FROM endpoints
+    ),
+    peak AS (SELECT MAX(open_now) AS p FROM swept)
+    SELECT CAST(peak.p AS BIGINT) AS peak_concurrency,
+           (SELECT MIN(ts) FROM swept WHERE open_now = peak.p)
+               AS peak_ts,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM sessions)
+               AS n_sessions
+    FROM peak
+    """,
+)
+def events_peak_concurrency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(wu).cast(
+        "long"
+    )
+    new_s = (
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias(
+            "new_s"
+        )
+    )
+    numbered = events.select("user_id", "ts", new_s).withColumn(
+        "session_no",
+        F.sum("new_s").over(
+            Window.partitionBy("user_id")
+            .orderBy(F.col("ts"), F.col("new_s").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sessions = numbered.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("start_ts"),
+        F.expr("MAX(ts) + INTERVAL 60 SECONDS").alias("end_ts"),
+    )
+    endpoints = sessions.select(
+        F.col("start_ts").alias("ts"),
+        F.lit(1).alias("delta"),
+        "user_id",
+    ).unionByName(
+        sessions.select(
+            F.col("end_ts").alias("ts"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+        )
+    )
+    # two-pass distributed prefix sum: per-day buckets, then a prefix
+    # over the tiny day-total table (never a global single-partition
+    # sort of the endpoints themselves)
+    ep = endpoints.withColumn("bucket", F.to_date("ts"))
+    day_tot = ep.groupBy("bucket").agg(F.sum("delta").alias("tot"))
+    off = day_tot.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("tot").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("bucket", "offset")
+    within = F.sum("delta").over(
+        Window.partitionBy("bucket")
+        .orderBy("ts", "delta", "user_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = (
+        ep.join(F.broadcast(off), "bucket")
+        .select("ts", (F.col("offset") + within).alias("open_now"))
+    )
+    peak = swept.agg(F.max("open_now").cast("long").alias("p"))
+    peak_ts = (
+        swept.join(F.broadcast(peak), F.col("open_now") == F.col("p"))
+        .agg(F.min("ts").alias("peak_ts"))
+    )
+    n_sessions = sessions.agg(
+        F.count("*").cast("long").alias("n_sessions")
+    )
+    return (
+        peak.select(F.col("p").alias("peak_concurrency"))
+        .crossJoin(F.broadcast(peak_ts))
+        .crossJoin(F.broadcast(n_sessions))
+    )

@@ -281,3 +281,105 @@ def layout_dynamic_partition_overwrite(
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_rows"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering layout
+# ---------------------------------------------------------------------------
+# The lakehouse data-layout primitive: interleave the bits of two
+# query dimensions (customer bucket x order-day bucket) into one
+# Morton sort key, assign rows to files by Z-range, and report each
+# file's min/max envelope on BOTH dimensions.  A Z-ordered layout
+# keeps each file's envelope small on every interleaved dimension at
+# once, so min/max zone-map pruning (source_txn_log_pruned_scan)
+# works for predicates on EITHER column -- the property a single-
+# column sort cannot give.  The per-file envelope area reported here
+# IS the pruning-quality metric an OPTIMIZE ZORDER BY job would
+# monitor.
+#
+# Exactness: pure integer bit arithmetic (8 bits per dimension,
+# 16-bit Morton code, 16 files) -- identical in both engines.
+# Scale shape: one projection pass computes the key; the per-file
+# envelope is ONE map-side-combinable groupBy over 16 groups.  At
+# 100 TB the same key feeds repartitionByRange(zfile) + sortWithin-
+# Partitions(z) to physically write the layout; computing the
+# envelope never shuffles more than 16 aggregate rows.
+_Z_BITS = 8
+
+
+def _morton(x: F.Column, y: F.Column) -> F.Column:
+    """Interleave the low 8 bits of x (even positions) and y (odd)."""
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = z + F.shiftleft(
+            F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i
+        ) + F.shiftleft(
+            F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+    return z
+
+
+def _morton_sql(x: str, y: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "layout_zorder_clustering",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT (o_custkey & 255) AS xb,
+               (datediff('day', DATE '1992-01-01',
+                         CAST(o_orderdate AS DATE)) & 255) AS yb
+        FROM orders
+    ),
+    z AS (
+        SELECT xb, yb, ({_morton_sql("xb", "yb")}) AS zkey
+        FROM keyed
+    )
+    SELECT CAST(zkey // 4096 AS BIGINT) AS zfile,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(xb) AS BIGINT) AS min_x,
+           CAST(MAX(xb) AS BIGINT) AS max_x,
+           CAST(MIN(yb) AS BIGINT) AS min_y,
+           CAST(MAX(yb) AS BIGINT) AS max_y,
+           CAST((MAX(xb) - MIN(xb) + 1)
+                * (MAX(yb) - MIN(yb) + 1) AS BIGINT) AS envelope_area
+    FROM z
+    GROUP BY zfile
+    """,
+)
+def layout_zorder_clustering(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        F.col("o_custkey").bitwiseAND(F.lit(255)).alias("xb"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("long")
+        .bitwiseAND(F.lit(255))
+        .alias("yb"),
+    )
+    z = keyed.select(
+        "xb", "yb", _morton(F.col("xb"), F.col("yb")).alias("zkey")
+    )
+    span_x = F.max("xb") - F.min("xb") + 1
+    span_y = F.max("yb") - F.min("yb") + 1
+    return (
+        z.groupBy(
+            F.floor(F.col("zkey") / 4096).cast("long").alias("zfile")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("xb").cast("long").alias("min_x"),
+            F.max("xb").cast("long").alias("max_x"),
+            F.min("yb").cast("long").alias("min_y"),
+            F.max("yb").cast("long").alias("max_y"),
+            (span_x * span_y).cast("long").alias("envelope_area"),
+        )
+    )

@@ -2649,3 +2649,89 @@ def agg_histogram_decade_bins(
         F.max("cents").cast("long").alias("max_cents"),
         F.sum("cents").cast("long").alias("sum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between two categorical dimensions
+# ---------------------------------------------------------------------------
+# Feature-dependence screening (the warehouse-side "are these two
+# columns redundant?" question a feature store asks before training):
+# I(X;Y) = SUM_ij p_ij * ln(p_ij / (p_i * p_j)) over the
+# priority x status contingency table, plus the marginal entropies
+# H(X), H(Y) so the caller can normalize (NMI).  The reference stores
+# raw order attributes only (src/app/api/companies/route.ts); this is
+# the dependence layer on top.
+#
+# Exactness: the contingency table is exact integer counts from ONE
+# map-side-combinable groupBy; probabilities are integer ratios over
+# the exact total; ln() is applied once per cell of a BOUNDED table
+# (<= |X|x|Y| cells) to identical doubles in both engines, and each
+# final sum runs over that bounded table -- the same discipline as
+# events_user_entropy / ml_woe_iv.  Scale: the raw scan reduces to
+# the contingency table in one pass; everything after is O(cells).
+@query(
+    "ml_mutual_information",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderpriority AS x, o_orderstatus AS y,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY x, y
+    ),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM c),
+    mx AS (SELECT x, CAST(SUM(n) AS DOUBLE) AS nx FROM c GROUP BY x),
+    my AS (SELECT y, CAST(SUM(n) AS DOUBLE) AS ny FROM c GROUP BY y),
+    mi AS (
+        SELECT ROUND(SUM((c.n / tot.t)
+                   * ln((c.n / tot.t)
+                        / ((mx.nx / tot.t) * (my.ny / tot.t)))), 6)
+                   AS mi_nats,
+               CAST(COUNT(*) AS BIGINT) AS n_cells
+        FROM c JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+    ),
+    hx AS (
+        SELECT ROUND(-SUM((nx / tot.t) * ln(nx / tot.t)), 6) AS h_x
+        FROM mx CROSS JOIN tot
+    ),
+    hy AS (
+        SELECT ROUND(-SUM((ny / tot.t) * ln(ny / tot.t)), 6) AS h_y
+        FROM my CROSS JOIN tot
+    )
+    SELECT mi_nats, n_cells, h_x, h_y
+    FROM mi CROSS JOIN hx CROSS JOIN hy
+    """,
+)
+def ml_mutual_information(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    c = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("x"),
+            F.col("o_orderstatus").alias("y"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = c.agg(F.sum("n").cast("double").alias("t"))
+    mx = c.groupBy("x").agg(F.sum("n").cast("double").alias("nx"))
+    my = c.groupBy("y").agg(F.sum("n").cast("double").alias("ny"))
+    joined = (
+        c.join(mx, "x")
+        .join(my, "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    pij = F.col("n") / F.col("t")
+    px = F.col("nx") / F.col("t")
+    py = F.col("ny") / F.col("t")
+    mi = joined.agg(
+        F.round(F.sum(pij * F.log(pij / (px * py))), 6).alias(
+            "mi_nats"
+        ),
+        F.count("*").cast("long").alias("n_cells"),
+    )
+    hx = mx.crossJoin(F.broadcast(tot)).agg(
+        F.round(-F.sum(px * F.log(px)), 6).alias("h_x")
+    )
+    hy = my.crossJoin(F.broadcast(tot)).agg(
+        F.round(-F.sum(py * F.log(py)), 6).alias("h_y")
+    )
+    return mi.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))

@@ -1206,3 +1206,85 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy(
         "actual_lang", "predicted_lang"
     ).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy self-join (edit distance)
+# ---------------------------------------------------------------------------
+# Entity-resolution's fuzzy join: find near-identical part names --
+# same first token, Levenshtein distance 1..3 -- and report each
+# distinct fuzzy name pair with how many (partkey_a < partkey_b)
+# part pairs realize it.  Distance 0 (exact duplicates) is dedup_
+# exact's job and is excluded.  Both engines ship the classic
+# Levenshtein (Spark `levenshtein`, DuckDB `levenshtein`), so the
+# distances are exact integers cross-engine.
+#
+# Scale shape: candidate generation is BLOCKED -- the equi-join key
+# is the first name token, and the length-band predicate
+# |len(a)-len(b)| <= 3 (a NECESSARY condition of distance <= 3, so
+# pure pruning) cuts within-block pairs before the distance runs.
+# Comparing distinct NAMES (not rows) first keeps the quadratic step
+# on the name domain, which grows far slower than the table; the
+# realized pair count per name pair is a product of two exact name
+# frequencies, never an expanded join.  At 100 TB the block key
+# gains a second component (e.g. a length bucket or q-gram prefix)
+# exactly like the minhash banding in dedup_minhash_lsh.
+@query(
+    "text_fuzzy_join_levenshtein",
+    oracle="""
+    WITH names AS (
+        SELECT p_name, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT)
+               AS edit_dist,
+           a.freq * b.freq AS n_part_pairs
+    FROM names a JOIN names b
+      ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+     AND a.p_name < b.p_name
+     AND abs(length(a.p_name) - length(b.p_name)) <= 3
+    WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+    """,
+)
+def text_fuzzy_join_levenshtein(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(
+        F.count("*").cast("long").alias("freq")
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("freq").alias("freq_a"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias(
+            "blk"
+        ),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("freq").alias("freq_b"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias(
+            "blk"
+        ),
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(b, "blk")
+        .filter(
+            (F.col("name_a") < F.col("name_b"))
+            & (
+                F.abs(
+                    F.length("name_a") - F.length("name_b")
+                )
+                <= 3
+            )
+        )
+        .filter(dist.between(1, 3))
+        .select(
+            "name_a",
+            "name_b",
+            dist.cast("long").alias("edit_dist"),
+            (F.col("freq_a") * F.col("freq_b")).alias("n_part_pairs"),
+        )
+    )

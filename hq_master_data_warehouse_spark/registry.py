@@ -120,11 +120,20 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_feature_extract",
 )
 
-# Round 5 freezes the registry (VERDICT r4 item 1): no new queries, so
-# nothing to defer -- the ~81 round-4 names with no driver record fill
-# the window, oracle-backed first (ordered_queries' middle sort); the
-# remainder rotates into round 6 automatically via _recorded_names.
-DEFER_NEW: tuple[str, ...] = ()
+# Round 6: the 36 never-recorded names (35 pre-round + the round-6
+# similarity_ann_recall_eval) fill the front of the ~50-slot window;
+# this round's new additions sort AFTER them so they use only the
+# spare slots and cannot displace the names VERDICT r5 item 1 queues.
+DEFER_NEW: tuple[str, ...] = (
+    "ml_mutual_information",
+    "sketch_bloom_membership",
+    "layout_zorder_clustering",
+    "text_fuzzy_join_levenshtein",
+    "events_peak_concurrency",
+    "graph_connected_components",
+    "orders_pareto_skyline",
+    "ml_knn_classifier",
+)
 
 
 def ordered_queries() -> dict[str, QueryFn]:
