@@ -83,6 +83,12 @@ HEADLINE = [
     "ml_bootstrap_mean_ci",
     "sketch_cms_heavy_hitters",
     "join_range_binned",
+    # round 6 additions (new cells have no r1 baseline; cross-round
+    # ratios stay on the common subset)
+    "graph_connected_components",
+    "orders_pareto_skyline",
+    "events_peak_concurrency",
+    "sketch_bloom_membership",
 ]
 
 
@@ -96,18 +102,20 @@ def headline_json(all_reps: dict[str, list[float]], sf_dir: str) -> str:
     estimators per query).  Kept as a pure function so the tail-size
     and no-reps contracts are testable without a SparkSession."""
     timings = {n: round(min(r), 3) for n, r in all_reps.items()}
-    medians = {
-        n: round(statistics.median(r), 2) for n, r in all_reps.items()
-    }
+    medians = [
+        round(statistics.median(all_reps[n]), 2) for n in timings
+    ]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Byte budget: the driver tail is exactly 2,000 chars and the
     # headline must survive intact as the last line, so keys/strings
-    # are kept terse ("med" = per-query median-of-reps).
+    # are kept terse -- "med" is an ARRAY of per-query median-of-reps
+    # values aligned with the "queries" key order (repeating the 33
+    # query names would blow the tail budget).
     return json.dumps(
         {
             "metric": "headline_queries_total_runtime",
             "value": round(sum(timings.values()), 3),
-            "value_median": round(sum(medians.values()), 3),
+            "value_median": round(sum(medians), 3),
             "unit": "sec",
             "estimator": f"min-of-{REPS};med=median-of-{REPS}",
             "queries": timings,

@@ -2095,3 +2095,94 @@ def events_peak_concurrency(
         .crossJoin(F.broadcast(peak_ts))
         .crossJoin(F.broadcast(n_sessions))
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-D Pareto skyline
+# ---------------------------------------------------------------------------
+# The skyline operator (Borzsony/Kossmann/Stocker, ICDE 2001): orders
+# not dominated on (totalprice, orderdate) -- no other order is
+# strictly more expensive AND strictly more recent.  The classic
+# "best trade-offs" query a native engine ships as SKYLINE OF; Spark
+# has no such operator, so it is re-expressed as pure relational
+# algebra with the bucketed two-pass idiom:
+#
+#   1. bucket orders by price band; per-bucket MAX(date) is a tiny
+#      B-row table, and a row is cross-bucket dominated iff the
+#      running MAX(date) over STRICTLY higher bands (every row there
+#      is strictly pricier by construction) exceeds its date;
+#   2. within its own band, compare against the per-distinct-price
+#      running MAX(date) over strictly higher prices -- windows
+#      partitioned per band over the distinct-price table.
+#
+# No O(n^2) dominance join anywhere: the quadratic NOT EXISTS lives
+# only in the oracle (DuckDB's IEJoin handles it at gate scale).
+# Both passes are exact -- double comparisons on identical parquet
+# values -- so the skyline set matches the oracle row-for-row.
+# Scale: pass 1 shuffles once on the band key; pass 2's windows are
+# per-band; the band table (O(B)) broadcasts.
+_SKY_BAND = 20000.0
+
+
+@query(
+    "orders_pareto_skyline",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+    FROM orders o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders q
+        WHERE q.o_totalprice > o.o_totalprice
+          AND q.o_orderdate > o.o_orderdate
+    )
+    """,
+)
+def orders_pareto_skyline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    banded = orders.withColumn(
+        "band",
+        F.floor(F.col("o_totalprice") / _SKY_BAND).cast("int"),
+    )
+    band_max = banded.groupBy("band").agg(
+        F.max("o_orderdate").alias("bmax")
+    )
+    # max date over STRICTLY higher price bands (tiny table, O(B))
+    higher = band_max.withColumn(
+        "hmax",
+        F.max("bmax").over(
+            Window.orderBy(F.col("band").desc()).rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        ),
+    ).select("band", "hmax")
+    # within-band: running max date over strictly higher DISTINCT
+    # prices (grouping first makes "strictly higher" a row boundary)
+    price_max = banded.groupBy("band", "o_totalprice").agg(
+        F.max("o_orderdate").alias("pmax")
+    )
+    wband = (
+        Window.partitionBy("band")
+        .orderBy(F.col("o_totalprice").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = price_max.withColumn(
+        "wmax", F.max("pmax").over(wband)
+    ).select("band", "o_totalprice", "wmax")
+    return (
+        banded.join(F.broadcast(higher), "band")
+        .join(within, ["band", "o_totalprice"])
+        .filter(
+            (
+                F.col("hmax").isNull()
+                | (F.col("hmax") <= F.col("o_orderdate"))
+            )
+            & (
+                F.col("wmax").isNull()
+                | (F.col("wmax") <= F.col("o_orderdate"))
+            )
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )

@@ -493,3 +493,127 @@ def graph_link_prediction_jaccard(
     return scored.orderBy(
         F.desc("jaccard"), F.asc("a"), F.asc("b")
     ).limit(LINKPRED_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Connected components (min-label propagation)
+# ---------------------------------------------------------------------------
+# Community detection's substrate: connected components of the
+# RECURRING co-purchase graph -- parts are adjacent when they appear
+# together in >= 2 distinct orders (the >=2 threshold is what makes
+# the graph sparse and the components meaningful; the raw co-purchase
+# graph is one giant blob, see graph_triangle_count).  Isolated parts
+# are singleton components.  Output: every part with its component id
+# (= the component's minimum part key) and the component size.
+#
+# Spark side: min-label propagation iterated to convergence -- one
+# equi-join + one grouped MIN per round, labels localCheckpoint-ed so
+# lineage stays flat.  Convergence is detected with a SCALAR probe:
+# labels only ever decrease, so the label sum is strictly decreasing
+# until fixpoint -- one cheap agg per round, never a row-wise diff
+# join (same discipline as dedup's label-propagation clustering).
+# Scale: each round is a shuffle join on the edge key; rounds =
+# eccentricity of each component's min node (alternate large/small-
+# star halves the bound if graphs get deeper).  The oracle replays
+# the same fixpoint as a recursive-CTE transitive closure, feasible
+# because thresholding keeps the closure small.
+CC_MIN_SHARED_ORDERS = 2
+CC_MAX_ITERS = 30
+
+
+@query(
+    "graph_connected_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS w
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY u, w
+        HAVING COUNT(*) >= {CC_MIN_SHARED_ORDERS}
+    ),
+    e AS (SELECT u AS src, w AS dst FROM pairs
+          UNION ALL SELECT w, u FROM pairs),
+    reach(v, m) AS (
+        SELECT p_partkey, p_partkey FROM part
+        UNION
+        SELECT e.dst, r.m FROM reach r JOIN e ON e.src = r.v
+    ),
+    comp AS (SELECT v, MIN(m) AS component_id FROM reach GROUP BY v),
+    sizes AS (SELECT component_id,
+                     CAST(COUNT(*) AS BIGINT) AS component_size
+              FROM comp GROUP BY component_id)
+    SELECT v AS part_id, component_id, component_size
+    FROM comp JOIN sizes USING (component_id)
+    """,
+)
+def graph_connected_components(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("w")
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= CC_MIN_SHARED_ORDERS)
+        .select("u", "w")
+    )
+    edges = (
+        pairs.select(F.col("u").alias("src"), F.col("w").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("w").alias("src"), F.col("u").alias("dst")
+            )
+        )
+        .cache()
+    )
+    part = load_table(spark, sf_dir, "part")
+    labels = part.select(
+        F.col("p_partkey").alias("v"),
+        F.col("p_partkey").alias("label"),
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(CC_MAX_ITERS):
+        prop = (
+            edges.join(
+                labels, edges["src"] == labels["v"]
+            )
+            .groupBy("dst")
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(prop, labels["v"] == prop["dst"], "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce("nmin", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        # labels are monotone non-increasing: an unchanged sum IS the
+        # fixpoint (one scalar per round, no row-diff join)
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sizes = labels.groupBy("label").agg(
+        F.count("*").cast("long").alias("component_size")
+    )
+    return labels.join(sizes, "label").select(
+        F.col("v").alias("part_id"),
+        F.col("label").alias("component_id"),
+        "component_size",
+    )

@@ -286,8 +286,9 @@ def layout_dynamic_partition_overwrite(
 # ---------------------------------------------------------------------------
 # Z-order (Morton) clustering layout
 # ---------------------------------------------------------------------------
-# The lakehouse data-layout primitive: interleave the bits of two
-# query dimensions (customer bucket x order-day bucket) into one
+# The audit half of the Z-order story (layout_zorder_index computes
+# the per-row key; this measures the LAYOUT it produces): interleave
+# two query dimensions (customer bucket x order-day bucket) into one
 # Morton sort key, assign rows to files by Z-range, and report each
 # file's min/max envelope on BOTH dimensions.  A Z-ordered layout
 # keeps each file's envelope small on every interleaved dimension at
@@ -319,14 +320,6 @@ def _morton(x: F.Column, y: F.Column) -> F.Column:
     return z
 
 
-def _morton_sql(x: str, y: str) -> str:
-    terms = []
-    for i in range(_Z_BITS):
-        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
-    return " + ".join(terms)
-
-
 @query(
     "layout_zorder_clustering",
     oracle=f"""
@@ -337,7 +330,7 @@ def _morton_sql(x: str, y: str) -> str:
         FROM orders
     ),
     z AS (
-        SELECT xb, yb, ({_morton_sql("xb", "yb")}) AS zkey
+        SELECT xb, yb, ({_interleave_sql("xb", "yb", _Z_BITS)}) AS zkey
         FROM keyed
     )
     SELECT CAST(zkey // 4096 AS BIGINT) AS zfile,

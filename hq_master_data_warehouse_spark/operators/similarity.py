@@ -1039,3 +1039,116 @@ def similarity_rerank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# k-NN classifier over embeddings
+# ---------------------------------------------------------------------------
+# The eval-loop workhorse: classify held-out vectors (vec_id < 10) by
+# majority label among their k=5 nearest neighbors (cosine) in the
+# reference set (vec_id >= 10).  Ties: neighbors by (cosine DESC,
+# vec_id ASC) -- the engine-wide rounded-cosine determinism rule --
+# and the vote by (count DESC, label ASC).  Output also carries the
+# query's true label and a correctness flag, so the driver record IS
+# a measured k-NN accuracy eval.
+#
+# Scale shape: the probe batch is the SMALL side -- it broadcasts
+# against one scan of the reference vectors, per-probe windows
+# partition on query_id, and the vote reduces k rows per probe.
+# For probe batches too large to broadcast, similarity_batch_topk
+# (blocked GEMM) and the ANN family are the documented paths.
+KNN_K = 5
+KNN_N_QUERIES = 10
+
+
+@query(
+    "ml_knn_classifier",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS true_label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+        FROM embeddings WHERE vec_id < {KNN_N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, q.true_label, e.vec_id, e.label,
+               ROUND(list_cosine_similarity(
+                   list_transform(e.embedding,
+                                  x -> CAST(x AS DOUBLE)), q.qe),
+                     6) AS sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id >= {KNN_N_QUERIES}
+    ),
+    topk AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY sim DESC, vec_id ASC) AS rnk
+            FROM scored
+        ) WHERE rnk <= {KNN_K}
+    ),
+    votes AS (
+        SELECT query_id, true_label, label,
+               CAST(COUNT(*) AS BIGINT) AS n_votes,
+               ROUND(AVG(sim), 6) AS mean_sim
+        FROM topk GROUP BY query_id, true_label, label
+    )
+    SELECT query_id, true_label,
+           label AS predicted_label, n_votes, mean_sim,
+           CAST(label = true_label AS BIGINT) AS is_correct
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY n_votes DESC, label ASC) AS vrnk
+        FROM votes
+    ) WHERE vrnk = 1
+    """,
+)
+def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < KNN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qe"),
+    )
+    scored = (
+        emb.filter(F.col("vec_id") >= KNN_N_QUERIES)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "true_label",
+            "vec_id",
+            "label",
+            F.round(
+                cosine_expr(F.col("embedding"), F.col("qe")), 6
+            ).alias("sim"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    topk = scored.withColumn("rnk", F.row_number().over(wk)).filter(
+        F.col("rnk") <= KNN_K
+    )
+    votes = topk.groupBy("query_id", "true_label", "label").agg(
+        F.count("*").cast("long").alias("n_votes"),
+        F.round(F.avg("sim"), 6).alias("mean_sim"),
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("label")
+    )
+    return (
+        votes.withColumn("vrnk", F.row_number().over(wv))
+        .filter(F.col("vrnk") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("label").alias("predicted_label"),
+            "n_votes",
+            "mean_sim",
+            (F.col("label") == F.col("true_label"))
+            .cast("long")
+            .alias("is_correct"),
+        )
+    )

@@ -52,10 +52,12 @@ def test_headline_has_both_estimators_and_no_reps():
     obj = json.loads(headline_json(reps, "/root/testdata/sf0.01"))
     assert "reps" not in obj
     assert set(obj["queries"]) == set(HEADLINE)
-    assert set(obj["med"]) == set(HEADLINE)
+    # "med" is an array aligned with the "queries" key order (names
+    # are not repeated -- tail-budget contract)
+    assert len(obj["med"]) == len(HEADLINE)
     # min of [4,1,2,3] is 1.0; median is 2.5
     assert obj["queries"][HEADLINE[0]] == 1.0
-    assert obj["med"][HEADLINE[0]] == 2.5
+    assert obj["med"][0] == 2.5
     assert obj["value"] == round(1.0 * len(HEADLINE), 3)
     assert obj["value_median"] == round(2.5 * len(HEADLINE), 3)
     assert obj["sf"] == 0.01

@@ -1,0 +1,258 @@
+"""Invariant/property tests for the round-6 capability wave -- each
+new query gets a check that is INDEPENDENT of the DuckDB oracle
+(brute-force recomputation in Python, or a structural invariant),
+per the SURVEY §5 test strategy."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from hq_master_data_warehouse_spark import registry
+from tests.conftest import SF_DIR_001
+
+registry.load_catalog()
+
+
+def _rows(spark, name, sf=SF_DIR_001):
+    return registry.QUERIES[name](spark, sf).collect()
+
+
+def test_mutual_information_bounds(spark):
+    """0 <= I(X;Y) <= min(H(X), H(Y)); recompute from raw counts."""
+    row = _rows(spark, "ml_mutual_information")[0]
+    assert 0.0 <= row.mi_nats <= min(row.h_x, row.h_y) + 1e-9
+
+    con = duckdb.connect()
+    cells = con.execute(
+        "SELECT o_orderpriority, o_orderstatus, COUNT(*) FROM "
+        f"'{SF_DIR_001}/orders.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    t = sum(n for _, _, n in cells)
+    px: dict[str, float] = {}
+    py: dict[str, float] = {}
+    for x, y, n in cells:
+        px[x] = px.get(x, 0) + n / t
+        py[y] = py.get(y, 0) + n / t
+    mi = sum(
+        (n / t) * math.log((n / t) / (px[x] * py[y]))
+        for x, y, n in cells
+    )
+    assert abs(mi - row.mi_nats) < 1e-5
+    assert row.n_cells == len(cells)
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every probed key that IS a build member must pass the filter:
+    n_true == |probe ∩ build| exactly (Bloom's one-sided guarantee)."""
+    row = _rows(spark, "sketch_bloom_membership")[0]
+    con = duckdb.connect()
+    n_members_probed = con.execute(
+        f"""
+        SELECT COUNT(DISTINCT o_custkey)
+        FROM '{SF_DIR_001}/orders.parquet'
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM '{SF_DIR_001}/customer.parquet'
+            WHERE c_mktsegment = 'BUILDING')
+        """
+    ).fetchone()[0]
+    assert row.n_true == n_members_probed
+    assert row.n_pass >= row.n_true  # FPs only ever ADD passes
+    assert row.n_false_pos == row.n_pass - row.n_true
+    assert 0 < row.n_bits_set <= 4096
+
+
+def test_zorder_envelopes_partition_the_table(spark):
+    """zfile row counts sum to the table; every envelope is within
+    the 8-bit dimension domain and area >= the row count can't hold
+    (area >= 1, spans consistent)."""
+    rows = _rows(spark, "layout_zorder_clustering")
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{SF_DIR_001}/orders.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n_rows for r in rows) == n
+    for r in rows:
+        assert 0 <= r.min_x <= r.max_x <= 255
+        assert 0 <= r.min_y <= r.max_y <= 255
+        assert r.envelope_area == (r.max_x - r.min_x + 1) * (
+            r.max_y - r.min_y + 1
+        )
+        assert 0 <= r.zfile <= 15
+
+
+def test_fuzzy_join_distances_brute_force(spark):
+    """Recompute Levenshtein in pure Python for every reported pair,
+    and confirm no qualifying same-block pair was missed."""
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    rows = _rows(spark, "text_fuzzy_join_levenshtein")
+    con = duckdb.connect()
+    freqs = dict(
+        con.execute(
+            f"SELECT p_name, COUNT(*) FROM '{SF_DIR_001}/part.parquet'"
+            " GROUP BY p_name"
+        ).fetchall()
+    )
+    got = {(r.name_a, r.name_b): (r.edit_dist, r.n_part_pairs) for r in rows}
+    names = sorted(freqs)
+    expect = {}
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            if a.split(" ")[0] != b.split(" ")[0]:
+                continue
+            d = lev(a, b)
+            if 1 <= d <= 3:
+                expect[(a, b)] = (d, freqs[a] * freqs[b])
+    assert got == expect
+
+
+def test_peak_concurrency_brute_force(spark):
+    """Replay the sweep in pure Python from raw events."""
+    row = _rows(spark, "events_peak_concurrency")[0]
+    con = duckdb.connect()
+    evs = con.execute(
+        f"SELECT user_id, ts FROM '{SF_DIR_001}/events.parquet'"
+        " ORDER BY user_id, ts"
+    ).fetchall()
+    sessions = []
+    cur_user, start, last = None, None, None
+    for uid, ts in evs:
+        if uid != cur_user or (ts - last).total_seconds() > 1800:
+            if cur_user is not None:
+                sessions.append((start, last))
+            cur_user, start = uid, ts
+        last = ts
+    sessions.append((start, last))
+    assert len(sessions) == row.n_sessions
+    from datetime import timedelta
+
+    eps = [(s, 1) for s, _ in sessions] + [
+        (e + timedelta(seconds=60), -1) for _, e in sessions
+    ]
+    eps.sort(key=lambda p: (p[0], p[1]))
+    peak = run = 0
+    for _, d in eps:
+        run += d
+        peak = max(peak, run)
+    assert peak == row.peak_concurrency
+
+
+def test_connected_components_invariants(spark):
+    """Edges never cross components; component_id is the min member;
+    sizes match the membership lists."""
+    rows = _rows(spark, "graph_connected_components")
+    comp = {r.part_id: r.component_id for r in rows}
+    # every component id is the minimum of its member set
+    members: dict[int, list[int]] = {}
+    for r in rows:
+        members.setdefault(r.component_id, []).append(r.part_id)
+    for cid, ms in members.items():
+        assert cid == min(ms)
+    sizes = {r.component_id: r.component_size for r in rows}
+    for cid, ms in members.items():
+        assert sizes[cid] == len(ms)
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""
+        SELECT a.l_partkey, b.l_partkey
+        FROM (SELECT DISTINCT l_orderkey, l_partkey
+              FROM '{SF_DIR_001}/lineitem.parquet') a
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey
+              FROM '{SF_DIR_001}/lineitem.parquet') b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        """
+    ).fetchall()
+    assert edges, "threshold graph unexpectedly empty at sf0.001"
+    for u, w in edges:
+        assert comp[u] == comp[w], f"edge ({u},{w}) crosses components"
+
+
+def test_skyline_is_exactly_the_undominated_set(spark):
+    """Brute-force dominance over all orders at sf0.001."""
+    rows = _rows(spark, "orders_pareto_skyline")
+    con = duckdb.connect()
+    pts = con.execute(
+        f"SELECT o_orderkey, o_totalprice, o_orderdate"
+        f" FROM '{SF_DIR_001}/orders.parquet'"
+    ).fetchall()
+    sky = {
+        k
+        for k, p, d in pts
+        if not any(p2 > p and d2 > d for _, p2, d2 in pts)
+    }
+    assert {r.o_orderkey for r in rows} == sky
+
+
+def test_knn_classifier_brute_force(spark):
+    """Recompute the 5-NN majority vote with pure-Python cosine."""
+    rows = _rows(spark, "ml_knn_classifier")
+    con = duckdb.connect()
+    vecs = con.execute(
+        f"SELECT vec_id, label, embedding"
+        f" FROM '{SF_DIR_001}/embeddings.parquet'"
+    ).fetchall()
+    ref = [(v, lb, e) for v, lb, e in vecs if v >= 10]
+
+    def cos(a, b):
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(y) ** 2 for y in b))
+        return round(dot / (na * nb), 6)
+
+    by_q = {r.query_id: r for r in rows}
+    for qv, qlb, qe in vecs:
+        if qv >= 10:
+            continue
+        scored = sorted(
+            ((cos(e, qe), v, lb) for v, lb, e in ref),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        votes: dict[int, int] = {}
+        for _, _, lb in scored:
+            votes[lb] = votes.get(lb, 0) + 1
+        pred = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        r = by_q[qv]
+        assert r.predicted_label == pred[0]
+        assert r.n_votes == pred[1]
+        assert r.true_label == qlb
+        assert r.is_correct == int(pred[0] == qlb)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ml_mutual_information",
+        "sketch_bloom_membership",
+        "layout_zorder_clustering",
+        "text_fuzzy_join_levenshtein",
+        "events_peak_concurrency",
+        "orders_pareto_skyline",
+        "ml_knn_classifier",
+    ],
+)
+def test_round6_no_cartesian(spark, name):
+    """No unbounded cartesian product in any round-6 plan (broadcast
+    nested-loop of 1-row/tiny aggregates is the sanctioned scalar
+    join shape; CartesianProduct is not)."""
+    df = registry.QUERIES[name](spark, SF_DIR_001)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
