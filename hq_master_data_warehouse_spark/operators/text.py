@@ -1288,3 +1288,138 @@ def text_fuzzy_join_levenshtein(
             (F.col("freq_a") * F.col("freq_b")).alias("n_part_pairs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction
+# ---------------------------------------------------------------------------
+# Rapid Automatic Keyword Extraction (Rose et al. 2010): candidate
+# phrases are maximal stop-word-free token runs (capped at 4 tokens
+# -- the standard implementation bound, which here also bounds the
+# score arithmetic); each word scores degree/frequency over the
+# candidate-phrase corpus (degree = summed length of phrases it
+# appears in), and a phrase scores the sum of its member-word scores.
+# Top-15 phrases by (score, occurrences, phrase).
+#
+# Exactness: degree and frequency are exact integer counts; each
+# word's score is ONE double division rounded to a DECIMAL(30,6), so
+# the phrase score is an exact decimal sum (order-independent,
+# map-side combinable -- the dec_sum discipline) cast to double once.
+# Scale: tokenization explodes once; every aggregate is a grouped
+# count/sum; the only ordered structure is per-(doc, segment) phrase
+# reassembly (bounded at 4 tokens) and the final top-15 TakeOrdered.
+RAKE_STOPWORDS = ("a", "the")
+RAKE_MAX_PHRASE = 4
+RAKE_TOP_K = 15
+
+
+@query(
+    "text_keyword_rake",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, pos, tok,
+               SUM(CASE WHEN tok IN {RAKE_STOPWORDS} THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   unnest(generate_series(
+                       1, len(string_split(text, ' ')))) AS pos
+            FROM documents
+        )
+    ),
+    members AS (
+        SELECT doc_id, seg, pos, tok
+        FROM toks WHERE tok NOT IN {RAKE_STOPWORDS}
+    ),
+    phr AS (
+        SELECT doc_id, seg, CAST(COUNT(*) AS BIGINT) AS plen
+        FROM members GROUP BY doc_id, seg
+        HAVING COUNT(*) BETWEEN 1 AND {RAKE_MAX_PHRASE}
+    ),
+    occ AS (
+        SELECT m.doc_id, m.seg, m.pos, m.tok, p.plen
+        FROM members m JOIN phr p USING (doc_id, seg)
+    ),
+    wscore AS (
+        SELECT tok,
+               CAST(ROUND(CAST(SUM(plen) AS DOUBLE) / COUNT(*), 6)
+                    AS DECIMAL(30,6)) AS wscore
+        FROM occ GROUP BY tok
+    ),
+    scored AS (
+        SELECT o.doc_id, o.seg,
+               string_agg(o.tok, ' ' ORDER BY o.pos) AS phrase,
+               SUM(w.wscore) AS s
+        FROM occ o JOIN wscore w USING (tok)
+        GROUP BY o.doc_id, o.seg
+    )
+    SELECT phrase,
+           CAST(COUNT(*) AS BIGINT) AS n_occ,
+           CAST(MAX(s) AS DOUBLE) AS rake_score
+    FROM scored
+    GROUP BY phrase
+    ORDER BY rake_score DESC, n_occ DESC, phrase ASC
+    LIMIT {RAKE_TOP_K}
+    """,
+)
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    from pyspark.sql.window import Window
+
+    seg = F.sum(
+        F.when(F.col("tok").isin(*RAKE_STOPWORDS), 1).otherwise(0)
+    ).over(
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    members = (
+        toks.withColumn("seg", seg)
+        .filter(~F.col("tok").isin(*RAKE_STOPWORDS))
+        .select("doc_id", "seg", "pos", "tok")
+    )
+    phr = (
+        members.groupBy("doc_id", "seg")
+        .agg(F.count("*").cast("long").alias("plen"))
+        .filter(F.col("plen").between(1, RAKE_MAX_PHRASE))
+    )
+    occ = members.join(phr, ["doc_id", "seg"])
+    wscore = occ.groupBy("tok").agg(
+        F.round(
+            F.sum("plen").cast("double") / F.count("*"), 6
+        )
+        .cast("decimal(30,6)")
+        .alias("wscore")
+    )
+    scored = (
+        occ.join(F.broadcast(wscore), "tok")
+        .groupBy("doc_id", "seg")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum("wscore").alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("phrase")
+        .agg(
+            F.count("*").cast("long").alias("n_occ"),
+            F.max("s").cast("double").alias("rake_score"),
+        )
+        .orderBy(
+            F.desc("rake_score"), F.desc("n_occ"), F.asc("phrase")
+        )
+        .limit(RAKE_TOP_K)
+    )

@@ -133,6 +133,7 @@ DEFER_NEW: tuple[str, ...] = (
     "graph_connected_components",
     "orders_pareto_skyline",
     "ml_knn_classifier",
+    "text_keyword_rake",
 )
 
 

@@ -256,3 +256,50 @@ def test_round6_no_cartesian(spark, name):
     df = registry.QUERIES[name](spark, SF_DIR_001)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_rake_brute_force(spark):
+    """Replay RAKE in pure Python: stopword segmentation, 4-token
+    phrase cap, degree/freq word scores, decimal-exact phrase sums."""
+    from decimal import Decimal
+
+    rows = _rows(spark, "text_keyword_rake")
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{SF_DIR_001}/documents.parquet'"
+    ).fetchall()
+    stop = {"a", "the"}
+    phrases = []  # list of token tuples
+    for _, text in docs:
+        run: list[str] = []
+        for tok in text.split(" ") + ["a"]:  # sentinel flush
+            if tok in stop:
+                if 1 <= len(run) <= 4:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(tok)
+    freq: dict[str, int] = {}
+    deg: dict[str, int] = {}
+    for p in phrases:
+        for w in p:
+            freq[w] = freq.get(w, 0) + 1
+            deg[w] = deg.get(w, 0) + len(p)
+    wscore = {
+        w: Decimal(str(round(deg[w] / freq[w], 6))) for w in freq
+    }
+    scored: dict[str, list] = {}
+    for p in phrases:
+        s = sum(wscore[w] for w in p)
+        key = " ".join(p)
+        if key not in scored:
+            scored[key] = [0, s]
+        scored[key][0] += 1
+    top = sorted(
+        scored.items(), key=lambda kv: (-kv[1][1], -kv[1][0], kv[0])
+    )[:15]
+    assert [(r.phrase, r.n_occ) for r in rows] == [
+        (k, n) for k, (n, _) in top
+    ]
+    for r, (_, (_, s)) in zip(rows, top):
+        assert abs(r.rake_score - float(s)) < 1e-9
