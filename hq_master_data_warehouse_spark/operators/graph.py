@@ -577,6 +577,10 @@ def graph_connected_components(
                 F.col("w").alias("src"), F.col("u").alias("dst")
             )
         )
+        # hash the cached edge set on the per-round join key: without
+        # this the cache holds the raw 2x-shuffle union layout and
+        # every round scans twice the partitions it needs
+        .repartition("src")
         .cache()
     )
     part = load_table(spark, sf_dir, "part")
@@ -584,27 +588,30 @@ def graph_connected_components(
         F.col("p_partkey").alias("v"),
         F.col("p_partkey").alias("label"),
     ).localCheckpoint()
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(CC_MAX_ITERS):
+    def _step(lab: DataFrame) -> DataFrame:
         prop = (
-            edges.join(
-                labels, edges["src"] == labels["v"]
-            )
+            edges.join(lab, edges["src"] == lab["v"])
             .groupBy("dst")
             .agg(F.min("label").alias("nmin"))
         )
-        labels = (
-            labels.join(prop, labels["v"] == prop["dst"], "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("label"), F.coalesce("nmin", "label")
-                ).alias("label"),
-            )
-            .localCheckpoint()
+        return lab.join(prop, lab["v"] == prop["dst"], "left").select(
+            "v",
+            F.least(
+                F.col("label"), F.coalesce("nmin", "label")
+            ).alias("label"),
         )
-        # labels are monotone non-increasing: an unchanged sum IS the
-        # fixpoint (one scalar per round, no row-diff join)
+
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(CC_MAX_ITERS // 2):
+        # TWO propagation steps per materialization: the thresholded
+        # edge set is small, so wall-clock is dominated by per-round
+        # fixed cost (job scheduling + checkpoint + probe), not by
+        # the joins -- batching steps halves that overhead while
+        # doing identical work
+        labels = _step(_step(labels)).localCheckpoint()
+        # labels are monotone non-increasing per step: an unchanged
+        # sum across a double-step IS the fixpoint (one scalar per
+        # round, no row-diff join)
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             break

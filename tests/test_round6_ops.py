@@ -247,6 +247,7 @@ def test_knn_classifier_brute_force(spark):
         "events_peak_concurrency",
         "orders_pareto_skyline",
         "ml_knn_classifier",
+        "text_keyword_rake",
     ],
 )
 def test_round6_no_cartesian(spark, name):
