@@ -2186,3 +2186,87 @@ def orders_pareto_skyline(
         )
         .select("o_orderkey", "o_totalprice", "o_orderdate")
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil inequality index (decomposable entropy-based concentration)
+# ---------------------------------------------------------------------------
+# The inequality measure that, unlike Gini (agg_gini_revenue), is
+# ADDITIVELY DECOMPOSABLE: total T = within-group + between-group, so
+# a revenue-concentration drill-down by market segment is exact, not
+# heuristic.  Per segment: T_g = (1/n_g) * SUM_i (x_i/mu_g) *
+# ln(x_i/mu_g) over per-customer revenue.
+#
+# Exactness: revenues are exact cent sums; each customer's term is
+# ONE double ratio of exact quantities passed through ln() once and
+# quantized to DECIMAL(38,9) (the events_user_entropy per-cell-ln
+# discipline), so the segment sums are exact decimal sums -- order-
+# independent and map-side combinable.  Scale: one grouped sum per
+# customer (partial-agg), one bounded segment table after; the
+# decomposition identity is pinned by a pytest, not recomputed here.
+@query(
+    "agg_theil_inequality",
+    oracle="""
+    WITH cust_rev AS (
+        SELECT c.c_custkey, c.c_mktsegment AS segment,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100)
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_mktsegment
+    ),
+    seg AS (
+        SELECT segment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS seg_cents
+        FROM cust_rev GROUP BY segment
+    )
+    SELECT r.segment,
+           MAX(s.n_customers) AS n_customers,
+           MAX(s.seg_cents) AS seg_cents,
+           ROUND(CAST(SUM(CAST(ROUND(
+               (r.cents * s.n_customers / CAST(s.seg_cents AS DOUBLE))
+               * ln(r.cents * s.n_customers
+                    / CAST(s.seg_cents AS DOUBLE)), 9)
+               AS DECIMAL(38,9))) AS DOUBLE)
+               / MAX(s.n_customers), 6) AS theil_t
+    FROM cust_rev r JOIN seg s USING (segment)
+    GROUP BY r.segment
+    """,
+)
+def agg_theil_inequality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    cust_rev = (
+        orders.join(
+            customer,
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .groupBy("c_custkey", F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    seg = cust_rev.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("seg_cents"),
+    )
+    joined = cust_rev.join(F.broadcast(seg), "segment")
+    # x_i / mu_g as (cents * n) / seg_cents: one double division of
+    # exact integers, identical in both engines
+    ratio = (
+        F.col("cents") * F.col("n_customers")
+    ) / F.col("seg_cents").cast("double")
+    term = F.round(ratio * F.log(ratio), 9).cast("decimal(38,9)")
+    return joined.groupBy("segment").agg(
+        F.max("n_customers").alias("n_customers"),
+        F.max("seg_cents").alias("seg_cents"),
+        F.round(
+            F.sum(term).cast("double") / F.max("n_customers"), 6
+        ).alias("theil_t"),
+    )

@@ -991,3 +991,81 @@ def dedup_sentences_first_wins(
         .cast("long")
         .alias("n_dropped"),
     )
+
+
+# -- shingle containment: the ASYMMETRIC near-dup metric.  Jaccard
+#    misses subset duplicates (a short doc fully contained in a long
+#    one scores c/(na+nb-c), arbitrarily low as nb grows); containment
+#    C(A in B) = c/|S(A)| stays 1.0.  This is the metric corpus dedup
+#    uses to catch quote-expansion and concatenation dups.  Candidate
+#    generation is the SAME shingle-equality join as dedup_ngram_
+#    jaccard (stop-shingle guard, doc_a < doc_b key order); only the
+#    verification formula changes, so the scale story is inherited
+#    unchanged.  Both directions plus jaccard are emitted so the
+#    caller sees WHY a pair surfaced.
+CONTAINMENT_THRESHOLD = 0.80
+
+
+@query(
+    "dedup_shingle_containment",
+    oracle=f"""
+    WITH rows_f AS ({_SHINGLE_ROWS_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM rows_f GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM rows_f a JOIN rows_f b
+          ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(c AS DOUBLE) / sa.n, 6) AS contain_a_in_b,
+           ROUND(CAST(c AS DOUBLE) / sb.n, 6) AS contain_b_in_a,
+           ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE GREATEST(ROUND(CAST(c AS DOUBLE) / sa.n, 6),
+                   ROUND(CAST(c AS DOUBLE) / sb.n, 6))
+          >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_shingle_containment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    rows = _shingle_rows(spark, sf_dir).cache()
+    sizes = rows.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = rows.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = rows.select(F.col("doc_id").alias("doc_b"), "sh")
+    common = (
+        a.join(b, on="sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+    )
+    c = F.col("c").cast("double")
+    cab = F.round(c / F.col("na"), 6)
+    cba = F.round(c / F.col("nb"), 6)
+    jac = F.round(c / (F.col("na") + F.col("nb") - F.col("c")), 6)
+    return (
+        common.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            cab.alias("contain_a_in_b"),
+            cba.alias("contain_b_in_a"),
+            jac.alias("jaccard"),
+        )
+        .filter(
+            F.greatest(
+                F.col("contain_a_in_b"), F.col("contain_b_in_a")
+            )
+            >= CONTAINMENT_THRESHOLD
+        )
+    )

@@ -134,6 +134,8 @@ DEFER_NEW: tuple[str, ...] = (
     "orders_pareto_skyline",
     "ml_knn_classifier",
     "text_keyword_rake",
+    "dedup_shingle_containment",
+    "agg_theil_inequality",
 )
 
 

@@ -304,3 +304,104 @@ def test_rake_brute_force(spark):
     ]
     for r, (_, (_, s)) in zip(rows, top):
         assert abs(r.rake_score - float(s)) < 1e-9
+
+
+def test_containment_brute_force(spark):
+    """Recompute shingle sets in Python (canonicalize, 3-gram,
+    stop-shingle guard) and check every >=0.8-containment pair is
+    reported with exact values -- including subset dups Jaccard
+    misses."""
+    import re as _re
+
+    rows = _rows(spark, "dedup_shingle_containment")
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{SF_DIR_001}/documents.parquet'"
+    ).fetchall()
+    sets: dict[int, set] = {}
+    counts: dict[str, int] = {}
+    for did, text in docs:
+        toks = _re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        sh = {
+            " ".join(toks[i : i + 3])
+            for i in range(max(0, len(toks) - 2))
+        }
+        sets[did] = sh
+        for s in sh:
+            counts[s] = counts.get(s, 0) + 1
+    hot = {s for s, c in counts.items() if c > 50}
+    sets = {d: sh - hot for d, sh in sets.items()}
+    expect = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            c = len(sets[a] & sets[b])
+            if not c or not sets[a] or not sets[b]:
+                continue
+            cab = round(c / len(sets[a]), 6)
+            cba = round(c / len(sets[b]), 6)
+            if max(cab, cba) >= 0.8:
+                expect[(a, b)] = (
+                    cab,
+                    cba,
+                    round(c / (len(sets[a]) + len(sets[b]) - c), 6),
+                )
+    got = {
+        (r.doc_a, r.doc_b): (
+            r.contain_a_in_b,
+            r.contain_b_in_a,
+            r.jaccard,
+        )
+        for r in rows
+    }
+    assert got == expect
+    # containment dominates jaccard (the reason the metric catches
+    # subset dups jaccard misses): C = c/|A| >= c/|A u B| always
+    assert all(
+        max(cab, cba) >= j - 1e-9 for cab, cba, j in got.values()
+    )
+
+
+def test_theil_decomposition_and_bounds(spark):
+    """Theil is >= 0 per segment, and the additive decomposition
+    total == sum(share_g * T_g) + T_between holds against a raw
+    recomputation."""
+    rows = _rows(spark, "agg_theil_inequality")
+    con = duckdb.connect()
+    raw = con.execute(
+        f"""
+        SELECT c.c_mktsegment,
+               SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+        FROM '{SF_DIR_001}/orders.parquet' o
+        JOIN '{SF_DIR_001}/customer.parquet' c
+          ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_mktsegment
+        """
+    ).fetchall()
+    by_seg: dict[str, list[int]] = {}
+    for seg, cents in raw:
+        by_seg.setdefault(seg, []).append(cents)
+    # per-segment Theil from raw data
+    for r in rows:
+        xs = by_seg[r.segment]
+        mu = sum(xs) / len(xs)
+        t = sum((x / mu) * math.log(x / mu) for x in xs) / len(xs)
+        assert r.theil_t >= 0
+        assert abs(r.theil_t - t) < 1e-5
+        assert r.n_customers == len(xs)
+        assert r.seg_cents == sum(xs)
+    # decomposition: T_total = sum_g s_g T_g + T_between, with
+    # s_g = segment revenue share
+    all_x = [x for xs in by_seg.values() for x in xs]
+    n, tot = len(all_x), sum(all_x)
+    mu = tot / n
+    t_total = sum((x / mu) * math.log(x / mu) for x in all_x) / n
+    t_within = 0.0
+    t_between = 0.0
+    for xs in by_seg.values():
+        sg = sum(xs) / tot
+        mug = sum(xs) / len(xs)
+        tg = sum((x / mug) * math.log(x / mug) for x in xs) / len(xs)
+        t_within += sg * tg
+        t_between += sg * math.log(mug / mu)
+    assert abs(t_total - (t_within + t_between)) < 1e-9
