@@ -2045,18 +2045,25 @@ def events_peak_concurrency(
     sessions = numbered.groupBy("user_id", "session_no").agg(
         F.min("ts").alias("start_ts"),
         F.expr("MAX(ts) + INTERVAL 60 SECONDS").alias("end_ts"),
-    )
+    ).cache()  # read by endpoints AND the n_sessions scalar branch
+    # one explode, not a self-union: a union's branches would each
+    # re-run the whole sessionization (scan + per-user windows) --
+    # explode emits both endpoints from a single pass
     endpoints = sessions.select(
-        F.col("start_ts").alias("ts"),
-        F.lit(1).alias("delta"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("start_ts").alias("ts"),
+                    F.lit(1).alias("delta"),
+                ),
+                F.struct(
+                    F.col("end_ts").alias("ts"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("ep"),
         "user_id",
-    ).unionByName(
-        sessions.select(
-            F.col("end_ts").alias("ts"),
-            F.lit(-1).alias("delta"),
-            "user_id",
-        )
-    )
+    ).select("ep.ts", "ep.delta", "user_id")
     # two-pass distributed prefix sum: per-day buckets, then a prefix
     # over the tiny day-total table (never a global single-partition
     # sort of the endpoints themselves)
@@ -2081,6 +2088,7 @@ def events_peak_concurrency(
     swept = (
         ep.join(F.broadcast(off), "bucket")
         .select("ts", (F.col("offset") + within).alias("open_now"))
+        .cache()  # read by the peak scalar AND the peak_ts filter
     )
     peak = swept.agg(F.max("open_now").cast("long").alias("p"))
     peak_ts = (
