@@ -961,8 +961,13 @@ def sketch_bloom_membership(
             ).alias("pos")
         )
         .distinct()  # <= M rows: the filter IS this tiny bit table
+        .cache()  # probed by the join AND the n_bits_set scalar
     )
-    probe = orders.select(F.col("o_custkey").alias("k")).distinct()
+    probe = (
+        orders.select(F.col("o_custkey").alias("k"))
+        .distinct()
+        .cache()  # read by probe_pos AND the n_probed scalar
+    )
     probe_pos = probe.select(
         "k",
         F.explode(
@@ -974,7 +979,9 @@ def sketch_bloom_membership(
         .groupBy("k")
         .agg(F.count("*").alias("n_hit"))
     )
-    passed = hits.filter(F.col("n_hit") == BLOOM_K).select("k")
+    passed = (
+        hits.filter(F.col("n_hit") == BLOOM_K).select("k").cache()
+    )  # read by the n_pass scalar AND the n_true semi-join
     n_true = passed.join(build, "k", "left_semi").agg(
         F.count("*").cast("long").alias("n_true")
     )

@@ -2153,7 +2153,7 @@ def orders_pareto_skyline(
     banded = orders.withColumn(
         "band",
         F.floor(F.col("o_totalprice") / _SKY_BAND).cast("int"),
-    )
+    ).cache()  # read by band_max, price_max, and the final join
     band_max = banded.groupBy("band").agg(
         F.max("o_orderdate").alias("bmax")
     )
@@ -2259,6 +2259,7 @@ def agg_theil_inequality(
             .cast("long")
             .alias("cents")
         )
+        .cache()  # read by the segment rollup AND the term join
     )
     seg = cust_rev.groupBy("segment").agg(
         F.count("*").cast("long").alias("n_customers"),

@@ -2710,6 +2710,7 @@ def ml_mutual_information(
             F.col("o_orderstatus").alias("y"),
         )
         .agg(F.count("*").cast("long").alias("n"))
+        .cache()  # bounded cell table read by tot/mx/my and the join
     )
     tot = c.agg(F.sum("n").cast("double").alias("t"))
     mx = c.groupBy("x").agg(F.sum("n").cast("double").alias("nx"))

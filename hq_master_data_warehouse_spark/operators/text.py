@@ -1382,13 +1382,14 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.withColumn("seg", seg)
         .filter(~F.col("tok").isin(*RAKE_STOPWORDS))
         .select("doc_id", "seg", "pos", "tok")
+        .cache()  # read by the phrase-length filter AND the occ join
     )
     phr = (
         members.groupBy("doc_id", "seg")
         .agg(F.count("*").cast("long").alias("plen"))
         .filter(F.col("plen").between(1, RAKE_MAX_PHRASE))
     )
-    occ = members.join(phr, ["doc_id", "seg"])
+    occ = members.join(phr, ["doc_id", "seg"]).cache()
     wscore = occ.groupBy("tok").agg(
         F.round(
             F.sum("plen").cast("double") / F.count("*"), 6
