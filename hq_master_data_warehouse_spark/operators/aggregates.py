@@ -1011,3 +1011,76 @@ def sketch_bloom_membership(
             6,
         ).alias("fp_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap algebra: streaks and week overlap from the day bitmap
+# ---------------------------------------------------------------------------
+# What makes day bitmaps (events_activity_bitmap) more than a count:
+# set algebra on the packed form.  mask & (mask << 1) marks every
+# consecutive-day pair, and slicing 7-bit windows answers "active in
+# week w" without re-touching raw events -- the roaring-bitmap
+# workflow for retention at 100 TB, where the bitmap table is
+# per-user-month rows and every derived metric is O(1) bit math in
+# whole-stage codegen.  Both engines share the same shift/AND/
+# bit_count semantics on BIGINT (day bits 0..30, far from the sign
+# bit).
+@query(
+    "events_bitmap_week_overlap",
+    oracle="""
+    WITH b AS (
+        SELECT user_id,
+               bit_or(1::BIGINT << (CAST(day(CAST(ts AS TIMESTAMP))
+                                         AS INT) - 1)) AS mask
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(bit_count(mask) AS BIGINT) AS active_days,
+           CAST(bit_count(mask & (mask << 1)) AS BIGINT)
+               AS consec_day_pairs,
+           CAST((CASE WHEN (mask & 127) <> 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN ((mask >> 7) & 127) <> 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN ((mask >> 14) & 127) <> 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN ((mask >> 21) & 127) <> 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS weeks_active,
+           CAST(CASE WHEN (mask & 127) <> 0
+                      AND ((mask >> 7) & 127) <> 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS w1_w2_retained
+    FROM b
+    """,
+)
+def events_bitmap_week_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # SQL shiftleft takes a column shift amount (the Python builtin
+    # only accepts a literal int)
+    mask_bit = F.expr(
+        "shiftleft(cast(1 as bigint), "
+        "day(cast(ts as timestamp)) - 1)"
+    )
+    b = events.groupBy("user_id").agg(
+        F.bit_or(mask_bit).alias("mask")
+    )
+    m = F.col("mask")
+
+    def week_any(w: int) -> F.Column:
+        return F.when(
+            F.shiftright(m, 7 * w).bitwiseAND(F.lit(127)) != 0, 1
+        ).otherwise(0)
+
+    return b.select(
+        "user_id",
+        F.bit_count(m).cast("long").alias("active_days"),
+        F.bit_count(m.bitwiseAND(F.shiftleft(m, 1)))
+        .cast("long")
+        .alias("consec_day_pairs"),
+        (week_any(0) + week_any(1) + week_any(2) + week_any(3))
+        .cast("long")
+        .alias("weeks_active"),
+        F.when((week_any(0) == 1) & (week_any(1) == 1), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("w1_w2_retained"),
+    )

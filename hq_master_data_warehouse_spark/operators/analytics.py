@@ -2279,3 +2279,75 @@ def agg_theil_inequality(
             F.sum(term).cast("double") / F.max("n_customers"), 6
         ).alias("theil_t"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily revenue drawdown (running-peak analytics)
+# ---------------------------------------------------------------------------
+# The time-series risk shape SQL engines ship as MAX() OVER running
+# frames: cumulative daily revenue, its running peak, and the
+# peak-to-trough drawdown per day.  The same clamped-recurrence trick
+# (x_t = S_t - min prefix of S) powers backlog simulation; here the
+# direct running-max form suffices.  All values are exact cent longs,
+# and the windows run over the bounded DAY domain (one row per day --
+# the engine's documented bounded-domain single-partition idiom, same
+# as the open-orders sweep); the raw scan reduces to that domain in
+# one map-side-combinable pass.
+@query(
+    "orders_daily_drawdown",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS day_cents
+        FROM orders GROUP BY day
+    ),
+    cum AS (
+        SELECT day, day_cents,
+               SUM(day_cents) OVER (ORDER BY day
+                                    ROWS UNBOUNDED PRECEDING)
+                   AS cum_cents
+        FROM daily
+    ),
+    series AS (
+        SELECT day, day_cents, cum_cents,
+               MAX(cum_cents) OVER (ORDER BY day
+                                    ROWS UNBOUNDED PRECEDING)
+                   AS peak_cents
+        FROM cum
+    )
+    SELECT day, day_cents,
+           CAST(cum_cents AS BIGINT) AS cum_cents,
+           CAST(peak_cents AS BIGINT) AS peak_cents,
+           CAST(peak_cents - cum_cents AS BIGINT) AS drawdown_cents
+    FROM series
+    """,
+)
+def orders_daily_drawdown(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("day_cents")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    series = daily.select(
+        "day",
+        "day_cents",
+        F.sum("day_cents").over(w).cast("long").alias("cum_cents"),
+    )
+    return series.select(
+        "day",
+        "day_cents",
+        "cum_cents",
+        F.max("cum_cents").over(w).cast("long").alias("peak_cents"),
+        (F.max("cum_cents").over(w) - F.col("cum_cents"))
+        .cast("long")
+        .alias("drawdown_cents"),
+    )

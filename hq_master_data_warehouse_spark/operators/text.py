@@ -1424,3 +1424,117 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(RAKE_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit
+# ---------------------------------------------------------------------------
+# Corpus-statistics health check: regress ln(frequency) on ln(rank)
+# over the whole-corpus vocabulary; the slope is the (negative) Zipf
+# exponent, and R^2 says how Zipfian the token distribution is --
+# the quick screen for degenerate/synthetic corpora before training.
+#
+# Exactness: frequencies are exact counts; rank is a ROW_NUMBER over
+# the BOUNDED vocabulary (count DESC, word ASC); ln() hits exact
+# integers once per word and is rounded to 9 decimals, products of
+# those identical doubles are rounded and quantized to DECIMAL(38,9),
+# so every OLS moment is an exact decimal sum (the ml_ols closed-form
+# discipline).  Scale: one token explode + one grouped count; all
+# later stages run on the vocabulary domain.
+@query(
+    "text_zipf_fit",
+    oracle="""
+    WITH freq AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+            SELECT unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ) GROUP BY tok
+    ),
+    ranked AS (
+        SELECT tok, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS rnk
+        FROM freq
+    ),
+    pts AS (
+        SELECT CAST(ROUND(ln(CAST(rnk AS DOUBLE)), 9) AS DOUBLE) AS x,
+               CAST(ROUND(ln(CAST(n AS DOUBLE)), 9) AS DOUBLE) AS y
+        FROM ranked
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nv,
+               CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(38,9)))
+                    AS DOUBLE) AS sx,
+               CAST(SUM(CAST(ROUND(y, 9) AS DECIMAL(38,9)))
+                    AS DOUBLE) AS sy,
+               CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(38,9)))
+                    AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(38,9)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(ROUND(y * y, 9) AS DECIMAL(38,9)))
+                    AS DOUBLE) AS syy
+        FROM pts
+    )
+    SELECT nv AS n_vocab,
+           ROUND((nv * sxy - sx * sy) / (nv * sxx - sx * sx), 6)
+               AS zipf_slope,
+           ROUND((sy - (nv * sxy - sx * sy) / (nv * sxx - sx * sx)
+                       * sx) / nv, 6) AS intercept,
+           ROUND(POWER(nv * sxy - sx * sy, 2)
+                 / ((nv * sxx - sx * sx) * (nv * syy - sy * sy)), 6)
+               AS r2
+    FROM mom
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    ranked = freq.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.desc("n"), F.asc("tok"))
+        ),
+    )
+    x = F.round(F.log(F.col("rnk").cast("double")), 9)
+    y = F.round(F.log(F.col("n").cast("double")), 9)
+    pts = ranked.select(x.alias("x"), y.alias("y"))
+
+    def dsum(expr, alias):
+        return (
+            F.sum(F.round(expr, 9).cast("decimal(38,9)"))
+            .cast("double")
+            .alias(alias)
+        )
+
+    mom = pts.agg(
+        F.count("*").cast("long").alias("nv"),
+        dsum(F.col("x"), "sx"),
+        dsum(F.col("y"), "sy"),
+        dsum(F.col("x") * F.col("y"), "sxy"),
+        dsum(F.col("x") * F.col("x"), "sxx"),
+        dsum(F.col("y") * F.col("y"), "syy"),
+    )
+    nv = F.col("nv")
+    num = nv * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = nv * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    return mom.select(
+        nv.alias("n_vocab"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / nv, 6
+        ).alias("intercept"),
+        F.round(
+            F.pow(num, 2)
+            / (den * (nv * F.col("syy") - F.col("sy") * F.col("sy"))),
+            6,
+        ).alias("r2"),
+    )

@@ -136,6 +136,9 @@ DEFER_NEW: tuple[str, ...] = (
     "text_keyword_rake",
     "dedup_shingle_containment",
     "agg_theil_inequality",
+    "orders_daily_drawdown",
+    "text_zipf_fit",
+    "events_bitmap_week_overlap",
 )
 
 

@@ -405,3 +405,70 @@ def test_theil_decomposition_and_bounds(spark):
         t_within += sg * tg
         t_between += sg * math.log(mug / mu)
     assert abs(t_total - (t_within + t_between)) < 1e-9
+
+
+def test_drawdown_identities(spark):
+    """Drawdown is peak - cum, peak is the running max, cum telescopes
+    to the sum of day revenues; replay in Python."""
+    rows = sorted(_rows(spark, "orders_daily_drawdown"),
+                  key=lambda r: r.day)
+    cum = peak = 0
+    for r in rows:
+        cum += r.day_cents
+        peak = max(peak, cum)
+        assert r.cum_cents == cum
+        assert r.peak_cents == peak
+        assert r.drawdown_cents == peak - cum
+        assert r.drawdown_cents >= 0
+
+
+def test_zipf_fit_matches_numpy(spark):
+    """Slope/intercept/R^2 agree with a float64 polyfit on the same
+    (ln rank, ln freq) points."""
+    import numpy as np
+
+    row = _rows(spark, "text_zipf_fit")[0]
+    con = duckdb.connect()
+    freqs = con.execute(
+        f"""
+        SELECT tok, COUNT(*) FROM (
+            SELECT unnest(string_split(text, ' ')) AS tok
+            FROM '{SF_DIR_001}/documents.parquet'
+        ) GROUP BY tok ORDER BY 2 DESC, 1 ASC
+        """
+    ).fetchall()
+    x = np.log(np.arange(1, len(freqs) + 1, dtype=float))
+    y = np.log(np.array([n for _, n in freqs], dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    r = np.corrcoef(x, y)[0, 1]
+    assert row.n_vocab == len(freqs)
+    assert abs(row.zipf_slope - slope) < 1e-4
+    assert abs(row.intercept - intercept) < 1e-4
+    assert abs(row.r2 - r * r) < 1e-4
+    assert row.zipf_slope < 0  # frequency decreases with rank
+
+
+def test_bitmap_week_overlap_brute_force(spark):
+    """Replay the bit algebra from raw event days per user."""
+    rows = {r.user_id: r for r in _rows(spark, "events_bitmap_week_overlap")}
+    con = duckdb.connect()
+    evs = con.execute(
+        f"SELECT user_id, day(CAST(ts AS TIMESTAMP))"
+        f" FROM '{SF_DIR_001}/events.parquet'"
+    ).fetchall()
+    days: dict[int, set] = {}
+    for uid, d in evs:
+        days.setdefault(uid, set()).add(d)
+    assert set(rows) == set(days)
+    for uid, ds in days.items():
+        r = rows[uid]
+        assert r.active_days == len(ds)
+        assert r.consec_day_pairs == sum(
+            1 for d in ds if d + 1 in ds
+        )
+        weeks = [
+            any(7 * w + 1 <= d <= 7 * w + 7 for d in ds)
+            for w in range(4)
+        ]
+        assert r.weeks_active == sum(weeks)
+        assert r.w1_w2_retained == int(weeks[0] and weeks[1])
