@@ -1084,3 +1084,179 @@ def events_bitmap_week_overlap(
         .cast("long")
         .alias("w1_w2_retained"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: union merge + inclusion-exclusion intersection
+# ---------------------------------------------------------------------------
+# What mergeability is FOR: the urgent-priority and low-priority
+# customer populations are sketched SEPARATELY (as a per-partition /
+# per-day pipeline would), the union cardinality comes from the
+# cell-wise MAX merge of the two register sets -- never from
+# re-reading raw data -- and the intersection follows by
+# inclusion-exclusion |A ∩ B| = |A| + |B| - |A ∪ B|.  Every register
+# and estimate is md5-exact cross-engine (the sketch_hll_distinct
+# machinery); exact truth columns ride along so the driver record
+# doubles as an error-bound eval.  Intersection via inc-exc inherits
+# BOTH sketches' error -- the documented contract of HLL set algebra
+# (theta sketches fix this; KMV above covers that family).
+_HLL_SIDE_A = "('1-URGENT', '2-HIGH')"
+_HLL_SIDE_B = "('4-NOT SPECIFIED', '5-LOW')"
+
+
+def _hll_regs_sql(pred: str) -> str:
+    return f"""
+        SELECT u32 % {_HLL_M} AS bucket,
+               MAX({_hll_rank_sql(f"(u32 // {_HLL_M})")}) AS m_j
+        FROM (
+            SELECT CAST(concat('0x',
+                       substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))
+                       AS BIGINT) AS u32
+            FROM orders WHERE o_orderpriority IN {pred}
+        ) GROUP BY bucket
+    """
+
+
+def _hll_est_sql(regs: str, alias: str) -> str:
+    return f"""
+        SELECT ROUND(CASE WHEN raw <= 2.5 * {_HLL_M} AND v_zero > 0
+                     THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE)
+                                        / v_zero)
+                     ELSE raw END, 2) AS {alias}
+        FROM (
+            SELECT {_HLL_M} - n_used AS v_zero,
+                   {_HLL_AMM!r}
+                       / (CAST(z_used AS DOUBLE)
+                          + ({_HLL_M} - n_used)) AS raw
+            FROM (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+                       SUM(({_HLL_POW_SQL})[m_j + 1]) AS z_used
+                FROM {regs}
+            )
+        )
+    """
+
+
+@query(
+    "sketch_hll_set_algebra",
+    oracle=f"""
+    WITH ra AS ({_hll_regs_sql(_HLL_SIDE_A)}),
+    rb AS ({_hll_regs_sql(_HLL_SIDE_B)}),
+    ru AS (
+        SELECT bucket, MAX(m_j) AS m_j
+        FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+        GROUP BY bucket
+    ),
+    ea AS ({_hll_est_sql("ra", "est_a")}),
+    eb AS ({_hll_est_sql("rb", "est_b")}),
+    eu AS ({_hll_est_sql("ru", "est_union")}),
+    truth AS (
+        SELECT
+            (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+             FROM orders
+             WHERE o_orderpriority IN {_HLL_SIDE_A}) AS true_a,
+            (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+             FROM orders
+             WHERE o_orderpriority IN {_HLL_SIDE_B}) AS true_b,
+            (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+             FROM orders
+             WHERE o_orderpriority IN {_HLL_SIDE_A}
+                OR o_orderpriority IN {_HLL_SIDE_B}) AS true_union
+    )
+    SELECT est_a, est_b, est_union,
+           ROUND(est_a + est_b - est_union, 2) AS est_intersection,
+           true_a, true_b, true_union,
+           true_a + true_b - true_union AS true_intersection
+    FROM ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN truth
+    """,
+)
+def sketch_hll_set_algebra(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    sides = {
+        "a": ("1-URGENT", "2-HIGH"),
+        "b": ("4-NOT SPECIFIED", "5-LOW"),
+    }
+    u32 = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+    def regs(pred):
+        split = orders.filter(pred).select(
+            (u32 % _HLL_M).alias("bucket"),
+            F.floor(u32 / _HLL_M).cast("long").alias("w"),
+        )
+        return split.groupBy("bucket").agg(
+            F.max(_hll_rank(F.col("w"))).alias("m_j")
+        )
+
+    def estimate(r, alias):
+        pow_arr = F.array(
+            *[F.lit(p).cast("decimal(30,28)") for p in _HLL_POW]
+        )
+        z = r.agg(
+            F.count("*").cast("long").alias("n_used"),
+            F.sum(
+                F.element_at(pow_arr, F.col("m_j") + 1)
+            ).alias("z_used"),
+        )
+        v_zero = _HLL_M - F.col("n_used")
+        raw = F.lit(_HLL_AMM) / (
+            F.col("z_used").cast("double") + v_zero
+        )
+        return z.select(
+            F.round(
+                F.when(
+                    (raw <= 2.5 * _HLL_M) & (v_zero > 0),
+                    _HLL_M
+                    * F.log(
+                        F.lit(float(_HLL_M)) / v_zero.cast("double")
+                    ),
+                ).otherwise(raw),
+                2,
+            ).alias(alias)
+        )
+
+    pa = F.col("o_orderpriority").isin(*sides["a"])
+    pb = F.col("o_orderpriority").isin(*sides["b"])
+    ra, rb = regs(pa), regs(pb)
+    # the merge IS the point: cell-wise MAX of the two register sets
+    ru = (
+        ra.unionByName(rb)
+        .groupBy("bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    truth = orders.agg(
+        F.countDistinct(
+            F.when(pa, F.col("o_custkey"))
+        ).cast("long").alias("true_a"),
+        F.countDistinct(
+            F.when(pb, F.col("o_custkey"))
+        ).cast("long").alias("true_b"),
+        F.countDistinct(
+            F.when(pa | pb, F.col("o_custkey"))
+        ).cast("long").alias("true_union"),
+    )
+    out = (
+        estimate(ra, "est_a")
+        .crossJoin(F.broadcast(estimate(rb, "est_b")))
+        .crossJoin(F.broadcast(estimate(ru, "est_union")))
+        .crossJoin(F.broadcast(truth))
+    )
+    return out.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        F.round(
+            F.col("est_a") + F.col("est_b") - F.col("est_union"), 2
+        ).alias("est_intersection"),
+        "true_a",
+        "true_b",
+        "true_union",
+        (
+            F.col("true_a") + F.col("true_b") - F.col("true_union")
+        ).alias("true_intersection"),
+    )

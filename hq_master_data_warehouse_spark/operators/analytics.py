@@ -2351,3 +2351,81 @@ def orders_daily_drawdown(
         .cast("long")
         .alias("drawdown_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Clamped backlog recurrence (queue simulation)
+# ---------------------------------------------------------------------------
+# Supply-chain / queueing's daily backlog: carried work can never go
+# negative, so backlog_t = max(0, backlog_{t-1} + demand_t - cap).
+# The recurrence LOOKS sequential, but has the closed form
+# backlog_t = S_t - min(0, min_{s<=t} S_s) with S the running sum of
+# (demand - capacity) -- two window passes, no iteration (the same
+# de-recursion family as the Holt/SES unrollings).  Capacity is the
+# ceiling of mean daily demand, an exact integer derived from the
+# data itself (no magic constant), broadcast as a 1-row scalar.  All
+# arithmetic is exact longs over the bounded day domain.
+@query(
+    "orders_backlog_clamped",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS demand
+        FROM orders GROUP BY day
+    ),
+    cap AS (
+        SELECT CAST((SUM(demand) + COUNT(*) - 1) // COUNT(*)
+                    AS BIGINT) AS capacity
+        FROM daily
+    ),
+    s AS (
+        SELECT day, demand, capacity,
+               SUM(demand - capacity) OVER (ORDER BY day
+                                            ROWS UNBOUNDED PRECEDING)
+                   AS st
+        FROM daily CROSS JOIN cap
+    ),
+    closed AS (
+        SELECT day, demand, capacity, st,
+               MIN(st) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   AS runmin
+        FROM s
+    )
+    SELECT day, demand, capacity,
+           CAST(st - LEAST(runmin, 0) AS BIGINT) AS backlog
+    FROM closed
+    """,
+)
+def orders_backlog_clamped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(F.count("*").cast("long").alias("demand"))
+    cap = daily.agg(
+        (
+            (F.sum("demand") + F.count("*") - 1)
+            / F.count("*")
+        )
+        .cast("long")
+        .alias("capacity")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    s = daily.crossJoin(F.broadcast(cap)).withColumn(
+        "st",
+        F.sum(F.col("demand") - F.col("capacity")).over(w),
+    )
+    return s.select(
+        "day",
+        "demand",
+        "capacity",
+        (
+            F.col("st")
+            - F.least(F.min("st").over(w), F.lit(0).cast("long"))
+        )
+        .cast("long")
+        .alias("backlog"),
+    )

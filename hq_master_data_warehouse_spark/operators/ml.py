@@ -1624,3 +1624,88 @@ def ml_silhouette_simplified(
             F.sum("sil").cast("double") / F.count("*") / _SIL_S, 6
         ).alias("mean_silhouette"),
     )
+
+
+# -- exact ROC AUC via the Mann-Whitney rank-sum identity:
+#    AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg), where R_pos
+#    is the sum of the positives' ranks under (margin ASC, vec_id)
+#    -- the engine's established deterministic ordering for the toy
+#    linear margin (same convention as ml_lift_gains_table).  Ranks
+#    and rank sums are exact integers, so the statistic is ONE double
+#    division of exact longs -- bit-identical cross-engine with no
+#    quantization step at all.  The eval-set rank runs as a window
+#    over the bounded scored set (the ml-family convention; at corpus
+#    scale swap in the two-pass _global_rank like orders_rfm_scores).
+@query(
+    "ml_roc_auc_exact",
+    oracle=f"""
+    WITH m AS (
+        SELECT vec_id,
+               CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS pos,
+               list_sum(list_transform(
+                   generate_series(1, {EMB_DIM}),
+                   i -> CAST(embedding[i] AS DOUBLE) * ({_W_SQL})[i]
+               )) + {BIAS!r} AS margin
+        FROM embeddings
+    ),
+    ranked AS (
+        SELECT pos,
+               ROW_NUMBER() OVER (ORDER BY margin ASC, vec_id ASC)
+                   AS rnk
+        FROM m
+    ),
+    s AS (
+        SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg,
+               CAST(SUM(CASE WHEN pos = 1 THEN rnk ELSE 0 END)
+                    AS BIGINT) AS rank_sum_pos
+        FROM ranked
+    )
+    SELECT n_pos, n_neg, rank_sum_pos,
+           ROUND((rank_sum_pos - n_pos * (n_pos + 1) / 2.0)
+                 / (n_pos * n_neg), 6) AS auc
+    FROM s
+    """,
+)
+def ml_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = F.array(*[F.lit(x) for x in WEIGHTS])
+    prod = F.zip_with(
+        F.col("embedding"), w, lambda x, wi: x.cast("double") * wi
+    )
+    margin = (
+        F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v) + BIAS
+    )
+    m = emb.select(
+        "vec_id",
+        (F.col("label") % 2 == 1).cast("int").alias("pos"),
+        margin.alias("margin"),
+    )
+    ranked = m.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.asc("margin"), F.asc("vec_id"))
+        ),
+    )
+    s = ranked.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        (F.count("*") - F.sum("pos")).cast("long").alias("n_neg"),
+        F.sum(F.when(F.col("pos") == 1, F.col("rnk")).otherwise(0))
+        .cast("long")
+        .alias("rank_sum_pos"),
+    )
+    return s.select(
+        "n_pos",
+        "n_neg",
+        "rank_sum_pos",
+        F.round(
+            (
+                F.col("rank_sum_pos")
+                - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
+            )
+            / (F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )

@@ -139,6 +139,9 @@ DEFER_NEW: tuple[str, ...] = (
     "orders_daily_drawdown",
     "text_zipf_fit",
     "events_bitmap_week_overlap",
+    "ml_roc_auc_exact",
+    "orders_backlog_clamped",
+    "sketch_hll_set_algebra",
 )
 
 

@@ -472,3 +472,73 @@ def test_bitmap_week_overlap_brute_force(spark):
         ]
         assert r.weeks_active == sum(weeks)
         assert r.w1_w2_retained == int(weeks[0] and weeks[1])
+
+
+def test_roc_auc_matches_sklearn_style(spark):
+    """Exact AUC equals the O(n^2) pair-counting definition under the
+    engine's deterministic (margin, vec_id) tie order."""
+    row = _rows(spark, "ml_roc_auc_exact")[0]
+    con = duckdb.connect()
+    vecs = con.execute(
+        f"SELECT vec_id, label, embedding"
+        f" FROM '{SF_DIR_001}/embeddings.parquet'"
+    ).fetchall()
+    from hq_master_data_warehouse_spark.operators.ml import (
+        BIAS,
+        WEIGHTS,
+    )
+
+    scored = sorted(
+        (
+            (
+                sum(float(x) * w for x, w in zip(e, WEIGHTS)) + BIAS,
+                v,
+                lb % 2,
+            )
+            for v, lb, e in vecs
+        ),
+    )
+    # pair counting on the totally-ordered sequence
+    pos_seen = 0
+    pairs = 0
+    for _, _, p in reversed(scored):  # descending margin
+        if p == 1:
+            pos_seen += 1
+        else:
+            pairs += pos_seen  # negatives ranked below these positives
+    n_pos = sum(p for _, _, p in scored)
+    n_neg = len(scored) - n_pos
+    assert row.n_pos == n_pos and row.n_neg == n_neg
+    assert abs(row.auc - pairs / (n_pos * n_neg)) < 1e-6
+
+
+def test_backlog_clamped_recurrence(spark):
+    """The closed form equals the direct max(0, prev + d - cap)
+    recurrence replayed in Python."""
+    rows = sorted(_rows(spark, "orders_backlog_clamped"),
+                  key=lambda r: r.day)
+    cap = rows[0].capacity
+    backlog = 0
+    for r in rows:
+        backlog = max(0, backlog + r.demand - cap)
+        assert r.backlog == backlog
+        assert r.capacity == cap
+        assert r.backlog >= 0
+
+
+def test_hll_set_algebra_consistency(spark):
+    """Union estimate from merged registers is >= each side's
+    estimate (registers only grow under MAX-merge), inc-exc holds by
+    construction, and the estimates land within the documented HLL
+    error envelope of the exact truths."""
+    row = _rows(spark, "sketch_hll_set_algebra")[0]
+    assert row.est_union >= max(row.est_a, row.est_b) - 1e-9
+    assert abs(
+        row.est_intersection
+        - (row.est_a + row.est_b - row.est_union)
+    ) < 0.011  # round-2 arithmetic
+    # m=64 -> ~13% relative standard error; 4 sigma envelope
+    for est, true in ((row.est_a, row.true_a),
+                      (row.est_b, row.true_b),
+                      (row.est_union, row.true_union)):
+        assert abs(est - true) <= 0.52 * true + 5
