@@ -2429,3 +2429,70 @@ def orders_backlog_clamped(
         .cast("long")
         .alias("backlog"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-pattern funnel (MATCH_RECOGNIZE-lite)
+# ---------------------------------------------------------------------------
+# Behavioral pattern matching without a row-pattern engine: each
+# user's event-type sequence collapses to an ordered initials string
+# (c/s/e/v/p), and funnel conversions are regex matches of
+# 'v[^p]*p' -- a view followed by a purchase with no purchase in
+# between, each purchase consumed once (the non-overlapping scan both
+# Java regex and RE2 share for this alternation-free pattern).  This
+# is the sequence-as-string idiom that expresses MATCH_RECOGNIZE
+# classes Spark lacks natively.  Scale: per-user strings are bounded
+# by per-user event counts; the collect/sort runs partitioned per
+# user, and the regex is one JVM-side expression.
+FUNNEL_PATTERN = "v[^p]*p"
+
+
+@query(
+    "events_pattern_regex_funnel",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(len(regexp_extract_all(s, '{FUNNEL_PATTERN}'))
+                AS BIGINT) AS n_conversions,
+           CAST(len(regexp_extract_all(s, '{FUNNEL_PATTERN}')) > 0
+                AS BIGINT) AS converted
+    FROM seq
+    """,
+)
+def events_pattern_regex_funnel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    seq = events.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts",
+                            "event_id",
+                            F.substring("event_type", 1, 1).alias(
+                                "i"
+                            ),
+                        )
+                    )
+                ),
+                lambda r: r["i"],
+            ),
+            "",
+        ).alias("s"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    n_conv = F.regexp_count(F.col("s"), F.lit(FUNNEL_PATTERN))
+    return seq.select(
+        "user_id",
+        "n_events",
+        n_conv.cast("long").alias("n_conversions"),
+        (n_conv > 0).cast("long").alias("converted"),
+    )

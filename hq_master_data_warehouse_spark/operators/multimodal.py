@@ -722,3 +722,120 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     binary = with_binary_payload(docs).select("doc_id", "payload")
     return binary.mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (pHash) image near-dup
+# ---------------------------------------------------------------------------
+_PHASH_SCHEMA = "doc_id long, phash string, band0 int, band1 int, band2 int, band3 int"
+
+
+def phash64(pixels: bytes, w: int, h: int) -> int:
+    """64-bit DCT perceptual hash of an RGB image: luma -> 8x8 average
+    pool -> 2D DCT-II -> sign of the 64 lowest-frequency coefficients
+    against their median (DC excluded from the median, standard
+    pHash).  Pure deterministic numpy float64 -- identical input
+    bytes always give identical hashes."""
+    import numpy as np
+
+    px = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
+    luma = (
+        0.299 * px[:, :, 0]
+        + 0.587 * px[:, :, 1]
+        + 0.114 * px[:, :, 2]
+    )
+    # average-pool to 8x8 (inputs here are already 8x8 or small;
+    # general path pools by integer blocks)
+    bh, bw = max(1, h // 8), max(1, w // 8)
+    pooled = luma[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(
+        axis=(1, 3)
+    )
+    n = 8
+    k = np.arange(n)
+    basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    coefs = basis @ pooled @ basis.T
+    flat = coefs.flatten()
+    med = float(np.median(flat[1:]))
+    bits = 0
+    for i, v in enumerate(flat):
+        if v > med:
+            bits |= 1 << i
+    return bits
+
+
+def _phash_batches(batches):
+    import pandas as pd
+
+    w = h = 8
+    need = w * h * 3
+    for pdf in batches:
+        out = {"doc_id": pdf["doc_id"], "phash": [],
+               "band0": [], "band1": [], "band2": [], "band3": []}
+        for raw in pdf["payload"]:
+            buf = (bytes(raw) + b"x" * need)[:need]
+            hv = phash64(buf, w, h)
+            out["phash"].append(f"{hv:016x}")
+            for b in range(4):
+                out[f"band{b}"].append((hv >> (16 * b)) & 0xFFFF)
+        yield pd.DataFrame(out)
+
+
+@query("multimodal_phash_neardup")  # rows-only: decode not in SQL
+def multimodal_phash_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual hash: payloads framed
+    as 8x8 RGB images, pHash-ed in Arrow batches, then BANDED like
+    MinHash LSH -- candidate pairs must share at least one of four
+    16-bit hash bands (so the pair join is an equi-join on band
+    values, never all-pairs), and candidates verify with exact
+    Hamming distance <= 10.  This is the image-side analogue of
+    dedup_minhash_lsh, closing the near-dup family across text,
+    embeddings, and images."""
+    docs = load_table(spark, sf_dir, "documents")
+    binary = with_binary_payload(docs).select("doc_id", "payload")
+    hashed = binary.mapInPandas(
+        _phash_batches, schema=_PHASH_SCHEMA
+    ).cache()
+    bands = None
+    for b in range(4):
+        side = hashed.select(
+            "doc_id",
+            "phash",
+            F.lit(b).alias("band"),
+            F.col(f"band{b}").alias("bval"),
+        )
+        bands = side if bands is None else bands.unionByName(side)
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("ha"),
+        "band",
+        "bval",
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("hb"),
+        "band",
+        "bval",
+    )
+    cand = (
+        a.join(bb, ["band", "bval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    # hash values occupy the full 64-bit range, so conv() of the
+    # whole hex string can exceed signed BIGINT -- XOR 16-bit hex
+    # chunks instead (each fits an int with room to spare)
+    def chunk(col, i):
+        return F.conv(
+            F.substring(F.col(col), 4 * i + 1, 4), 16, 10
+        ).cast("long")
+
+    hamming = sum(
+        F.bit_count(chunk("ha", i).bitwiseXOR(chunk("hb", i)))
+        for i in range(4)
+    )
+    return cand.select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= 10)

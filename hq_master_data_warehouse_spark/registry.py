@@ -142,6 +142,8 @@ DEFER_NEW: tuple[str, ...] = (
     "ml_roc_auc_exact",
     "orders_backlog_clamped",
     "sketch_hll_set_algebra",
+    "events_pattern_regex_funnel",
+    "multimodal_phash_neardup",
 )
 
 

@@ -542,3 +542,66 @@ def test_hll_set_algebra_consistency(spark):
                       (row.est_b, row.true_b),
                       (row.est_union, row.true_union)):
         assert abs(est - true) <= 0.52 * true + 5
+
+
+def test_phash_neardup_properties(spark):
+    """pHash is deterministic; identical payloads (duplicate texts)
+    produce hamming-0 pairs; every reported pair shares >= 1 of the
+    four 16-bit bands; and hamming is symmetric-exact vs a Python
+    recomputation of the two hashes."""
+    from hq_master_data_warehouse_spark.operators.multimodal import (
+        phash64,
+    )
+
+    rows = _rows(spark, "multimodal_phash_neardup")
+    con = duckdb.connect()
+    texts = dict(
+        con.execute(
+            f"SELECT doc_id, text FROM '{SF_DIR_001}/documents.parquet'"
+        ).fetchall()
+    )
+
+    def ph(doc):
+        buf = (texts[doc].encode() + b"x" * 192)[:192]
+        return phash64(buf, 8, 8)
+
+    assert rows, "no near-dup pairs at sf0.001 (dup texts exist)"
+    for r in rows:
+        ha, hb = ph(r.doc_a), ph(r.doc_b)
+        assert bin(ha ^ hb).count("1") == r.hamming <= 10
+        assert any(
+            (ha >> (16 * b)) & 0xFFFF == (hb >> (16 * b)) & 0xFFFF
+            for b in range(4)
+        )
+    # determinism: exact text duplicates must appear at hamming 0
+    by_text: dict[str, list] = {}
+    for d, t in texts.items():
+        by_text.setdefault(t, []).append(d)
+    dup_pair = next(
+        (sorted(ds)[:2] for ds in by_text.values() if len(ds) > 1),
+        None,
+    )
+    if dup_pair:
+        got = {(r.doc_a, r.doc_b) for r in rows}
+        assert tuple(dup_pair) in got
+
+
+def test_regex_funnel_brute_force(spark):
+    """Replay the v[^p]*p scan in pure Python per user."""
+    import re as _re
+
+    rows = {r.user_id: r for r in _rows(spark, "events_pattern_regex_funnel")}
+    con = duckdb.connect()
+    evs = con.execute(
+        f"SELECT user_id, event_type FROM"
+        f" '{SF_DIR_001}/events.parquet' ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    seqs: dict[int, str] = {}
+    for uid, et in evs:
+        seqs[uid] = seqs.get(uid, "") + et[0]
+    assert set(rows) == set(seqs)
+    for uid, s in seqs.items():
+        n = len(_re.findall("v[^p]*p", s))
+        assert rows[uid].n_conversions == n
+        assert rows[uid].converted == int(n > 0)
+        assert rows[uid].n_events == len(s)
