@@ -2496,3 +2496,192 @@ def events_pattern_regex_funnel(
         n_conv.cast("long").alias("n_conversions"),
         (n_conv > 0).cast("long").alias("converted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz concentration curve
+# ---------------------------------------------------------------------------
+# The full concentration curve behind the Gini scalar
+# (agg_gini_revenue) and the ABC classes: customers ranked by revenue
+# ascending, cut into 10 population deciles, each reporting its
+# cumulative population share and cumulative revenue share -- the
+# (x, y) points of the Lorenz curve.  The rank comes from the
+# bucketed two-pass _global_rank (no single-partition sort of
+# customers); decile arithmetic and share numerators are exact longs,
+# each share is one double division rounded at the end.
+@query(
+    "orders_lorenz_curve",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS r,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM cust) AS n,
+               (SELECT CAST(SUM(cents) AS BIGINT) FROM cust) AS tot
+        FROM cust
+    ),
+    dec AS (
+        SELECT CAST(((r - 1) * 10) // n AS INT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS dec_cents,
+               MAX(n) AS n, MAX(tot) AS tot
+        FROM ranked GROUP BY decile
+    )
+    SELECT decile, n_customers, dec_cents,
+           ROUND(CAST(SUM(n_customers) OVER w AS DOUBLE) / n, 6)
+               AS cum_pop_share,
+           ROUND(CAST(SUM(dec_cents) OVER w AS DOUBLE) / tot, 6)
+               AS cum_rev_share
+    FROM dec
+    WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def orders_lorenz_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    ranked = _global_rank(
+        cust,
+        F.floor(F.col("cents") / 1_000_000).cast("long"),
+        [F.col("cents"), F.col("o_custkey")],
+        "r",
+    )
+    tot = cust.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("tot"),
+    )
+    dec = (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.floor((F.col("r") - 1) * 10 / F.col("n"))
+            .cast("int")
+            .alias("decile")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("dec_cents"),
+            F.max("n").alias("n"),
+            F.max("tot").alias("tot"),
+        )
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return dec.select(
+        "decile",
+        "n_customers",
+        "dec_cents",
+        F.round(
+            F.sum("n_customers").over(w).cast("double") / F.col("n"),
+            6,
+        ).alias("cum_pop_share"),
+        F.round(
+            F.sum("dec_cents").over(w).cast("double") / F.col("tot"),
+            6,
+        ).alias("cum_rev_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov entropy rate of the event-type chain
+# ---------------------------------------------------------------------------
+# How predictable is user behavior?  The conditional entropy
+# H(next | current) of the empirical event-type transition chain
+# (events_transition_matrix's cells), alongside the marginal entropy
+# H(next) and their difference -- the mutual information the current
+# state carries about the next.  Bounded |types|^2 cells, exact
+# transition counts, ln once per cell: the entropy-family discipline.
+@query(
+    "events_entropy_rate",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS cur,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS nxt
+        FROM events
+    ),
+    c AS (
+        SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM c),
+    mc AS (SELECT cur, CAST(SUM(n) AS DOUBLE) AS nc FROM c GROUP BY cur),
+    mn AS (SELECT nxt, CAST(SUM(n) AS DOUBLE) AS nn FROM c GROUP BY nxt),
+    hc AS (
+        SELECT ROUND(-SUM((c.n / tot.t) * ln(c.n / mc.nc)), 6)
+                   AS h_cond,
+               CAST(COUNT(*) AS BIGINT) AS n_cells
+        FROM c JOIN mc USING (cur) CROSS JOIN tot
+    ),
+    hn AS (
+        SELECT ROUND(-SUM((nn / tot.t) * ln(nn / tot.t)), 6) AS h_next
+        FROM mn CROSS JOIN tot
+    )
+    SELECT h_cond, h_next, n_cells,
+           ROUND(h_next - h_cond, 6) AS info_gain
+    FROM hc CROSS JOIN hn
+    """,
+)
+def events_entropy_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    c = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").cast("long").alias("n"))
+        .cache()  # bounded cell table read by tot/mc/mn and the join
+    )
+    tot = c.agg(F.sum("n").cast("double").alias("t"))
+    mc = c.groupBy("cur").agg(F.sum("n").cast("double").alias("nc"))
+    mn = c.groupBy("nxt").agg(F.sum("n").cast("double").alias("nn"))
+    hc = (
+        c.join(mc, "cur")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("n") / F.col("t"))
+                    * F.log(F.col("n") / F.col("nc"))
+                ),
+                6,
+            ).alias("h_cond"),
+            F.count("*").cast("long").alias("n_cells"),
+        )
+    )
+    hn = mn.crossJoin(F.broadcast(tot)).agg(
+        F.round(
+            -F.sum(
+                (F.col("nn") / F.col("t"))
+                * F.log(F.col("nn") / F.col("t"))
+            ),
+            6,
+        ).alias("h_next")
+    )
+    return (
+        hc.crossJoin(F.broadcast(hn))
+        .select(
+            "h_cond",
+            "h_next",
+            "n_cells",
+            F.round(F.col("h_next") - F.col("h_cond"), 6).alias(
+                "info_gain"
+            ),
+        )
+    )

@@ -1709,3 +1709,141 @@ def ml_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+# -- isotonic calibration (pool-adjacent-violators) over the bounded
+#    calibration bins: the monotone-regression step that turns
+#    ml_calibration_bins' raw per-bin positive rates into the
+#    non-decreasing calibration map production scorers deploy.  PAV
+#    has the minimax closed form
+#        fitted_i = max_{j<=i} min_{k>=i} avg(pos over bins j..k),
+#    and on the BOUNDED 10-bin table the O(bins^3) minimax is a
+#    couple of broadcast joins over <=55 range rows -- range averages
+#    are ratios of exact integer prefix sums (one double division
+#    each), so both engines agree bit-for-bit.  The weighted-PAV
+#    sequential algorithm is replayed in the pytest as the
+#    independent check.
+@query(
+    "ml_isotonic_calibration",
+    oracle=f"""
+    WITH m AS (
+        SELECT CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS pos,
+               list_sum(list_transform(
+                   generate_series(1, {EMB_DIM}),
+                   i -> CAST(embedding[i] AS DOUBLE) * ({_W_SQL})[i]
+               )) + {BIAS!r} AS margin
+        FROM embeddings
+    ),
+    b AS (
+        SELECT CAST(LEAST(GREATEST(FLOOR(margin + 5), 0), 9) AS INT)
+                   AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS p
+        FROM m GROUP BY 1
+    ),
+    pfx AS (
+        SELECT bin, n, p,
+               SUM(n) OVER w AS cn, SUM(p) OVER w AS cp
+        FROM b WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+    ),
+    ranges AS (
+        SELECT lo.bin AS j, hi.bin AS k,
+               CAST(hi.cp - (lo.cp - lo.p) AS DOUBLE)
+                   / (hi.cn - (lo.cn - lo.n)) AS s
+        FROM pfx lo JOIN pfx hi ON lo.bin <= hi.bin
+    ),
+    inner_min AS (
+        SELECT b.bin, r.j, MIN(r.s) AS min_s
+        FROM b JOIN ranges r
+          ON r.j <= b.bin AND b.bin <= r.k
+        GROUP BY b.bin, r.j
+    )
+    SELECT i.bin, b.n,
+           ROUND(CAST(b.p AS DOUBLE) / b.n, 6) AS pos_rate,
+           ROUND(MAX(i.min_s), 6) AS iso_rate
+    FROM inner_min i JOIN b USING (bin)
+    GROUP BY i.bin, b.n, b.p
+    """,
+)
+def ml_isotonic_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = F.array(*[F.lit(x) for x in WEIGHTS])
+    prod = F.zip_with(
+        F.col("embedding"), w, lambda x, wi: x.cast("double") * wi
+    )
+    margin = (
+        F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v) + BIAS
+    )
+    from pyspark.sql.window import Window
+
+    b = (
+        emb.select(
+            F.least(
+                F.greatest(F.floor(margin + 5), F.lit(0)), F.lit(9)
+            )
+            .cast("int")
+            .alias("bin"),
+            (F.col("label") % 2 == 1).cast("int").alias("pos"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("p"),
+        )
+        .cache()  # bounded 10-row table driving every stage below
+    )
+    wp = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pfx = b.select(
+        "bin",
+        "n",
+        "p",
+        F.sum("n").over(wp).alias("cn"),
+        F.sum("p").over(wp).alias("cp"),
+    )
+    lo = pfx.select(
+        F.col("bin").alias("j"),
+        (F.col("cn") - F.col("n")).alias("cn0"),
+        (F.col("cp") - F.col("p")).alias("cp0"),
+    )
+    hi = pfx.select(
+        F.col("bin").alias("k"),
+        F.col("cn").alias("cn1"),
+        F.col("cp").alias("cp1"),
+    )
+    ranges = (
+        lo.join(F.broadcast(hi), F.col("j") <= F.col("k"))
+        .select(
+            "j",
+            "k",
+            (
+                (F.col("cp1") - F.col("cp0")).cast("double")
+                / (F.col("cn1") - F.col("cn0"))
+            ).alias("s"),
+        )
+    )
+    inner = (
+        b.select("bin", "n", "p")
+        .join(
+            F.broadcast(ranges),
+            (F.col("j") <= F.col("bin"))
+            & (F.col("bin") <= F.col("k")),
+        )
+        .groupBy("bin", "n", "p", "j")
+        .agg(F.min("s").alias("min_s"))
+    )
+    return (
+        inner.groupBy("bin", "n", "p")
+        .agg(F.max("min_s").alias("fit"))
+        .select(
+            "bin",
+            "n",
+            F.round(F.col("p").cast("double") / F.col("n"), 6).alias(
+                "pos_rate"
+            ),
+            F.round(F.col("fit"), 6).alias("iso_rate"),
+        )
+    )

@@ -144,6 +144,9 @@ DEFER_NEW: tuple[str, ...] = (
     "sketch_hll_set_algebra",
     "events_pattern_regex_funnel",
     "multimodal_phash_neardup",
+    "orders_lorenz_curve",
+    "events_entropy_rate",
+    "ml_isotonic_calibration",
 )
 
 

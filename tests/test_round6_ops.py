@@ -605,3 +605,89 @@ def test_regex_funnel_brute_force(spark):
         assert rows[uid].n_conversions == n
         assert rows[uid].converted == int(n > 0)
         assert rows[uid].n_events == len(s)
+
+
+def test_lorenz_curve_properties(spark):
+    """Lorenz curve is monotone, convex-ish (below the diagonal for
+    unequal data), ends at (1, 1), and shares recompute from raw."""
+    rows = sorted(_rows(spark, "orders_lorenz_curve"),
+                  key=lambda r: r.decile)
+    con = duckdb.connect()
+    n, tot = con.execute(
+        f"""SELECT COUNT(*), SUM(cents) FROM (
+            SELECT SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS cents
+            FROM '{SF_DIR_001}/orders.parquet' GROUP BY o_custkey)"""
+    ).fetchone()
+    assert sum(r.n_customers for r in rows) == n
+    assert sum(r.dec_cents for r in rows) == tot
+    prev_pop = prev_rev = 0.0
+    for r in rows:
+        assert r.cum_pop_share >= prev_pop
+        assert r.cum_rev_share >= prev_rev
+        # revenue share lags population share (sorted ascending)
+        assert r.cum_rev_share <= r.cum_pop_share + 1e-9
+        prev_pop, prev_rev = r.cum_pop_share, r.cum_rev_share
+    assert abs(rows[-1].cum_pop_share - 1.0) < 1e-9
+    assert abs(rows[-1].cum_rev_share - 1.0) < 1e-9
+
+
+def test_entropy_rate_bounds(spark):
+    """0 <= H(next|cur) <= H(next); info gain = difference >= 0."""
+    row = _rows(spark, "events_entropy_rate")[0]
+    assert 0 <= row.h_cond <= row.h_next + 1e-9
+    assert abs(row.info_gain - (row.h_next - row.h_cond)) < 2e-6
+    assert row.h_next <= math.log(5) + 1e-9  # 5 event types
+
+
+def test_isotonic_pav_replay(spark):
+    """The minimax closed form equals the sequential weighted
+    pool-adjacent-violators algorithm, and the fit is monotone."""
+    rows = sorted(_rows(spark, "ml_isotonic_calibration"),
+                  key=lambda r: r.bin)
+    con = duckdb.connect()
+    from hq_master_data_warehouse_spark.operators.ml import (
+        BIAS,
+        WEIGHTS,
+    )
+
+    vecs = con.execute(
+        f"SELECT label, embedding FROM"
+        f" '{SF_DIR_001}/embeddings.parquet'"
+    ).fetchall()
+    bins: dict[int, list] = {}
+    for lb, e in vecs:
+        mg = sum(float(x) * w for x, w in zip(e, WEIGHTS)) + BIAS
+        bn = min(max(int(math.floor(mg + 5)), 0), 9)
+        nb = bins.setdefault(bn, [0, 0])
+        nb[0] += 1
+        nb[1] += lb % 2
+    # sequential weighted PAV
+    blocks = [
+        [n, p] for _, (n, p) in sorted(bins.items())
+    ]  # each block: [weight, pos]
+    stack: list[list] = []
+    for blk in blocks:
+        stack.append(list(blk))
+        while len(stack) > 1 and (
+            stack[-2][1] / stack[-2][0]
+            > stack[-1][1] / stack[-1][0]
+        ):
+            b2 = stack.pop()
+            stack[-1][0] += b2[0]
+            stack[-1][1] += b2[1]
+    fitted = []
+    it = iter(stack)
+    blk = next(it)
+    remaining = blk[0]
+    for n, _ in blocks:
+        while remaining == 0:
+            blk = next(it)
+            remaining = blk[0]
+        fitted.append(blk[1] / blk[0])
+        remaining -= n
+    got = [r.iso_rate for r in rows]
+    assert len(got) == len(fitted)
+    for g, f in zip(got, fitted):
+        assert abs(g - f) < 1e-6
+    assert all(a <= b + 1e-9 for a, b in zip(got, got[1:]))
