@@ -1847,3 +1847,113 @@ def ml_isotonic_calibration(
             F.round(F.col("fit"), 6).alias("iso_rate"),
         )
     )
+
+
+# -- Brier score decomposition (Murphy 1973): over the calibration
+#    bins, Brier = reliability - resolution + uncertainty, where
+#    reliability penalizes miscalibrated bins, resolution rewards
+#    bins that separate from the base rate, and uncertainty is the
+#    irreducible base-rate variance.  The forecast probability per
+#    bin is its rounded average margin squashed to [0,1] by the same
+#    clamp as the bin index -- deterministic and shared by both
+#    engines.  All moments are exact integer counts; every term is a
+#    bounded-bin sum of fixed double expressions (the ECE/calibration
+#    discipline), rounded once at the end.
+@query(
+    "ml_brier_decomposition",
+    oracle=f"""
+    WITH m AS (
+        SELECT CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS pos,
+               list_sum(list_transform(
+                   generate_series(1, {EMB_DIM}),
+                   i -> CAST(embedding[i] AS DOUBLE) * ({_W_SQL})[i]
+               )) + {BIAS!r} AS margin
+        FROM embeddings
+    ),
+    b AS (
+        SELECT CAST(LEAST(GREATEST(FLOOR(margin + 5), 0), 9) AS INT)
+                   AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS p
+        FROM m GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nt,
+               CAST(SUM(p) AS BIGINT) AS pt
+        FROM b
+    ),
+    terms AS (
+        SELECT
+            SUM(b.n * POWER((b.bin + 0.5) / 10.0
+                            - CAST(b.p AS DOUBLE) / b.n, 2))
+                / MAX(tot.nt) AS reliability,
+            SUM(b.n * POWER(CAST(b.p AS DOUBLE) / b.n
+                            - CAST(tot.pt AS DOUBLE) / tot.nt, 2))
+                / MAX(tot.nt) AS resolution,
+            MAX((CAST(tot.pt AS DOUBLE) / tot.nt)
+                * (1 - CAST(tot.pt AS DOUBLE) / tot.nt))
+                AS uncertainty
+        FROM b CROSS JOIN tot
+    )
+    SELECT ROUND(reliability, 6) AS reliability,
+           ROUND(resolution, 6) AS resolution,
+           ROUND(uncertainty, 6) AS uncertainty,
+           ROUND(reliability - resolution + uncertainty, 6)
+               AS brier_score
+    FROM terms
+    """,
+)
+def ml_brier_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = F.array(*[F.lit(x) for x in WEIGHTS])
+    prod = F.zip_with(
+        F.col("embedding"), w, lambda x, wi: x.cast("double") * wi
+    )
+    margin = (
+        F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v) + BIAS
+    )
+    b = (
+        emb.select(
+            F.least(
+                F.greatest(F.floor(margin + 5), F.lit(0)), F.lit(9)
+            )
+            .cast("int")
+            .alias("bin"),
+            (F.col("label") % 2 == 1).cast("int").alias("pos"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("p"),
+        )
+    )
+    tot = b.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("p").cast("long").alias("pt"),
+    )
+    j = b.crossJoin(F.broadcast(tot))
+    fc = (F.col("bin") + 0.5) / 10.0  # forecast prob per bin
+    ob = F.col("p").cast("double") / F.col("n")
+    base = F.col("pt").cast("double") / F.col("nt")
+    terms = j.agg(
+        (
+            F.sum(F.col("n") * F.pow(fc - ob, 2)) / F.max("nt")
+        ).alias("reliability"),
+        (
+            F.sum(F.col("n") * F.pow(ob - base, 2)) / F.max("nt")
+        ).alias("resolution"),
+        (F.max(base) * (1 - F.max(base))).alias("uncertainty"),
+    )
+    return terms.select(
+        F.round("reliability", 6).alias("reliability"),
+        F.round("resolution", 6).alias("resolution"),
+        F.round("uncertainty", 6).alias("uncertainty"),
+        F.round(
+            F.col("reliability")
+            - F.col("resolution")
+            + F.col("uncertainty"),
+            6,
+        ).alias("brier_score"),
+    )

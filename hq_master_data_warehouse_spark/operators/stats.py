@@ -2736,3 +2736,371 @@ def ml_mutual_information(
         F.round(-F.sum(py * F.log(py)), 6).alias("h_y")
     )
     return mi.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+
+
+# ---------------------------------------------------------------------------
+# Welch two-sample t-test (unequal variances)
+# ---------------------------------------------------------------------------
+# The means-comparison companion to ml_ab_test_ztest (proportions):
+# do urgent-priority orders have a different mean value than low-
+# priority ones?  Welch's t with the Satterthwaite degrees of
+# freedom.  Group moments are exact integer cent sums (count, sum,
+# sum of squares -- sum-sq of cents fits DECIMAL(38,0) far beyond
+# 100 TB row counts); t and df are one fixed double expression over
+# the six exact moments, so both engines agree bit-for-bit.
+@query(
+    "ml_ttest_welch",
+    oracle="""
+    WITH g AS (
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 'hi' ELSE 'lo' END AS grp,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    m AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(SUM(CAST(cents AS DECIMAL(38,0))
+                        * CAST(cents AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS ss
+        FROM g GROUP BY grp
+    ),
+    w AS (
+        SELECT
+            MAX(CASE WHEN grp = 'hi' THEN n END) AS n1,
+            MAX(CASE WHEN grp = 'hi' THEN s END) AS s1,
+            MAX(CASE WHEN grp = 'hi' THEN ss END) AS ss1,
+            MAX(CASE WHEN grp = 'lo' THEN n END) AS n2,
+            MAX(CASE WHEN grp = 'lo' THEN s END) AS s2,
+            MAX(CASE WHEN grp = 'lo' THEN ss END) AS ss2
+        FROM m
+    ),
+    v AS (
+        SELECT n1, n2,
+               CAST(s1 AS DOUBLE) / n1 AS m1,
+               CAST(s2 AS DOUBLE) / n2 AS m2,
+               (CAST(ss1 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) AS v1,
+               (CAST(ss2 AS DOUBLE)
+                - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) AS v2
+        FROM w
+    )
+    SELECT n1, n2,
+           ROUND(m1 / 100, 6) AS mean_hi,
+           ROUND(m2 / 100, 6) AS mean_lo,
+           ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 6) AS t_stat,
+           ROUND(POWER(v1 / n1 + v2 / n2, 2)
+                 / (POWER(v1 / n1, 2) / (n1 - 1)
+                    + POWER(v2 / n2, 2) / (n2 - 1)), 2) AS df_welch
+    FROM v
+    """,
+)
+def ml_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    g = orders.select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            "hi",
+        )
+        .otherwise("lo")
+        .alias("grp"),
+        cents.alias("cents"),
+    )
+    m = g.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)")
+            * F.col("cents").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    w = m.agg(
+        *[
+            F.max(F.when(F.col("grp") == gname, F.col(c))).alias(
+                f"{c}{i}"
+            )
+            for i, gname in ((1, "hi"), (2, "lo"))
+            for c in ("n", "s", "ss")
+        ]
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    m2 = F.col("s2").cast("double") / F.col("n2")
+    v1 = (
+        F.col("ss1").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n1")
+    ) / (F.col("n1") - 1)
+    v2 = (
+        F.col("ss2").cast("double")
+        - F.col("s2").cast("double") * F.col("s2") / F.col("n2")
+    ) / (F.col("n2") - 1)
+    se2_1 = v1 / F.col("n1")
+    se2_2 = v2 / F.col("n2")
+    return w.select(
+        "n1",
+        "n2",
+        F.round(m1 / 100, 6).alias("mean_hi"),
+        F.round(m2 / 100, 6).alias("mean_lo"),
+        F.round((m1 - m2) / F.sqrt(se2_1 + se2_2), 6).alias(
+            "t_stat"
+        ),
+        F.round(
+            F.pow(se2_1 + se2_2, 2)
+            / (
+                F.pow(se2_1, 2) / (F.col("n1") - 1)
+                + F.pow(se2_2, 2) / (F.col("n2") - 1)
+            ),
+            2,
+        ).alias("df_welch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lagged cross-correlation of two event series
+# ---------------------------------------------------------------------------
+# Does click volume LEAD purchase volume?  Pearson correlation
+# between the daily click series and the purchase series shifted by
+# each lag in -7..+7 -- the cross-correlation function behind
+# lead/lag discovery (events_autocorrelation is the single-series
+# case).  Day counts are exact integers over a ZERO-FILLED dense day
+# range (a missing day is a 0-count day, not an absent row -- else
+# lags misalign); all five moments per lag are exact long sums, and
+# the correlation is one fixed double expression per lag row.
+XCORR_MAX_LAG = 7
+
+
+@query(
+    "events_xcorr_click_purchase",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+        FROM events
+    ),
+    days AS (
+        SELECT UNNEST(generate_series(0,
+                   datediff('day', d0, d1))) AS d
+        FROM bounds
+    ),
+    counts AS (
+        SELECT datediff('day', bounds.d0, CAST(ts AS DATE)) AS d,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events CROSS JOIN bounds
+        GROUP BY 1
+    ),
+    series AS (
+        SELECT days.d, COALESCE(counts.x, 0) AS x,
+               COALESCE(counts.y, 0) AS y
+        FROM days LEFT JOIN counts USING (d)
+    ),
+    lags AS (SELECT UNNEST(generate_series(-{XCORR_MAX_LAG},
+                                           {XCORR_MAX_LAG})) AS lag),
+    paired AS (
+        SELECT l.lag, a.x, b.y
+        FROM lags l
+        JOIN series a ON TRUE
+        JOIN series b ON b.d = a.d + l.lag
+    ),
+    mom AS (
+        SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM paired GROUP BY lag
+    )
+    SELECT lag, n AS n_days,
+           ROUND((n * sxy - sx * sy)
+                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * (n * syy - sy * sy)), 6) AS xcorr
+    FROM mom
+    """,
+)
+def events_xcorr_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence(F.lit(0), F.datediff("d1", "d0"))
+        ).alias("d")
+    )
+    counts = (
+        events.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.datediff(F.to_date("ts"), F.col("d0")).alias("d")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    series = (
+        days.join(counts, "d", "left")
+        .select(
+            "d",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+        .cache()  # joined twice (both sides of the lag pairing)
+    )
+    lags = spark.range(
+        -XCORR_MAX_LAG, XCORR_MAX_LAG + 1
+    ).withColumnRenamed("id", "lag")
+    a = series.select(F.col("d").alias("da"), F.col("x"))
+    b = series.select(F.col("d").alias("db"), F.col("y"))
+    paired = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.col("da") + F.col("lag"))
+    )
+    mom = paired.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return mom.select(
+        "lag",
+        n.alias("n_days"),
+        F.round(num / den, 6).alias("xcorr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences estimator
+# ---------------------------------------------------------------------------
+# The workhorse quasi-experimental design: did BUILDING-segment
+# customers' mean order value move differently after the cutover
+# date than everyone else's?  DiD = (post_T - pre_T) - (post_C -
+# pre_C) over the four (group x period) cell means.  Complements
+# ml_ab_test_ztest (randomized) with the observational design.
+# Exactness: four exact (count, cent-sum) cells from ONE map-side-
+# combinable pass; each mean is one double division and the
+# estimator is one fixed expression over the four.
+DID_CUTOVER = "1998-01-01"
+
+
+@query(
+    "orders_diff_in_diff",
+    oracle=f"""
+    WITH g AS (
+        SELECT CASE WHEN c.c_mktsegment = 'BUILDING'
+                    THEN 1 ELSE 0 END AS treated,
+               CASE WHEN CAST(o.o_orderdate AS DATE)
+                         >= DATE '{DID_CUTOVER}'
+                    THEN 1 ELSE 0 END AS post,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cells AS (
+        SELECT treated, post,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s
+        FROM g GROUP BY treated, post
+    ),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN treated = 1 AND post = 0
+                     THEN CAST(s AS DOUBLE) / n END) AS pre_t,
+            MAX(CASE WHEN treated = 1 AND post = 1
+                     THEN CAST(s AS DOUBLE) / n END) AS post_t,
+            MAX(CASE WHEN treated = 0 AND post = 0
+                     THEN CAST(s AS DOUBLE) / n END) AS pre_c,
+            MAX(CASE WHEN treated = 0 AND post = 1
+                     THEN CAST(s AS DOUBLE) / n END) AS post_c,
+            CAST(SUM(n) AS BIGINT) AS n_orders
+        FROM cells
+    )
+    SELECT n_orders,
+           ROUND(pre_t / 100, 6) AS pre_treated,
+           ROUND(post_t / 100, 6) AS post_treated,
+           ROUND(pre_c / 100, 6) AS pre_control,
+           ROUND(post_c / 100, 6) AS post_control,
+           ROUND(((post_t - pre_t) - (post_c - pre_c)) / 100, 6)
+               AS did_estimate
+    FROM wide
+    """,
+)
+def orders_diff_in_diff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    g = orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"]
+    ).select(
+        (F.col("c_mktsegment") == "BUILDING")
+        .cast("int")
+        .alias("treated"),
+        (
+            F.to_date("o_orderdate")
+            >= F.lit(DID_CUTOVER).cast("date")
+        )
+        .cast("int")
+        .alias("post"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    cells = g.groupBy("treated", "post").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+
+    def cell(t, p):
+        return F.max(
+            F.when(
+                (F.col("treated") == t) & (F.col("post") == p),
+                F.col("s").cast("double") / F.col("n"),
+            )
+        )
+
+    wide = cells.agg(
+        cell(1, 0).alias("pre_t"),
+        cell(1, 1).alias("post_t"),
+        cell(0, 0).alias("pre_c"),
+        cell(0, 1).alias("post_c"),
+        F.sum("n").cast("long").alias("n_orders"),
+    )
+    return wide.select(
+        "n_orders",
+        F.round(F.col("pre_t") / 100, 6).alias("pre_treated"),
+        F.round(F.col("post_t") / 100, 6).alias("post_treated"),
+        F.round(F.col("pre_c") / 100, 6).alias("pre_control"),
+        F.round(F.col("post_c") / 100, 6).alias("post_control"),
+        F.round(
+            (
+                (F.col("post_t") - F.col("pre_t"))
+                - (F.col("post_c") - F.col("pre_c"))
+            )
+            / 100,
+            6,
+        ).alias("did_estimate"),
+    )

@@ -147,6 +147,10 @@ DEFER_NEW: tuple[str, ...] = (
     "orders_lorenz_curve",
     "events_entropy_rate",
     "ml_isotonic_calibration",
+    "ml_ttest_welch",
+    "ml_brier_decomposition",
+    "events_xcorr_click_purchase",
+    "orders_diff_in_diff",
 )
 
 

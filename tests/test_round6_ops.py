@@ -691,3 +691,110 @@ def test_isotonic_pav_replay(spark):
     for g, f in zip(got, fitted):
         assert abs(g - f) < 1e-6
     assert all(a <= b + 1e-9 for a, b in zip(got, got[1:]))
+
+
+def test_welch_ttest_matches_scipy_formula(spark):
+    """Recompute Welch t and Satterthwaite df from raw cents."""
+    row = _rows(spark, "ml_ttest_welch")[0]
+    con = duckdb.connect()
+    vals = con.execute(
+        f"""SELECT o_orderpriority IN ('1-URGENT','2-HIGH'),
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        FROM '{SF_DIR_001}/orders.parquet'"""
+    ).fetchall()
+    hi = [c for t, c in vals if t]
+    lo = [c for t, c in vals if not t]
+
+    def mv(xs):
+        n = len(xs)
+        m = sum(xs) / n
+        v = sum((x - m) ** 2 for x in xs) / (n - 1)
+        return n, m, v
+
+    n1, m1, v1 = mv(hi)
+    n2, m2, v2 = mv(lo)
+    t = (m1 - m2) / math.sqrt(v1 / n1 + v2 / n2)
+    df = (v1 / n1 + v2 / n2) ** 2 / (
+        (v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1)
+    )
+    assert row.n1 == n1 and row.n2 == n2
+    assert abs(row.t_stat - t) < 1e-4
+    assert abs(row.df_welch - df) < 0.05
+    assert abs(row.mean_hi - m1 / 100) < 1e-4
+
+
+def test_brier_decomposition_identity(spark):
+    """All terms non-negative, uncertainty <= 0.25 (binary), and the
+    Murphy identity holds on the rounded parts."""
+    row = _rows(spark, "ml_brier_decomposition")[0]
+    assert row.reliability >= 0
+    assert row.resolution >= 0
+    assert 0 <= row.uncertainty <= 0.25 + 1e-9
+    assert abs(
+        row.brier_score
+        - (row.reliability - row.resolution + row.uncertainty)
+    ) < 3e-6
+    # resolution can never exceed uncertainty
+    assert row.resolution <= row.uncertainty + 1e-9
+
+
+def test_xcorr_symmetry_and_bounds(spark):
+    """|r| <= 1 for every lag; lag 0 equals the plain Pearson corr of
+    the two zero-filled daily series recomputed in Python."""
+    rows = {r.lag: r for r in _rows(spark, "events_xcorr_click_purchase")}
+    assert set(rows) == set(range(-7, 8))
+    for r in rows.values():
+        assert abs(r.xcorr) <= 1 + 1e-9
+    con = duckdb.connect()
+    daily = con.execute(
+        f"""SELECT CAST(ts AS DATE),
+               SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END),
+               SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)
+        FROM '{SF_DIR_001}/events.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    from datetime import timedelta
+
+    d0, d1 = daily[0][0], daily[-1][0]
+    by_day = {d: (x, y) for d, x, y in daily}
+    xs, ys = [], []
+    d = d0
+    while d <= d1:
+        x, y = by_day.get(d, (0, 0))
+        xs.append(x)
+        ys.append(y)
+        d += timedelta(days=1)
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    r0 = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert abs(rows[0].xcorr - r0) < 1e-6
+    assert rows[0].n_days == n
+
+
+def test_did_estimator_identity(spark):
+    """DiD equals the four-cell expression; cells recompute from raw."""
+    row = _rows(spark, "orders_diff_in_diff")[0]
+    assert abs(
+        row.did_estimate
+        - (
+            (row.post_treated - row.pre_treated)
+            - (row.post_control - row.pre_control)
+        )
+    ) < 5e-6
+    con = duckdb.connect()
+    cells = con.execute(
+        f"""SELECT c.c_mktsegment = 'BUILDING',
+               o.o_orderdate >= TIMESTAMP '1998-01-01',
+               AVG(ROUND(o.o_totalprice * 100)) / 100
+        FROM '{SF_DIR_001}/orders.parquet' o
+        JOIN '{SF_DIR_001}/customer.parquet' c
+          ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2"""
+    ).fetchall()
+    m = {(t, p): v for t, p, v in cells}
+    assert abs(row.pre_treated - m[(True, False)]) < 1e-4
+    assert abs(row.post_control - m[(False, True)]) < 1e-4
