@@ -170,8 +170,18 @@ def ordered_queries() -> dict[str, QueryFn]:
     seen = set(front)
     middle = [n for n in QUERIES if n not in seen and n not in checked]
     # within the never-checked block: oracle-backed names first,
-    # rows-only after, this round's deferred additions last
-    middle.sort(key=lambda n: (n in DEFER_NEW, n not in ORACLES))
+    # rows-only after, this round's deferred additions last -- and
+    # WITHIN the deferred block, DEFER_NEW tuple order (the round's
+    # value ranking), so when additions outnumber the spare window
+    # slots the highest-value operators get this round's record and
+    # the tail rotates to the next round.
+    middle.sort(
+        key=lambda n: (
+            n in DEFER_NEW,
+            DEFER_NEW.index(n) if n in DEFER_NEW else 0,
+            n not in ORACLES,
+        )
+    )
     back = [n for n in QUERIES if n in checked and n not in seen]
     return {n: QUERIES[n] for n in (*front, *middle, *back)}
 
