@@ -3104,3 +3104,364 @@ def orders_diff_in_diff(
             6,
         ).alias("did_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (Wilcoxon rank-sum) test with tie correction
+# ---------------------------------------------------------------------------
+# The nonparametric companion to ml_ttest_welch on the SAME hi/lo
+# priority split: does the hi-priority order-value DISTRIBUTION
+# stochastically dominate, without assuming normality?  Ranks are
+# midranks over tied cent values; keeping 2*midrank = 2*cum_before +
+# t + 1 makes every rank quantity an exact integer, so U and the
+# tie-corrected normal approximation
+#     z = (U - n1*n2/2) / sqrt(n1*n2/12 * ((n+1) - T/(n(n-1))))
+# with T = sum(t^3 - t) are ONE double expression over exact longs
+# (no continuity correction -- both engines evaluate the identical
+# expression).  The cumulative count runs as a window over DISTINCT
+# cent values (bounded far below row count; at corpus scale swap in
+# the two-pass _global_rank like orders_rfm_scores).
+@query(
+    "ml_mann_whitney_u",
+    oracle="""
+    WITH g AS (
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS hi,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    byval AS (
+        SELECT cents, CAST(COUNT(*) AS BIGINT) AS t,
+               CAST(SUM(hi) AS BIGINT) AS t_hi
+        FROM g GROUP BY cents
+    ),
+    ranked AS (
+        SELECT t, t_hi,
+               CAST(SUM(t) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) - t AS cum_before
+        FROM byval
+    ),
+    s AS (
+        SELECT CAST(SUM(t_hi) AS BIGINT) AS n1,
+               CAST(SUM(t - t_hi) AS BIGINT) AS n2,
+               CAST(SUM(t) AS BIGINT) AS n,
+               CAST(SUM(t_hi * (2 * cum_before + t + 1)) AS BIGINT)
+                   AS two_r1,
+               CAST(SUM(t * t * t - t) AS BIGINT) AS ties,
+               CAST(SUM(CASE WHEN t > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tie_values
+        FROM ranked
+    )
+    SELECT n1 AS n_hi, n2 AS n_lo, tie_values,
+           ROUND((two_r1 - n1 * (n1 + 1)) / 2.0, 2) AS u_hi,
+           ROUND(((two_r1 - n1 * (n1 + 1)) / 2.0 - n1 * n2 / 2.0)
+                 / SQRT((n1 * n2 / 12.0)
+                        * ((n + 1) - ties / (n * (n - 1.0)))), 6)
+               AS z_stat
+    FROM s
+    """,
+)
+def ml_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.select(
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("int")
+        .alias("hi"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    byval = g.groupBy("cents").agg(
+        F.count("*").cast("long").alias("t"),
+        F.sum("hi").cast("long").alias("t_hi"),
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = byval.select(
+        "t",
+        "t_hi",
+        (F.sum("t").over(w).cast("long") - F.col("t")).alias(
+            "cum_before"
+        ),
+    )
+    s = ranked.agg(
+        F.sum("t_hi").cast("long").alias("n1"),
+        F.sum(F.col("t") - F.col("t_hi")).cast("long").alias("n2"),
+        F.sum("t").cast("long").alias("n"),
+        F.sum(
+            F.col("t_hi") * (2 * F.col("cum_before") + F.col("t") + 1)
+        )
+        .cast("long")
+        .alias("two_r1"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("ties"),
+        F.sum((F.col("t") > 1).cast("int"))
+        .cast("long")
+        .alias("tie_values"),
+    )
+    u_hi = (
+        F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)
+    ) / 2.0
+    mu = F.col("n1") * F.col("n2") / 2.0
+    var = (F.col("n1") * F.col("n2") / 12.0) * (
+        (F.col("n") + 1)
+        - F.col("ties") / (F.col("n") * (F.col("n") - F.lit(1.0)))
+    )
+    return s.select(
+        F.col("n1").alias("n_hi"),
+        F.col("n2").alias("n_lo"),
+        "tie_values",
+        F.round(u_hi, 2).alias("u_hi"),
+        F.round((u_hi - mu) / F.sqrt(var), 6).alias("z_stat"),
+    )
+
+
+# Shared dense daily click/purchase series (the events_xcorr
+# construction, factored): one row per calendar day in the observed
+# span, zero-filled counts -- a missing day is a 0-count day.  The
+# day domain is bounded by calendar time, so everything downstream
+# of this reduction is scale-free.
+_DAILY_XY_SQL = """
+    bounds AS (
+        SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+        FROM events
+    ),
+    days AS (
+        SELECT UNNEST(generate_series(0,
+                   datediff('day', d0, d1))) AS d
+        FROM bounds
+    ),
+    counts AS (
+        SELECT datediff('day', bounds.d0, CAST(ts AS DATE)) AS d,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events CROSS JOIN bounds
+        GROUP BY 1
+    ),
+    series AS (
+        SELECT days.d, COALESCE(counts.x, 0) AS x,
+               COALESCE(counts.y, 0) AS y
+        FROM days LEFT JOIN counts USING (d)
+    )
+"""
+
+
+def _daily_xy_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.datediff("d1", "d0"))).alias(
+            "d"
+        )
+    )
+    counts = (
+        events.crossJoin(F.broadcast(bounds))
+        .groupBy(F.datediff(F.to_date("ts"), F.col("d0")).alias("d"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    return days.join(counts, "d", "left").select(
+        "d",
+        F.coalesce("x", F.lit(0)).alias("x"),
+        F.coalesce("y", F.lit(0)).alias("y"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation of the daily click/purchase series
+# ---------------------------------------------------------------------------
+# The rank-based companion to events_xcorr_click_purchase's lag-0
+# Pearson: monotone association robust to the heavy right tail of
+# daily counts.  Midranks over tied counts are kept as exact
+# integers via 2*midrank; Spearman rho is then Pearson on the
+# doubled ranks (the factor cancels), i.e. ONE double expression
+# over six exact long moments.  Rank assignment is a window over
+# DISTINCT count values (bounded by the day domain).
+@query(
+    "events_rank_corr_spearman",
+    oracle=f"""
+    WITH {_DAILY_XY_SQL},
+    rx AS (
+        SELECT x, CAST(2 * (CAST(SUM(t) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) - t) + t + 1 AS BIGINT) AS r2
+        FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS t
+              FROM series GROUP BY x)
+    ),
+    ry AS (
+        SELECT y, CAST(2 * (CAST(SUM(t) OVER (ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) - t) + t + 1 AS BIGINT) AS r2
+        FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS t
+              FROM series GROUP BY y)
+    ),
+    j AS (
+        SELECT rx.r2 AS a, ry.r2 AS b
+        FROM series JOIN rx USING (x) JOIN ry USING (y)
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a) AS BIGINT) AS sx,
+               CAST(SUM(b) AS BIGINT) AS sy,
+               CAST(SUM(a * b) AS BIGINT) AS sxy,
+               CAST(SUM(a * a) AS BIGINT) AS sxx,
+               CAST(SUM(b * b) AS BIGINT) AS syy
+        FROM j
+    )
+    SELECT n AS n_days,
+           ROUND((n * sxy - sx * sy)
+                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * (n * syy - sy * sy)), 6) AS rho_spearman
+    FROM mom
+    """,
+)
+def events_rank_corr_spearman(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    series = _daily_xy_series(spark, sf_dir).cache()
+
+    def rank2(col: str) -> DataFrame:
+        byval = series.groupBy(col).agg(
+            F.count("*").cast("long").alias("t")
+        )
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return byval.select(
+            col,
+            (
+                2 * (F.sum("t").over(w).cast("long") - F.col("t"))
+                + F.col("t")
+                + 1
+            )
+            .cast("long")
+            .alias("r2"),
+        )
+
+    rx = rank2("x").withColumnRenamed("r2", "a")
+    ry = rank2("y").withColumnRenamed("r2", "b")
+    j = series.join(rx, "x").join(ry, "y").select("a", "b")
+    mom = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("a").cast("long").alias("sx"),
+        F.sum("b").cast("long").alias("sy"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("sxy"),
+        F.sum(F.col("a") * F.col("a")).cast("long").alias("sxx"),
+        F.sum(F.col("b") * F.col("b")).cast("long").alias("syy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return mom.select(
+        n.alias("n_days"),
+        F.round(num / den, 6).alias("rho_spearman"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b of the daily click/purchase series
+# ---------------------------------------------------------------------------
+# The pair-counting view of the same monotone association: tau-b =
+# (C - D) / sqrt((n0 - Tx)(n0 - Ty)) over all day pairs, with ties
+# handled by the b-correction (Tx = pairs tied on x, Ty = pairs tied
+# on y).  Every count is an exact long from ONE pass over the
+# day-pair join; the day table is calendar-bounded so the O(days^2)
+# pair join is a broadcast self-join that does NOT grow with corpus
+# row count.
+@query(
+    "events_rank_corr_kendall",
+    oracle=f"""
+    WITH {_DAILY_XY_SQL},
+    pairs AS (
+        SELECT a.x - b.x AS cx, a.y - b.y AS cy
+        FROM series a JOIN series b ON b.d > a.d
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN cx * cy > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS conc,
+               CAST(SUM(CASE WHEN cx * cy < 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS disc,
+               CAST(SUM(CASE WHEN cx = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tx,
+               CAST(SUM(CASE WHEN cy = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ty
+        FROM pairs
+    )
+    SELECT n0 AS n_pairs, conc AS concordant, disc AS discordant,
+           ROUND((conc - disc)
+                 / SQRT(CAST(n0 - tx AS DOUBLE) * (n0 - ty)), 6)
+               AS tau_b
+    FROM s
+    """,
+)
+def events_rank_corr_kendall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    series = _daily_xy_series(spark, sf_dir)
+    a = series.select(
+        F.col("d").alias("da"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+    )
+    b = series.select(
+        F.col("d").alias("db"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("db") > F.col("da")
+    ).select(
+        (F.col("xa") - F.col("xb")).alias("cx"),
+        (F.col("ya") - F.col("yb")).alias("cy"),
+    )
+    s = pairs.agg(
+        F.count("*").cast("long").alias("n0"),
+        F.sum((F.col("cx") * F.col("cy") > 0).cast("int"))
+        .cast("long")
+        .alias("conc"),
+        F.sum((F.col("cx") * F.col("cy") < 0).cast("int"))
+        .cast("long")
+        .alias("disc"),
+        F.sum((F.col("cx") == 0).cast("int")).cast("long").alias("tx"),
+        F.sum((F.col("cy") == 0).cast("int")).cast("long").alias("ty"),
+    )
+    return s.select(
+        F.col("n0").alias("n_pairs"),
+        F.col("conc").alias("concordant"),
+        F.col("disc").alias("discordant"),
+        F.round(
+            (F.col("conc") - F.col("disc"))
+            / F.sqrt(
+                (F.col("n0") - F.col("tx")).cast("double")
+                * (F.col("n0") - F.col("ty"))
+            ),
+            6,
+        ).alias("tau_b"),
+    )

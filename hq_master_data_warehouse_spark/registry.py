@@ -151,6 +151,9 @@ DEFER_NEW: tuple[str, ...] = (
     "ml_brier_decomposition",
     "events_xcorr_click_purchase",
     "orders_diff_in_diff",
+    "ml_mann_whitney_u",
+    "events_rank_corr_spearman",
+    "events_rank_corr_kendall",
 )
 
 

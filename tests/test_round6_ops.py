@@ -798,3 +798,125 @@ def test_did_estimator_identity(spark):
     m = {(t, p): v for t, p, v in cells}
     assert abs(row.pre_treated - m[(True, False)]) < 1e-4
     assert abs(row.post_control - m[(False, True)]) < 1e-4
+
+
+def test_mann_whitney_brute_force(spark):
+    """Replay U and z from raw rows with Python midranks (the
+    textbook algorithm, independent of the window/cumsum path)."""
+    row = _rows(spark, "ml_mann_whitney_u")[0]
+    con = duckdb.connect()
+    raw = con.execute(
+        "SELECT o_orderpriority IN ('1-URGENT','2-HIGH'), "
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) FROM "
+        f"'{SF_DIR_001}/orders.parquet'"
+    ).fetchall()
+    vals = sorted(v for _, v in raw)
+    # midrank per value
+    rank = {}
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        rank[vals[i]] = (i + 1 + j) / 2.0
+        i = j
+    hi = [v for h, v in raw if h]
+    lo = [v for h, v in raw if not h]
+    n1, n2, n = len(hi), len(lo), len(raw)
+    r1 = sum(rank[v] for v in hi)
+    u = r1 - n1 * (n1 + 1) / 2.0
+    from collections import Counter
+
+    cnt = Counter(vals)
+    ties = sum(t**3 - t for t in cnt.values())
+    var = (n1 * n2 / 12.0) * ((n + 1) - ties / (n * (n - 1.0)))
+    z = (u - n1 * n2 / 2.0) / math.sqrt(var)
+    assert row.n_hi == n1 and row.n_lo == n2
+    assert row.tie_values == sum(1 for t in cnt.values() if t > 1)
+    assert abs(row.u_hi - u) < 1e-6
+    assert abs(row.z_stat - z) < 1e-5
+
+
+def _daily_series_py():
+    con = duckdb.connect()
+    return con.execute(
+        f"""
+        WITH bounds AS (
+            SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+            FROM '{SF_DIR_001}/events.parquet'
+        ),
+        days AS (
+            SELECT UNNEST(generate_series(0, datediff('day', d0, d1))) AS d
+            FROM bounds
+        ),
+        counts AS (
+            SELECT datediff('day', bounds.d0, CAST(ts AS DATE)) AS d,
+                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+            FROM '{SF_DIR_001}/events.parquet' CROSS JOIN bounds GROUP BY 1
+        )
+        SELECT days.d, COALESCE(x, 0), COALESCE(y, 0)
+        FROM days LEFT JOIN counts USING (d) ORDER BY days.d
+        """
+    ).fetchall()
+
+
+def _midranks(vals):
+    order = sorted(range(len(vals)), key=lambda i: vals[i])
+    r = [0.0] * len(vals)
+    i = 0
+    while i < len(order):
+        j = i
+        while j < len(order) and vals[order[j]] == vals[order[i]]:
+            j += 1
+        for k in range(i, j):
+            r[order[k]] = (i + 1 + j) / 2.0
+        i = j
+    return r
+
+
+def test_spearman_matches_rank_pearson(spark):
+    """rho equals Pearson on Python midranks of the dense series."""
+    row = _rows(spark, "events_rank_corr_spearman")[0]
+    series = _daily_series_py()
+    xs = [x for _, x, _ in series]
+    ys = [y for _, _, y in series]
+    rx, ry = _midranks(xs), _midranks(ys)
+    n = len(series)
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    rho = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert row.n_days == n
+    assert -1.0 <= row.rho_spearman <= 1.0
+    assert abs(row.rho_spearman - rho) < 1e-5
+
+
+def test_kendall_brute_force_pairs(spark):
+    """tau-b from the O(n^2) Python pair loop, plus the pair-count
+    partition identity conc + disc + tied = n(n-1)/2."""
+    row = _rows(spark, "events_rank_corr_kendall")[0]
+    series = _daily_series_py()
+    conc = disc = tx = ty = 0
+    n = len(series)
+    for i in range(n):
+        for j in range(i + 1, n):
+            cx = series[i][1] - series[j][1]
+            cy = series[i][2] - series[j][2]
+            if cx * cy > 0:
+                conc += 1
+            elif cx * cy < 0:
+                disc += 1
+            if cx == 0:
+                tx += 1
+            if cy == 0:
+                ty += 1
+    n0 = n * (n - 1) // 2
+    assert row.n_pairs == n0
+    assert row.concordant == conc and row.discordant == disc
+    tau = (conc - disc) / math.sqrt((n0 - tx) * (n0 - ty))
+    assert abs(row.tau_b - tau) < 1e-6
+    assert -1.0 <= row.tau_b <= 1.0
