@@ -2685,3 +2685,85 @@ def events_entropy_rate(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence of the event-type mix across periods
+# ---------------------------------------------------------------------------
+# The symmetric, always-finite companion to drift_psi_event_values:
+# JS divergence between the event-TYPE distribution of the base
+# period and the current period (same odd/even day-of-month split as
+# PSI -- scale-factor-independent; production splits on a deployment
+# timestamp).  Unlike PSI/KL it needs no epsilon floor: a type seen
+# in only one period contributes p*ln(2) finitely.  Output is
+# per-type term rows (the auditable form; the scalar JS is their sum
+# and is bounded by ln 2) -- emitting rows avoids summing doubles in
+# engine-defined aggregation order, and each term is floor-quantized
+# at 1e-6 exactly like psi_term.  100 TB shape: one grouped count
+# over the fact table (map-side partial) + a broadcast 1-row total.
+@query(
+    "drift_js_event_types",
+    oracle="""
+    WITH b AS (
+        SELECT CASE WHEN day(CAST(ts AS DATE)) % 2 = 1
+                    THEN 'base' ELSE 'cur' END AS period,
+               event_type
+        FROM events
+    ),
+    c AS (
+        SELECT event_type,
+               COUNT(CASE WHEN period = 'base' THEN 1 END) AS n_base,
+               COUNT(CASE WHEN period = 'cur' THEN 1 END) AS n_cur
+        FROM b GROUP BY event_type
+    ),
+    t AS (
+        SELECT SUM(n_base) AS t_base, SUM(n_cur) AS t_cur FROM c
+    ),
+    pq AS (
+        SELECT c.event_type, c.n_base, c.n_cur,
+               c.n_base / CAST(t.t_base AS DOUBLE) AS p,
+               c.n_cur / CAST(t.t_cur AS DOUBLE) AS q
+        FROM c CROSS JOIN t
+    )
+    SELECT event_type, n_base, n_cur,
+           FLOOR((0.5 * (CASE WHEN p = 0 THEN 0
+                              ELSE p * ln(2 * p / (p + q)) END)
+                  + 0.5 * (CASE WHEN q = 0 THEN 0
+                               ELSE q * ln(2 * q / (p + q)) END))
+                 * 1000000) / 1000000 AS js_term
+    FROM pq
+    """,
+)
+def drift_js_event_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    b = events.select(
+        F.when(F.dayofmonth(F.to_date("ts")) % 2 == 1, "base")
+        .otherwise("cur")
+        .alias("period"),
+        "event_type",
+    )
+    c = b.groupBy("event_type").agg(
+        F.count(F.when(F.col("period") == "base", 1)).alias("n_base"),
+        F.count(F.when(F.col("period") == "cur", 1)).alias("n_cur"),
+    )
+    t = c.agg(
+        F.sum("n_base").alias("t_base"), F.sum("n_cur").alias("t_cur")
+    )
+    p = F.col("n_base") / F.col("t_base").cast("double")
+    q = F.col("n_cur") / F.col("t_cur").cast("double")
+    half_p = F.when(p == 0, F.lit(0.0)).otherwise(
+        p * F.log(2 * p / (p + q))
+    )
+    half_q = F.when(q == 0, F.lit(0.0)).otherwise(
+        q * F.log(2 * q / (p + q))
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        "n_base",
+        "n_cur",
+        (
+            F.floor((0.5 * half_p + 0.5 * half_q) * 1000000) / 1000000
+        ).alias("js_term"),
+    )

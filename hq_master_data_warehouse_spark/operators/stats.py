@@ -3465,3 +3465,264 @@ def events_rank_corr_kendall(
             6,
         ).alias("tau_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F-test across order priority classes
+# ---------------------------------------------------------------------------
+# The k-group generalization of ml_ttest_welch's two-group means
+# test: does mean order value differ across the FIVE priority
+# classes?  Classic fixed-effects one-way ANOVA (equal-variance
+# pooling; Welch stays the 2-group tool).  Per-group moments are
+# exact integers (count, cent sum, DECIMAL(38,0) cent sum-of-
+# squares); the bounded 5-value priority domain pivots to ONE row so
+# SSB/SSW are single fixed-order double expressions -- no double
+# aggregation in engine-defined order, both engines agree
+# bit-for-bit.  100 TB shape: one grouped aggregate over the fact
+# table (map-side partial), a 5-row pivot, scalar math.
+_ANOVA_GROUPS = (
+    ("1-URGENT", 1),
+    ("2-HIGH", 2),
+    ("3-MEDIUM", 3),
+    ("4-NOT SPECIFIED", 4),
+    ("5-LOW", 5),
+)
+
+_ANOVA_PIVOT_SQL = ",\n               ".join(
+    f"MAX(CASE WHEN o_orderpriority = '{g}' THEN {c} END) AS {c}{i}"
+    for g, i in _ANOVA_GROUPS
+    for c in ("n", "s", "ss")
+)
+_ANOVA_SSW_SQL = " + ".join(
+    f"(CAST(ss{i} AS DOUBLE) - CAST(s{i} AS DOUBLE) * s{i} / n{i})"
+    for _, i in _ANOVA_GROUPS
+)
+_ANOVA_SSB_SQL = (
+    " + ".join(
+        f"CAST(s{i} AS DOUBLE) * s{i} / n{i}" for _, i in _ANOVA_GROUPS
+    )
+    + " - CAST(st AS DOUBLE) * st / nt"
+)
+
+
+@query(
+    "ml_anova_oneway",
+    oracle=f"""
+    WITH g AS (
+        SELECT o_orderpriority,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    m AS (
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(SUM(CAST(cents AS DECIMAL(38,0))
+                        * CAST(cents AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS ss
+        FROM g GROUP BY o_orderpriority
+    ),
+    w AS (
+        SELECT {_ANOVA_PIVOT_SQL},
+               CAST(SUM(n) AS BIGINT) AS nt,
+               CAST(SUM(s) AS BIGINT) AS st
+        FROM m
+    ),
+    f AS (
+        SELECT nt,
+               {_ANOVA_SSB_SQL} AS ssb,
+               {_ANOVA_SSW_SQL} AS ssw
+        FROM w
+    )
+    SELECT nt AS n_total,
+           {len(_ANOVA_GROUPS) - 1} AS df_between,
+           nt - {len(_ANOVA_GROUPS)} AS df_within,
+           ROUND(ssb / 10000, 2) AS ss_between_usd2,
+           ROUND(ssw / 10000, 2) AS ss_within_usd2,
+           ROUND((ssb / {len(_ANOVA_GROUPS) - 1})
+                 / (ssw / (nt - {len(_ANOVA_GROUPS)})), 6) AS f_stat,
+           ROUND(ssb / (ssb + ssw), 6) AS eta_squared
+    FROM f
+    """,
+)
+def ml_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    k = len(_ANOVA_GROUPS)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    m = (
+        orders.select(
+            F.col("o_orderpriority"), cents.alias("cents")
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("s"),
+            F.sum(
+                F.col("cents").cast("decimal(38,0)")
+                * F.col("cents").cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("ss"),
+        )
+    )
+    w = m.agg(
+        *[
+            F.max(
+                F.when(F.col("o_orderpriority") == g, F.col(c))
+            ).alias(f"{c}{i}")
+            for g, i in _ANOVA_GROUPS
+            for c in ("n", "s", "ss")
+        ],
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("s").cast("long").alias("st"),
+    )
+
+    def _ssq_over_n(i: int):
+        return (
+            F.col(f"s{i}").cast("double")
+            * F.col(f"s{i}")
+            / F.col(f"n{i}")
+        )
+
+    # fixed left-to-right addition order mirrors the SQL text exactly
+    ssw = None
+    ssb = None
+    for _, i in _ANOVA_GROUPS:
+        term_w = F.col(f"ss{i}").cast("double") - _ssq_over_n(i)
+        term_b = _ssq_over_n(i)
+        ssw = term_w if ssw is None else ssw + term_w
+        ssb = term_b if ssb is None else ssb + term_b
+    ssb = ssb - F.col("st").cast("double") * F.col("st") / F.col("nt")
+    f = w.select(F.col("nt"), ssb.alias("ssb"), ssw.alias("ssw"))
+    return f.select(
+        F.col("nt").alias("n_total"),
+        F.lit(k - 1).alias("df_between"),
+        (F.col("nt") - k).alias("df_within"),
+        F.round(F.col("ssb") / 10000, 2).alias("ss_between_usd2"),
+        F.round(F.col("ssw") / 10000, 2).alias("ss_within_usd2"),
+        F.round(
+            (F.col("ssb") / (k - 1))
+            / (F.col("ssw") / (F.col("nt") - k)),
+            6,
+        ).alias("f_stat"),
+        F.round(
+            F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6
+        ).alias("eta_squared"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend of the daily order series
+# ---------------------------------------------------------------------------
+# The robust alternative to ml_ols_daily_trend's least-squares slope:
+# the Theil-Sen estimator is the MEDIAN of all pairwise slopes
+# (y_j - y_i) / (d_j - d_i), with ~29% breakdown vs OLS's 0% -- the
+# trend you report when the daily series has outlier days.  The
+# series is the ZERO-FILLED dense daily order count (a missing day
+# is a 0-count day); slopes are exact-long quotients so both engines
+# compute identical doubles, and the median is the engines' shared
+# exact interpolating percentile (quantile_cont / percentile -- the
+# events_value_mad_outliers precedent).  Intercept per Conover:
+# median(y) - slope * median(d).  100 TB shape: the fact table
+# collapses to the bounded calendar FIRST (one linear grouped agg);
+# the O(days^2) pair join is a broadcast self-join over that bounded
+# day table, exactly the events_rank_corr_kendall contract -- pair
+# count grows with the calendar, never with corpus rows.
+@query(
+    "orders_theilsen_trend",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(o_orderdate) AS d0, MAX(o_orderdate) AS d1
+        FROM orders
+    ),
+    days AS (
+        SELECT UNNEST(generate_series(0,
+                   datediff('day', d0, d1))) AS d
+        FROM bounds
+    ),
+    counts AS (
+        SELECT datediff('day', bounds.d0, o_orderdate) AS d,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM orders CROSS JOIN bounds
+        GROUP BY 1
+    ),
+    series AS (
+        SELECT days.d, COALESCE(counts.y, 0) AS y
+        FROM days LEFT JOIN counts USING (d)
+    ),
+    slopes AS (
+        SELECT CAST(b.y - a.y AS DOUBLE) / (b.d - a.d) AS slope
+        FROM series a JOIN series b ON b.d > a.d
+    ),
+    med AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               quantile_cont(slope, 0.5) AS sen_slope
+        FROM slopes
+    ),
+    medxy AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               quantile_cont(CAST(y AS DOUBLE), 0.5) AS med_y,
+               quantile_cont(CAST(d AS DOUBLE), 0.5) AS med_d
+        FROM series
+    )
+    SELECT n_days, n_pairs,
+           ROUND(sen_slope, 8) AS sen_slope,
+           ROUND(med_y - sen_slope * med_d, 6) AS intercept
+    FROM med CROSS JOIN medxy
+    """,
+)
+def orders_theilsen_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.datediff("d1", "d0"))).alias(
+            "d"
+        )
+    )
+    counts = (
+        orders.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.datediff(F.to_date("o_orderdate"), F.col("d0")).alias(
+                "d"
+            )
+        )
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    series = (
+        days.join(counts, "d", "left")
+        .select("d", F.coalesce("y", F.lit(0)).alias("y"))
+        .cache()
+    )
+    a = series.select(
+        F.col("d").alias("da"), F.col("y").alias("ya")
+    )
+    b = series.select(
+        F.col("d").alias("db"), F.col("y").alias("yb")
+    )
+    slopes = a.join(F.broadcast(b), F.col("db") > F.col("da")).select(
+        (
+            (F.col("yb") - F.col("ya")).cast("double")
+            / (F.col("db") - F.col("da"))
+        ).alias("slope")
+    )
+    med = slopes.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.expr("percentile(slope, 0.5)").alias("sen_slope"),
+    )
+    medxy = series.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.expr("percentile(CAST(y AS DOUBLE), 0.5)").alias("med_y"),
+        F.expr("percentile(CAST(d AS DOUBLE), 0.5)").alias("med_d"),
+    )
+    return med.crossJoin(F.broadcast(medxy)).select(
+        "n_days",
+        "n_pairs",
+        F.round("sen_slope", 8).alias("sen_slope"),
+        F.round(
+            F.col("med_y") - F.col("sen_slope") * F.col("med_d"), 6
+        ).alias("intercept"),
+    )

@@ -154,6 +154,9 @@ DEFER_NEW: tuple[str, ...] = (
     "ml_mann_whitney_u",
     "events_rank_corr_spearman",
     "events_rank_corr_kendall",
+    "ml_anova_oneway",
+    "orders_theilsen_trend",
+    "drift_js_event_types",
 )
 
 

@@ -920,3 +920,109 @@ def test_kendall_brute_force_pairs(spark):
     tau = (conc - disc) / math.sqrt((n0 - tx) * (n0 - ty))
     assert abs(row.tau_b - tau) < 1e-6
     assert -1.0 <= row.tau_b <= 1.0
+
+
+def test_anova_brute_force(spark):
+    """Recompute the one-way ANOVA F from raw cents in Python."""
+    row = _rows(spark, "ml_anova_oneway")[0]
+    con = duckdb.connect()
+    vals = con.execute(
+        f"""SELECT o_orderpriority,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        FROM '{SF_DIR_001}/orders.parquet'"""
+    ).fetchall()
+    groups: dict[str, list[int]] = {}
+    for g, c in vals:
+        groups.setdefault(g, []).append(c)
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    grand = sum(sum(v) for v in groups.values()) / n
+    ssb = sum(
+        len(v) * (sum(v) / len(v) - grand) ** 2
+        for v in groups.values()
+    )
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v)
+        for v in groups.values()
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row.n_total == n
+    assert row.df_between == k - 1 and row.df_within == n - k
+    assert abs(row.f_stat - f) / f < 1e-6
+    assert abs(row.eta_squared - ssb / (ssb + ssw)) < 1e-6
+    # identity: SST = SSB + SSW against a direct total-SS recompute
+    sst = sum(
+        (x - grand) ** 2 for v in groups.values() for x in v
+    )
+    assert abs((row.ss_between_usd2 + row.ss_within_usd2) * 10000
+               - sst) / sst < 1e-9
+
+
+def test_theilsen_brute_force(spark):
+    """Median-of-pairwise-slopes recomputed with the textbook O(n^2)
+    loop over the zero-filled daily order counts."""
+    import statistics
+
+    row = _rows(spark, "orders_theilsen_trend")[0]
+    con = duckdb.connect()
+    days = con.execute(
+        f"""WITH b AS (SELECT MIN(o_orderdate) AS d0 FROM
+                '{SF_DIR_001}/orders.parquet')
+        SELECT datediff('day', b.d0, o_orderdate), COUNT(*)
+        FROM '{SF_DIR_001}/orders.parquet' CROSS JOIN b GROUP BY 1"""
+    ).fetchall()
+    counts = dict(days)
+    n_days = max(counts) + 1
+    y = [counts.get(d, 0) for d in range(n_days)]
+    slopes = [
+        (y[j] - y[i]) / (j - i)
+        for i in range(n_days)
+        for j in range(i + 1, n_days)
+    ]
+    assert row.n_days == n_days
+    assert row.n_pairs == len(slopes)
+    assert abs(row.sen_slope - statistics.median(slopes)) < 1e-7
+    med_y = statistics.median(y)
+    med_d = statistics.median(range(n_days))
+    assert abs(
+        row.intercept - (med_y - statistics.median(slopes) * med_d)
+    ) < 1e-5
+    # robustness sanity: the estimator is bounded by the extreme slopes
+    assert min(slopes) <= row.sen_slope <= max(slopes)
+
+
+def test_js_divergence_brute_force(spark):
+    """Per-type JS terms sum to the scalar JS recomputed in Python;
+    JS is symmetric, non-negative, and bounded by ln 2."""
+    rows = _rows(spark, "drift_js_event_types")
+    con = duckdb.connect()
+    cells = con.execute(
+        f"""SELECT event_type,
+               COUNT(CASE WHEN day(CAST(ts AS DATE)) % 2 = 1
+                          THEN 1 END),
+               COUNT(CASE WHEN day(CAST(ts AS DATE)) % 2 = 0
+                          THEN 1 END)
+        FROM '{SF_DIR_001}/events.parquet' GROUP BY 1"""
+    ).fetchall()
+    tb = sum(b for _, b, _ in cells)
+    tc = sum(c for _, _, c in cells)
+
+    def js_term(b, c):
+        p, q = b / tb, c / tc
+        m = (p + q) / 2
+        t = 0.0
+        if p:
+            t += 0.5 * p * math.log(p / m)
+        if q:
+            t += 0.5 * q * math.log(q / m)
+        return t
+
+    expect = {t: js_term(b, c) for t, b, c in cells}
+    total = 0.0
+    for r in rows:
+        # floor-quantized at 1e-6, matching psi_term's contract
+        assert abs(r.js_term - expect[r.event_type]) <= 1e-6 + 1e-12
+        assert r.js_term >= -1e-12
+        total += r.js_term
+    assert set(expect) == {r.event_type for r in rows}
+    assert 0 <= total <= math.log(2) + 1e-9
