@@ -829,3 +829,141 @@ def dq_duplicate_key_audit(
         .alias("duplicate_keys"),
         F.sum(F.col("c") - 1).cast("long").alias("extra_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard of the first->second order interval
+# ---------------------------------------------------------------------------
+# The cumulative-hazard companion to orders_survival_km on the SAME
+# risk table: H(t) = sum_{t_i <= t} d_i / n_i, its Aalen variance
+# sum d_i / n_i^2, and the Breslow survival exp(-H(t)) (the
+# hazard-based alternative to the KM product-limit curve).  The
+# prefix sums run over the ordered bounded duration table (ORDER BY
+# t ROWS UNBOUNDED PRECEDING), so both engines add identical doubles
+# in the identical sequence -- the KM EXP(SUM(LN)) precedent.
+# 100 TB shape: the per-subject duration build is two window passes
+# over the fact table partitioned by customer; everything after is a
+# grouped agg on the bounded duration domain.
+@query(
+    "orders_hazard_nelson_aalen",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey,
+               CAST(o_orderdate AS DATE) AS d,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ),
+    study AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS fin FROM orders),
+    subj AS (
+        SELECT f.o_custkey,
+               CASE WHEN s.d IS NULL
+                    THEN date_diff('day', f.d, study.fin)
+                    ELSE date_diff('day', f.d, s.d) END AS dur,
+               CASE WHEN s.d IS NULL THEN 0 ELSE 1 END AS ev
+        FROM (SELECT * FROM seq WHERE rn = 1) f
+        CROSS JOIN study
+        LEFT JOIN (SELECT * FROM seq WHERE rn = 2) s
+               ON s.o_custkey = f.o_custkey
+    ),
+    tab AS (
+        SELECT dur AS t,
+               CAST(SUM(ev) AS BIGINT) AS d_events,
+               COUNT(*) AS leaving
+        FROM subj GROUP BY dur
+    ),
+    risk AS (
+        SELECT t, d_events,
+               CAST(SUM(leaving) OVER (
+                   ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_risk
+        FROM tab
+    )
+    SELECT t AS duration_days,
+           n_risk,
+           d_events AS n_events,
+           ROUND(SUM(CAST(d_events AS DOUBLE) / n_risk) OVER w, 6)
+               AS cum_hazard,
+           ROUND(SUM(CAST(d_events AS DOUBLE)
+                     / (CAST(n_risk AS DOUBLE) * n_risk)) OVER w, 8)
+               AS hazard_var,
+           ROUND(EXP(-SUM(CAST(d_events AS DOUBLE) / n_risk) OVER w),
+                 4) AS breslow_survival
+    FROM risk
+    WHERE d_events > 0
+    WINDOW w AS (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def orders_hazard_nelson_aalen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nelson-Aalen estimator over the same first->second order
+    durations as orders_survival_km (see that query's docstring for
+    the censoring convention)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        "o_orderkey",
+    )
+    wseq = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    seq = orders.select(
+        "o_custkey", "d", F.row_number().over(wseq).alias("rn")
+    )
+    first = seq.filter(F.col("rn") == 1).select(
+        "o_custkey", F.col("d").alias("d1")
+    )
+    second = seq.filter(F.col("rn") == 2).select(
+        F.col("o_custkey").alias("ck2"), F.col("d").alias("d2")
+    )
+    fin = orders.agg(F.max("d").alias("fin"))
+    subj = (
+        first.crossJoin(F.broadcast(fin))
+        .join(second, first["o_custkey"] == second["ck2"], "left")
+        .select(
+            F.when(
+                F.col("d2").isNull(),
+                F.datediff(F.col("fin"), F.col("d1")),
+            )
+            .otherwise(F.datediff(F.col("d2"), F.col("d1")))
+            .alias("dur"),
+            F.when(F.col("d2").isNull(), 0)
+            .otherwise(1)
+            .alias("ev"),
+        )
+    )
+    tab = subj.groupBy(F.col("dur").alias("t")).agg(
+        F.sum("ev").cast("long").alias("d_events"),
+        F.count("*").alias("leaving"),
+    )
+    wdesc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = tab.select(
+        "t",
+        "d_events",
+        F.sum("leaving").over(wdesc).cast("long").alias("n_risk"),
+    )
+    wasc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    h_term = F.col("d_events").cast("double") / F.col("n_risk")
+    v_term = F.col("d_events").cast("double") / (
+        F.col("n_risk").cast("double") * F.col("n_risk")
+    )
+    cum_h = F.sum(h_term).over(wasc)
+    return (
+        risk.select(
+            F.col("t").alias("duration_days"),
+            "n_risk",
+            F.col("d_events").alias("n_events"),
+            F.round(cum_h, 6).alias("cum_hazard"),
+            F.round(F.sum(v_term).over(wasc), 8).alias("hazard_var"),
+            F.round(F.exp(-cum_h), 4).alias("breslow_survival"),
+            F.col("d_events").alias("_d"),
+        )
+        .filter(F.col("_d") > 0)
+        .drop("_d")
+    )

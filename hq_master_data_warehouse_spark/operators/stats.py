@@ -3726,3 +3726,133 @@ def orders_theilsen_trend(
             F.col("med_y") - F.col("sen_slope") * F.col("med_d"), 6
         ).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe (median-centered Levene) homogeneity-of-variance test
+# ---------------------------------------------------------------------------
+# The assumption check behind ml_anova_oneway: are the five priority
+# groups' variances equal?  Brown-Forsythe runs the SAME one-way
+# ANOVA machinery on z = |x - median_g| (medians, not means -- the
+# robust variant).  Exactness trick: with integer cents, the group
+# median is integer-or-half, so z doubled -- z2 = |2*cents - 2*med| --
+# is an exact LONG, and Levene's W is scale-invariant, so the test
+# statistic on z2 equals the one on z while every moment stays an
+# exact integer (reusing the _ANOVA_* fixed-order pivot fragments).
+# 100 TB shape: one exact-percentile grouped agg (approx_percentile
+# at scale, same plan), a 5-row broadcast join of medians back onto
+# the fact scan, one grouped moment agg, scalar math.
+@query(
+    "ml_levene_brown_forsythe",
+    oracle=f"""
+    WITH g AS (
+        SELECT o_orderpriority,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    med AS (
+        SELECT o_orderpriority,
+               CAST(2 * quantile_cont(cents, 0.5) AS BIGINT) AS med2
+        FROM g GROUP BY o_orderpriority
+    ),
+    z AS (
+        SELECT g.o_orderpriority,
+               ABS(2 * g.cents - med.med2) AS cents
+        FROM g JOIN med USING (o_orderpriority)
+    ),
+    m AS (
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(SUM(CAST(cents AS DECIMAL(38,0))
+                        * CAST(cents AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS ss
+        FROM z GROUP BY o_orderpriority
+    ),
+    w AS (
+        SELECT {_ANOVA_PIVOT_SQL},
+               CAST(SUM(n) AS BIGINT) AS nt,
+               CAST(SUM(s) AS BIGINT) AS st
+        FROM m
+    ),
+    f AS (
+        SELECT nt,
+               {_ANOVA_SSB_SQL} AS ssb,
+               {_ANOVA_SSW_SQL} AS ssw
+        FROM w
+    )
+    SELECT nt AS n_total,
+           {len(_ANOVA_GROUPS) - 1} AS df_between,
+           nt - {len(_ANOVA_GROUPS)} AS df_within,
+           ROUND((ssb / {len(_ANOVA_GROUPS) - 1})
+                 / (ssw / (nt - {len(_ANOVA_GROUPS)})), 6) AS w_stat
+    FROM f
+    """,
+)
+def ml_levene_brown_forsythe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    k = len(_ANOVA_GROUPS)
+    g = orders.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    med = g.groupBy("o_orderpriority").agg(
+        (2 * F.expr("percentile(cents, 0.5)"))
+        .cast("long")
+        .alias("med2")
+    )
+    z = g.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        F.abs(2 * F.col("cents") - F.col("med2")).alias("cents"),
+    )
+    m = z.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)")
+            * F.col("cents").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    w = m.agg(
+        *[
+            F.max(
+                F.when(F.col("o_orderpriority") == grp, F.col(c))
+            ).alias(f"{c}{i}")
+            for grp, i in _ANOVA_GROUPS
+            for c in ("n", "s", "ss")
+        ],
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("s").cast("long").alias("st"),
+    )
+
+    def _ssq_over_n(i: int):
+        return (
+            F.col(f"s{i}").cast("double")
+            * F.col(f"s{i}")
+            / F.col(f"n{i}")
+        )
+
+    ssw = None
+    ssb = None
+    for _, i in _ANOVA_GROUPS:
+        term_w = F.col(f"ss{i}").cast("double") - _ssq_over_n(i)
+        ssw = term_w if ssw is None else ssw + term_w
+        term_b = _ssq_over_n(i)
+        ssb = term_b if ssb is None else ssb + term_b
+    ssb = ssb - F.col("st").cast("double") * F.col("st") / F.col("nt")
+    f = w.select(F.col("nt"), ssb.alias("ssb"), ssw.alias("ssw"))
+    return f.select(
+        F.col("nt").alias("n_total"),
+        F.lit(k - 1).alias("df_between"),
+        (F.col("nt") - k).alias("df_within"),
+        F.round(
+            (F.col("ssb") / (k - 1))
+            / (F.col("ssw") / (F.col("nt") - k)),
+            6,
+        ).alias("w_stat"),
+    )

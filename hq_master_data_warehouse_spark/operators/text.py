@@ -1538,3 +1538,225 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa of the langid heuristic vs the true label
+# ---------------------------------------------------------------------------
+# The chance-corrected scalar behind text_langid_confusion's matrix:
+# kappa = (po - pe) / (1 - pe) where po is raw agreement and pe the
+# agreement expected from the marginals alone.  The category set is
+# the union of actual labels (en/de/fr/es/zh) and predicted labels
+# (en/de/fr -- the heuristic's closed world), so pe only needs the
+# three predicted classes' marginal products.  All diagonal and
+# marginal counts are exact longs pivoted to ONE row (fixed-order
+# expressions, no double aggregation), the kappa is one double
+# expression -- bit-identical cross-engine.  100 TB shape: one
+# grouped count over the scored scan + a 15-cell pivot.
+_KAPPA_PRED_CLASSES = ("en", "de", "fr")
+
+
+@query(
+    "ml_cohens_kappa",
+    oracle=f"""
+    WITH scores AS (SELECT doc_id, lang, {_profile_sql()} FROM documents),
+    pred AS (
+        SELECT lang AS actual_lang,
+               CASE
+                   WHEN score_en >= score_de AND score_en >= score_fr
+                       THEN 'en'
+                   WHEN score_de >= score_fr THEN 'de'
+                   ELSE 'fr'
+               END AS predicted_lang
+        FROM scores
+    ),
+    cells AS (
+        SELECT actual_lang, predicted_lang,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY 1, 2
+    ),
+    piv AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nt,
+               {", ".join(
+                   f"COALESCE(CAST(SUM(CASE WHEN actual_lang = '{c}' "
+                   f"AND predicted_lang = '{c}' THEN n END) AS BIGINT), 0)"
+                   f" AS diag_{c}, "
+                   f"COALESCE(CAST(SUM(CASE WHEN actual_lang = '{c}' "
+                   f"THEN n END) AS BIGINT), 0) AS ra_{c}, "
+                   f"COALESCE(CAST(SUM(CASE WHEN predicted_lang = '{c}' "
+                   f"THEN n END) AS BIGINT), 0) AS cp_{c}"
+                   for c in _KAPPA_PRED_CLASSES
+               )}
+        FROM cells
+    ),
+    pp AS (
+        SELECT nt,
+               ({" + ".join(f"CAST(diag_{c} AS DOUBLE)"
+                            for c in _KAPPA_PRED_CLASSES)}) / nt AS po,
+               ({" + ".join(
+                   f"CAST(ra_{c} AS DOUBLE) * cp_{c}"
+                   for c in _KAPPA_PRED_CLASSES
+               )}) / (CAST(nt AS DOUBLE) * nt) AS pe
+        FROM piv
+    )
+    SELECT nt AS n_docs,
+           ROUND(po, 6) AS accuracy,
+           ROUND(pe, 6) AS expected_agreement,
+           ROUND((po - pe) / (1 - pe), 6) AS kappa
+    FROM pp
+    """,
+)
+def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = text_langid_heuristic(spark, sf_dir).select(
+        "actual_lang", "predicted_lang"
+    )
+    cells = pred.groupBy("actual_lang", "predicted_lang").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    aggs = [F.sum("n").cast("long").alias("nt")]
+    for c in _KAPPA_PRED_CLASSES:
+        aggs.append(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("actual_lang") == c)
+                        & (F.col("predicted_lang") == c),
+                        F.col("n"),
+                    )
+                ).cast("long"),
+                F.lit(0),
+            ).alias(f"diag_{c}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("actual_lang") == c, F.col("n"))
+                ).cast("long"),
+                F.lit(0),
+            ).alias(f"ra_{c}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("predicted_lang") == c, F.col("n"))
+                ).cast("long"),
+                F.lit(0),
+            ).alias(f"cp_{c}")
+        )
+    piv = cells.agg(*aggs)
+    po = None
+    pe = None
+    for c in _KAPPA_PRED_CLASSES:
+        d = F.col(f"diag_{c}").cast("double")
+        po = d if po is None else po + d
+        m = F.col(f"ra_{c}").cast("double") * F.col(f"cp_{c}")
+        pe = m if pe is None else pe + m
+    po = po / F.col("nt")
+    pe = pe / (F.col("nt").cast("double") * F.col("nt"))
+    return piv.select(
+        F.col("nt").alias("n_docs"),
+        F.round(po, 6).alias("accuracy"),
+        F.round(pe, 6).alias("expected_agreement"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level Flesch reading ease per source
+# ---------------------------------------------------------------------------
+# The classic readability screen used in corpus curation: Flesch
+# reading ease 206.835 - 1.015*(words/sentences) - 84.6*(syllables/
+# words), computed at the SOURCE level from pooled exact counts
+# (per-doc doubles averaged across docs would re-introduce
+# engine-ordered double summation; pooled integer totals keep the
+# final score ONE fixed double expression per source row).
+# Syllables use the standard vowel-group approximation with the
+# min-1-per-word floor, computed without exploding words:
+#   syllables = #vowel-groups + #consonant-only words
+# since a word with v>=1 vowel groups contributes v, and a word with
+# none contributes the floor 1.  All three patterns are
+# alternation-free single-scan regexes (the events_pattern_regex_
+# funnel precedent: Java regex and RE2 count identical
+# non-overlapping matches).  100 TB shape: one projection scan with
+# JVM-side regexp_count + one grouped integer agg.
+@query(
+    "text_readability_flesch",
+    oracle="""
+    WITH d AS (
+        SELECT source,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+                    AS BIGINT) AS words,
+               CAST(len(regexp_extract_all(lower(text),
+                        '[a-z]*[aeiouy][a-z]*')) AS BIGINT)
+                   AS vowely_words,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT) AS vgroups,
+               GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                             AS BIGINT), 1) AS sentences
+        FROM documents
+    ),
+    s AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(words) AS BIGINT) AS words,
+               CAST(SUM(sentences) AS BIGINT) AS sentences,
+               CAST(SUM(vgroups + (words - vowely_words)) AS BIGINT)
+                   AS syllables
+        FROM d GROUP BY source
+    )
+    SELECT source, n_docs, words, sentences, syllables,
+           ROUND(206.835
+                 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                 - 84.6 * (CAST(syllables AS DOUBLE) / words), 4)
+               AS flesch_reading_ease
+    FROM s
+    """,
+)
+def text_readability_flesch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lt = F.lower(F.col("text"))
+    d = docs.select(
+        "source",
+        F.regexp_count(lt, F.lit("[a-z]+"))
+        .cast("long")
+        .alias("words"),
+        F.regexp_count(lt, F.lit("[a-z]*[aeiouy][a-z]*"))
+        .cast("long")
+        .alias("vowely_words"),
+        F.regexp_count(lt, F.lit("[aeiouy]+"))
+        .cast("long")
+        .alias("vgroups"),
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit("[.!?]+")).cast(
+                "long"
+            ),
+            F.lit(1).cast("long"),
+        ).alias("sentences"),
+    )
+    s = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("words").cast("long").alias("words"),
+        F.sum("sentences").cast("long").alias("sentences"),
+        F.sum(
+            F.col("vgroups")
+            + (F.col("words") - F.col("vowely_words"))
+        )
+        .cast("long")
+        .alias("syllables"),
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        "words",
+        "sentences",
+        "syllables",
+        F.round(
+            F.lit(206.835)
+            - 1.015
+            * (F.col("words").cast("double") / F.col("sentences"))
+            - 84.6
+            * (F.col("syllables").cast("double") / F.col("words")),
+            4,
+        ).alias("flesch_reading_ease"),
+    )

@@ -157,6 +157,10 @@ DEFER_NEW: tuple[str, ...] = (
     "ml_anova_oneway",
     "orders_theilsen_trend",
     "drift_js_event_types",
+    "ml_levene_brown_forsythe",
+    "ml_cohens_kappa",
+    "orders_hazard_nelson_aalen",
+    "text_readability_flesch",
 )
 
 

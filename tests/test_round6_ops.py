@@ -1026,3 +1026,119 @@ def test_js_divergence_brute_force(spark):
         total += r.js_term
     assert set(expect) == {r.event_type for r in rows}
     assert 0 <= total <= math.log(2) + 1e-9
+
+
+def test_levene_brute_force(spark):
+    """Brown-Forsythe W recomputed with the textbook float pipeline
+    (median-centered absolute deviations, plain ANOVA on z)."""
+    import statistics
+
+    row = _rows(spark, "ml_levene_brown_forsythe")[0]
+    con = duckdb.connect()
+    vals = con.execute(
+        f"""SELECT o_orderpriority,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        FROM '{SF_DIR_001}/orders.parquet'"""
+    ).fetchall()
+    groups: dict[str, list[int]] = {}
+    for g, c in vals:
+        groups.setdefault(g, []).append(c)
+    z = {
+        g: [abs(x - statistics.median(v)) for x in v]
+        for g, v in groups.items()
+    }
+    k = len(z)
+    n = sum(len(v) for v in z.values())
+    grand = sum(sum(v) for v in z.values()) / n
+    ssb = sum(
+        len(v) * (sum(v) / len(v) - grand) ** 2 for v in z.values()
+    )
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v)
+        for v in z.values()
+    )
+    w = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row.n_total == n
+    assert row.df_between == k - 1 and row.df_within == n - k
+    assert abs(row.w_stat - w) / w < 1e-6
+
+
+def test_cohens_kappa_brute_force(spark):
+    """Kappa recomputed from the langid confusion counts; kappa <=
+    accuracy, and kappa == 1 iff perfect agreement."""
+    row = _rows(spark, "ml_cohens_kappa")[0]
+    cells = {
+        (r.actual_lang, r.predicted_lang): r.n
+        for r in _rows(spark, "text_langid_confusion")
+    }
+    n = sum(cells.values())
+    po = sum(v for (a, p), v in cells.items() if a == p) / n
+    cats = {a for a, _ in cells} | {p for _, p in cells}
+    pe = sum(
+        (sum(v for (a, _), v in cells.items() if a == c) / n)
+        * (sum(v for (_, p), v in cells.items() if p == c) / n)
+        for c in cats
+    )
+    kappa = (po - pe) / (1 - pe)
+    assert row.n_docs == n
+    assert abs(row.accuracy - po) < 1e-6
+    assert abs(row.expected_agreement - pe) < 1e-6
+    assert abs(row.kappa - kappa) < 1e-6
+    assert row.kappa <= row.accuracy + 1e-9
+
+
+def test_nelson_aalen_vs_km(spark):
+    """H(t) is non-decreasing; exp(-H) lower-bounds KM survival
+    pointwise (standard Breslow-vs-KM inequality); and the hazard
+    increments recompute from the KM rows' (d, n) pairs."""
+    na = _rows(spark, "orders_hazard_nelson_aalen")
+    km = {r.duration_days: r for r in _rows(spark, "orders_survival_km")}
+    prev_h = 0.0
+    run_h = 0.0
+    run_v = 0.0
+    for r in na:
+        assert r.cum_hazard >= prev_h - 1e-12
+        prev_h = r.cum_hazard
+        assert r.duration_days in km
+        k = km[r.duration_days]
+        assert k.n_risk == r.n_risk and k.n_events == r.n_events
+        run_h += r.n_events / r.n_risk
+        run_v += r.n_events / r.n_risk**2
+        assert abs(r.cum_hazard - run_h) < 1e-5
+        assert abs(r.hazard_var - run_v) < 1e-7
+        # Breslow survival >= KM survival (1-x <= exp(-x) per factor)
+        assert r.breslow_survival >= k.survival - 1e-4
+    assert len(na) == len(km)
+
+
+def test_flesch_brute_force(spark):
+    """Recompute words/sentences/syllables with Python re on every
+    doc of one source; exact integer totals must match."""
+    import re
+
+    rows = {r.source: r for r in _rows(spark, "text_readability_flesch")}
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT source, text FROM '{SF_DIR_001}/documents.parquet'"
+    ).fetchall()
+    agg: dict[str, list[int]] = {}
+    for src, text in docs:
+        lt = text.lower()
+        words = re.findall(r"[a-z]+", lt)
+        sentences = max(len(re.findall(r"[.!?]+", text)), 1)
+        syll = sum(
+            max(len(re.findall(r"[aeiouy]+", w)), 1) for w in words
+        )
+        a = agg.setdefault(src, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += len(words)
+        a[2] += sentences
+        a[3] += syll
+    assert set(agg) == set(rows)
+    for src, (nd, w, s, y) in agg.items():
+        r = rows[src]
+        assert (r.n_docs, r.words, r.sentences, r.syllables) == (
+            nd, w, s, y,
+        )
+        f = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+        assert abs(r.flesch_reading_ease - f) < 1e-3
