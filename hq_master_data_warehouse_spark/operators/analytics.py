@@ -2767,3 +2767,109 @@ def drift_js_event_types(
             F.floor((0.5 * half_p + 0.5 * half_q) * 1000000) / 1000000
         ).alias("js_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman concentration of customer revenue per region
+# ---------------------------------------------------------------------------
+# The antitrust-style concentration scalar completing the inequality
+# family (agg_gini_revenue, agg_theil_inequality, orders_lorenz_
+# curve): HHI = sum_i share_i^2 of customer revenue within each
+# region.  Exactness: HHI == SUM(r_i^2) / SUM(r_i)^2 over integer
+# cent revenues, so it needs only TWO exact aggregates per region
+# (DECIMAL(38,0) sum of squares, BIGINT sum) and one final double
+# division -- no per-customer double shares are ever summed.  Also
+# reports the 1/n equal-share floor for reference.  100 TB shape:
+# fact-table grouped agg on customer (map-side partial), broadcast
+# joins to the tiny nation/region dims, second grouped agg on region.
+@query(
+    "agg_hhi_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_custkey, c.c_nationkey,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS r
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT rg.r_name AS region,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(rev.r) AS BIGINT) AS total_cents,
+               CAST(SUM(CAST(rev.r AS DECIMAL(38,0))
+                        * CAST(rev.r AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS ssq
+        FROM rev
+        JOIN nation n ON rev.c_nationkey = n.n_nationkey
+        JOIN region rg ON n.n_regionkey = rg.r_regionkey
+        GROUP BY 1
+    )
+    SELECT region, n_customers,
+           ROUND(total_cents / 100.0, 2) AS total_revenue,
+           ROUND(CAST(ssq AS DOUBLE)
+                 / (CAST(total_cents AS DOUBLE) * total_cents), 6)
+               AS hhi,
+           ROUND(1.0 / n_customers, 6) AS hhi_equal_floor
+    FROM agg
+    """,
+)
+def agg_hhi_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        orders.join(
+            customer,
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            )
+            .cast("long")
+            .alias("r")
+        )
+    )
+    agg = (
+        rev.join(
+            F.broadcast(nation),
+            rev["c_nationkey"] == nation["n_nationkey"],
+        )
+        .join(
+            F.broadcast(region),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("r").cast("long").alias("total_cents"),
+            F.sum(
+                F.col("r").cast("decimal(38,0)")
+                * F.col("r").cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("ssq"),
+        )
+    )
+    return agg.select(
+        "region",
+        "n_customers",
+        F.round(F.col("total_cents") / 100.0, 2).alias(
+            "total_revenue"
+        ),
+        F.round(
+            F.col("ssq").cast("double")
+            / (
+                F.col("total_cents").cast("double")
+                * F.col("total_cents")
+            ),
+            6,
+        ).alias("hhi"),
+        F.round(1.0 / F.col("n_customers"), 6).alias(
+            "hhi_equal_floor"
+        ),
+    )

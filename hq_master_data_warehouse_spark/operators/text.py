@@ -1760,3 +1760,363 @@ def text_readability_flesch(
             4,
         ).alias("flesch_reading_ease"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multinomial naive Bayes language classifier (train/holdout)
+# ---------------------------------------------------------------------------
+# The supervised counterpart to text_langid_heuristic's fixed marker
+# lists: train a Laplace-smoothed multinomial NB on the md5-hash
+# train split (the split_train_holdout convention) and classify the
+# holdout docs.  Exactness discipline: every per-token log-likelihood
+# and class prior is FLOOR-quantized to an integer micro-nat
+# (FLOOR(1e6 * ln p) -- the drift_psi quantization), so per-doc
+# scores are exact LONG sums whose argmax is engine-independent no
+# matter the aggregation order; ties break on class name.  The ln
+# domain is Zipf-bounded (train vocab x 5 classes), the same bound
+# text_bigram_surprisal documents.  100 TB shape: token counting is
+# one explode + grouped agg; the model (vocab x classes) is a
+# broadcast-sized dimension joined onto the holdout token scan.
+_NB_PRED_SQL = f"""
+    toks AS (
+        SELECT doc_id, lang,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                        < '{{split_cut}}'
+                    THEN 'train' ELSE 'holdout' END AS split,
+               unnest({_TOKENS_SQL}) AS token
+        FROM documents
+    ),
+    tr AS (SELECT lang, token FROM toks WHERE split = 'train'),
+    cls AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS ct
+        FROM tr GROUP BY lang
+    ),
+    voc AS (SELECT DISTINCT token FROM tr),
+    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM voc),
+    cnt AS (
+        SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tr GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT cls.lang, voc.token,
+               CAST(FLOOR(1000000 * ln((COALESCE(cnt.c, 0) + 1)
+                        / CAST(cls.ct + v.v AS DOUBLE))) AS BIGINT)
+                   AS lp
+        FROM cls CROSS JOIN voc CROSS JOIN v
+        LEFT JOIN cnt
+               ON cnt.lang = cls.lang AND cnt.token = voc.token
+    ),
+    defs AS (
+        SELECT cls.lang,
+               CAST(FLOOR(1000000
+                          * ln(1.0 / (cls.ct + v.v))) AS BIGINT)
+                   AS lp0
+        FROM cls CROSS JOIN v
+    ),
+    trdocs AS (
+        SELECT DISTINCT doc_id, lang FROM toks WHERE split = 'train'
+    ),
+    ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM trdocs),
+    priors AS (
+        SELECT lang,
+               CAST(FLOOR(1000000 * ln(CAST(COUNT(*) AS DOUBLE)
+                                       / ntr.n)) AS BIGINT)
+                   AS prior_lp
+        FROM trdocs CROSS JOIN ntr GROUP BY lang, ntr.n
+    ),
+    ho AS (
+        SELECT doc_id, lang AS actual_lang, token,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM toks WHERE split = 'holdout' GROUP BY 1, 2, 3
+    ),
+    scored AS (
+        SELECT ho.doc_id, ho.actual_lang, defs.lang AS cand,
+               priors.prior_lp
+               + SUM(ho.k * COALESCE(grid.lp, defs.lp0)) AS score
+        FROM ho
+        CROSS JOIN defs
+        JOIN priors ON priors.lang = defs.lang
+        LEFT JOIN grid
+               ON grid.lang = defs.lang AND grid.token = ho.token
+        GROUP BY 1, 2, 3, priors.prior_lp
+    ),
+    nbpred AS (
+        SELECT doc_id, actual_lang, cand AS predicted_lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cand) AS rn
+        FROM scored
+    )
+"""
+
+
+def _nb_holdout_predictions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-holdout-doc NB prediction: (doc_id, actual_lang,
+    predicted_lang) with integer micro-nat scores (see the
+    ml_naive_bayes_langid docstring)."""
+    from .sampling import SPLIT_CUT
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < SPLIT_CUT, "train")
+        .otherwise("holdout")
+        .alias("split"),
+        F.explode(_tokens(F.col("text"))).alias("token"),
+    )
+    tr = toks.filter(F.col("split") == "train").select("lang", "token")
+    cls = tr.groupBy("lang").agg(
+        F.count("*").cast("long").alias("ct")
+    )
+    voc = tr.select("token").distinct()
+    v = voc.agg(F.count("*").cast("long").alias("v"))
+    cnt = tr.groupBy("lang", "token").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    grid = (
+        cls.crossJoin(voc)
+        .crossJoin(F.broadcast(v))
+        .join(cnt, ["lang", "token"], "left")
+        .select(
+            "lang",
+            "token",
+            F.floor(
+                1000000
+                * F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                    / (F.col("ct") + F.col("v")).cast("double")
+                )
+            )
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+    defs = cls.crossJoin(F.broadcast(v)).select(
+        "lang",
+        F.floor(
+            1000000 * F.log(1.0 / (F.col("ct") + F.col("v")))
+        )
+        .cast("long")
+        .alias("lp0"),
+    )
+    trdocs = (
+        toks.filter(F.col("split") == "train")
+        .select("doc_id", "lang")
+        .distinct()
+    )
+    ntr = trdocs.agg(F.count("*").cast("long").alias("n"))
+    priors = (
+        trdocs.crossJoin(F.broadcast(ntr))
+        .groupBy("lang", "n")
+        .agg(F.count("*").alias("cdocs"))
+        .select(
+            "lang",
+            F.floor(
+                1000000
+                * F.log(
+                    F.col("cdocs").cast("double") / F.col("n")
+                )
+            )
+            .cast("long")
+            .alias("prior_lp"),
+        )
+    )
+    ho = (
+        toks.filter(F.col("split") == "holdout")
+        .groupBy(
+            "doc_id",
+            F.col("lang").alias("actual_lang"),
+            "token",
+        )
+        .agg(F.count("*").cast("long").alias("k"))
+    )
+    scored = (
+        ho.crossJoin(
+            F.broadcast(defs.withColumnRenamed("lang", "cand"))
+        )
+        .join(
+            F.broadcast(priors.withColumnRenamed("lang", "cand")),
+            "cand",
+        )
+        .join(
+            F.broadcast(
+                grid.withColumnRenamed("lang", "cand").select(
+                    "cand", "token", "lp"
+                )
+            ),
+            ["cand", "token"],
+            "left",
+        )
+        .groupBy("doc_id", "actual_lang", "cand", "prior_lp")
+        .agg(
+            F.sum(
+                F.col("k") * F.coalesce(F.col("lp"), F.col("lp0"))
+            ).alias("sumlp")
+        )
+        .select(
+            "doc_id",
+            "actual_lang",
+            "cand",
+            (F.col("prior_lp") + F.col("sumlp")).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wpred = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wpred))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "actual_lang",
+            F.col("cand").alias("predicted_lang"),
+        )
+    )
+
+
+def _nb_sql() -> str:
+    from .sampling import SPLIT_CUT
+
+    return _NB_PRED_SQL.format(split_cut=SPLIT_CUT)
+
+
+@query(
+    "ml_naive_bayes_langid",
+    oracle=None,  # set below after _nb_sql is resolvable lazily
+)
+def ml_naive_bayes_langid(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pred = _nb_holdout_predictions(spark, sf_dir)
+    return pred.groupBy("actual_lang", "predicted_lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# McNemar's paired test: NB classifier vs the marker heuristic
+# ---------------------------------------------------------------------------
+# The statistically correct way to compare two classifiers evaluated
+# on the SAME holdout docs: only the discordant pairs carry signal.
+# b = docs NB gets right and the heuristic wrong, c = the reverse;
+# the continuity-corrected statistic (|b-c|-1)^2/(b+c) is one double
+# expression over exact longs.  The heuristic predicts within its
+# en/de/fr closed world (text_langid_confusion), NB over all five
+# classes -- McNemar compares their CORRECTNESS booleans, which are
+# well-defined for both.
+@query(
+    "ml_mcnemar_nb_vs_heuristic",
+    oracle=None,  # set below
+)
+def ml_mcnemar_nb_vs_heuristic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    nb = _nb_holdout_predictions(spark, sf_dir).select(
+        "doc_id",
+        (F.col("predicted_lang") == F.col("actual_lang")).alias(
+            "nb_ok"
+        ),
+    )
+    heur = text_langid_heuristic(spark, sf_dir).select(
+        "doc_id",
+        (F.col("predicted_lang") == F.col("actual_lang")).alias(
+            "heur_ok"
+        ),
+    )
+    paired = nb.join(heur, "doc_id")
+    s = paired.agg(
+        F.count("*").cast("long").alias("n_holdout"),
+        F.sum(F.col("nb_ok").cast("int")).cast("long").alias(
+            "nb_correct"
+        ),
+        F.sum(F.col("heur_ok").cast("int")).cast("long").alias(
+            "heur_correct"
+        ),
+        F.sum(
+            (F.col("nb_ok") & ~F.col("heur_ok")).cast("int")
+        )
+        .cast("long")
+        .alias("b_discordant"),
+        F.sum(
+            (~F.col("nb_ok") & F.col("heur_ok")).cast("int")
+        )
+        .cast("long")
+        .alias("c_discordant"),
+    )
+    b = F.col("b_discordant")
+    c = F.col("c_discordant")
+    return s.select(
+        "n_holdout",
+        "nb_correct",
+        "heur_correct",
+        "b_discordant",
+        "c_discordant",
+        F.round(
+            F.when(b + c == 0, F.lit(0.0)).otherwise(
+                F.pow(F.abs(b - c) - 1, 2) / (b + c)
+            ),
+            6,
+        ).alias("mcnemar_chi2"),
+    )
+
+
+# Oracles need SPLIT_CUT from sampling.py; registering them here at
+# import time keeps the lazy-import order safe (sampling imports
+# nothing from text).
+from ..registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["ml_naive_bayes_langid"] = f"""
+    WITH {_nb_sql()}
+    SELECT actual_lang, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM nbpred WHERE rn = 1 GROUP BY 1, 2
+"""
+
+_ORACLES["ml_mcnemar_nb_vs_heuristic"] = f"""
+    WITH {_nb_sql()},
+    nbok AS (
+        SELECT doc_id, actual_lang = predicted_lang AS nb_ok
+        FROM nbpred WHERE rn = 1
+    ),
+    scores AS (SELECT doc_id, lang, {_profile_sql()} FROM documents),
+    heur AS (
+        SELECT doc_id,
+               lang = CASE
+                   WHEN score_en >= score_de AND score_en >= score_fr
+                       THEN 'en'
+                   WHEN score_de >= score_fr THEN 'de'
+                   ELSE 'fr'
+               END AS heur_ok
+        FROM scores
+    ),
+    paired AS (
+        SELECT nb_ok, heur_ok FROM nbok JOIN heur USING (doc_id)
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_holdout,
+               CAST(SUM(CASE WHEN nb_ok THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nb_correct,
+               CAST(SUM(CASE WHEN heur_ok THEN 1 ELSE 0 END)
+                    AS BIGINT) AS heur_correct,
+               CAST(SUM(CASE WHEN nb_ok AND NOT heur_ok
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS b_discordant,
+               CAST(SUM(CASE WHEN NOT nb_ok AND heur_ok
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c_discordant
+        FROM paired
+    )
+    SELECT n_holdout, nb_correct, heur_correct,
+           b_discordant, c_discordant,
+           ROUND(CASE WHEN b_discordant + c_discordant = 0 THEN 0.0
+                      ELSE POWER(ABS(b_discordant - c_discordant)
+                                 - 1, 2)
+                           / (b_discordant + c_discordant) END, 6)
+               AS mcnemar_chi2
+    FROM s
+"""

@@ -161,6 +161,9 @@ DEFER_NEW: tuple[str, ...] = (
     "ml_cohens_kappa",
     "orders_hazard_nelson_aalen",
     "text_readability_flesch",
+    "ml_naive_bayes_langid",
+    "ml_mcnemar_nb_vs_heuristic",
+    "agg_hhi_concentration",
 )
 
 

@@ -1142,3 +1142,123 @@ def test_flesch_brute_force(spark):
         )
         f = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
         assert abs(r.flesch_reading_ease - f) < 1e-3
+
+
+def _py_nb_confusion(sf=SF_DIR_001):
+    """Pure-Python replay of the micro-nat-quantized multinomial NB
+    (same md5 split, Laplace smoothing, floor quantization)."""
+    import hashlib
+
+    import re
+
+    from hq_master_data_warehouse_spark.operators.sampling import (
+        SPLIT_CUT,
+    )
+
+    def canonical_text_py(t):
+        return re.sub(r"\s+", " ", t.lower()).strip()
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, lang, text FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    train, hold = [], []
+    for doc_id, lang, text in docs:
+        toks = canonical_text_py(text).split(" ")
+        split = hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+        (train if split < SPLIT_CUT else hold).append(
+            (doc_id, lang, toks)
+        )
+    cnt: dict[tuple[str, str], int] = {}
+    ct: dict[str, int] = {}
+    docs_c: dict[str, int] = {}
+    voc = set()
+    for _, lang, toks in train:
+        docs_c[lang] = docs_c.get(lang, 0) + 1
+        for t in toks:
+            cnt[(lang, t)] = cnt.get((lang, t), 0) + 1
+            ct[lang] = ct.get(lang, 0) + 1
+            voc.add(t)
+    v = len(voc)
+    ntr = len(train)
+    q = lambda x: math.floor(1e6 * math.log(x))  # noqa: E731
+    lp = {
+        (lang, t): q((cnt.get((lang, t), 0) + 1) / (ct[lang] + v))
+        for lang in ct
+        for t in voc
+    }
+    lp0 = {lang: q(1.0 / (ct[lang] + v)) for lang in ct}
+    prior = {lang: q(docs_c[lang] / ntr) for lang in ct}
+    conf: dict[tuple[str, str], int] = {}
+    correct: dict[int, bool] = {}
+    for doc_id, lang, toks in hold:
+        scores = {
+            c: prior[c]
+            + sum(lp.get((c, t), lp0[c]) for t in toks)
+            for c in ct
+        }
+        top = max(scores.values())
+        # tie-break ascending on class name, like the ROW_NUMBER order
+        best = min(c for c in scores if scores[c] == top)
+        conf[(lang, best)] = conf.get((lang, best), 0) + 1
+        correct[doc_id] = best == lang
+    return conf, correct
+
+
+def test_naive_bayes_brute_force(spark):
+    """The Spark NB confusion equals the pure-Python replay of the
+    identical quantized model, cell for cell."""
+    rows = _rows(spark, "ml_naive_bayes_langid")
+    got = {(r.actual_lang, r.predicted_lang): r.n_docs for r in rows}
+    conf, _ = _py_nb_confusion()
+    assert got == conf
+
+
+def test_mcnemar_identities(spark):
+    """Discordant counts recompute from the replayed NB correctness
+    and the heuristic query; the statistic matches the formula."""
+    row = _rows(spark, "ml_mcnemar_nb_vs_heuristic")[0]
+    _, nb_ok = _py_nb_confusion()
+    heur_ok = {
+        r.doc_id: r.predicted_lang == r.actual_lang
+        for r in _rows(spark, "text_langid_heuristic")
+        if r.doc_id in nb_ok
+    }
+    b = sum(1 for d in nb_ok if nb_ok[d] and not heur_ok[d])
+    c = sum(1 for d in nb_ok if not nb_ok[d] and heur_ok[d])
+    assert row.n_holdout == len(nb_ok)
+    assert row.b_discordant == b and row.c_discordant == c
+    assert row.nb_correct == sum(nb_ok.values())
+    assert row.heur_correct == sum(heur_ok.values())
+    expect = 0.0 if b + c == 0 else (abs(b - c) - 1) ** 2 / (b + c)
+    assert abs(row.mcnemar_chi2 - expect) < 1e-6
+
+
+def test_hhi_brute_force(spark):
+    """HHI recomputed from per-customer float shares; equal-share
+    floor <= HHI <= 1."""
+    rows = {r.region: r for r in _rows(spark, "agg_hhi_concentration")}
+    con = duckdb.connect()
+    data = con.execute(
+        f"""SELECT rg.r_name, c.c_custkey,
+               SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+        FROM '{SF_DIR_001}/orders.parquet' o
+        JOIN '{SF_DIR_001}/customer.parquet' c
+          ON o.o_custkey = c.c_custkey
+        JOIN '{SF_DIR_001}/nation.parquet' n
+          ON c.c_nationkey = n.n_nationkey
+        JOIN '{SF_DIR_001}/region.parquet' rg
+          ON n.n_regionkey = rg.r_regionkey
+        GROUP BY 1, 2"""
+    ).fetchall()
+    per: dict[str, list[int]] = {}
+    for region, _, r in data:
+        per.setdefault(region, []).append(r)
+    assert set(per) == set(rows)
+    for region, revs in per.items():
+        row = rows[region]
+        tot = sum(revs)
+        hhi = sum((x / tot) ** 2 for x in revs)
+        assert row.n_customers == len(revs)
+        assert abs(row.hhi - hhi) < 1e-6
+        assert row.hhi_equal_floor - 1e-9 <= row.hhi <= 1.0
