@@ -624,3 +624,114 @@ def graph_connected_components(
         F.col("label").alias("component_id"),
         "component_size",
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition of the recurring co-purchase graph
+# ---------------------------------------------------------------------------
+# The density-peeling view of the same graph as graph_connected_
+# components: the k-core is the maximal subgraph where every node
+# keeps degree >= k, and a node's core number is the largest k whose
+# core contains it.  Cohesive-subgroup mining, the standard
+# preprocessing cut before expensive community detection.
+#
+# Spark side: distributed peeling -- for each k (2..KCORE_MAX), drop
+# nodes with degree < k and repeat until the count is stable (scalar
+# probe per round, the CC convergence discipline; localCheckpoint
+# keeps lineage flat).  The nested-core property (the (k+1)-core is
+# inside the k-core) lets each k start from the previous survivor
+# set, so total work is one degree-agg per peel round on an
+# ever-shrinking edge set.  Peeling is an inherently sequential
+# fixpoint that ANSI SQL's monotone recursive CTEs cannot express
+# (deletion needs aggregation over the recursive table), so this op
+# is registered rows-only; tests/test_round6_ops.py replays the
+# exact textbook peel in Python and compares every (node, core)
+# row.  Reference behavior: degree-threshold audience cuts in
+# /root/reference/src (see SURVEY 2 filters family); the k-core
+# generalizes them to transitive cohesion.
+KCORE_MAX = 4
+KCORE_MAX_ITERS = 30
+
+
+@query("graph_kcore_decomposition")  # rows-only: iterative fixpoint
+def graph_kcore_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("w")
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= CC_MIN_SHARED_ORDERS)
+        .select("u", "w")
+    )
+    edges = (
+        pairs.select(F.col("u").alias("src"), F.col("w").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("w").alias("src"), F.col("u").alias("dst")
+            )
+        )
+        .repartition("src")
+        .localCheckpoint()
+    )
+
+    def _peel(e: DataFrame, k: int) -> DataFrame:
+        """Drop every edge touching a node of degree < k (one step)."""
+        keep = (
+            e.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        return e.join(keep, "src").join(
+            keep.withColumnRenamed("src", "dst"), "dst"
+        ).select("src", "dst")
+
+    core = edges.select(F.col("src").alias("v")).distinct().select(
+        "v", F.lit(1).alias("core_number")
+    )
+    cur = edges
+    n_edges = cur.count()
+    for k in range(2, KCORE_MAX + 1):
+        # TWO peel steps per materialization + ONE scalar probe (the
+        # graph_connected_components batching discipline: the
+        # thresholded edge set is small, so per-round fixed cost --
+        # scheduling + checkpoint + probe -- dominates the joins).
+        # Edge count is monotone non-increasing; unchanged across a
+        # double-step IS the degree->=k fixpoint.
+        for _ in range(KCORE_MAX_ITERS // 2):
+            cur = _peel(_peel(cur, k), k).localCheckpoint()
+            n_new = cur.count()
+            if n_new == n_edges:
+                break
+            n_edges = n_new
+            if n_edges == 0:
+                break
+        if n_edges == 0:
+            break
+        survivors = cur.select(F.col("src").alias("kv")).distinct()
+        core = (
+            core.join(survivors, core["v"] == F.col("kv"), "left")
+            .select(
+                "v",
+                F.when(F.col("kv").isNotNull(), F.lit(k))
+                .otherwise(F.col("core_number"))
+                .alias("core_number"),
+            )
+            .localCheckpoint()
+        )
+    return core.filter(F.col("core_number") >= 2).select(
+        F.col("v").alias("part_id"), "core_number"
+    )

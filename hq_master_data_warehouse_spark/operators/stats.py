@@ -3856,3 +3856,314 @@ def ml_levene_brown_forsythe(
             6,
         ).alias("w_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Durbin-Watson test on the daily-trend OLS residuals
+# ---------------------------------------------------------------------------
+# The regression-diagnostics companion to ml_ols_daily_trend: are the
+# residuals of the daily-order-count trend serially correlated?
+# With the ZERO-FILLED dense day index (unit spacing), the DW
+# statistic needs NO per-row residual materialization:
+#   SSE           = Syy_c - b * Sxy_c            (exact moments)
+#   sum (e_t-e_{t-1})^2 = sum dy^2 - 2*b*sum dy + (n-1)*b^2
+# where dy = y_t - y_{t-1} is an exact integer from one LAG pass and
+# sum dy telescopes to y_last - y_first.  Every aggregate is an
+# exact integer; DW is one fixed double expression -- bit-identical
+# cross-engine, no engine-ordered double summation anywhere.
+# 100 TB shape: fact table collapses to the bounded calendar first;
+# one LAG window over the bounded day table.
+@query(
+    "ml_durbin_watson",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(o_orderdate) AS d0, MAX(o_orderdate) AS d1
+        FROM orders
+    ),
+    days AS (
+        SELECT UNNEST(generate_series(0,
+                   datediff('day', d0, d1))) AS d
+        FROM bounds
+    ),
+    counts AS (
+        SELECT datediff('day', bounds.d0, o_orderdate) AS d,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM orders CROSS JOIN bounds
+        GROUP BY 1
+    ),
+    series AS (
+        SELECT days.d, COALESCE(counts.y, 0) AS y
+        FROM days LEFT JOIN counts USING (d)
+    ),
+    lagged AS (
+        SELECT d, y, y - LAG(y) OVER (ORDER BY d) AS dy
+        FROM series
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(d) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(d * d) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(d * y) AS BIGINT) AS sxy,
+               CAST(SUM(dy * dy) AS BIGINT) AS sdy2,
+               CAST(SUM(dy) AS BIGINT) AS sdy
+        FROM lagged
+    ),
+    fit AS (
+        SELECT n,
+               (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                   AS b,
+               CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n
+                   AS syy_c,
+               CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n
+                   AS sxy_c,
+               CAST(sdy2 AS DOUBLE) AS sdy2,
+               CAST(sdy AS DOUBLE) AS sdy
+        FROM mom
+    )
+    SELECT n AS n_days,
+           ROUND(b, 8) AS slope_per_day,
+           ROUND((sdy2 - 2 * b * sdy + (n - 1) * b * b)
+                 / (syy_c - b * sxy_c), 6) AS dw_stat,
+           ROUND(1 - (sdy2 - 2 * b * sdy + (n - 1) * b * b)
+                     / (syy_c - b * sxy_c) / 2, 6) AS rho_approx
+    FROM fit
+    """,
+)
+def ml_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.datediff("d1", "d0"))).alias(
+            "d"
+        )
+    )
+    counts = (
+        orders.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.datediff(F.to_date("o_orderdate"), F.col("d0")).alias(
+                "d"
+            )
+        )
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    series = days.join(counts, "d", "left").select(
+        "d", F.coalesce("y", F.lit(0)).alias("y")
+    )
+    lagged = series.select(
+        "d",
+        "y",
+        (F.col("y") - F.lag("y").over(Window.orderBy("d"))).alias(
+            "dy"
+        ),
+    )
+    mom = lagged.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("d").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("d") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("sdy2"),
+        F.sum("dy").cast("long").alias("sdy"),
+    )
+    n = F.col("n")
+    b = (
+        n * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        n * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    syy_c = (
+        F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy") / n
+    )
+    sxy_c = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy") / n
+    )
+    fit = mom.select(
+        n.alias("n"),
+        b.alias("b"),
+        syy_c.alias("syy_c"),
+        sxy_c.alias("sxy_c"),
+        F.col("sdy2").cast("double").alias("sdy2"),
+        F.col("sdy").cast("double").alias("sdy"),
+    )
+    num = (
+        F.col("sdy2")
+        - 2 * F.col("b") * F.col("sdy")
+        + (F.col("n") - 1) * F.col("b") * F.col("b")
+    )
+    den = F.col("syy_c") - F.col("b") * F.col("sxy_c")
+    return fit.select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("b"), 8).alias("slope_per_day"),
+        F.round(num / den, 6).alias("dw_stat"),
+        F.round(1 - num / den / 2, 6).alias("rho_approx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on the daily order series
+# ---------------------------------------------------------------------------
+# The nonparametric randomness screen: are above-median and
+# below-median days randomly interleaved, or do they clump (trend /
+# regime persistence)?  Ties at the median are dropped (the standard
+# convention); the doubled-median trick (2*y vs med2, both exact
+# longs) keeps the above/below classification integer-exact.  Run
+# count comes from ONE LAG pass over the ordered bounded day table
+# (exact integer), and the normal approximation z is one fixed
+# double expression over the three exact counts.
+@query(
+    "orders_runs_test_daily",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(o_orderdate) AS d0, MAX(o_orderdate) AS d1
+        FROM orders
+    ),
+    days AS (
+        SELECT UNNEST(generate_series(0,
+                   datediff('day', d0, d1))) AS d
+        FROM bounds
+    ),
+    counts AS (
+        SELECT datediff('day', bounds.d0, o_orderdate) AS d,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM orders CROSS JOIN bounds
+        GROUP BY 1
+    ),
+    series AS (
+        SELECT days.d, COALESCE(counts.y, 0) AS y
+        FROM days LEFT JOIN counts USING (d)
+    ),
+    med AS (
+        SELECT CAST(2 * quantile_cont(CAST(y AS DOUBLE), 0.5)
+                    AS BIGINT) AS med2
+        FROM series
+    ),
+    signs AS (
+        SELECT d, CASE WHEN 2 * y > med2 THEN 1 ELSE 0 END AS s
+        FROM series CROSS JOIN med
+        WHERE 2 * y <> med2
+    ),
+    runs AS (
+        SELECT s,
+               CASE WHEN LAG(s) OVER (ORDER BY d) IS NULL
+                         OR LAG(s) OVER (ORDER BY d) <> s
+                    THEN 1 ELSE 0 END AS new_run
+        FROM signs
+    ),
+    agg AS (
+        SELECT CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+               CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n2,
+               CAST(SUM(new_run) AS BIGINT) AS r
+        FROM runs
+    )
+    SELECT n1 AS n_above, n2 AS n_below, r AS n_runs,
+           ROUND(2.0 * n1 * n2 / (n1 + n2) + 1, 4) AS expected_runs,
+           CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+                ELSE ROUND((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                     / SQRT(2.0 * n1 * n2
+                            * (2.0 * n1 * n2 - n1 - n2)
+                            / ((CAST(n1 + n2 AS DOUBLE))
+                               * (n1 + n2) * (n1 + n2 - 1))), 6)
+           END AS z_stat
+    FROM agg
+    """,
+)
+def orders_runs_test_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.datediff("d1", "d0"))).alias(
+            "d"
+        )
+    )
+    counts = (
+        orders.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.datediff(F.to_date("o_orderdate"), F.col("d0")).alias(
+                "d"
+            )
+        )
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    series = days.join(counts, "d", "left").select(
+        "d", F.coalesce("y", F.lit(0)).alias("y")
+    )
+    med = series.agg(
+        (2 * F.expr("percentile(CAST(y AS DOUBLE), 0.5)"))
+        .cast("long")
+        .alias("med2")
+    )
+    signs = (
+        series.crossJoin(F.broadcast(med))
+        .filter(2 * F.col("y") != F.col("med2"))
+        .select(
+            "d",
+            F.when(2 * F.col("y") > F.col("med2"), 1)
+            .otherwise(0)
+            .alias("s"),
+        )
+    )
+    lag_s = F.lag("s").over(Window.orderBy("d"))
+    runs = signs.select(
+        "s",
+        F.when(lag_s.isNull() | (lag_s != F.col("s")), 1)
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("s") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum("new_run").cast("long").alias("r"),
+    )
+    n1 = F.col("n1")
+    n2 = F.col("n2")
+    r = F.col("r")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / (
+            (n1 + n2).cast("double")
+            * (n1 + n2)
+            * (n1 + n2 - 1)
+        )
+    )
+    return agg.select(
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        r.alias("n_runs"),
+        F.round(mu, 4).alias("expected_runs"),
+        # degenerate one-sided series (possible at tiny SF): no test
+        F.when(
+            (n1 == 0) | (n2 == 0), F.lit(None).cast("double")
+        )
+        .otherwise(F.round((r - mu) / F.sqrt(var), 6))
+        .alias("z_stat"),
+    )

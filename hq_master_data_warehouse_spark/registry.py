@@ -164,6 +164,9 @@ DEFER_NEW: tuple[str, ...] = (
     "ml_naive_bayes_langid",
     "ml_mcnemar_nb_vs_heuristic",
     "agg_hhi_concentration",
+    "ml_durbin_watson",
+    "orders_runs_test_daily",
+    "graph_kcore_decomposition",
 )
 
 

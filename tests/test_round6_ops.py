@@ -1262,3 +1262,115 @@ def test_hhi_brute_force(spark):
         assert row.n_customers == len(revs)
         assert abs(row.hhi - hhi) < 1e-6
         assert row.hhi_equal_floor - 1e-9 <= row.hhi <= 1.0
+
+
+def test_durbin_watson_brute_force(spark):
+    """DW recomputed from explicit per-day residuals; 0 <= DW <= 4
+    and rho_approx = 1 - DW/2."""
+    row = _rows(spark, "ml_durbin_watson")[0]
+    con = duckdb.connect()
+    days = dict(
+        con.execute(
+            f"""WITH b AS (SELECT MIN(o_orderdate) AS d0 FROM
+                    '{SF_DIR_001}/orders.parquet')
+            SELECT datediff('day', b.d0, o_orderdate), COUNT(*)
+            FROM '{SF_DIR_001}/orders.parquet' CROSS JOIN b
+            GROUP BY 1"""
+        ).fetchall()
+    )
+    n = max(days) + 1
+    y = [days.get(d, 0) for d in range(n)]
+    sx, sy = sum(range(n)), sum(y)
+    sxx = sum(d * d for d in range(n))
+    sxy = sum(d * v for d, v in enumerate(y))
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n
+    e = [v - a - b * d for d, v in enumerate(y)]
+    dw = sum((e[i] - e[i - 1]) ** 2 for i in range(1, n)) / sum(
+        x * x for x in e
+    )
+    assert row.n_days == n
+    assert abs(row.slope_per_day - b) < 1e-8
+    assert abs(row.dw_stat - dw) < 1e-5
+    assert 0 <= row.dw_stat <= 4
+    assert abs(row.rho_approx - (1 - dw / 2)) < 1e-5
+
+
+def test_runs_test_brute_force(spark):
+    """Runs, counts and z recomputed with the textbook sequential
+    scan over the zero-filled daily series."""
+    row = _rows(spark, "orders_runs_test_daily")[0]
+    con = duckdb.connect()
+    days = dict(
+        con.execute(
+            f"""WITH b AS (SELECT MIN(o_orderdate) AS d0 FROM
+                    '{SF_DIR_001}/orders.parquet')
+            SELECT datediff('day', b.d0, o_orderdate), COUNT(*)
+            FROM '{SF_DIR_001}/orders.parquet' CROSS JOIN b
+            GROUP BY 1"""
+        ).fetchall()
+    )
+    n = max(days) + 1
+    y = [days.get(d, 0) for d in range(n)]
+    import statistics
+
+    med = statistics.median(y)
+    s = [1 if v > med else 0 for v in y if v != med]
+    n1, n2 = sum(s), len(s) - sum(s)
+    runs = 1 + sum(1 for i in range(1, len(s)) if s[i] != s[i - 1])
+    assert (row.n_above, row.n_below, row.n_runs) == (n1, n2, runs)
+    mu = 2 * n1 * n2 / (n1 + n2) + 1
+    assert abs(row.expected_runs - mu) < 1e-4
+    if n1 == 0 or n2 == 0:
+        assert row.z_stat is None
+    else:
+        var = (
+            2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+            / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+        )
+        assert abs(row.z_stat - (runs - mu) / math.sqrt(var)) < 1e-5
+
+
+def _py_kcore(sf, kmax):
+    """Textbook peel: exact core numbers (capped at kmax) of the
+    >=2-shared-orders co-purchase graph."""
+    import collections
+
+    con = duckdb.connect()
+    e = con.execute(
+        f"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                FROM '{sf}/lineitem.parquet')
+        SELECT a.l_partkey, b.l_partkey
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2"""
+    ).fetchall()
+    adj = collections.defaultdict(set)
+    for u, w in e:
+        adj[u].add(w)
+        adj[w].add(u)
+    core = {v: 1 for v in adj}
+    for k in range(2, kmax + 1):
+        while True:
+            drop = [v for v in adj if len(adj[v]) < k]
+            if not drop:
+                break
+            for v in drop:
+                for w in adj[v]:
+                    adj[w].discard(v)
+                del adj[v]
+        for v in adj:
+            core[v] = k
+    return {v: c for v, c in core.items() if c >= 2}
+
+
+def test_kcore_brute_force(spark):
+    """Every (part, core_number) row equals the exact textbook peel;
+    nested-core property holds by construction of the replay."""
+    from hq_master_data_warehouse_spark.operators.graph import KCORE_MAX
+
+    got = {
+        r.part_id: r.core_number
+        for r in _rows(spark, "graph_kcore_decomposition")
+    }
+    assert got == _py_kcore(SF_DIR_001, KCORE_MAX)
