@@ -2873,3 +2873,220 @@ def agg_hhi_concentration(
             "hhi_equal_floor"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Atkinson inequality index (epsilon = 1) per region
+# ---------------------------------------------------------------------------
+# The welfare-theoretic member completing the inequality family
+# (Gini, Theil, Lorenz, HHI): A(1) = 1 - geomean/mean of customer
+# revenue within each region.  The geometric mean is where engines
+# usually diverge (SUM of ln doubles in engine order); here each
+# ln(cents) is FLOOR-quantized to integer micro-nats first (the NB
+# discipline), so the per-region sum is an exact LONG and the final
+# index is one double expression.  The quantization bias is bounded
+# by 1e-6 nats per row -- below the 6-decimal output quantum.
+@query(
+    "agg_atkinson_index",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_custkey, c.c_nationkey,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS r
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    q AS (
+        SELECT rg.r_name AS region, rev.r,
+               CAST(FLOOR(1000000 * ln(CAST(rev.r AS DOUBLE)))
+                    AS BIGINT) AS lnq
+        FROM rev
+        JOIN nation n ON rev.c_nationkey = n.n_nationkey
+        JOIN region rg ON n.n_regionkey = rg.r_regionkey
+    ),
+    agg AS (
+        SELECT region, CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(r) AS BIGINT) AS s,
+               CAST(SUM(lnq) AS BIGINT) AS sl
+        FROM q GROUP BY region
+    )
+    SELECT region, n_customers,
+           ROUND(EXP(CAST(sl AS DOUBLE) / 1000000 / n_customers)
+                 / 100, 2) AS geomean_revenue,
+           ROUND(CAST(s AS DOUBLE) / n_customers / 100, 2)
+               AS mean_revenue,
+           ROUND(1 - EXP(CAST(sl AS DOUBLE) / 1000000 / n_customers)
+                     / (CAST(s AS DOUBLE) / n_customers), 6)
+               AS atkinson_1
+    FROM agg
+    """,
+)
+def agg_atkinson_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        orders.join(
+            customer, orders["o_custkey"] == customer["c_custkey"]
+        )
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            )
+            .cast("long")
+            .alias("r")
+        )
+    )
+    q = (
+        rev.join(
+            F.broadcast(nation),
+            rev["c_nationkey"] == nation["n_nationkey"],
+        )
+        .join(
+            F.broadcast(region),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            "r",
+            F.floor(1000000 * F.log(F.col("r").cast("double")))
+            .cast("long")
+            .alias("lnq"),
+        )
+    )
+    agg = q.groupBy("region").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("r").cast("long").alias("s"),
+        F.sum("lnq").cast("long").alias("sl"),
+    )
+    geo = F.exp(
+        F.col("sl").cast("double") / 1000000 / F.col("n_customers")
+    )
+    mean = F.col("s").cast("double") / F.col("n_customers")
+    return agg.select(
+        "region",
+        "n_customers",
+        F.round(geo / 100, 2).alias("geomean_revenue"),
+        F.round(mean / 100, 2).alias("mean_revenue"),
+        F.round(1 - geo / mean, 6).alias("atkinson_1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bollinger bands over daily revenue
+# ---------------------------------------------------------------------------
+# The volatility envelope behind "is today unusual": 7-day rolling
+# mean +/- 2 sample standard deviations of daily revenue, plus the
+# outside-band flag.  Rolling Sy and Syy are exact integer cent sums
+# over the ROWS window (order-independent), so mid/upper/lower are
+# fixed double expressions per row; warm-up rows (n < 7) report
+# their shorter window honestly via n_window.  100 TB shape: the
+# fact table collapses to the bounded calendar first; one ROWS
+# window pass over the day table.
+BOLL_WINDOW = 7
+BOLL_K = 2.0
+
+
+@query(
+    "window_bollinger_bands",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    w AS (
+        SELECT day, cents,
+               CAST(COUNT(*) OVER win AS BIGINT) AS n_window,
+               CAST(SUM(cents) OVER win AS BIGINT) AS sy,
+               CAST(SUM(CAST(cents AS DECIMAL(38,0))
+                        * CAST(cents AS DECIMAL(38,0))) OVER win
+                    AS DECIMAL(38,0)) AS syy
+        FROM daily
+        WINDOW win AS (ORDER BY day
+                       ROWS BETWEEN {BOLL_WINDOW - 1} PRECEDING
+                                AND CURRENT ROW)
+    ),
+    bands AS (
+        SELECT day, cents, n_window,
+               CAST(sy AS DOUBLE) / n_window / 100 AS mid,
+               CASE WHEN n_window < 2 THEN 0.0
+                    ELSE SQRT((CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * sy / n_window)
+                              / (n_window - 1)) / 100
+               END AS sd
+        FROM w
+    )
+    SELECT day, ROUND(cents / 100.0, 2) AS revenue,
+           n_window,
+           ROUND(mid, 4) AS mid_band,
+           ROUND(mid + {BOLL_K} * sd, 4) AS upper_band,
+           ROUND(mid - {BOLL_K} * sd, 4) AS lower_band,
+           CASE WHEN cents / 100.0 > mid + {BOLL_K} * sd
+                  OR cents / 100.0 < mid - {BOLL_K} * sd
+                THEN 1 ELSE 0 END AS outside_band
+    FROM bands
+    """,
+)
+def window_bollinger_bands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    win = Window.orderBy("day").rowsBetween(
+        -(BOLL_WINDOW - 1), Window.currentRow
+    )
+    w = daily.select(
+        "day",
+        "cents",
+        F.count("*").over(win).cast("long").alias("n_window"),
+        F.sum("cents").over(win).cast("long").alias("sy"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)")
+            * F.col("cents").cast("decimal(38,0)")
+        )
+        .over(win)
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    mid = F.col("sy").cast("double") / F.col("n_window") / 100
+    sd = F.when(F.col("n_window") < 2, F.lit(0.0)).otherwise(
+        F.sqrt(
+            (
+                F.col("syy").cast("double")
+                - F.col("sy").cast("double")
+                * F.col("sy")
+                / F.col("n_window")
+            )
+            / (F.col("n_window") - 1)
+        )
+        / 100
+    )
+    rev = F.col("cents") / 100.0
+    return w.select(
+        "day",
+        F.round(rev, 2).alias("revenue"),
+        "n_window",
+        F.round(mid, 4).alias("mid_band"),
+        F.round(mid + BOLL_K * sd, 4).alias("upper_band"),
+        F.round(mid - BOLL_K * sd, 4).alias("lower_band"),
+        F.when(
+            (rev > mid + BOLL_K * sd) | (rev < mid - BOLL_K * sd),
+            1,
+        )
+        .otherwise(0)
+        .alias("outside_band"),
+    )

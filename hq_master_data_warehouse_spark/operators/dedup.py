@@ -1069,3 +1069,182 @@ def dedup_shingle_containment(
             >= CONTAINMENT_THRESHOLD
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF cosine near-duplicates (shingle-blocked)
+# ---------------------------------------------------------------------------
+# The sparse-vector cousin of dedup_embedding_cosine: cosine
+# similarity between documents' TF-IDF term vectors, with candidate
+# pairs BLOCKED by a shared non-hot 3-gram shingle (the
+# dedup_ngram_jaccard generator -- a necessary condition for high
+# lexical cosine, so pure pruning).  Exactness: per-term weights are
+# FLOOR-quantized to integer micro-units (FLOOR(1e6 * tf * ln(N/df))
+# -- the NB micro-nat discipline), so dot products and squared norms
+# are exact DECIMAL(38,0) integer sums in any aggregation order; the
+# cosine is one double expression per pair.  100 TB shape: shingle
+# blocking keeps candidates near-linear; the weight table joins on
+# the (token) key only within candidate pairs.
+TFIDF_COSINE_THRESHOLD = 0.8
+
+_TOKENS_SPLIT_SQL = f"string_split({CANONICAL_SQL}, ' ')"
+
+_TFIDF_WQ_SQL = f"""
+    toks AS (
+        SELECT doc_id, unnest({{tokens_sql}}) AS tok FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, tok
+    ),
+    dfreq AS (
+        SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS dfc
+        FROM toks GROUP BY tok
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    wq AS (
+        SELECT tf.doc_id, tf.tok,
+               CAST(FLOOR(1000000 * tf.tf
+                          * ln(CAST(nn.n_docs AS DOUBLE) / dfreq.dfc))
+                    AS BIGINT) AS w
+        FROM tf JOIN dfreq USING (tok) CROSS JOIN nn
+        WHERE dfreq.dfc < nn.n_docs
+    ),
+    norms AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(w AS DECIMAL(38,0))
+                        * CAST(w AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS nrm2
+        FROM wq GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "dedup_tfidf_cosine_pairs",
+    oracle=f"""
+    WITH rows_f AS ({_SHINGLE_ROWS_SQL}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM rows_f a JOIN rows_f b
+          ON a.sh = b.sh AND a.doc_id < b.doc_id
+    ),
+    {_TFIDF_WQ_SQL.format(tokens_sql=_TOKENS_SPLIT_SQL)},
+    dots AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(SUM(CAST(wa.w AS DECIMAL(38,0))
+                        * CAST(wb.w AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS dot,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_terms
+        FROM cand c
+        JOIN wq wa ON wa.doc_id = c.doc_a
+        JOIN wq wb ON wb.doc_id = c.doc_b AND wb.tok = wa.tok
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT d.doc_a, d.doc_b, d.n_shared_terms,
+           ROUND(CAST(d.dot AS DOUBLE)
+                 / SQRT(CAST(na.nrm2 AS DOUBLE)
+                        * CAST(nb.nrm2 AS DOUBLE)), 6) AS cosine
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.doc_a
+    JOIN norms nb ON nb.doc_id = d.doc_b
+    WHERE CAST(d.dot AS DOUBLE)
+          / SQRT(CAST(na.nrm2 AS DOUBLE) * CAST(nb.nrm2 AS DOUBLE))
+          >= {TFIDF_COSINE_THRESHOLD}
+    """,
+)
+def dedup_tfidf_cosine_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rows = _shingle_rows(spark, sf_dir)
+    cand = (
+        rows.select(F.col("doc_id").alias("doc_a"), "sh")
+        .join(
+            rows.select(F.col("doc_id").alias("doc_b"), "sh"), "sh"
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(canonical_text(F.col("text")), " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dfreq = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("long").alias("dfc")
+    )
+    nn = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    wq = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(nn))
+        .filter(F.col("dfc") < F.col("n_docs"))
+        .select(
+            "doc_id",
+            "tok",
+            F.floor(
+                1000000
+                * F.col("tf")
+                * F.log(
+                    F.col("n_docs").cast("double") / F.col("dfc")
+                )
+            )
+            .cast("long")
+            .alias("w"),
+        )
+        .cache()
+    )
+    norms = wq.groupBy("doc_id").agg(
+        F.sum(
+            F.col("w").cast("decimal(38,0)")
+            * F.col("w").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("nrm2")
+    )
+    wa = wq.select(
+        F.col("doc_id").alias("doc_a"),
+        "tok",
+        F.col("w").alias("w_a"),
+    )
+    wb = wq.select(
+        F.col("doc_id").alias("doc_b"),
+        "tok",
+        F.col("w").alias("w_b"),
+    )
+    dots = (
+        cand.join(wa, "doc_a")
+        .join(wb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.col("w_a").cast("decimal(38,0)")
+                * F.col("w_b").cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("dot"),
+            F.count("*").cast("long").alias("n_shared_terms"),
+        )
+    )
+    na = norms.select(
+        F.col("doc_id").alias("doc_a"), F.col("nrm2").alias("na2")
+    )
+    nb = norms.select(
+        F.col("doc_id").alias("doc_b"), F.col("nrm2").alias("nb2")
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("na2").cast("double") * F.col("nb2").cast("double")
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(cos >= TFIDF_COSINE_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_terms",
+            F.round(cos, 6).alias("cosine"),
+        )
+    )

@@ -167,6 +167,9 @@ DEFER_NEW: tuple[str, ...] = (
     "ml_durbin_watson",
     "orders_runs_test_daily",
     "graph_kcore_decomposition",
+    "dedup_tfidf_cosine_pairs",
+    "agg_atkinson_index",
+    "window_bollinger_bands",
 )
 
 

@@ -1374,3 +1374,107 @@ def test_kcore_brute_force(spark):
         for r in _rows(spark, "graph_kcore_decomposition")
     }
     assert got == _py_kcore(SF_DIR_001, KCORE_MAX)
+
+
+def test_tfidf_cosine_brute_force(spark):
+    """Every reported pair's cosine recomputed from a float TF-IDF
+    pipeline in Python (no quantization) within the quantization
+    error bound; subset-of-candidates and threshold respected."""
+    rows = _rows(spark, "dedup_tfidf_cosine_pairs")
+    from hq_master_data_warehouse_spark.operators.dedup import (
+        TFIDF_COSINE_THRESHOLD,
+    )
+    import re
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{SF_DIR_001}/documents.parquet'"
+    ).fetchall()
+    tf: dict[int, dict[str, int]] = {}
+    for doc_id, text in docs:
+        toks = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        d = tf.setdefault(doc_id, {})
+        for t in toks:
+            d[t] = d.get(t, 0) + 1
+    n = len(docs)
+    dfc: dict[str, int] = {}
+    for d in tf.values():
+        for t in d:
+            dfc[t] = dfc.get(t, 0) + 1
+    w = {
+        doc: {
+            t: c * math.log(n / dfc[t])
+            for t, c in d.items()
+            if dfc[t] < n
+        }
+        for doc, d in tf.items()
+    }
+
+    def cos(a, b):
+        dot = sum(w[a][t] * w[b][t] for t in w[a] if t in w[b])
+        na = math.sqrt(sum(x * x for x in w[a].values()))
+        nb = math.sqrt(sum(x * x for x in w[b].values()))
+        return dot / (na * nb)
+
+    assert rows, "threshold should keep some near-dup pairs"
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert r.cosine >= TFIDF_COSINE_THRESHOLD
+        # micro-unit quantization error is far below 1e-3 here
+        assert abs(r.cosine - cos(r.doc_a, r.doc_b)) < 1e-3
+
+
+def test_atkinson_identities(spark):
+    """0 <= A(1) < 1; geomean <= mean (AM-GM); float recompute."""
+    rows = _rows(spark, "agg_atkinson_index")
+    con = duckdb.connect()
+    data = con.execute(
+        f"""SELECT rg.r_name,
+               SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+        FROM '{SF_DIR_001}/orders.parquet' o
+        JOIN '{SF_DIR_001}/customer.parquet' c
+          ON o.o_custkey = c.c_custkey
+        JOIN '{SF_DIR_001}/nation.parquet' n
+          ON c.c_nationkey = n.n_nationkey
+        JOIN '{SF_DIR_001}/region.parquet' rg
+          ON n.n_regionkey = rg.r_regionkey
+        GROUP BY rg.r_name, c.c_custkey"""
+    ).fetchall()
+    per: dict[str, list[int]] = {}
+    for region, r in data:
+        per.setdefault(region, []).append(r)
+    assert {r.region for r in rows} == set(per)
+    for row in rows:
+        revs = per[row.region]
+        geo = math.exp(sum(math.log(x) for x in revs) / len(revs))
+        mean = sum(revs) / len(revs)
+        assert geo <= mean + 1e-9
+        assert 0 <= row.atkinson_1 < 1
+        assert abs(row.atkinson_1 - (1 - geo / mean)) < 1e-5
+        assert abs(row.mean_revenue - mean / 100) < 0.01
+
+
+def test_bollinger_brute_force(spark):
+    """Bands recomputed with a sliding Python window; the outside
+    flag is consistent with the bands on every row."""
+    import statistics
+
+    rows = sorted(
+        _rows(spark, "window_bollinger_bands"), key=lambda r: r.day
+    )
+    series = [r.revenue for r in rows]
+    for i, r in enumerate(rows):
+        wnd = series[max(0, i - 6): i + 1]
+        assert r.n_window == len(wnd)
+        mid = sum(wnd) / len(wnd)
+        sd = statistics.stdev(wnd) if len(wnd) > 1 else 0.0
+        assert abs(r.mid_band - mid) < 5e-3
+        assert abs(r.upper_band - (mid + 2 * sd)) < 2e-2
+        assert abs(r.lower_band - (mid - 2 * sd)) < 2e-2
+        assert r.outside_band == (
+            1
+            if (r.revenue > r.upper_band or r.revenue < r.lower_band)
+            else 0
+        ) or abs(r.revenue - r.upper_band) < 1e-3 or abs(
+            r.revenue - r.lower_band
+        ) < 1e-3
