@@ -1957,3 +1957,311 @@ def ml_brier_decomposition(
             6,
         ).alias("brier_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AdaBoost over decision stumps (2 rounds, exact integer weights)
+# ---------------------------------------------------------------------------
+# Discrete AdaBoost composed entirely of scalar aggregates: the
+# target is the high-value flag (cents > ADA_TARGET), the weak
+# learners a fixed stump pool (two shifted price thresholds that
+# genuinely carry signal + two noise features boosting must reject).
+# Exactness discipline: the multiplicative weight update
+# w <- w * exp(+-alpha) is replayed as INTEGER scaling -- misses
+# scale by (W - err), hits by err, which realizes exactly
+# exp(2*alpha) = (W - err)/err without ever normalizing -- so every
+# weighted error in every round is an exact integer and the argmin
+# pick is engine-independent (ties break on stump index).  alpha and
+# the final sign(alpha1*h1 + alpha2*h2) accuracy are fixed double
+# expressions over those integers.  100 TB shape: T+1 linear scans
+# (one grouped-to-one-row agg per round + one accuracy pass), scalar
+# picks broadcast back -- no shuffle wider than a 1-row aggregate.
+ADA_TARGET = 25_000_000  # cents: the +1 class is orders > $250k
+ADA_STUMPS = (
+    ("price_gt_150k", "cents > 15000000"),
+    ("price_gt_350k", "cents > 35000000"),
+    ("priority_hi",
+     "o_orderpriority IN ('1-URGENT', '2-HIGH')"),
+    ("year_le_1996", "oyear <= 1996"),
+)
+
+
+def _ada_base_sql() -> str:
+    hs = ", ".join(
+        f"CASE WHEN {cond} THEN 1 ELSE -1 END AS h{i + 1}"
+        for i, (_, cond) in enumerate(ADA_STUMPS)
+    )
+    return f"""
+    base AS (
+        SELECT CASE WHEN cents > {ADA_TARGET} THEN 1 ELSE -1 END AS y,
+               {hs}
+        FROM (
+            SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                   o_orderpriority,
+                   year(CAST(o_orderdate AS DATE)) AS oyear
+            FROM orders
+        )
+    )
+    """
+
+
+def _ada_pick_sql(err_cols: list[str], e: str, j: str) -> str:
+    least = f"LEAST({', '.join(err_cols)})"
+    case = " ".join(
+        f"WHEN {c} = {least} THEN {i + 1}"
+        for i, c in enumerate(err_cols)
+    )
+    return f"{least} AS {e}, CASE {case} END AS {j}"
+
+
+def _ada_oracle() -> str:
+    k = len(ADA_STUMPS)
+    err1 = ", ".join(
+        f"CAST(SUM(CASE WHEN h{i + 1} <> y THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS e1_{i + 1}"
+        for i in range(k)
+    )
+    err2 = ", ".join(
+        f"CAST(SUM(CASE WHEN h{i + 1} <> y THEN w1 ELSE 0 END)"
+        f" AS BIGINT) AS e2_{i + 1}"
+        for i in range(k)
+    )
+    hj = lambda j: (  # noqa: E731
+        "CASE "
+        + " ".join(
+            f"WHEN {j} = {i + 1} THEN h{i + 1}" for i in range(k)
+        )
+        + " END"
+    )
+    name_of = lambda j: (  # noqa: E731
+        "CASE "
+        + " ".join(
+            f"WHEN {j} = {i + 1} THEN '{ADA_STUMPS[i][0]}'"
+            for i in range(k)
+        )
+        + " END"
+    )
+    return f"""
+    WITH {_ada_base_sql()},
+    agg1 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS w0, {err1} FROM base
+    ),
+    pick1 AS (
+        SELECT w0,
+               {_ada_pick_sql([f"e1_{i + 1}" for i in range(k)],
+                              "e1", "j1")}
+        FROM agg1
+    ),
+    w1t AS (
+        SELECT base.*, 
+               CASE WHEN {hj("pick1.j1")} <> y
+                    THEN pick1.w0 - pick1.e1 ELSE pick1.e1
+               END AS w1
+        FROM base CROSS JOIN pick1
+    ),
+    agg2 AS (
+        SELECT CAST(SUM(w1) AS BIGINT) AS w1s, {err2} FROM w1t
+    ),
+    pick2 AS (
+        SELECT w1s,
+               {_ada_pick_sql([f"e2_{i + 1}" for i in range(k)],
+                              "e2", "j2")}
+        FROM agg2
+    ),
+    alphas AS (
+        SELECT pick1.j1, pick1.e1, pick1.w0,
+               pick2.j2, pick2.e2, pick2.w1s,
+               0.5 * ln((pick1.w0 - pick1.e1)
+                        / CAST(pick1.e1 AS DOUBLE)) AS a1,
+               0.5 * ln((pick2.w1s - pick2.e2)
+                        / CAST(pick2.e2 AS DOUBLE)) AS a2
+        FROM pick1 CROSS JOIN pick2
+    ),
+    acc AS (
+        SELECT CAST(SUM(CASE WHEN (CASE WHEN
+                   a.a1 * ({hj("a.j1")})
+                   + a.a2 * ({hj("a.j2")}) >= 0
+                   THEN 1 ELSE -1 END) = y THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_correct,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM base CROSS JOIN alphas a
+    )
+    SELECT 1 AS round, {name_of("a.j1")} AS stump,
+           ROUND(CAST(a.e1 AS DOUBLE) / a.w0, 6) AS weighted_eps,
+           ROUND(a.a1, 6) AS alpha,
+           acc.n_rows,
+           ROUND(CAST(acc.n_correct AS DOUBLE) / acc.n_rows, 6)
+               AS train_accuracy
+    FROM alphas a CROSS JOIN acc
+    UNION ALL
+    SELECT 2, {name_of("a.j2")},
+           ROUND(CAST(a.e2 AS DOUBLE) / a.w1s, 6),
+           ROUND(a.a2, 6),
+           acc.n_rows,
+           ROUND(CAST(acc.n_correct AS DOUBLE) / acc.n_rows, 6)
+    FROM alphas a CROSS JOIN acc
+    """
+
+
+@query("ml_adaboost_stumps", oracle=_ada_oracle())
+def ml_adaboost_stumps(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    k = len(ADA_STUMPS)
+    orders = load_table(spark, sf_dir, "orders")
+    pre = orders.select(
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents"),
+        "o_orderpriority",
+        F.year(F.to_date("o_orderdate")).alias("oyear"),
+    )
+    sign = lambda c: F.when(c, 1).otherwise(-1)  # noqa: E731
+    conds = [
+        F.col("cents") > 15000000,
+        F.col("cents") > 35000000,
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        F.col("oyear") <= 1996,
+    ]
+    base = pre.select(
+        sign(F.col("cents") > ADA_TARGET).alias("y"),
+        *[sign(c).alias(f"h{i + 1}") for i, c in enumerate(conds)],
+    ).cache()
+
+    def _least(cols):
+        return F.least(*[F.col(c) for c in cols])
+
+    def _argmin(cols, least_col):
+        expr = None
+        for i, c in enumerate(reversed(cols)):
+            j = len(cols) - i
+            cond = F.col(c) == least_col
+            expr = (
+                F.when(cond, j)
+                if expr is None
+                else F.when(cond, j).otherwise(expr)
+            )
+        return expr
+
+    def _pick_case(j_col, per_index):
+        expr = None
+        for i in range(k, 0, -1):
+            expr = (
+                F.when(j_col == i, per_index(i))
+                if expr is None
+                else F.when(j_col == i, per_index(i)).otherwise(expr)
+            )
+        return expr
+
+    agg1 = base.agg(
+        F.count("*").cast("long").alias("w0"),
+        *[
+            F.sum((F.col(f"h{i + 1}") != F.col("y")).cast("int"))
+            .cast("long")
+            .alias(f"e1_{i + 1}")
+            for i in range(k)
+        ],
+    )
+    c1 = [f"e1_{i + 1}" for i in range(k)]
+    pick1 = agg1.select(
+        "w0",
+        _least(c1).alias("e1"),
+        _argmin(c1, _least(c1)).alias("j1"),
+    )
+    # NOTE: _argmin scans in tuple order via the reversed otherwise
+    # chain, so ties resolve to the LOWEST stump index in both
+    # engines (the SQL CASE scans left-to-right identically).
+    h_of_j1 = _pick_case(F.col("j1"), lambda i: F.col(f"h{i}"))
+    w1t = base.crossJoin(F.broadcast(pick1)).withColumn(
+        "w1",
+        F.when(
+            h_of_j1 != F.col("y"), F.col("w0") - F.col("e1")
+        ).otherwise(F.col("e1")),
+    )
+    agg2 = w1t.agg(
+        F.sum("w1").cast("long").alias("w1s"),
+        *[
+            F.sum(
+                F.when(
+                    F.col(f"h{i + 1}") != F.col("y"), F.col("w1")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"e2_{i + 1}")
+            for i in range(k)
+        ],
+    )
+    c2 = [f"e2_{i + 1}" for i in range(k)]
+    pick2 = agg2.select(
+        "w1s",
+        _least(c2).alias("e2"),
+        _argmin(c2, _least(c2)).alias("j2"),
+    )
+    alphas = (
+        pick1.crossJoin(F.broadcast(pick2))
+        .select(
+            "j1",
+            "e1",
+            "w0",
+            "j2",
+            "e2",
+            "w1s",
+            (
+                0.5
+                * F.log(
+                    (F.col("w0") - F.col("e1"))
+                    / F.col("e1").cast("double")
+                )
+            ).alias("a1"),
+            (
+                0.5
+                * F.log(
+                    (F.col("w1s") - F.col("e2"))
+                    / F.col("e2").cast("double")
+                )
+            ).alias("a2"),
+        )
+    )
+    hj1 = _pick_case(F.col("j1"), lambda i: F.col(f"h{i}"))
+    hj2 = _pick_case(F.col("j2"), lambda i: F.col(f"h{i}"))
+    ens = F.when(
+        F.col("a1") * hj1 + F.col("a2") * hj2 >= 0, 1
+    ).otherwise(-1)
+    acc = base.crossJoin(F.broadcast(alphas)).agg(
+        F.sum((ens == F.col("y")).cast("int"))
+        .cast("long")
+        .alias("n_correct"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    name1 = _pick_case(
+        F.col("j1"), lambda i: F.lit(ADA_STUMPS[i - 1][0])
+    )
+    name2 = _pick_case(
+        F.col("j2"), lambda i: F.lit(ADA_STUMPS[i - 1][0])
+    )
+    both = alphas.crossJoin(F.broadcast(acc))
+    r1 = both.select(
+        F.lit(1).alias("round"),
+        name1.alias("stump"),
+        F.round(
+            F.col("e1").cast("double") / F.col("w0"), 6
+        ).alias("weighted_eps"),
+        F.round(F.col("a1"), 6).alias("alpha"),
+        "n_rows",
+        F.round(
+            F.col("n_correct").cast("double") / F.col("n_rows"), 6
+        ).alias("train_accuracy"),
+    )
+    r2 = both.select(
+        F.lit(2).alias("round"),
+        name2.alias("stump"),
+        F.round(
+            F.col("e2").cast("double") / F.col("w1s"), 6
+        ).alias("weighted_eps"),
+        F.round(F.col("a2"), 6).alias("alpha"),
+        "n_rows",
+        F.round(
+            F.col("n_correct").cast("double") / F.col("n_rows"), 6
+        ).alias("train_accuracy"),
+    )
+    return r1.unionByName(r2)

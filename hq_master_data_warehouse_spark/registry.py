@@ -170,6 +170,7 @@ DEFER_NEW: tuple[str, ...] = (
     "dedup_tfidf_cosine_pairs",
     "agg_atkinson_index",
     "window_bollinger_bands",
+    "ml_adaboost_stumps",
 )
 
 

@@ -1478,3 +1478,77 @@ def test_bollinger_brute_force(spark):
         ) or abs(r.revenue - r.upper_band) < 1e-3 or abs(
             r.revenue - r.lower_band
         ) < 1e-3
+
+
+def test_adaboost_brute_force(spark):
+    """Full 2-round AdaBoost replay in pure Python with the same
+    integer weight scaling; every output cell must match."""
+    from hq_master_data_warehouse_spark.operators.ml import (
+        ADA_STUMPS,
+        ADA_TARGET,
+    )
+
+    rows = sorted(
+        _rows(spark, "ml_adaboost_stumps"), key=lambda r: r.round
+    )
+    con = duckdb.connect()
+    data = con.execute(
+        f"""SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT),
+               o_orderpriority, year(o_orderdate)
+        FROM '{SF_DIR_001}/orders.parquet'"""
+    ).fetchall()
+    feats = []
+    ys = []
+    for cents, prio, yr in data:
+        ys.append(1 if cents > ADA_TARGET else -1)
+        feats.append(
+            (
+                1 if cents > 15000000 else -1,
+                1 if cents > 35000000 else -1,
+                1 if prio in ("1-URGENT", "2-HIGH") else -1,
+                1 if yr <= 1996 else -1,
+            )
+        )
+    n = len(ys)
+    w = [1] * n
+    picks = []
+    for _ in range(2):
+        tot = sum(w)
+        errs = [
+            sum(wi for wi, f, y in zip(w, feats, ys) if f[j] != y)
+            for j in range(len(ADA_STUMPS))
+        ]
+        e = min(errs)
+        j = errs.index(e)
+        a = 0.5 * math.log((tot - e) / e)
+        picks.append((j, e, tot, a))
+        w = [
+            wi * ((tot - e) if feats[i][j] != ys[i] else e)
+            for i, wi in enumerate(w)
+        ]
+    correct = sum(
+        1
+        for i in range(n)
+        if (
+            1
+            if picks[0][3] * feats[i][picks[0][0]]
+            + picks[1][3] * feats[i][picks[1][0]]
+            >= 0
+            else -1
+        )
+        == ys[i]
+    )
+    for row, (j, e, tot, a) in zip(rows, picks):
+        assert row.stump == ADA_STUMPS[j][0]
+        assert abs(row.weighted_eps - e / tot) < 1e-6
+        assert abs(row.alpha - a) < 1e-6
+        assert row.n_rows == n
+        assert abs(row.train_accuracy - correct / n) < 1e-6
+    # boosting must pick the two signal stumps, not the noise ones
+    assert {rows[0].stump, rows[1].stump} == {
+        "price_gt_150k",
+        "price_gt_350k",
+    }
+    # and the reweighted round-1 winner sits at exactly eps = 1/2,
+    # so round 2 never re-picks it
+    assert rows[0].stump != rows[1].stump
