@@ -1260,3 +1260,88 @@ def sketch_hll_set_algebra(
             F.col("true_a") + F.col("true_b") - F.col("true_union")
         ).alias("true_intersection"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate quantile sketch with self-audited rank error
+# ---------------------------------------------------------------------------
+# The quantile member of the sketch family (KMV, HLL, CMS, Bloom):
+# Spark's Greenwald-Khanna approx_percentile at accuracy 1/eps
+# alongside the EXACT sort-based percentile and the realized
+# absolute rank error of each estimate -- the sketch result ships
+# with its own audit column, the contract a 100 TB run needs since
+# exact percentiles stop being computable there.  Registered
+# rows-only: GK merge order is engine- and partitioning-specific, so
+# no cross-engine value oracle exists by design (DuckDB's
+# approx_quantile is a different sketch); the pytest asserts the
+# realized rank error stays within the GK guarantee eps = 1e-4.
+APPROXQ_ACCURACY = 10000  # GK accuracy parameter: eps = 1/10000
+APPROXQ_QS = (0.25, 0.5, 0.75, 0.95)
+
+
+@query("sketch_approx_quantiles")  # rows-only: sketch internals
+def sketch_approx_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    qs = list(APPROXQ_QS)
+    agg = orders.agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr(
+            f"approx_percentile(cents, array({', '.join(map(str, qs))}),"
+            f" {APPROXQ_ACCURACY})"
+        ).alias("approx"),
+        F.expr(
+            f"percentile(cents, array({', '.join(map(str, qs))}))"
+        ).alias("exact"),
+    )
+    rows = agg.select(
+        "n",
+        F.posexplode(
+            F.arrays_zip(F.col("approx"), F.col("exact"))
+        ).alias("pos", "z"),
+    ).select(
+        F.element_at(
+            F.array(*[F.lit(q) for q in qs]), F.col("pos") + 1
+        ).alias("quantile"),
+        "n",
+        (F.col("z.approx") / 100.0).alias("approx_value"),
+        (F.col("z.exact") / 100.0).alias("exact_value"),
+    )
+    # realized rank error: |rank(approx) - q*n| / n, computed with a
+    # broadcast of the 4 estimates back over the base scan
+    est = rows.select("quantile", "approx_value")
+    ranked = (
+        orders.crossJoin(F.broadcast(est))
+        .groupBy("quantile")
+        .agg(
+            F.sum(
+                (
+                    F.col("cents")
+                    <= F.round(F.col("approx_value") * 100)
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("rank_le")
+        )
+    )
+    return (
+        rows.join(ranked, "quantile")
+        .select(
+            "quantile",
+            "n",
+            F.round("approx_value", 2).alias("approx_value"),
+            F.round("exact_value", 2).alias("exact_value"),
+            F.round(
+                F.abs(
+                    F.col("rank_le").cast("double") / F.col("n")
+                    - F.col("quantile")
+                ),
+                8,
+            ).alias("rank_error"),
+        )
+    )

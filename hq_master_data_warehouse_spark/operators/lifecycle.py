@@ -967,3 +967,65 @@ def orders_hazard_nelson_aalen(
         .filter(F.col("_d") > 0)
         .drop("_d")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps and islands: contiguous activity runs per user
+# ---------------------------------------------------------------------------
+# The canonical warehouse sessionization-in-SQL: collapse each
+# user's distinct active DAYS into maximal consecutive-day islands
+# via the d - ROW_NUMBER() constant-key trick (consecutive days
+# share the key; any gap shifts it).  Pure integer/date arithmetic.
+# Output: every island of ISLAND_MIN_DAYS+ days.  100 TB shape: one
+# distinct + one per-user window + one grouped agg, all partitioned
+# by user_id -- no global window anywhere.
+ISLAND_MIN_DAYS = 3
+
+
+@query(
+    "dq_gap_and_islands",
+    oracle=f"""
+    WITH act AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        FROM events
+    ),
+    keyed AS (
+        SELECT user_id, day,
+               CAST(day AS DATE)
+               - CAST(ROW_NUMBER() OVER (
+                     PARTITION BY user_id ORDER BY day
+                 ) AS INT) AS grp
+        FROM act
+    ),
+    islands AS (
+        SELECT user_id, MIN(day) AS start_day, MAX(day) AS end_day,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM keyed GROUP BY user_id, grp
+    )
+    SELECT user_id, start_day, end_day, n_days
+    FROM islands WHERE n_days >= {ISLAND_MIN_DAYS}
+    """,
+)
+def dq_gap_and_islands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    act = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    keyed = act.select(
+        "user_id",
+        "day",
+        F.date_sub(
+            F.col("day"), F.row_number().over(w)
+        ).alias("grp"),
+    )
+    islands = keyed.groupBy("user_id", "grp").agg(
+        F.min("day").alias("start_day"),
+        F.max("day").alias("end_day"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    return islands.filter(
+        F.col("n_days") >= ISLAND_MIN_DAYS
+    ).select("user_id", "start_day", "end_day", "n_days")

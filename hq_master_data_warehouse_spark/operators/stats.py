@@ -4167,3 +4167,199 @@ def orders_runs_test_daily(
         .otherwise(F.round((r - mu) / F.sqrt(var), 6))
         .alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Randomization (permutation) test for the priority mean difference
+# ---------------------------------------------------------------------------
+# The resampling companion to ml_ttest_welch on the same hi/lo
+# split: is the observed mean-value difference explainable by label
+# randomness?  Labels are re-assigned by B seeded md5 coin flips
+# (u_r < floor(65536 * n_hi / N), so each pseudo-split matches the
+# real group PROPORTION in expectation -- the Bernoulli
+# randomization-test variant; the seeded-hash machinery is the
+# ml_bootstrap_mean_ci design: 8 replicas per md5, explode x{B/8},
+# 16 compiled aggregates per hash group).  Every per-replicate sum
+# and count is an exact integer; diffs and the two-sided p-value
+# (1 + #extreme)/(B + 1) are fixed double expressions.
+_PERM_REPLICAS = 64
+
+
+def _perm_u_sql(m: int, half: int) -> str:
+    c = (
+        f"CAST(concat('0x', substr(h, {1 + 8 * m}, 8)) AS BIGINT)"
+    )
+    return f"({c} >> 16)" if half == 0 else f"({c} & 65535)"
+
+
+def _perm_oracle() -> str:
+    sums = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN {_perm_u_sql(m, hf)} < t.th THEN cents"
+        f" ELSE 0 END) AS BIGINT) AS s{m}_{hf},\n"
+        f"               CAST(SUM(CASE WHEN {_perm_u_sql(m, hf)}"
+        f" < t.th THEN 1 ELSE 0 END) AS BIGINT) AS c{m}_{hf}"
+        for m in range(4)
+        for hf in range(2)
+    )
+    extreme = " + ".join(
+        f"""(CASE WHEN c{m}_{hf} > 0 AND c{m}_{hf} < t.n_total
+             AND ABS(CAST(s{m}_{hf} AS DOUBLE) / c{m}_{hf}
+                 - CAST(t.s_total - s{m}_{hf} AS DOUBLE)
+                   / (t.n_total - c{m}_{hf}))
+             >= ABS(t.obs_diff) THEN 1 ELSE 0 END)"""
+        for m in range(4)
+        for hf in range(2)
+    )
+    return f"""
+    WITH r AS MATERIALIZED (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS is_hi
+        FROM orders
+    ),
+    t AS MATERIALIZED (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(cents) AS BIGINT) AS s_total,
+               CAST(SUM(is_hi) AS BIGINT) AS n_hi,
+               CAST(FLOOR(65536.0 * SUM(is_hi) / COUNT(*))
+                    AS BIGINT) AS th,
+               CAST(SUM(CASE WHEN is_hi = 1 THEN cents ELSE 0 END)
+                    AS DOUBLE) / SUM(is_hi)
+               - CAST(SUM(CASE WHEN is_hi = 0 THEN cents ELSE 0 END)
+                      AS DOUBLE) / (COUNT(*) - SUM(is_hi))
+                   AS obs_diff
+        FROM r
+    ),
+    g AS MATERIALIZED (
+        SELECT cents, j.j,
+               md5(concat('p', CAST(o_orderkey AS VARCHAR), ':',
+                          CAST(j.j AS VARCHAR))) AS h
+        FROM r CROSS JOIN generate_series(0,
+                 {_PERM_REPLICAS // 8 - 1}) j(j)
+    ),
+    per_j AS (
+        SELECT j, {sums}
+        FROM g CROSS JOIN t
+        GROUP BY j, t.th
+    ),
+    ext AS (
+        SELECT CAST(SUM({extreme}) AS BIGINT) AS n_extreme
+        FROM per_j CROSS JOIN t
+    )
+    SELECT t.n_hi, t.n_total - t.n_hi AS n_lo,
+           ROUND(t.obs_diff / 100, 6) AS obs_diff,
+           {_PERM_REPLICAS} AS n_replicas,
+           ext.n_extreme,
+           ROUND((1.0 + ext.n_extreme) / ({_PERM_REPLICAS} + 1), 6)
+               AS p_value
+    FROM t CROSS JOIN ext
+    """
+
+
+@query("ml_permutation_test", oracle=_perm_oracle())
+def ml_permutation_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        _cents(F.col("o_totalprice")).alias("cents"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("is_hi"),
+    )
+    orders = orders.repartition(
+        spark.sparkContext.defaultParallelism
+    ).cache()
+    t = orders.agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum("cents").cast("long").alias("s_total"),
+        F.sum("is_hi").cast("long").alias("n_hi"),
+        F.floor(
+            65536.0 * F.sum("is_hi") / F.count("*")
+        )
+        .cast("long")
+        .alias("th"),
+        (
+            F.sum(F.when(F.col("is_hi") == 1, F.col("cents")).otherwise(0)).cast("double")
+            / F.sum("is_hi")
+            - F.sum(F.when(F.col("is_hi") == 0, F.col("cents")).otherwise(0)).cast("double")
+            / (F.count("*") - F.sum("is_hi"))
+        ).alias("obs_diff"),
+    )
+    js = spark.range(_PERM_REPLICAS // 8).select(
+        F.col("id").cast("int").alias("j")
+    )
+    g = orders.crossJoin(F.broadcast(js)).select(
+        "cents",
+        "j",
+        F.md5(
+            F.concat(
+                F.lit("p"),
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("j").cast("string"),
+            )
+        ).alias("h"),
+    )
+
+    def _u(m: int, half: int):
+        v = F.conv(F.substring(F.col("h"), 1 + 8 * m, 8), 16, 10).cast(
+            "long"
+        )
+        return (
+            F.shiftright(v, 16) if half == 0 else v.bitwiseAND(65535)
+        )
+
+    aggs = []
+    for m in range(4):
+        for hf in range(2):
+            hit = _u(m, hf) < F.col("th")
+            aggs.append(
+                F.sum(F.when(hit, F.col("cents")).otherwise(0))
+                .cast("long")
+                .alias(f"s{m}_{hf}")
+            )
+            aggs.append(
+                F.sum(F.when(hit, 1).otherwise(0))
+                .cast("long")
+                .alias(f"c{m}_{hf}")
+            )
+    per_j = (
+        g.crossJoin(F.broadcast(t.select("th")))
+        .groupBy("j", "th")
+        .agg(*aggs)
+    )
+    ext_terms = None
+    for m in range(4):
+        for hf in range(2):
+            s = F.col(f"s{m}_{hf}")
+            c = F.col(f"c{m}_{hf}")
+            diff = s.cast("double") / c - (
+                F.col("s_total") - s
+            ).cast("double") / (F.col("n_total") - c)
+            term = F.when(
+                (c > 0)
+                & (c < F.col("n_total"))
+                & (F.abs(diff) >= F.abs(F.col("obs_diff"))),
+                1,
+            ).otherwise(0)
+            ext_terms = term if ext_terms is None else ext_terms + term
+    ext = (
+        per_j.crossJoin(
+            F.broadcast(t.select("n_total", "s_total", "obs_diff"))
+        )
+        .agg(F.sum(ext_terms).cast("long").alias("n_extreme"))
+    )
+    return t.crossJoin(F.broadcast(ext)).select(
+        "n_hi",
+        (F.col("n_total") - F.col("n_hi")).alias("n_lo"),
+        F.round(F.col("obs_diff") / 100, 6).alias("obs_diff"),
+        F.lit(_PERM_REPLICAS).alias("n_replicas"),
+        "n_extreme",
+        F.round(
+            (1.0 + F.col("n_extreme")) / (_PERM_REPLICAS + 1), 6
+        ).alias("p_value"),
+    )

@@ -171,6 +171,9 @@ DEFER_NEW: tuple[str, ...] = (
     "agg_atkinson_index",
     "window_bollinger_bands",
     "ml_adaboost_stumps",
+    "dq_gap_and_islands",
+    "ml_permutation_test",
+    "sketch_approx_quantiles",
 )
 
 

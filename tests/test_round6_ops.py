@@ -1552,3 +1552,104 @@ def test_adaboost_brute_force(spark):
     # and the reweighted round-1 winner sits at exactly eps = 1/2,
     # so round 2 never re-picks it
     assert rows[0].stump != rows[1].stump
+
+
+def test_gap_islands_brute_force(spark):
+    """Islands recomputed with a sequential scan over each user's
+    sorted active days; maximality and min-length respected."""
+    from hq_master_data_warehouse_spark.operators.lifecycle import (
+        ISLAND_MIN_DAYS,
+    )
+
+    rows = _rows(spark, "dq_gap_and_islands")
+    con = duckdb.connect()
+    act = con.execute(
+        f"""SELECT DISTINCT user_id, CAST(ts AS DATE)
+        FROM '{SF_DIR_001}/events.parquet' ORDER BY 1, 2"""
+    ).fetchall()
+    per: dict[int, list] = {}
+    for u, d in act:
+        per.setdefault(u, []).append(d)
+    expect = set()
+    for u, ds in per.items():
+        start = prev = ds[0]
+        for d in ds[1:] + [None]:
+            if d is not None and (d - prev).days == 1:
+                prev = d
+                continue
+            n = (prev - start).days + 1
+            if n >= ISLAND_MIN_DAYS:
+                expect.add((u, start, prev, n))
+            if d is not None:
+                start = prev = d
+    got = {
+        (r.user_id, r.start_day, r.end_day, r.n_days) for r in rows
+    }
+    assert got == expect
+
+
+def test_permutation_test_brute_force(spark):
+    """Replay the md5 coin flips and per-replicate diffs in Python;
+    n_extreme and the p-value formula must match exactly."""
+    import hashlib
+
+    from hq_master_data_warehouse_spark.operators.stats import (
+        _PERM_REPLICAS,
+    )
+
+    row = _rows(spark, "ml_permutation_test")[0]
+    con = duckdb.connect()
+    data = con.execute(
+        f"""SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT),
+               o_orderpriority IN ('1-URGENT', '2-HIGH')
+        FROM '{SF_DIR_001}/orders.parquet'"""
+    ).fetchall()
+    n = len(data)
+    s_total = sum(c for _, c, _ in data)
+    n_hi = sum(1 for *_, hi in data if hi)
+    th = 65536 * n_hi // n
+    obs = sum(c for _, c, hi in data if hi) / n_hi - sum(
+        c for _, c, hi in data if not hi
+    ) / (n - n_hi)
+    assert row.n_hi == n_hi and row.n_lo == n - n_hi
+    assert abs(row.obs_diff - obs / 100) < 1e-6
+    extreme = 0
+    for r in range(_PERM_REPLICAS):
+        j, m, half = r // 8, (r % 8) // 2, r % 2
+        s = c = 0
+        for key, cents, _ in data:
+            h = hashlib.md5(f"p{key}:{j}".encode()).hexdigest()
+            v = int(h[8 * m: 8 * m + 8], 16)
+            u = (v >> 16) if half == 0 else (v & 65535)
+            if u < th:
+                s += cents
+                c += 1
+        if 0 < c < n:
+            diff = s / c - (s_total - s) / (n - c)
+            if abs(diff) >= abs(obs):
+                extreme += 1
+    assert row.n_extreme == extreme
+    assert abs(
+        row.p_value - (1 + extreme) / (_PERM_REPLICAS + 1)
+    ) < 1e-6
+
+
+def test_approx_quantiles_bounds(spark):
+    """GK guarantee: realized rank error <= eps (1e-4) plus the
+    discreteness quantum 1/n; approx within the exact value's
+    neighborhood."""
+    from hq_master_data_warehouse_spark.operators.aggregates import (
+        APPROXQ_ACCURACY,
+        APPROXQ_QS,
+    )
+
+    rows = _rows(spark, "sketch_approx_quantiles")
+    assert {r.quantile for r in rows} == set(APPROXQ_QS)
+    for r in rows:
+        eps = 1.0 / APPROXQ_ACCURACY + 1.0 / r.n
+        assert r.rank_error <= eps + 1e-12
+        # sanity: the sketch value is a real data value near exact
+        assert abs(r.approx_value - r.exact_value) <= max(
+            0.05 * r.exact_value, 1.0
+        )
