@@ -735,3 +735,168 @@ def graph_kcore_decomposition(
     return core.filter(F.col("core_number") >= 2).select(
         F.col("v").alias("part_id"), "core_number"
     )
+
+
+# ---------------------------------------------------------------------------
+# Modularity score of the connected-component partition
+# ---------------------------------------------------------------------------
+# Community-quality audit on the same thresholded co-purchase graph:
+# Q = sum_c [ e_c/m - (d_c/(2m))^2 ] where e_c is the undirected
+# edge count inside community c, d_c the degree sum of its nodes,
+# m the total undirected edge count.  Communities here are the
+# graph_connected_components labels -- CC is the degenerate
+# upper-bound partition (no inter-community edges), so Q reduces to
+# 1 - sum (d_c/2m)^2, which the pytest asserts as an identity; the
+# operator itself computes e_c the general way so any partition
+# (e.g. a future Louvain pass) can reuse it.  Per-community term
+# rows (PSI discipline) -- every count is an exact integer and each
+# q_contrib one fixed double expression.
+@query(
+    "graph_modularity_score",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS w
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY u, w
+        HAVING COUNT(*) >= {CC_MIN_SHARED_ORDERS}
+    ),
+    e AS (SELECT u AS src, w AS dst FROM pairs
+          UNION ALL SELECT w, u FROM pairs),
+    nodes AS (SELECT DISTINCT src AS v FROM e),
+    reach(v, lbl) AS (
+        SELECT v, v FROM nodes
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.v
+    ),
+    comp AS (SELECT v, MIN(lbl) AS component_id
+             FROM reach GROUP BY v),
+    mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs),
+    deg AS (
+        SELECT comp.component_id,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(d.deg) AS BIGINT) AS degree_sum
+        FROM (SELECT src AS v, COUNT(*) AS deg FROM e GROUP BY src) d
+        JOIN comp ON comp.v = d.v
+        GROUP BY comp.component_id
+    ),
+    inner_e AS (
+        SELECT ca.component_id,
+               CAST(COUNT(*) AS BIGINT) AS internal_edges
+        FROM pairs
+        JOIN comp ca ON ca.v = pairs.u
+        JOIN comp cb ON cb.v = pairs.w
+        WHERE ca.component_id = cb.component_id
+        GROUP BY ca.component_id
+    )
+    SELECT deg.component_id, deg.n_nodes,
+           COALESCE(inner_e.internal_edges, 0) AS internal_edges,
+           deg.degree_sum,
+           FLOOR((CAST(COALESCE(inner_e.internal_edges, 0) AS DOUBLE)
+                  / mm.m
+                  - (CAST(deg.degree_sum AS DOUBLE) / (2 * mm.m))
+                    * (CAST(deg.degree_sum AS DOUBLE) / (2 * mm.m)))
+                 * 1000000) / 1000000 AS q_contrib
+    FROM deg
+    LEFT JOIN inner_e ON inner_e.component_id = deg.component_id
+    CROSS JOIN mm
+    """,
+)
+def graph_modularity_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("w")
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= CC_MIN_SHARED_ORDERS)
+        .select("u", "w")
+        .cache()
+    )
+    edges = pairs.select(
+        F.col("u").alias("src"), F.col("w").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("w").alias("src"), F.col("u").alias("dst"))
+    )
+    comp = (
+        graph_connected_components(spark, sf_dir)
+        .select(
+            F.col("part_id").alias("v"),
+            "component_id",
+        )
+        # only nodes that carry edges participate in Q
+        .join(
+            edges.select(F.col("src").alias("v")).distinct(), "v"
+        )
+    )
+    mm = pairs.agg(F.count("*").cast("long").alias("m"))
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .join(comp, F.col("src") == comp["v"])
+        .groupBy("component_id")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("deg").cast("long").alias("degree_sum"),
+        )
+    )
+    ca = comp.select(
+        F.col("v").alias("u"), F.col("component_id").alias("cid_a")
+    )
+    cb = comp.select(
+        F.col("v").alias("w"), F.col("component_id").alias("cid_b")
+    )
+    inner_e = (
+        pairs.join(ca, "u")
+        .join(cb, "w")
+        .filter(F.col("cid_a") == F.col("cid_b"))
+        .groupBy(F.col("cid_a").alias("component_id"))
+        .agg(F.count("*").cast("long").alias("internal_edges"))
+    )
+    q = (
+        deg.join(inner_e, "component_id", "left")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "component_id",
+            "n_nodes",
+            F.coalesce("internal_edges", F.lit(0))
+            .cast("long")
+            .alias("internal_edges"),
+            "degree_sum",
+            (
+                F.floor(
+                    (
+                        F.coalesce("internal_edges", F.lit(0)).cast(
+                            "double"
+                        )
+                        / F.col("m")
+                        - (
+                            F.col("degree_sum").cast("double")
+                            / (2 * F.col("m"))
+                        )
+                        * (
+                            F.col("degree_sum").cast("double")
+                            / (2 * F.col("m"))
+                        )
+                    )
+                    * 1000000
+                )
+                / 1000000
+            ).alias("q_contrib"),
+        )
+    )
+    return q

@@ -4363,3 +4363,125 @@ def ml_permutation_test(
             (1.0 + F.col("n_extreme")) / (_PERM_REPLICAS + 1), 6
         ).alias("p_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tukey-Kramer HSD post-hoc pairwise comparisons
+# ---------------------------------------------------------------------------
+# The follow-up ml_anova_oneway implies: WHICH priority groups
+# differ?  The studentized-range statistic for every group pair,
+# q_ij = |m_i - m_j| / sqrt(MSW/2 * (1/n_i + 1/n_j)) (Tukey-Kramer
+# form for unequal n), with MSW from the same exact integer moments.
+# The pair dimension is the bounded 5x5 group domain (10 rows), so
+# this is a broadcast self-join of the tiny moment table against the
+# 1-row MSW scalar -- every statistic a fixed double expression.
+@query(
+    "ml_tukey_hsd",
+    oracle=f"""
+    WITH g AS (
+        SELECT o_orderpriority,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    m AS (
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(SUM(CAST(cents AS DECIMAL(38,0))
+                        * CAST(cents AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS ss
+        FROM g GROUP BY o_orderpriority
+    ),
+    w AS (
+        SELECT {_ANOVA_PIVOT_SQL},
+               CAST(SUM(n) AS BIGINT) AS nt
+        FROM m
+    ),
+    msw AS (
+        SELECT ({_ANOVA_SSW_SQL})
+               / (nt - {len(_ANOVA_GROUPS)}) AS msw
+        FROM w
+    )
+    SELECT a.o_orderpriority AS group_a,
+           b.o_orderpriority AS group_b,
+           ROUND((CAST(a.s AS DOUBLE) / a.n
+                  - CAST(b.s AS DOUBLE) / b.n) / 100, 6)
+               AS mean_diff,
+           ROUND(SQRT(msw.msw / 2
+                      * (1.0 / a.n + 1.0 / b.n)) / 100, 6)
+               AS std_err,
+           ROUND(ABS(CAST(a.s AS DOUBLE) / a.n
+                     - CAST(b.s AS DOUBLE) / b.n)
+                 / SQRT(msw.msw / 2 * (1.0 / a.n + 1.0 / b.n)), 6)
+               AS q_stat
+    FROM m a JOIN m b ON a.o_orderpriority < b.o_orderpriority
+    CROSS JOIN msw
+    """,
+)
+def ml_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    k = len(_ANOVA_GROUPS)
+    g = orders.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    m = g.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)")
+            * F.col("cents").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    w = m.agg(
+        *[
+            F.max(
+                F.when(F.col("o_orderpriority") == grp, F.col(c))
+            ).alias(f"{c}{i}")
+            for grp, i in _ANOVA_GROUPS
+            for c in ("n", "s", "ss")
+        ],
+        F.sum("n").cast("long").alias("nt"),
+    )
+    ssw = None
+    for _, i in _ANOVA_GROUPS:
+        term = F.col(f"ss{i}").cast("double") - (
+            F.col(f"s{i}").cast("double")
+            * F.col(f"s{i}")
+            / F.col(f"n{i}")
+        )
+        ssw = term if ssw is None else ssw + term
+    msw = w.select((ssw / (F.col("nt") - k)).alias("msw"))
+    a = m.select(
+        F.col("o_orderpriority").alias("group_a"),
+        F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+    )
+    b = m.select(
+        F.col("o_orderpriority").alias("group_b"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+    )
+    diff = (
+        F.col("sa").cast("double") / F.col("na")
+        - F.col("sb").cast("double") / F.col("nb")
+    )
+    se = F.sqrt(
+        F.col("msw")
+        / 2
+        * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    return (
+        a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+        .crossJoin(F.broadcast(msw))
+        .select(
+            "group_a",
+            "group_b",
+            F.round(diff / 100, 6).alias("mean_diff"),
+            F.round(se / 100, 6).alias("std_err"),
+            F.round(F.abs(diff) / se, 6).alias("q_stat"),
+        )
+    )

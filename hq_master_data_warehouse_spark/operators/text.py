@@ -2120,3 +2120,93 @@ _ORACLES["ml_mcnemar_nb_vs_heuristic"] = f"""
                AS mcnemar_chi2
     FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# Lexicon-based sentiment scoring per source
+# ---------------------------------------------------------------------------
+# The classic pre-transformer sentiment screen (AFINN/VADER family,
+# reduced to the corpus vocabulary): count positive- and negative-
+# lexicon token hits per document, score = (pos - neg)/(pos + neg)
+# with the usual neutral-0 convention, then aggregate the label mix
+# per source.  Everything is exact integer counting (array
+# higher-order functions, no UDF); the mean score per source is a
+# ratio of two exact integer sums -- one double expression per row.
+SENTIMENT_POS = ("fast", "small", "merge", "vector")
+SENTIMENT_NEG = ("slow", "big", "dup", "error")
+
+
+@query(
+    "text_sentiment_lexicon",
+    oracle=f"""
+    WITH scored AS (
+        SELECT source,
+               len(list_filter({_TOKENS_SQL}, t -> list_contains(
+                   {list(SENTIMENT_POS)!r}, t))) AS pos,
+               len(list_filter({_TOKENS_SQL}, t -> list_contains(
+                   {list(SENTIMENT_NEG)!r}, t))) AS neg
+        FROM documents
+    ),
+    lab AS (
+        SELECT source, pos, neg,
+               CASE WHEN pos > neg THEN 'positive'
+                    WHEN neg > pos THEN 'negative'
+                    ELSE 'neutral' END AS label
+        FROM scored
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN label = 'positive' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_positive,
+           CAST(SUM(CASE WHEN label = 'negative' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_negative,
+           CAST(SUM(CASE WHEN label = 'neutral' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_neutral,
+           CAST(SUM(pos) AS BIGINT) AS pos_hits,
+           CAST(SUM(neg) AS BIGINT) AS neg_hits,
+           ROUND(CAST(SUM(pos) - SUM(neg) AS DOUBLE)
+                 / (SUM(pos) + SUM(neg)), 6) AS polarity
+    FROM lab GROUP BY source
+    """,
+)
+def text_sentiment_lexicon(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    pos_arr = F.array(*[F.lit(w) for w in SENTIMENT_POS])
+    neg_arr = F.array(*[F.lit(w) for w in SENTIMENT_NEG])
+    scored = docs.select(
+        "source",
+        F.size(
+            F.filter(toks, lambda t: F.array_contains(pos_arr, t))
+        ).alias("pos"),
+        F.size(
+            F.filter(toks, lambda t: F.array_contains(neg_arr, t))
+        ).alias("neg"),
+    )
+    lab = scored.withColumn(
+        "label",
+        F.when(F.col("pos") > F.col("neg"), "positive")
+        .when(F.col("neg") > F.col("pos"), "negative")
+        .otherwise("neutral"),
+    )
+    return lab.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("label") == "positive").cast("int"))
+        .cast("long")
+        .alias("n_positive"),
+        F.sum((F.col("label") == "negative").cast("int"))
+        .cast("long")
+        .alias("n_negative"),
+        F.sum((F.col("label") == "neutral").cast("int"))
+        .cast("long")
+        .alias("n_neutral"),
+        F.sum("pos").cast("long").alias("pos_hits"),
+        F.sum("neg").cast("long").alias("neg_hits"),
+        F.round(
+            (F.sum("pos") - F.sum("neg")).cast("double")
+            / (F.sum("pos") + F.sum("neg")),
+            6,
+        ).alias("polarity"),
+    )

@@ -174,6 +174,9 @@ DEFER_NEW: tuple[str, ...] = (
     "dq_gap_and_islands",
     "ml_permutation_test",
     "sketch_approx_quantiles",
+    "ml_tukey_hsd",
+    "graph_modularity_score",
+    "text_sentiment_lexicon",
 )
 
 

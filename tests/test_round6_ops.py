@@ -1653,3 +1653,100 @@ def test_approx_quantiles_bounds(spark):
         assert abs(r.approx_value - r.exact_value) <= max(
             0.05 * r.exact_value, 1.0
         )
+
+
+def test_tukey_hsd_brute_force(spark):
+    """q statistics recomputed from raw cents; consistent with the
+    ANOVA MSW; 10 pairs for 5 groups."""
+    rows = _rows(spark, "ml_tukey_hsd")
+    assert len(rows) == 10
+    con = duckdb.connect()
+    vals = con.execute(
+        f"""SELECT o_orderpriority,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        FROM '{SF_DIR_001}/orders.parquet'"""
+    ).fetchall()
+    groups: dict[str, list[int]] = {}
+    for g, c in vals:
+        groups.setdefault(g, []).append(c)
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v)
+        for v in groups.values()
+    )
+    msw = ssw / (n - k)
+    for r in rows:
+        va, vb = groups[r.group_a], groups[r.group_b]
+        ma, mb = sum(va) / len(va), sum(vb) / len(vb)
+        se = math.sqrt(msw / 2 * (1 / len(va) + 1 / len(vb)))
+        assert abs(r.mean_diff - (ma - mb) / 100) < 1e-4
+        assert abs(r.std_err - se / 100) < 1e-4
+        assert abs(r.q_stat - abs(ma - mb) / se) < 1e-4
+        assert r.group_a < r.group_b
+
+
+def test_modularity_identities(spark):
+    """For the CC partition there are no inter-community edges, so
+    sum(internal_edges) == m and Q == 1 - sum (d_c/2m)^2; recompute
+    both from the raw edge list."""
+    rows = _rows(spark, "graph_modularity_score")
+    con = duckdb.connect()
+    e = con.execute(
+        f"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                FROM '{SF_DIR_001}/lineitem.parquet')
+        SELECT a.l_partkey, b.l_partkey
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2"""
+    ).fetchall()
+    m = len(e)
+    assert sum(r.internal_edges for r in rows) == m
+    assert sum(r.degree_sum for r in rows) == 2 * m
+    q = sum(r.q_contrib for r in rows)
+    expect_q = 1 - sum(
+        (r.degree_sum / (2 * m)) ** 2 for r in rows
+    )
+    # per-row floor quantization at 1e-6
+    assert abs(q - expect_q) <= len(rows) * 1e-6 + 1e-9
+    assert -0.5 <= q <= 1.0
+    for r in rows:
+        # CC partition: internal edge count is maximal, d_c >= 2*e_c
+        # fails only for multi-edges which the builder dedups
+        assert r.degree_sum >= r.internal_edges
+
+
+def test_sentiment_brute_force(spark):
+    """Replay the lexicon scoring in pure Python per source."""
+    import re
+
+    from hq_master_data_warehouse_spark.operators.text import (
+        SENTIMENT_NEG,
+        SENTIMENT_POS,
+    )
+
+    rows = {r.source: r for r in _rows(spark, "text_sentiment_lexicon")}
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT source, text FROM '{SF_DIR_001}/documents.parquet'"
+    ).fetchall()
+    agg: dict[str, list[int]] = {}
+    for src, text in docs:
+        toks = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        pos = sum(1 for t in toks if t in SENTIMENT_POS)
+        neg = sum(1 for t in toks if t in SENTIMENT_NEG)
+        a = agg.setdefault(src, [0, 0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += pos > neg
+        a[2] += neg > pos
+        a[3] += pos == neg
+        a[4] += pos
+        a[5] += neg
+    assert set(agg) == set(rows)
+    for src, (nd, np_, nn, nz, ph, nh) in agg.items():
+        r = rows[src]
+        assert (
+            r.n_docs, r.n_positive, r.n_negative, r.n_neutral,
+            r.pos_hits, r.neg_hits,
+        ) == (nd, np_, nn, nz, ph, nh)
+        assert abs(r.polarity - (ph - nh) / (ph + nh)) < 1e-6
