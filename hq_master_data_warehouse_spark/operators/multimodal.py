@@ -839,3 +839,95 @@ def multimodal_phash_neardup(
     return cand.select(
         "doc_a", "doc_b", hamming.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= 10)
+
+
+# ---------------------------------------------------------------------------
+# Windowed audio features (RMS + zero-crossing rate per frame)
+# ---------------------------------------------------------------------------
+# The feature-extraction step after multimodal_decode_audio: frame
+# each decoded PCM stream into fixed windows (AUDIO_FRAME samples,
+# hop AUDIO_HOP) and emit per-frame RMS energy and zero-crossing
+# rate -- the two classic low-level descriptors every audio pipeline
+# (VAD, silence trimming, onset detection) starts from.  Same Arrow
+# batch shape as the decoders: binary column in, one output row per
+# (doc, frame).  Deterministic: integer PCM in, fixed framing, both
+# stats exact over int64 before the final float division.
+AUDIO_FRAME = 16
+AUDIO_HOP = 8
+
+_AUDIO_FEAT_SCHEMA = (
+    "doc_id long, frame int, start_sample int, rms double,"
+    " zero_crossings int, zcr double"
+)
+
+
+def _audio_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import math as _math
+
+    import numpy as np
+
+    for pdf in batches:
+        rows = {
+            "doc_id": [],
+            "frame": [],
+            "start_sample": [],
+            "rms": [],
+            "zero_crossings": [],
+            "zcr": [],
+        }
+        for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+            wav = decode_audio(bytes(raw))
+            s = np.asarray(wav["samples"], dtype=np.int64)
+            i = 0
+            frame = 0
+            while i + AUDIO_FRAME <= len(s):
+                w = s[i: i + AUDIO_FRAME]
+                # exact integer sum-of-squares, then one sqrt
+                rms = _math.sqrt(int((w * w).sum()) / AUDIO_FRAME)
+                sgn = np.sign(w)
+                nz = sgn[sgn != 0]
+                zc = int((nz[1:] != nz[:-1]).sum()) if nz.size else 0
+                rows["doc_id"].append(doc_id)
+                rows["frame"].append(frame)
+                rows["start_sample"].append(i)
+                rows["rms"].append(rms)
+                rows["zero_crossings"].append(zc)
+                rows["zcr"].append(zc / (AUDIO_FRAME - 1))
+                i += AUDIO_HOP
+                frame += 1
+        yield pd.DataFrame(rows)
+
+
+@query("multimodal_audio_features")  # rows-only: binary decode path
+def multimodal_audio_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Frame-level RMS/ZCR features over the same JVM-framed WAV
+    payloads as multimodal_decode_audio (see its docstring for the
+    RIFF framing)."""
+    import struct
+
+    docs = load_table(spark, sf_dir, "documents")
+    binary = with_binary_payload(docs).select("doc_id", "payload")
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + AUDIO_BYTES)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, 1, AUDIO_RATE, AUDIO_RATE * 2, 2, 16
+        )
+        + b"data"
+        + struct.pack("<I", AUDIO_BYTES)
+    )
+    pad = (b"\x00" * AUDIO_BYTES).hex()
+    wav = F.expr(
+        f"concat(x'{hdr.hex()}', substring(concat(payload, x'{pad}'),"
+        f" 1, {AUDIO_BYTES}))"
+    )
+    framed = binary.select("doc_id", wav.alias("payload"))
+    return framed.mapInPandas(
+        _audio_feature_batches, schema=_AUDIO_FEAT_SCHEMA
+    )

@@ -548,3 +548,103 @@ def datetime_business_days(
         .groupBy("business_days")
         .agg(F.count("*").alias("n_lineitems"))
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join with a staleness tolerance (merge_asof tolerance)
+# ---------------------------------------------------------------------------
+# The bounded-staleness variant of asof_join_latest_order, matching
+# pandas merge_asof(tolerance=...): attribute each ERROR event to
+# the same user's latest preceding CLICK, but only if the click is
+# at most ASOF_TOLERANCE_US old -- older matches become NULL, they
+# do not fall back to earlier rows.  Same scale-correct shape as the
+# plain as-of: one union + one per-user ordered window (the
+# merge-join formulation, no inequality join); the tolerance is a
+# post-predicate on the carried match timestamp.  Microsecond deltas
+# stay exact BIGINTs.
+ASOF_TOLERANCE_US = 3_600_000_000  # 1 hour
+
+
+@query(
+    "asof_join_tolerance",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id AS k, CAST(ts AS TIMESTAMP) AS cts,
+               MAX(event_id) AS click_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    ),
+    e AS (
+        SELECT event_id, user_id AS k, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'error'
+    ),
+    m AS (
+        SELECT e.event_id, e.k, e.ts, c.click_id, c.cts
+        FROM e ASOF LEFT JOIN c ON e.k = c.k AND c.cts <= e.ts
+    )
+    SELECT event_id, k AS user_id,
+           CASE WHEN cts IS NOT NULL
+                 AND date_diff('microseconds', cts, ts)
+                     <= {ASOF_TOLERANCE_US}
+                THEN click_id END AS asof_click_id,
+           CASE WHEN cts IS NOT NULL
+                 AND date_diff('microseconds', cts, ts)
+                     <= {ASOF_TOLERANCE_US}
+                THEN CAST(date_diff('microseconds', cts, ts)
+                          AS BIGINT) END AS us_since_click
+    FROM m
+    """,
+)
+def asof_join_tolerance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy(
+            F.col("user_id").alias("k"), F.col("ts").alias("t")
+        )
+        .agg(F.max("event_id").alias("click_id"))
+        .select(
+            "k",
+            "t",
+            F.lit(1).alias("is_click"),
+            "click_id",
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_click"),
+        F.lit(None).cast("long").alias("click_id"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t").asc(), F.col("is_click").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(errors).select(
+        "k",
+        "is_click",
+        "event_id",
+        "t",
+        F.last("click_id", ignorenulls=True)
+        .over(w)
+        .alias("m_click_id"),
+        F.last(
+            F.when(F.col("is_click") == 1, F.col("t")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("m_cts"),
+    )
+    delta = F.unix_micros(F.col("t")) - F.unix_micros(F.col("m_cts"))
+    ok = F.col("m_cts").isNotNull() & (delta <= ASOF_TOLERANCE_US)
+    return merged.filter(F.col("is_click") == 0).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.when(ok, F.col("m_click_id")).alias("asof_click_id"),
+        F.when(ok, delta).cast("long").alias("us_since_click"),
+    )

@@ -4485,3 +4485,167 @@ def ml_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(diff) / se, 6).alias("q_stat"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Segmented (piecewise) trend at the CUSUM-argmax breakpoint
+# ---------------------------------------------------------------------------
+# Prophet-style changepoint regression reduced to its exact core:
+# find the day t* maximizing |CUSUM| of the daily order counts, then
+# fit independent OLS lines to [0, t*] and (t*, end].  Exactness:
+# the CUSUM argmax compares |N*S_t - t_prefix*S| -- the INTEGER
+# numerator of S_t - t*mean -- so the breakpoint is an exact integer
+# argmax (ties -> earliest day); both segment fits come from
+# conditional exact integer moments.  100 TB shape: fact table
+# collapses to the bounded calendar, one window pass for the CUSUM,
+# one argmax aggregate (max_by on the exact key), one conditional
+# moment aggregate.
+@query(
+    "orders_segmented_trend",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(o_orderdate) AS d0, MAX(o_orderdate) AS d1
+        FROM orders
+    ),
+    days AS (
+        SELECT UNNEST(generate_series(0,
+                   datediff('day', d0, d1))) AS d
+        FROM bounds
+    ),
+    counts AS (
+        SELECT datediff('day', bounds.d0, o_orderdate) AS d,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM orders CROSS JOIN bounds
+        GROUP BY 1
+    ),
+    series AS (
+        SELECT days.d, COALESCE(counts.y, 0) AS y
+        FROM days LEFT JOIN counts USING (d)
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS s
+        FROM series
+    ),
+    cus AS (
+        SELECT d,
+               ABS(tot.n * CAST(SUM(y) OVER (ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS HUGEINT)
+                   - (d + 1) * CAST(tot.s AS HUGEINT)) AS key
+        FROM series CROSS JOIN tot
+    ),
+    bp AS (
+        SELECT MIN(d) AS t_star FROM cus
+        WHERE key = (SELECT MAX(key) FROM cus)
+    ),
+    seg AS (
+        SELECT CASE WHEN series.d <= bp.t_star THEN 0 ELSE 1 END
+                   AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(d) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(d * d) AS BIGINT) AS sxx,
+               CAST(SUM(d * y) AS BIGINT) AS sxy
+        FROM series CROSS JOIN bp
+        GROUP BY 1
+    )
+    SELECT seg.segment, bp.t_star AS breakpoint_day, seg.n AS n_days,
+           ROUND((seg.n * CAST(seg.sxy AS DOUBLE)
+                  - CAST(seg.sx AS DOUBLE) * seg.sy)
+                 / (seg.n * CAST(seg.sxx AS DOUBLE)
+                    - CAST(seg.sx AS DOUBLE) * seg.sx), 8)
+               AS slope_per_day,
+           ROUND((CAST(seg.sy AS DOUBLE)
+                  - ((seg.n * CAST(seg.sxy AS DOUBLE)
+                      - CAST(seg.sx AS DOUBLE) * seg.sy)
+                     / (seg.n * CAST(seg.sxx AS DOUBLE)
+                        - CAST(seg.sx AS DOUBLE) * seg.sx))
+                    * seg.sx) / seg.n, 6) AS intercept
+    FROM seg CROSS JOIN bp
+    """,
+)
+def orders_segmented_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.datediff("d1", "d0"))).alias(
+            "d"
+        )
+    )
+    counts = (
+        orders.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.datediff(F.to_date("o_orderdate"), F.col("d0")).alias(
+                "d"
+            )
+        )
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    series = (
+        days.join(counts, "d", "left")
+        .select("d", F.coalesce("y", F.lit(0)).alias("y"))
+        .cache()
+    )
+    tot = series.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    wc = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cus = series.crossJoin(F.broadcast(tot)).select(
+        "d",
+        F.abs(
+            F.col("n").cast("decimal(38,0)")
+            * F.sum("y").over(wc).cast("decimal(38,0)")
+            - (F.col("d") + 1).cast("decimal(38,0)")
+            * F.col("s").cast("decimal(38,0)")
+        ).alias("key"),
+    )
+    mx = cus.agg(F.max("key").alias("mk"))
+    bp = (
+        cus.crossJoin(F.broadcast(mx))
+        .filter(F.col("key") == F.col("mk"))
+        .agg(F.min("d").alias("t_star"))
+    )
+    seg = (
+        series.crossJoin(F.broadcast(bp))
+        .groupBy(
+            F.when(F.col("d") <= F.col("t_star"), 0)
+            .otherwise(1)
+            .alias("segment")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("d").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("d") * F.col("d")).cast("long").alias("sxx"),
+            F.sum(F.col("d") * F.col("y")).cast("long").alias("sxy"),
+        )
+    )
+    n = F.col("n")
+    slope = (
+        n * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        n * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    return seg.crossJoin(F.broadcast(bp)).select(
+        "segment",
+        F.col("t_star").alias("breakpoint_day"),
+        n.alias("n_days"),
+        F.round(slope, 8).alias("slope_per_day"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx")) / n,
+            6,
+        ).alias("intercept"),
+    )

