@@ -425,3 +425,70 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("follow_value_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental maintenance of a JOIN view (bilinear delta rule)
+# ---------------------------------------------------------------------------
+# The join-view counterpart of agg_incremental_maintenance: the view
+# V = orders JOIN customer (aggregated per nation) is maintained
+# from base + delta partitions of BOTH sides via the bilinear
+# identity  dV = dO><C0 + O0><dC + dO><dC  -- the standard IVM rule
+# every streaming materialized-view engine implements.  Orders split
+# on the IVM date, customers on key parity, so all four quadrants
+# are non-empty.  The oracle recomputes the view from scratch; the
+# differential check therefore proves the delta rule itself.  All
+# sums are exact decimals.
+from .aggregates import IVM_SPLIT_DATE as _IVM_DATE  # noqa: E402
+
+
+@query(
+    "join_incremental_maintenance",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,4)))
+                AS DOUBLE) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_incremental_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    o_base = orders.filter(F.col("o_orderdate") < _IVM_DATE)
+    o_delta = orders.filter(F.col("o_orderdate") >= _IVM_DATE)
+    c_base = customer.filter(F.col("c_custkey") % 2 == 0)
+    c_delta = customer.filter(F.col("c_custkey") % 2 == 1)
+
+    def quadrant(o: DataFrame, c: DataFrame) -> DataFrame:
+        return o.join(
+            c, o["o_custkey"] == c["c_custkey"]
+        ).select(
+            "c_nationkey",
+            F.col("o_totalprice").cast("decimal(30,4)").alias("p"),
+        )
+
+    # dV = dO><C0 + O0><dC + dO><dC, unioned onto the base view
+    v = (
+        quadrant(o_base, c_base)
+        .unionByName(quadrant(o_delta, c_base))
+        .unionByName(quadrant(o_base, c_delta))
+        .unionByName(quadrant(o_delta, c_delta))
+    )
+    return (
+        v.join(
+            F.broadcast(nation),
+            v["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("p").cast("double").alias("total_price"),
+        )
+    )

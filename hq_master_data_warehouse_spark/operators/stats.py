@@ -4649,3 +4649,218 @@ def orders_segmented_trend(
             6,
         ).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtest: naive / seasonal-naive / drift on monthly revenue
+# ---------------------------------------------------------------------------
+# The evaluation harness the forecasting family (SES, Holt) needs:
+# one-step-ahead backtests of the three standard baselines every
+# forecast must beat -- naive (f_t = y_{t-1}), seasonal naive
+# (f_t = y_{t-12}), drift (last value + average historic slope) --
+# scored by MAE / RMSE / MAPE over the months where all three are
+# defined (t > 12).  naive/snaive errors are exact integer cents;
+# drift is rational; each score is one bounded-month aggregate
+# rounded well above the double-sum ULP (the entropy-rate
+# precedent).  100 TB shape: fact table collapses to the bounded
+# monthly summary first; LAG window over ~bounded rows.
+@query(
+    "orders_forecast_backtest",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+                    AS DATE) AS mo,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT mo, y,
+               CAST(ROW_NUMBER() OVER (ORDER BY mo) AS BIGINT) AS t,
+               LAG(y, 1) OVER (ORDER BY mo) AS l1,
+               LAG(y, 12) OVER (ORDER BY mo) AS l12,
+               FIRST_VALUE(y) OVER (ORDER BY mo) AS y0
+        FROM m
+    ),
+    f AS (
+        SELECT t, y,
+               CAST(l1 AS DOUBLE) AS f_naive,
+               CAST(l12 AS DOUBLE) AS f_snaive,
+               l1 + (CAST(l1 AS DOUBLE) - y0) / (t - 2) AS f_drift
+        FROM idx WHERE t > 13
+    ),
+    long AS (
+        SELECT 'naive' AS method, y, f_naive AS f FROM f
+        UNION ALL
+        SELECT 'snaive', y, f_snaive FROM f
+        UNION ALL
+        SELECT 'drift', y, f_drift FROM f
+    )
+    SELECT method,
+           CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+           ROUND(AVG(ABS(y - f)) / 100, 4) AS mae,
+           ROUND(SQRT(AVG((y - f) * (y - f))) / 100, 4) AS rmse,
+           ROUND(AVG(ABS(y - f) / y) * 100, 4) AS mape_pct
+    FROM long GROUP BY method
+    """,
+)
+def orders_forecast_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias(
+            "mo"
+        )
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    w = Window.orderBy("mo")
+    wall = Window.orderBy("mo").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    idx = m.select(
+        "mo",
+        "y",
+        F.row_number().over(w).cast("long").alias("t"),
+        F.lag("y", 1).over(w).alias("l1"),
+        F.lag("y", 12).over(w).alias("l12"),
+        F.first("y").over(wall).alias("y0"),
+    )
+    f = idx.filter(F.col("t") > 13).select(
+        "t",
+        "y",
+        F.col("l1").cast("double").alias("f_naive"),
+        F.col("l12").cast("double").alias("f_snaive"),
+        (
+            F.col("l1")
+            + (F.col("l1").cast("double") - F.col("y0"))
+            / (F.col("t") - 2)
+        ).alias("f_drift"),
+    )
+    longf = None
+    for method, col in (
+        ("naive", "f_naive"),
+        ("snaive", "f_snaive"),
+        ("drift", "f_drift"),
+    ):
+        part = f.select(
+            F.lit(method).alias("method"),
+            "y",
+            F.col(col).alias("f"),
+        )
+        longf = part if longf is None else longf.unionByName(part)
+    err = F.col("y") - F.col("f")
+    return longf.groupBy("method").agg(
+        F.count("*").cast("long").alias("n_forecasts"),
+        F.round(F.avg(F.abs(err)) / 100, 4).alias("mae"),
+        F.round(F.sqrt(F.avg(err * err)) / 100, 4).alias("rmse"),
+        F.round(F.avg(F.abs(err) / F.col("y")) * 100, 4).alias(
+            "mape_pct"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relative Strength Index (Cutler's SMA form) over daily revenue
+# ---------------------------------------------------------------------------
+# The momentum companion to window_bollinger_bands: 14-day RSI
+# = 100 * SG / (SG + SL) where SG/SL are the window sums of up/down
+# moves -- Cutler's simple-average variant, chosen over Wilder's
+# EWMA precisely because it keeps every term an exact integer cent
+# (up/down moves are integer deltas; window sums are exact), making
+# the RSI one fixed double expression per row.
+RSI_WINDOW = 14
+
+
+@query(
+    "window_rsi_momentum",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    lagd AS (
+        SELECT day, cents, LAG(cents) OVER (ORDER BY day) AS prev
+        FROM daily
+    ),
+    moves AS (
+        SELECT day, cents,
+               GREATEST(cents - prev, 0) AS gain,
+               GREATEST(prev - cents, 0) AS loss
+        FROM lagd WHERE prev IS NOT NULL
+    ),
+    win AS (
+        SELECT day, cents,
+               CAST(COUNT(gain) OVER w AS BIGINT) AS n_moves,
+               CAST(SUM(gain) OVER w AS BIGINT) AS sg,
+               CAST(SUM(loss) OVER w AS BIGINT) AS sl
+        FROM moves
+        WINDOW w AS (ORDER BY day
+                     ROWS BETWEEN {RSI_WINDOW - 1} PRECEDING
+                              AND CURRENT ROW)
+    )
+    SELECT day, ROUND(cents / 100.0, 2) AS revenue,
+           CASE WHEN sg + sl = 0 THEN 50.0
+                ELSE ROUND(100.0 * sg / (sg + sl), 4)
+           END AS rsi
+    FROM win WHERE n_moves >= {RSI_WINDOW}
+    """,
+)
+def window_rsi_momentum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("day")
+    lagd = daily.select(
+        "day", "cents", F.lag("cents").over(w).alias("prev")
+    )
+    moves = lagd.filter(F.col("prev").isNotNull()).select(
+        "day",
+        "cents",
+        F.greatest(F.col("cents") - F.col("prev"), F.lit(0)).alias(
+            "gain"
+        ),
+        F.greatest(F.col("prev") - F.col("cents"), F.lit(0)).alias(
+            "loss"
+        ),
+    )
+    wr = Window.orderBy("day").rowsBetween(
+        -(RSI_WINDOW - 1), Window.currentRow
+    )
+    win = moves.select(
+        "day",
+        "cents",
+        F.count("gain").over(wr).cast("long").alias("n_moves"),
+        F.sum("gain").over(wr).cast("long").alias("sg"),
+        F.sum("loss").over(wr).cast("long").alias("sl"),
+    )
+    return win.filter(F.col("n_moves") >= RSI_WINDOW).select(
+        "day",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.when(F.col("sg") + F.col("sl") == 0, F.lit(50.0))
+        .otherwise(
+            F.round(
+                100.0
+                * F.col("sg")
+                / (F.col("sg") + F.col("sl")),
+                4,
+            )
+        )
+        .alias("rsi"),
+    )

@@ -180,6 +180,9 @@ DEFER_NEW: tuple[str, ...] = (
     "asof_join_tolerance",
     "orders_segmented_trend",
     "multimodal_audio_features",
+    "join_incremental_maintenance",
+    "orders_forecast_backtest",
+    "window_rsi_momentum",
 )
 
 

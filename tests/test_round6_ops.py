@@ -1865,3 +1865,102 @@ def test_audio_features_brute_force(spark):
             assert abs(
                 r.zcr - r.zero_crossings / (AUDIO_FRAME - 1)
             ) < 1e-12
+
+
+def test_join_ivm_quadrants(spark):
+    """The bilinear delta rule: the four quadrants partition the
+    full join exactly (recomputed from scratch in DuckDB), and no
+    quadrant is empty on this fixture."""
+    from hq_master_data_warehouse_spark.operators.aggregates import (
+        IVM_SPLIT_DATE,
+    )
+
+    rows = {r.nation: r for r in _rows(spark, "join_incremental_maintenance")}
+    con = duckdb.connect()
+    full = con.execute(
+        f"""SELECT n.n_name, COUNT(*),
+               SUM(CAST(o.o_totalprice AS DECIMAL(30,4)))
+        FROM '{SF_DIR_001}/orders.parquet' o
+        JOIN '{SF_DIR_001}/customer.parquet' c
+          ON o.o_custkey = c.c_custkey
+        JOIN '{SF_DIR_001}/nation.parquet' n
+          ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1"""
+    ).fetchall()
+    assert {n for n, *_ in full} == set(rows)
+    for n, cnt, tot in full:
+        assert rows[n].n_rows == cnt
+        assert abs(rows[n].total_price - float(tot)) < 1e-6
+    quads = con.execute(
+        f"""SELECT o.o_orderdate >= DATE '{IVM_SPLIT_DATE}',
+               c.c_custkey % 2, COUNT(*)
+        FROM '{SF_DIR_001}/orders.parquet' o
+        JOIN '{SF_DIR_001}/customer.parquet' c
+          ON o.o_custkey = c.c_custkey GROUP BY 1, 2"""
+    ).fetchall()
+    assert len(quads) == 4 and all(n > 0 for *_, n in quads)
+
+
+def test_forecast_backtest_brute_force(spark):
+    """All three baselines replayed sequentially in Python."""
+    rows = {r.method: r for r in _rows(spark, "orders_forecast_backtest")}
+    con = duckdb.connect()
+    months = con.execute(
+        f"""SELECT date_trunc('month', o_orderdate),
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        FROM '{SF_DIR_001}/orders.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    y = [v for _, v in months]
+    scores = {"naive": [], "snaive": [], "drift": []}
+    for t in range(13, len(y)):  # 0-based: months 14..end
+        scores["naive"].append((y[t], y[t - 1]))
+        scores["snaive"].append((y[t], y[t - 12]))
+        scores["drift"].append(
+            (y[t], y[t - 1] + (y[t - 1] - y[0]) / (t - 1))
+        )
+    assert set(rows) == set(scores)
+    for m, pairs in scores.items():
+        r = rows[m]
+        assert r.n_forecasts == len(pairs)
+        mae = sum(abs(a - f) for a, f in pairs) / len(pairs) / 100
+        rmse = math.sqrt(
+            sum((a - f) ** 2 for a, f in pairs) / len(pairs)
+        ) / 100
+        mape = sum(abs(a - f) / a for a, f in pairs) / len(pairs) * 100
+        assert abs(r.mae - mae) < 1e-3
+        assert abs(r.rmse - rmse) < 1e-3
+        assert abs(r.mape_pct - mape) < 1e-3
+    # the seasonal series should make snaive beat nothing here
+    # (uniform generator) -- just sanity: all scores positive
+    assert all(r.mae > 0 for r in rows.values())
+
+
+def test_rsi_brute_force(spark):
+    """Cutler RSI replayed with a sliding window; 0 <= RSI <= 100."""
+    from hq_master_data_warehouse_spark.operators.stats import (
+        RSI_WINDOW,
+    )
+
+    rows = sorted(_rows(spark, "window_rsi_momentum"), key=lambda r: r.day)
+    con = duckdb.connect()
+    daily = con.execute(
+        f"""SELECT o_orderdate,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        FROM '{SF_DIR_001}/orders.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    cents = [v for _, v in daily]
+    moves = [
+        (max(cents[i] - cents[i - 1], 0), max(cents[i - 1] - cents[i], 0))
+        for i in range(1, len(cents))
+    ]
+    expect = []
+    for i in range(len(moves)):
+        w = moves[max(0, i - RSI_WINDOW + 1): i + 1]
+        if len(w) >= RSI_WINDOW:
+            sg = sum(g for g, _ in w)
+            sl = sum(l for _, l in w)
+            expect.append(50.0 if sg + sl == 0 else 100 * sg / (sg + sl))
+    assert len(rows) == len(expect)
+    for r, e in zip(rows, expect):
+        assert abs(r.rsi - e) < 1e-3
+        assert 0 <= r.rsi <= 100
