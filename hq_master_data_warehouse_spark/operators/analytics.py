@@ -3090,3 +3090,225 @@ def window_bollinger_bands(
         .otherwise(0)
         .alias("outside_band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Price elasticity of demand (log-log regression)
+# ---------------------------------------------------------------------------
+# The econometrics classic: elasticity = d ln(quantity) / d ln(unit
+# price), estimated by OLS of ln q on ln p over lineitem.  Exactness
+# discipline: both logs are FLOOR-quantized to integer micro-nats
+# (the NB trick), so every regression moment is an exact
+# DECIMAL(38,0) integer sum in any aggregation order and the slope
+# is one fixed double expression; the 1e-6-nat quantization bias
+# sits far below the 6-decimal output quantum.  Unit price is the
+# exact integer cent ratio round(100 * extendedprice / quantity).
+# 100 TB shape: one projection scan + one 1-row moment aggregate.
+@query(
+    "orders_price_elasticity",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(FLOOR(1000000 * ln(CAST(l_quantity AS DOUBLE)))
+                    AS BIGINT) AS lq,
+               CAST(FLOOR(1000000 * ln(
+                   CAST(ROUND(100 * l_extendedprice / l_quantity)
+                        AS BIGINT))) AS BIGINT) AS lp
+        FROM lineitem WHERE l_quantity > 0
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(lp) AS BIGINT) AS sx,
+               CAST(SUM(lq) AS BIGINT) AS sy,
+               CAST(SUM(CAST(lp AS DECIMAL(38,0))
+                        * CAST(lp AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(lp AS DECIMAL(38,0))
+                        * CAST(lq AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(CAST(lq AS DECIMAL(38,0))
+                        * CAST(lq AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS syy
+        FROM pts
+    )
+    SELECT n AS n_lineitems,
+           ROUND((n * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * sy)
+                 / (n * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * sx), 6) AS elasticity,
+           ROUND(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                  * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy))
+                 / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                    * (n * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * sy)), 6) AS r_squared
+    FROM s
+    """,
+)
+def orders_price_elasticity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > 0
+    )
+    unit_cents = F.round(
+        100 * F.col("l_extendedprice") / F.col("l_quantity")
+    ).cast("long")
+    pts = li.select(
+        F.floor(
+            1000000 * F.log(F.col("l_quantity").cast("double"))
+        )
+        .cast("long")
+        .alias("lq"),
+        F.floor(1000000 * F.log(unit_cents.cast("double")))
+        .cast("long")
+        .alias("lp"),
+    )
+    s = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("lp").cast("long").alias("sx"),
+        F.sum("lq").cast("long").alias("sy"),
+        F.sum(
+            F.col("lp").cast("decimal(38,0)")
+            * F.col("lp").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(
+            F.col("lp").cast("decimal(38,0)")
+            * F.col("lq").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(
+            F.col("lq").cast("decimal(38,0)")
+            * F.col("lq").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    n = F.col("n")
+    cov = n * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    varx = n * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx")
+    vary = n * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy")
+    return s.select(
+        n.alias("n_lineitems"),
+        F.round(cov / varx, 6).alias("elasticity"),
+        F.round(cov * cov / (varx * vary), 6).alias("r_squared"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# XYZ demand-variability classification (pairs with ABC)
+# ---------------------------------------------------------------------------
+# Inventory analytics' second axis: classify each part by the
+# coefficient of variation of its monthly demand -- X (stable,
+# CV < 0.5), Y (variable, CV < 1.0), Z (erratic).  Monthly demand is
+# exact integer quantity over the ZERO-FILLED month grid (a month
+# with no sales is 0 demand, not a missing row -- omitting it
+# understates variability); CV per part is one fixed double
+# expression over three exact integer moments.  Output is the class
+# distribution with per-class demand stats.  100 TB shape: one
+# grouped agg to (part, month), a broadcast month-grid fill via a
+# part x months cross of the DISTINCT part dim, one moment agg per
+# part, one class agg.
+@query(
+    "orders_xyz_analysis",
+    oracle="""
+    WITH months AS (
+        SELECT DISTINCT CAST(date_trunc('month',
+                   CAST(l_shipdate AS DATE)) AS DATE) AS mo
+        FROM lineitem
+    ),
+    parts AS (SELECT DISTINCT l_partkey FROM lineitem),
+    demand AS (
+        SELECT l_partkey,
+               CAST(date_trunc('month', CAST(l_shipdate AS DATE))
+                    AS DATE) AS mo,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT p.l_partkey, m.mo, COALESCE(d.q, 0) AS q
+        FROM parts p CROSS JOIN months m
+        LEFT JOIN demand d
+               ON d.l_partkey = p.l_partkey AND d.mo = m.mo
+    ),
+    cv AS (
+        SELECT l_partkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(q) AS BIGINT) AS s,
+               CAST(SUM(q * q) AS BIGINT) AS ss
+        FROM grid GROUP BY l_partkey
+    ),
+    classed AS (
+        SELECT l_partkey, s,
+               SQRT((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                    / (n - 1)) / (CAST(s AS DOUBLE) / n) AS cv
+        FROM cv WHERE s > 0
+    )
+    SELECT CASE WHEN cv < 0.5 THEN 'X'
+                WHEN cv < 1.0 THEN 'Y'
+                ELSE 'Z' END AS xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(s) AS BIGINT) AS total_demand,
+           ROUND(MIN(cv), 6) AS min_cv,
+           ROUND(MAX(cv), 6) AS max_cv
+    FROM classed GROUP BY 1
+    """,
+)
+def orders_xyz_analysis(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    mo = F.to_date(F.date_trunc("month", F.col("l_shipdate")))
+    months = li.select(mo.alias("mo")).distinct()
+    parts = li.select("l_partkey").distinct()
+    demand = li.groupBy("l_partkey", mo.alias("mo")).agg(
+        F.sum(F.col("l_quantity").cast("long"))
+        .cast("long")
+        .alias("q")
+    )
+    grid = (
+        parts.crossJoin(F.broadcast(months))
+        .join(demand, ["l_partkey", "mo"], "left")
+        .select(
+            "l_partkey", F.coalesce("q", F.lit(0)).alias("q")
+        )
+    )
+    cv = grid.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("q").cast("long").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("ss"),
+    )
+    cv_expr = F.sqrt(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("n")
+        )
+        / (F.col("n") - 1)
+    ) / (F.col("s").cast("double") / F.col("n"))
+    classed = cv.filter(F.col("s") > 0).select(
+        "s", cv_expr.alias("cv")
+    )
+    return (
+        classed.select(
+            F.when(F.col("cv") < 0.5, "X")
+            .when(F.col("cv") < 1.0, "Y")
+            .otherwise("Z")
+            .alias("xyz_class"),
+            "s",
+            "cv",
+        )
+        .groupBy("xyz_class")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("s").cast("long").alias("total_demand"),
+            F.round(F.min("cv"), 6).alias("min_cv"),
+            F.round(F.max("cv"), 6).alias("max_cv"),
+        )
+    )

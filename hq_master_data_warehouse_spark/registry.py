@@ -183,6 +183,8 @@ DEFER_NEW: tuple[str, ...] = (
     "join_incremental_maintenance",
     "orders_forecast_backtest",
     "window_rsi_momentum",
+    "orders_price_elasticity",
+    "orders_xyz_analysis",
 )
 
 

@@ -1964,3 +1964,67 @@ def test_rsi_brute_force(spark):
     for r, e in zip(rows, expect):
         assert abs(r.rsi - e) < 1e-3
         assert 0 <= r.rsi <= 100
+
+
+def test_price_elasticity_brute_force(spark):
+    """Float log-log OLS replay (no quantization) within the
+    micro-nat error bound; R^2 in [0, 1]."""
+    row = _rows(spark, "orders_price_elasticity")[0]
+    con = duckdb.connect()
+    pts = con.execute(
+        f"""SELECT CAST(l_quantity AS DOUBLE),
+               CAST(ROUND(100 * l_extendedprice / l_quantity)
+                    AS BIGINT)
+        FROM '{SF_DIR_001}/lineitem.parquet' WHERE l_quantity > 0"""
+    ).fetchall()
+    xs = [math.log(p) for _, p in pts]
+    ys = [math.log(q) for q, _ in pts]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    syy = sum(y * y for y in ys)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r2 = (n * sxy - sx * sy) ** 2 / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert row.n_lineitems == n
+    assert abs(row.elasticity - slope) < 1e-3
+    assert abs(row.r_squared - r2) < 1e-3
+    assert 0 <= row.r_squared <= 1
+
+
+def test_xyz_analysis_brute_force(spark):
+    """Per-part CVs replayed on the zero-filled month grid; class
+    boundaries and totals must match."""
+    import statistics
+
+    rows = {r.xyz_class: r for r in _rows(spark, "orders_xyz_analysis")}
+    con = duckdb.connect()
+    data = con.execute(
+        f"""SELECT l_partkey, date_trunc('month', l_shipdate),
+               SUM(CAST(l_quantity AS BIGINT))
+        FROM '{SF_DIR_001}/lineitem.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    months = sorted({m for _, m, _ in data})
+    per: dict[int, dict] = {}
+    for p, m, q in data:
+        per.setdefault(p, {})[m] = q
+    got: dict[str, list] = {"X": [], "Y": [], "Z": []}
+    for p, dm in per.items():
+        series = [dm.get(m, 0) for m in months]
+        s = sum(series)
+        if s == 0:
+            continue
+        cvv = statistics.stdev(series) / statistics.mean(series)
+        cls = "X" if cvv < 0.5 else ("Y" if cvv < 1.0 else "Z")
+        got[cls].append((s, cvv))
+    for cls, items in got.items():
+        if not items:
+            assert cls not in rows
+            continue
+        r = rows[cls]
+        assert r.n_parts == len(items)
+        assert r.total_demand == sum(s for s, _ in items)
+        assert abs(r.min_cv - min(c for _, c in items)) < 1e-5
+        assert abs(r.max_cv - max(c for _, c in items)) < 1e-5
