@@ -4864,3 +4864,139 @@ def window_rsi_momentum(
         )
         .alias("rsi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank test (paired first vs second order value)
+# ---------------------------------------------------------------------------
+# The PAIRED companion to ml_mann_whitney_u: does a customer's
+# second order differ systematically from their first?  Differences
+# d = cents(second) - cents(first) per repeat customer; zeros
+# dropped (the standard convention); |d| midranks kept exact via the
+# same doubled-midrank prefix-sum machinery as Mann-Whitney (2*rank
+# integers, ties corrected by sum(t^3 - t)).  W2 = 2*W+ stays an
+# exact long; the normal-approximation z is one fixed double
+# expression.
+@query(
+    "ml_wilcoxon_signed_rank",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ),
+    d AS (
+        SELECT s2.cents - s1.cents AS d
+        FROM (SELECT * FROM seq WHERE rn = 1) s1
+        JOIN (SELECT * FROM seq WHERE rn = 2) s2
+          ON s1.o_custkey = s2.o_custkey
+        WHERE s2.cents <> s1.cents
+    ),
+    byval AS (
+        SELECT ABS(d) AS absd, CAST(COUNT(*) AS BIGINT) AS t,
+               CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS t_pos
+        FROM d GROUP BY ABS(d)
+    ),
+    ranked AS (
+        SELECT t, t_pos,
+               CAST(SUM(t) OVER (ORDER BY absd
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) - t AS cum_before
+        FROM byval
+    ),
+    s AS (
+        SELECT CAST(SUM(t) AS BIGINT) AS n,
+               CAST(SUM(t_pos) AS BIGINT) AS n_pos,
+               CAST(SUM(t_pos * (2 * cum_before + t + 1)) AS BIGINT)
+                   AS w2,
+               CAST(SUM(t * t * t - t) AS BIGINT) AS ties,
+               CAST(SUM(CASE WHEN t > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tie_values
+        FROM ranked
+    )
+    SELECT n AS n_pairs, n_pos, n - n_pos AS n_neg, tie_values,
+           ROUND(w2 / 2.0, 2) AS w_plus,
+           ROUND((w2 - n * (n + 1) / 2.0)
+                 / SQRT(n * (n + 1.0) * (2 * n + 1) / 6.0
+                        - ties / 12.0), 6) AS z_stat
+    FROM s
+    """,
+)
+def ml_wilcoxon_signed_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    wseq = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    seq = orders.select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.row_number().over(wseq).alias("rn"),
+    )
+    s1 = seq.filter(F.col("rn") == 1).select(
+        "o_custkey", F.col("cents").alias("c1")
+    )
+    s2 = seq.filter(F.col("rn") == 2).select(
+        F.col("o_custkey").alias("k2"), F.col("cents").alias("c2")
+    )
+    d = (
+        s1.join(s2, s1["o_custkey"] == s2["k2"])
+        .filter(F.col("c2") != F.col("c1"))
+        .select((F.col("c2") - F.col("c1")).alias("d"))
+    )
+    byval = d.groupBy(F.abs(F.col("d")).alias("absd")).agg(
+        F.count("*").cast("long").alias("t"),
+        F.sum((F.col("d") > 0).cast("int"))
+        .cast("long")
+        .alias("t_pos"),
+    )
+    w = Window.orderBy("absd").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = byval.select(
+        "t",
+        "t_pos",
+        (F.sum("t").over(w).cast("long") - F.col("t")).alias(
+            "cum_before"
+        ),
+    )
+    s = ranked.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum("t_pos").cast("long").alias("n_pos"),
+        F.sum(
+            F.col("t_pos") * (2 * F.col("cum_before") + F.col("t") + 1)
+        )
+        .cast("long")
+        .alias("w2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("ties"),
+        F.sum((F.col("t") > 1).cast("int"))
+        .cast("long")
+        .alias("tie_values"),
+    )
+    n = F.col("n")
+    return s.select(
+        n.alias("n_pairs"),
+        F.col("n_pos"),
+        (n - F.col("n_pos")).alias("n_neg"),
+        "tie_values",
+        F.round(F.col("w2") / 2.0, 2).alias("w_plus"),
+        F.round(
+            (F.col("w2") - n * (n + 1) / 2.0)
+            / F.sqrt(
+                n * (n + 1.0) * (2 * n + 1) / 6.0
+                - F.col("ties") / 12.0
+            ),
+            6,
+        ).alias("z_stat"),
+    )

@@ -2210,3 +2210,217 @@ def text_sentiment_lexicon(
             6,
         ).alias("polarity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rule table
+# ---------------------------------------------------------------------------
+# The published rule battery LLM pretraining pipelines run before
+# anything model-based (Rae et al. 2021, "Scaling Language Models:
+# ... Gopher", appendix A1.1 -- public paper): per-document
+# pass/fail on cheap structural rules, reported as per-rule pass
+# counts plus the all-rules intersection.  Rules instantiated for
+# this corpus (thresholds are the paper's): word count in [50, 1e5],
+# mean word length in [3, 10], >= 80% alphabetic words, >= 2 distinct
+# stopwords, unique-word ratio >= 0.3.  All counting is exact
+# integers via array higher-order functions -- no UDF, no doubles
+# until the final rate.
+GOPHER_STOPWORDS = ("the", "a", "of", "and", "to", "be")
+
+
+@query(
+    "text_gopher_quality_rules",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKENS_SQL} AS toks,
+               strlen(replace({CANONICAL_SQL}, ' ', '')) AS chars
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(toks) AS words,
+               len(list_filter(toks, x -> regexp_matches(x,
+                   '[a-z]'))) AS alpha_words,
+               len(list_distinct(toks)) AS uniq,
+               len(list_distinct(list_filter(toks, x ->
+                   list_contains({list(GOPHER_STOPWORDS)!r}, x))))
+                   AS stops,
+               chars
+        FROM t
+    ),
+    flags AS (
+        SELECT doc_id,
+               CASE WHEN words BETWEEN 50 AND 100000
+                    THEN 1 ELSE 0 END AS r_wordcount,
+               CASE WHEN chars >= 3 * words AND chars <= 10 * words
+                    THEN 1 ELSE 0 END AS r_meanwordlen,
+               CASE WHEN 10 * alpha_words >= 8 * words
+                    THEN 1 ELSE 0 END AS r_alpharatio,
+               CASE WHEN stops >= 2 THEN 1 ELSE 0 END AS r_stopwords,
+               CASE WHEN 10 * uniq >= 3 * words
+                    THEN 1 ELSE 0 END AS r_uniqueratio
+        FROM m
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(r_wordcount) AS BIGINT) AS p1,
+               CAST(SUM(r_meanwordlen) AS BIGINT) AS p2,
+               CAST(SUM(r_alpharatio) AS BIGINT) AS p3,
+               CAST(SUM(r_stopwords) AS BIGINT) AS p4,
+               CAST(SUM(r_uniqueratio) AS BIGINT) AS p5,
+               CAST(SUM(r_wordcount * r_meanwordlen * r_alpharatio
+                        * r_stopwords * r_uniqueratio) AS BIGINT)
+                   AS p_all
+        FROM flags
+    )
+    SELECT rule, n_pass, n_docs,
+           ROUND(CAST(n_pass AS DOUBLE) / n_docs, 6) AS pass_rate
+    FROM (
+        SELECT 'word_count' AS rule, p1 AS n_pass, n_docs FROM agg
+        UNION ALL SELECT 'mean_word_length', p2, n_docs FROM agg
+        UNION ALL SELECT 'alpha_ratio', p3, n_docs FROM agg
+        UNION ALL SELECT 'stopword_presence', p4, n_docs FROM agg
+        UNION ALL SELECT 'unique_word_ratio', p5, n_docs FROM agg
+        UNION ALL SELECT 'all_rules', p_all, n_docs FROM agg
+    )
+    """,
+)
+def text_gopher_quality_rules(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    m = docs.select(
+        F.size(toks).cast("long").alias("words"),
+        F.size(
+            F.filter(toks, lambda x: x.rlike("[a-z]"))
+        )
+        .cast("long")
+        .alias("alpha_words"),
+        F.size(F.array_distinct(toks)).cast("long").alias("uniq"),
+        F.size(
+            F.array_distinct(
+                F.filter(
+                    toks, lambda x: F.array_contains(stop_arr, x)
+                )
+            )
+        )
+        .cast("long")
+        .alias("stops"),
+        F.length(
+            F.regexp_replace(canonical_text(F.col("text")), " ", "")
+        )
+        .cast("long")
+        .alias("chars"),
+    )
+    flags = m.select(
+        F.col("words").between(50, 100000).cast("int").alias("r1"),
+        (
+            (F.col("chars") >= 3 * F.col("words"))
+            & (F.col("chars") <= 10 * F.col("words"))
+        )
+        .cast("int")
+        .alias("r2"),
+        (10 * F.col("alpha_words") >= 8 * F.col("words"))
+        .cast("int")
+        .alias("r3"),
+        (F.col("stops") >= 2).cast("int").alias("r4"),
+        (10 * F.col("uniq") >= 3 * F.col("words"))
+        .cast("int")
+        .alias("r5"),
+    )
+    agg = flags.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        *[
+            F.sum(f"r{i}").cast("long").alias(f"p{i}")
+            for i in range(1, 6)
+        ],
+        F.sum(
+            F.col("r1")
+            * F.col("r2")
+            * F.col("r3")
+            * F.col("r4")
+            * F.col("r5")
+        )
+        .cast("long")
+        .alias("p_all"),
+    )
+    names = (
+        ("word_count", "p1"),
+        ("mean_word_length", "p2"),
+        ("alpha_ratio", "p3"),
+        ("stopword_presence", "p4"),
+        ("unique_word_ratio", "p5"),
+        ("all_rules", "p_all"),
+    )
+    out = None
+    for rule, col in names:
+        part = agg.select(
+            F.lit(rule).alias("rule"),
+            F.col(col).alias("n_pass"),
+            "n_docs",
+            F.round(
+                F.col(col).cast("double") / F.col("n_docs"), 6
+            ).alias("pass_rate"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal (zlib)
+# ---------------------------------------------------------------------------
+# The cheapest repetition detector LLM pipelines run (Gopher /
+# RedPajama lineage): highly repetitive documents compress far below
+# natural text.  zlib level 6 over the canonical text, emitted per
+# doc with the too-repetitive flag.  Registered rows-only: no SQL
+# engine exposes zlib, so the pytest replays the exact bytes in
+# Python (zlib is deterministic for a fixed level/strategy).  Runs
+# as an Arrow-batched mapInPandas -- the sanctioned Python path.
+COMPRESS_REPETITIVE_BELOW = 0.35
+
+
+@query("text_compression_ratio")  # rows-only: zlib has no SQL twin
+def text_compression_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pandas as pd  # noqa: F811
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+
+    def batches(it):
+        import zlib
+
+        for pdf in it:
+            raw = [
+                t.encode("utf-8", "surrogatepass")
+                for t in pdf["text"]
+            ]
+            comp = [len(zlib.compress(b, 6)) for b in raw]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_bytes": [len(b) for b in raw],
+                    "compressed_bytes": comp,
+                }
+            )
+            yield out
+
+    feat = docs.mapInPandas(
+        batches, schema="doc_id long, raw_bytes long, compressed_bytes long"
+    )
+    ratio = F.col("compressed_bytes").cast("double") / F.col(
+        "raw_bytes"
+    )
+    return feat.select(
+        "doc_id",
+        "raw_bytes",
+        "compressed_bytes",
+        F.round(ratio, 6).alias("compression_ratio"),
+        (ratio < COMPRESS_REPETITIVE_BELOW)
+        .cast("int")
+        .alias("too_repetitive"),
+    )

@@ -185,6 +185,9 @@ DEFER_NEW: tuple[str, ...] = (
     "window_rsi_momentum",
     "orders_price_elasticity",
     "orders_xyz_analysis",
+    "ml_wilcoxon_signed_rank",
+    "text_gopher_quality_rules",
+    "text_compression_ratio",
 )
 
 

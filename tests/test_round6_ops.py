@@ -2028,3 +2028,113 @@ def test_xyz_analysis_brute_force(spark):
         assert r.total_demand == sum(s for s, _ in items)
         assert abs(r.min_cv - min(c for _, c in items)) < 1e-5
         assert abs(r.max_cv - max(c for _, c in items)) < 1e-5
+
+
+def test_wilcoxon_signed_rank_brute_force(spark):
+    """Textbook midrank replay over the per-customer first/second
+    order differences."""
+    row = _rows(spark, "ml_wilcoxon_signed_rank")[0]
+    con = duckdb.connect()
+    d = [
+        x[0]
+        for x in con.execute(
+            f"""WITH seq AS (
+                SELECT o_custkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS rn
+                FROM '{SF_DIR_001}/orders.parquet')
+            SELECT b.c - a.c
+            FROM (SELECT * FROM seq WHERE rn=1) a
+            JOIN (SELECT * FROM seq WHERE rn=2) b USING (o_custkey)
+            WHERE a.c <> b.c"""
+        ).fetchall()
+    ]
+    n = len(d)
+    order = sorted(range(n), key=lambda i: abs(d[i]))
+    ranks = [0.0] * n
+    i = 0
+    while i < n:
+        j = i
+        while j < n and abs(d[order[j]]) == abs(d[order[i]]):
+            j += 1
+        mid = (i + 1 + j) / 2
+        for k in range(i, j):
+            ranks[order[k]] = mid
+        i = j
+    w_plus = sum(r for r, x in zip(ranks, d) if x > 0)
+    ties = {}
+    for x in d:
+        ties[abs(x)] = ties.get(abs(x), 0) + 1
+    tsum = sum(t**3 - t for t in ties.values())
+    mu = n * (n + 1) / 4
+    var = n * (n + 1) * (2 * n + 1) / 24 - tsum / 48
+    z = (w_plus - mu) / math.sqrt(var)
+    assert row.n_pairs == n
+    assert row.n_pos == sum(1 for x in d if x > 0)
+    assert abs(row.w_plus - w_plus) < 1e-6
+    assert abs(row.z_stat - z) < 1e-5
+
+
+def test_gopher_rules_brute_force(spark):
+    """Replay every rule in Python; all_rules == intersection."""
+    import re
+
+    from hq_master_data_warehouse_spark.operators.text import (
+        GOPHER_STOPWORDS,
+    )
+
+    rows = {r.rule: r for r in _rows(spark, "text_gopher_quality_rules")}
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT text FROM '{SF_DIR_001}/documents.parquet'"
+    ).fetchall()
+    counts = dict.fromkeys(
+        ["word_count", "mean_word_length", "alpha_ratio",
+         "stopword_presence", "unique_word_ratio", "all_rules"], 0)
+    for (text,) in docs:
+        toks = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        words = len(toks)
+        chars = sum(len(t) for t in toks)
+        alpha = sum(1 for t in toks if re.search("[a-z]", t))
+        uniq = len(set(toks))
+        stops = len({t for t in toks if t in GOPHER_STOPWORDS})
+        f = {
+            "word_count": 50 <= words <= 100000,
+            "mean_word_length": 3 * words <= chars <= 10 * words,
+            "alpha_ratio": 10 * alpha >= 8 * words,
+            "stopword_presence": stops >= 2,
+            "unique_word_ratio": 10 * uniq >= 3 * words,
+        }
+        for k, v in f.items():
+            counts[k] += v
+        counts["all_rules"] += all(f.values())
+    for rule, n_pass in counts.items():
+        assert rows[rule].n_pass == n_pass, rule
+        assert rows[rule].n_docs == len(docs)
+
+
+def test_compression_ratio_brute_force(spark):
+    """zlib replay byte-for-byte on every doc; flags consistent."""
+    import zlib
+
+    from hq_master_data_warehouse_spark.operators.text import (
+        COMPRESS_REPETITIVE_BELOW,
+    )
+
+    rows = {r.doc_id: r for r in _rows(spark, "text_compression_ratio")}
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{SF_DIR_001}/documents.parquet'"
+    ).fetchall()
+    assert len(rows) == len(docs)
+    for doc_id, text in docs:
+        raw = text.encode("utf-8", "surrogatepass")
+        comp = len(zlib.compress(raw, 6))
+        r = rows[doc_id]
+        assert (r.raw_bytes, r.compressed_bytes) == (len(raw), comp)
+        ratio = comp / len(raw)
+        assert abs(r.compression_ratio - ratio) < 1e-6
+        assert r.too_repetitive == (
+            1 if ratio < COMPRESS_REPETITIVE_BELOW else 0
+        )
