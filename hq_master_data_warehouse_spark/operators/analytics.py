@@ -3312,3 +3312,214 @@ def orders_xyz_analysis(
             F.round(F.max("cv"), 6).alias("max_cv"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Geospatial family: grid cells + blocked haversine pairs
+# ---------------------------------------------------------------------------
+# The warehouse geo basics on hash-derived user coordinates (the
+# fixture has no native geography; lat/lon come from the same
+# seeded-md5 uniform machinery as the bootstrap/permutation ops, so
+# the *operators* -- grid bucketing, blocked distance joins, the
+# haversine expression -- are exactly the production shapes).
+# Coordinates: lat = u1/65535*180-90, lon = u2/65535*360-180 with
+# u1/u2 = 16-bit md5 fields salted 'lat'/'lon' -- exact integers in,
+# identical doubles out in both engines.
+GEO_CELL_DEG = 15  # grid cell size in degrees
+GEO_EARTH_KM = 6371.0
+
+
+def _geo_u_sql(salt: str) -> str:
+    c = (
+        f"CAST(concat('0x', substr(md5(concat('{salt}',"
+        f" CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT)"
+    )
+    return f"({c} >> 16)"
+
+
+_GEO_COORDS_SQL = f"""
+    coords AS (
+        SELECT user_id,
+               {_geo_u_sql("lat")} / 65535.0 * 180 - 90 AS lat,
+               {_geo_u_sql("lon")} / 65535.0 * 360 - 180 AS lon
+        FROM (SELECT DISTINCT user_id FROM events)
+    )
+"""
+
+
+def _geo_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    users = events.select("user_id").distinct()
+
+    def u(salt: str):
+        return F.shiftright(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(salt),
+                            F.col("user_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            16,
+        )
+
+    return users.select(
+        "user_id",
+        (u("lat") / 65535.0 * 180 - 90).alias("lat"),
+        (u("lon") / 65535.0 * 360 - 180).alias("lon"),
+    )
+
+
+@query(
+    "geo_grid_cells",
+    oracle=f"""
+    WITH {_GEO_COORDS_SQL},
+    act AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(FLOOR(lat / {GEO_CELL_DEG}) AS BIGINT) AS cell_lat,
+           CAST(FLOOR(lon / {GEO_CELL_DEG}) AS BIGINT) AS cell_lon,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           ROUND(AVG(lat), 6) AS centroid_lat,
+           ROUND(AVG(lon), 6) AS centroid_lon
+    FROM coords JOIN act USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def geo_grid_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    coords = _geo_coords(spark, sf_dir)
+    act = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    return (
+        coords.join(act, "user_id")
+        .groupBy(
+            F.floor(F.col("lat") / GEO_CELL_DEG)
+            .cast("long")
+            .alias("cell_lat"),
+            F.floor(F.col("lon") / GEO_CELL_DEG)
+            .cast("long")
+            .alias("cell_lon"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.round(F.avg("lat"), 6).alias("centroid_lat"),
+            F.round(F.avg("lon"), 6).alias("centroid_lon"),
+        )
+    )
+
+
+GEO_TOPK_PAIRS = 20
+
+
+@query(
+    "geo_haversine_pairs",
+    oracle=f"""
+    WITH {_GEO_COORDS_SQL},
+    cells AS (
+        SELECT user_id, lat, lon,
+               CAST(FLOOR(lat / {GEO_CELL_DEG}) AS BIGINT) AS cla,
+               CAST(FLOOR(lon / {GEO_CELL_DEG}) AS BIGINT) AS clo
+        FROM coords
+    ),
+    pairs AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               2 * {GEO_EARTH_KM} * ASIN(SQRT(
+                   POWER(SIN(RADIANS(b.lat - a.lat) / 2), 2)
+                   + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+                     * POWER(SIN(RADIANS(b.lon - a.lon) / 2), 2)))
+                   AS dist_km
+        FROM cells a JOIN cells b
+          ON a.cla = b.cla AND a.clo = b.clo
+         AND a.user_id < b.user_id
+    )
+    SELECT user_a, user_b, ROUND(dist_km, 4) AS dist_km
+    FROM pairs
+    ORDER BY dist_km, user_a, user_b
+    LIMIT {GEO_TOPK_PAIRS}
+    """,
+)
+def geo_haversine_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Closest same-cell user pairs by haversine distance.  The
+    equi-join on the grid cell is the blocking step -- candidate
+    pairs are bounded by cell occupancy, never all-pairs (the
+    standard spatial-join shape; production adds neighbor-cell
+    probes exactly like the LSH band joins)."""
+    coords = _geo_coords(spark, sf_dir)
+    cells = coords.select(
+        "user_id",
+        "lat",
+        "lon",
+        F.floor(F.col("lat") / GEO_CELL_DEG)
+        .cast("long")
+        .alias("cla"),
+        F.floor(F.col("lon") / GEO_CELL_DEG)
+        .cast("long")
+        .alias("clo"),
+    )
+    a = cells.select(
+        F.col("user_id").alias("user_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        "cla",
+        "clo",
+    )
+    b = cells.select(
+        F.col("user_id").alias("user_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        "cla",
+        "clo",
+    )
+    dist = (
+        2
+        * GEO_EARTH_KM
+        * F.asin(
+            F.sqrt(
+                F.pow(
+                    F.sin(
+                        F.radians(F.col("lat_b") - F.col("lat_a"))
+                        / 2
+                    ),
+                    2,
+                )
+                + F.cos(F.radians("lat_a"))
+                * F.cos(F.radians("lat_b"))
+                * F.pow(
+                    F.sin(
+                        F.radians(F.col("lon_b") - F.col("lon_a"))
+                        / 2
+                    ),
+                    2,
+                )
+            )
+        )
+    )
+    pairs = (
+        a.join(b, ["cla", "clo"])
+        .filter(F.col("user_a") < F.col("user_b"))
+        .select("user_a", "user_b", dist.alias("dist_km"))
+    )
+    return (
+        pairs.orderBy("dist_km", "user_a", "user_b")
+        .limit(GEO_TOPK_PAIRS)
+        .select(
+            "user_a",
+            "user_b",
+            F.round("dist_km", 4).alias("dist_km"),
+        )
+    )

@@ -5000,3 +5000,190 @@ def ml_wilcoxon_signed_rank(
             6,
         ).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over the pairwise Welch z-tests
+# ---------------------------------------------------------------------------
+# The multiple-testing discipline the pairwise family (ml_tukey_hsd)
+# otherwise lacks: all 10 pairwise Welch z statistics between the
+# priority groups, two-sided normal p-values, and the BH step-up
+# adjustment p_bh(i) = min_{j>=i}(p_(j) * m / j) with monotone
+# running min.  No engine exposes the normal CDF, so Phi is the
+# Abramowitz-Stegun 7.1.26 erf polynomial -- a FIXED double
+# expression evaluated identically by both engines (the same
+# determinism argument as every ln/exp use here).  The pair table is
+# the bounded 5x5 domain; BH's ordered running min runs over 10
+# rows.
+_AS_ERF = (
+    "(1.0 - (0.254829592 * {t} - 0.284496736 * POWER({t}, 2)"
+    " + 1.421413741 * POWER({t}, 3) - 1.453152027 * POWER({t}, 4)"
+    " + 1.061405429 * POWER({t}, 5)) * EXP(-({x}) * ({x})))"
+)
+
+
+def _phi_sql(z: str) -> str:
+    """P(Z <= z) for z >= 0 via the A&S erf polynomial."""
+    x = f"(({z}) / 1.4142135623730951)"
+    t = f"(1.0 / (1.0 + 0.3275911 * {x}))"
+    erf = _AS_ERF.format(t=t, x=x)
+    return f"(0.5 * (1.0 + {erf}))"
+
+
+def _phi_col(z):
+    x = z / 1.4142135623730951
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    erf = 1.0 - (
+        0.254829592 * t
+        - 0.284496736 * F.pow(t, 2)
+        + 1.421413741 * F.pow(t, 3)
+        - 1.453152027 * F.pow(t, 4)
+        + 1.061405429 * F.pow(t, 5)
+    ) * F.exp(-x * x)
+    return 0.5 * (1.0 + erf)
+
+
+@query(
+    "ml_multiple_testing_bh",
+    oracle=f"""
+    WITH g AS (
+        SELECT o_orderpriority,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    m AS (
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(SUM(CAST(cents AS DECIMAL(38,0))
+                        * CAST(cents AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS ss
+        FROM g GROUP BY o_orderpriority
+    ),
+    pairs AS (
+        SELECT a.o_orderpriority AS group_a,
+               b.o_orderpriority AS group_b,
+               ABS((CAST(a.s AS DOUBLE) / a.n
+                    - CAST(b.s AS DOUBLE) / b.n)
+                   / SQRT(((CAST(a.ss AS DOUBLE)
+                            - CAST(a.s AS DOUBLE) * a.s / a.n)
+                           / (a.n - 1)) / a.n
+                          + ((CAST(b.ss AS DOUBLE)
+                              - CAST(b.s AS DOUBLE) * b.s / b.n)
+                             / (b.n - 1)) / b.n)) AS z
+        FROM m a JOIN m b ON a.o_orderpriority < b.o_orderpriority
+    ),
+    praw AS (
+        SELECT group_a, group_b, z,
+               2.0 * (1.0 - {_phi_sql("z")}) AS p,
+               CAST(COUNT(*) OVER () AS BIGINT) AS mt,
+               CAST(ROW_NUMBER() OVER (ORDER BY
+                   2.0 * (1.0 - {_phi_sql("z")}), group_a, group_b)
+                   AS BIGINT) AS rk
+        FROM pairs
+    ),
+    adj AS (
+        SELECT group_a, group_b, z, p, rk,
+               MIN(p * mt / rk) OVER (ORDER BY rk DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS p_bh_raw
+        FROM praw
+    )
+    SELECT group_a, group_b,
+           ROUND(z, 6) AS z_stat,
+           ROUND(p, 8) AS p_raw,
+           ROUND(LEAST(p_bh_raw, 1.0), 8) AS p_bh,
+           CASE WHEN LEAST(p_bh_raw, 1.0) < 0.05 THEN 1 ELSE 0 END
+               AS significant_05
+    FROM adj
+    """,
+)
+def ml_multiple_testing_bh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    m = g.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)")
+            * F.col("cents").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    a = m.select(
+        F.col("o_orderpriority").alias("group_a"),
+        F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+        F.col("ss").alias("ssa"),
+    )
+    b = m.select(
+        F.col("o_orderpriority").alias("group_b"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+        F.col("ss").alias("ssb"),
+    )
+    va = (
+        (
+            F.col("ssa").cast("double")
+            - F.col("sa").cast("double") * F.col("sa") / F.col("na")
+        )
+        / (F.col("na") - 1)
+    ) / F.col("na")
+    vb = (
+        (
+            F.col("ssb").cast("double")
+            - F.col("sb").cast("double") * F.col("sb") / F.col("nb")
+        )
+        / (F.col("nb") - 1)
+    ) / F.col("nb")
+    z = F.abs(
+        (
+            F.col("sa").cast("double") / F.col("na")
+            - F.col("sb").cast("double") / F.col("nb")
+        )
+        / F.sqrt(va + vb)
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("group_a") < F.col("group_b")
+    ).select("group_a", "group_b", z.alias("z"))
+    p = 2.0 * (1.0 - _phi_col(F.col("z")))
+    wcount = Window.partitionBy()
+    wrank = Window.orderBy(p, "group_a", "group_b")
+    praw = pairs.select(
+        "group_a",
+        "group_b",
+        "z",
+        p.alias("p"),
+        F.count("*").over(wcount).cast("long").alias("mt"),
+        F.row_number().over(wrank).cast("long").alias("rk"),
+    )
+    wmin = Window.orderBy(F.col("rk").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    adj = praw.select(
+        "group_a",
+        "group_b",
+        "z",
+        "p",
+        F.min(F.col("p") * F.col("mt") / F.col("rk"))
+        .over(wmin)
+        .alias("p_bh_raw"),
+    )
+    p_bh = F.least(F.col("p_bh_raw"), F.lit(1.0))
+    return adj.select(
+        "group_a",
+        "group_b",
+        F.round("z", 6).alias("z_stat"),
+        F.round("p", 8).alias("p_raw"),
+        F.round(p_bh, 8).alias("p_bh"),
+        F.when(p_bh < 0.05, 1).otherwise(0).alias("significant_05"),
+    )

@@ -188,6 +188,9 @@ DEFER_NEW: tuple[str, ...] = (
     "ml_wilcoxon_signed_rank",
     "text_gopher_quality_rules",
     "text_compression_ratio",
+    "ml_multiple_testing_bh",
+    "geo_grid_cells",
+    "geo_haversine_pairs",
 )
 
 

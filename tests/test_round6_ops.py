@@ -2138,3 +2138,116 @@ def test_compression_ratio_brute_force(spark):
         assert r.too_repetitive == (
             1 if ratio < COMPRESS_REPETITIVE_BELOW else 0
         )
+
+
+def test_bh_adjustment_brute_force(spark):
+    """p-values via scipy-free normal CDF replay (same A&S
+    polynomial), BH step-up replayed sequentially; monotone and
+    bounded by 1."""
+    rows = _rows(spark, "ml_multiple_testing_bh")
+    assert len(rows) == 10
+
+    def phi(z):
+        x = z / math.sqrt(2)
+        t = 1 / (1 + 0.3275911 * x)
+        erf = 1 - (
+            0.254829592 * t - 0.284496736 * t**2 + 1.421413741 * t**3
+            - 1.453152027 * t**4 + 1.061405429 * t**5
+        ) * math.exp(-x * x)
+        return 0.5 * (1 + erf)
+
+    for r in rows:
+        assert abs(r.p_raw - 2 * (1 - phi(r.z_stat))) < 1e-5
+    ordered = sorted(rows, key=lambda r: (r.p_raw, r.group_a, r.group_b))
+    m = len(ordered)
+    run = None
+    expect = [0.0] * m
+    for i in range(m - 1, -1, -1):
+        v = ordered[i].p_raw * m / (i + 1)
+        run = v if run is None else min(run, v)
+        expect[i] = min(run, 1.0)
+    for r, e in zip(ordered, expect):
+        assert abs(r.p_bh - e) < 1e-4
+        assert r.p_bh >= r.p_raw - 1e-4 or r.p_bh == 1.0
+        assert r.significant_05 == (1 if r.p_bh < 0.05 else 0)
+    # BH-adjusted p-values are monotone in raw-p order
+    for a, b in zip(expect, expect[1:]):
+        assert a <= b + 1e-12
+
+
+def test_geo_ops_brute_force(spark):
+    """Coordinates replayed from md5; cell aggregation and the
+    blocked closest-pair list recomputed exactly."""
+    import hashlib
+
+    from hq_master_data_warehouse_spark.operators.analytics import (
+        GEO_CELL_DEG,
+        GEO_EARTH_KM,
+        GEO_TOPK_PAIRS,
+    )
+
+    con = duckdb.connect()
+    acts = dict(
+        con.execute(
+            f"""SELECT user_id, COUNT(*) FROM
+                '{SF_DIR_001}/events.parquet' GROUP BY 1"""
+        ).fetchall()
+    )
+
+    def u(salt, uid):
+        h = hashlib.md5(f"{salt}{uid}".encode()).hexdigest()
+        return int(h[:8], 16) >> 16
+
+    coords = {
+        uid: (
+            u("lat", uid) / 65535 * 180 - 90,
+            u("lon", uid) / 65535 * 360 - 180,
+        )
+        for uid in acts
+    }
+    cells_rows = _rows(spark, "geo_grid_cells")
+    agg: dict[tuple, list] = {}
+    for uid, (la, lo) in coords.items():
+        key = (math.floor(la / GEO_CELL_DEG), math.floor(lo / GEO_CELL_DEG))
+        a = agg.setdefault(key, [0, 0, 0.0, 0.0])
+        a[0] += 1
+        a[1] += acts[uid]
+        a[2] += la
+        a[3] += lo
+    assert {(r.cell_lat, r.cell_lon) for r in cells_rows} == set(agg)
+    for r in cells_rows:
+        n, ne, sla, slo = agg[(r.cell_lat, r.cell_lon)]
+        assert (r.n_users, r.n_events) == (n, ne)
+        assert abs(r.centroid_lat - sla / n) < 1e-5
+        assert abs(r.centroid_lon - slo / n) < 1e-5
+
+    def hav(a, b):
+        (la1, lo1), (la2, lo2) = coords[a], coords[b]
+        p1, p2 = math.radians(la1), math.radians(la2)
+        dp = math.radians(la2 - la1)
+        dl = math.radians(lo2 - lo1)
+        x = (
+            math.sin(dp / 2) ** 2
+            + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        )
+        return 2 * GEO_EARTH_KM * math.asin(math.sqrt(x))
+
+    by_cell: dict[tuple, list] = {}
+    for uid, (la, lo) in coords.items():
+        by_cell.setdefault(
+            (math.floor(la / GEO_CELL_DEG), math.floor(lo / GEO_CELL_DEG)),
+            [],
+        ).append(uid)
+    cand = []
+    for us in by_cell.values():
+        us.sort()
+        for i in range(len(us)):
+            for j in range(i + 1, len(us)):
+                cand.append((hav(us[i], us[j]), us[i], us[j]))
+    cand.sort()
+    expect = cand[:GEO_TOPK_PAIRS]
+    got = _rows(spark, "geo_haversine_pairs")
+    assert len(got) == len(expect)
+    for r, (d, a, b) in zip(got, expect):
+        assert (r.user_a, r.user_b) == (a, b)
+        assert abs(r.dist_km - d) < 1e-3
