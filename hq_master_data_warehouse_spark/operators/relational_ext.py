@@ -648,3 +648,67 @@ def asof_join_tolerance(
         F.when(ok, F.col("m_click_id")).alias("asof_click_id"),
         F.when(ok, delta).cast("long").alias("us_since_click"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL surface showcase: the same engine through spark.sql()
+# ---------------------------------------------------------------------------
+# Everything else in this catalog drives the DataFrame API; this
+# query proves the second public surface -- ANSI SQL through
+# spark.sql() over registered temp views -- with a multi-CTE,
+# windowed analytical query (top-3 customers by revenue per region
+# with region revenue share).  The oracle is the SAME SQL text
+# modulo dialect casts, so the differential check covers Spark's SQL
+# parser/analyzer path end-to-end, not just the DataFrame builders.
+_SQL_SHOWCASE = """
+    WITH rev AS (
+        SELECT c.c_custkey, c.c_name, n.n_regionkey,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM {orders} o
+        JOIN {customer} c ON o.o_custkey = c.c_custkey
+        JOIN {nation} n ON c.c_nationkey = n.n_nationkey
+        GROUP BY c.c_custkey, c.c_name, n.n_regionkey
+    ),
+    ranked AS (
+        SELECT r.r_name AS region, rev.c_name AS customer,
+               rev.cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY r.r_name
+                   ORDER BY rev.cents DESC, rev.c_custkey) AS rk,
+               CAST(SUM(rev.cents) OVER (PARTITION BY r.r_name)
+                    AS BIGINT) AS region_cents
+        FROM rev JOIN {region} r ON rev.n_regionkey = r.r_regionkey
+    )
+    SELECT region, customer, rk AS rank,
+           ROUND(cents / 100.0, 2) AS revenue,
+           ROUND(CAST(cents AS DOUBLE) / region_cents, 6)
+               AS region_share
+    FROM ranked WHERE rk <= 3
+"""
+
+
+@query(
+    "sql_interface_topk_share",
+    oracle=_SQL_SHOWCASE.format(
+        orders="orders",
+        customer="customer",
+        nation="nation",
+        region="region",
+    ),
+)
+def sql_interface_topk_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    for t in ("orders", "customer", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(
+            f"sqlshow_{t}"
+        )
+    return spark.sql(
+        _SQL_SHOWCASE.format(
+            orders="sqlshow_orders",
+            customer="sqlshow_customer",
+            nation="sqlshow_nation",
+            region="sqlshow_region",
+        )
+    )

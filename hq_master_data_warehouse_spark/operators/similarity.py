@@ -1152,3 +1152,212 @@ def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_correct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization with asymmetric distance (PQ-ADC)
+# ---------------------------------------------------------------------------
+# The third member of the embedding-compression family (int8
+# quantization, matryoshka truncation): split each vector into
+# PQ_M subspaces, learn PQ_K centroids per subspace with a FIXED
+# 2-iteration Lloyd refinement from a hash-seeded init (deterministic
+# -- no RNG, ties break on centroid id), encode every vector as M
+# nibble codes, and answer queries through the classic ADC lookup
+# table (per-query distances to centroids, summed along the code).
+# Self-audited like sketch_approx_quantiles: each query row ships
+# recall@10 of ADC top-10 vs the exact L2 top-10 computed alongside.
+# Registered rows-only (iterative centroid training has no ANSI-SQL
+# twin); tests replay the whole pipeline in numpy.  100 TB shape:
+# codes are 4 bytes/vector (16x compression at 64 dims float32->
+# nibbles), the codebook and LUTs are broadcast dims, encode/ADC are
+# JVM array expressions -- the standard IVF-PQ memory contract.
+PQ_M = 4
+PQ_K = 16
+PQ_ITERS = 2
+PQ_QUERIES = 5
+PQ_TOPK = 10
+
+
+def _pq_subvectors(df: DataFrame, dim: int) -> DataFrame:
+    """(vec_id, m, sub) rows: the m-th slice of each embedding."""
+    sub_dim = dim // PQ_M
+    parts = [
+        F.struct(
+            F.lit(m).alias("m"),
+            F.slice(F.col("embedding"), m * sub_dim + 1, sub_dim).alias(
+                "sub"
+            ),
+        )
+        for m in range(PQ_M)
+    ]
+    return df.select(
+        "vec_id", F.explode(F.array(*parts)).alias("p")
+    ).select("vec_id", F.col("p.m").alias("m"), F.col("p.sub").alias("sub"))
+
+
+def _pq_l2(a, b):
+    """Squared L2 between two float arrays as a JVM expression."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+@query("similarity_pq_adc")  # rows-only: iterative codebook training
+def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    subs = _pq_subvectors(emb, dim).cache()
+
+    # hash-seeded init: the PQ_K vectors with smallest md5(vec_id)
+    # seed every subspace's codebook (deterministic, no RNG)
+    seed_ids = (
+        emb.select(
+            "vec_id",
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(PQ_K)
+        .select("vec_id")
+    )
+    seeds = (
+        subs.join(seed_ids, "vec_id")
+        .select(
+            "m",
+            F.col("sub").alias("center"),
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wseed = Window.partitionBy("m").orderBy("h")
+    centroids = (
+        seeds.withColumn("cid", F.row_number().over(wseed) - 1)
+        .select("m", "cid", "center")
+        .localCheckpoint()
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        """argmin centroid per (vec, m); ties -> lowest cid."""
+        d = _pq_l2(F.col("sub"), F.col("center"))
+        return (
+            subs.join(F.broadcast(cents), "m")
+            .groupBy("vec_id", "m")
+            .agg(
+                F.min(F.struct(d.alias("d"), F.col("cid"))).alias(
+                    "best"
+                )
+            )
+            .select(
+                "vec_id", "m", F.col("best.cid").alias("cid"),
+                F.col("best.d").alias("qerr"),
+            )
+        )
+
+    for _ in range(PQ_ITERS):
+        asg = assign(centroids)
+        sub_dim = dim // PQ_M
+        # new centroid = elementwise mean of members (empty cells
+        # keep their old center via the left join fallback)
+        exploded = (
+            subs.join(asg.select("vec_id", "m", "cid"), ["vec_id", "m"])
+            .select("m", "cid", F.posexplode("sub").alias("i", "x"))
+            .groupBy("m", "cid", "i")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("m", "cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("i", "mx"))
+                ).alias("pairs")
+            )
+            .select(
+                "m",
+                "cid",
+                F.transform(
+                    F.col("pairs"), lambda s: s["mx"].cast("float")
+                ).alias("new_center"),
+            )
+        )
+        centroids = (
+            centroids.join(exploded, ["m", "cid"], "left")
+            .select(
+                "m",
+                "cid",
+                F.coalesce("new_center", "center").alias("center"),
+            )
+            .localCheckpoint()
+        )
+
+    codes = assign(centroids).cache()
+
+    # queries: the PQ_QUERIES smallest vec_ids
+    queries = emb.orderBy("vec_id").limit(PQ_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+    )
+    qsubs = _pq_subvectors(
+        queries.select(F.col("qid").alias("vec_id"), F.col("qemb").alias("embedding")),
+        dim,
+    ).select(F.col("vec_id").alias("qid"), "m", F.col("sub").alias("qsub"))
+    lut = (
+        qsubs.join(F.broadcast(centroids), "m")
+        .select(
+            "qid",
+            "m",
+            "cid",
+            _pq_l2(F.col("qsub"), F.col("center")).alias("d"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "cid"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d").alias("adc"))
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    approx_top = (
+        adc.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= PQ_TOPK)
+        .select("qid", "vec_id")
+    )
+    exact = (
+        queries.crossJoin(emb)
+        .select(
+            "qid",
+            "vec_id",
+            _pq_l2(F.col("qemb"), F.col("embedding")).alias("d"),
+        )
+    )
+    we = Window.partitionBy("qid").orderBy(
+        F.col("d").asc(), F.col("vec_id").asc()
+    )
+    exact_top = (
+        exact.withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= PQ_TOPK)
+        .select("qid", F.col("vec_id").alias("evid"))
+    )
+    hits = approx_top.join(
+        exact_top,
+        (approx_top["qid"] == exact_top["qid"])
+        & (approx_top["vec_id"] == exact_top["evid"]),
+    ).groupBy(approx_top["qid"].alias("qid")).agg(
+        F.count("*").alias("n_hits")
+    )
+    qerr = codes.agg(F.avg("qerr").alias("mse"))
+    return (
+        queries.select("qid")
+        .join(hits, "qid", "left")
+        .crossJoin(F.broadcast(qerr))
+        .select(
+            F.col("qid").alias("query_id"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / PQ_TOPK
+            ).alias("recall_at_10"),
+            F.round(F.col("mse"), 8).alias("mean_quantization_mse"),
+        )
+    )

@@ -191,6 +191,8 @@ DEFER_NEW: tuple[str, ...] = (
     "ml_multiple_testing_bh",
     "geo_grid_cells",
     "geo_haversine_pairs",
+    "similarity_pq_adc",
+    "sql_interface_topk_share",
 )
 
 
