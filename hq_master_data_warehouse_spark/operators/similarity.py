@@ -1171,11 +1171,12 @@ def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # codes are 4 bytes/vector (16x compression at 64 dims float32->
 # nibbles), the codebook and LUTs are broadcast dims, encode/ADC are
 # JVM array expressions -- the standard IVF-PQ memory contract.
-PQ_M = 4
+PQ_M = 8
 PQ_K = 16
 PQ_ITERS = 2
 PQ_QUERIES = 5
 PQ_TOPK = 10
+PQ_SHORTLIST = 50  # ADC candidates re-ranked exactly (IVF-PQ style)
 
 
 def _pq_subvectors(df: DataFrame, dim: int) -> DataFrame:
@@ -1319,8 +1320,28 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = Window.partitionBy("qid").orderBy(
         F.col("adc").asc(), F.col("vec_id").asc()
     )
-    approx_top = (
+    # ADC gives a SHORTLIST; the exact rerank of that shortlist is
+    # the standard IVF-PQ serving pipeline (compressed scan first,
+    # full vectors touched only for PQ_SHORTLIST candidates)
+    shortlist = (
         adc.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= PQ_SHORTLIST)
+        .select("qid", "vec_id")
+    )
+    rerank = (
+        shortlist.join(emb, "vec_id")
+        .join(F.broadcast(queries), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            _pq_l2(F.col("qemb"), F.col("embedding")).alias("rd"),
+        )
+    )
+    wrr = Window.partitionBy("qid").orderBy(
+        F.col("rd").asc(), F.col("vec_id").asc()
+    )
+    approx_top = (
+        rerank.withColumn("rk", F.row_number().over(wrr))
         .filter(F.col("rk") <= PQ_TOPK)
         .select("qid", "vec_id")
     )

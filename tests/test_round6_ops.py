@@ -2251,3 +2251,120 @@ def test_geo_ops_brute_force(spark):
     for r, (d, a, b) in zip(got, expect):
         assert (r.user_a, r.user_b) == (a, b)
         assert abs(r.dist_km - d) < 1e-3
+
+
+def test_pq_adc_replay(spark):
+    """Full numpy replay of the PQ pipeline (hash-seeded init, 2
+    Lloyd iterations, ADC shortlist, exact rerank).  Centroid means
+    pass through float32 exactly as the engine does; recall is
+    compared with a +-0.1 tolerance to absorb last-ULP argmin flips
+    in degenerate ties."""
+    import hashlib
+
+    import numpy as np
+
+    from hq_master_data_warehouse_spark.operators.similarity import (
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+        PQ_QUERIES,
+        PQ_SHORTLIST,
+        PQ_TOPK,
+    )
+
+    rows = {r.query_id: r for r in _rows(spark, "similarity_pq_adc")}
+    con = duckdb.connect()
+    emb = con.execute(
+        f"SELECT vec_id, embedding FROM '{SF_DIR_001}/embeddings.parquet'"
+        " ORDER BY vec_id"
+    ).fetchall()
+    ids = [v for v, _ in emb]
+    X = np.array([e for _, e in emb], dtype=np.float32)
+    n, dim = X.shape
+    sd = dim // PQ_M
+    seed_ids = sorted(
+        ids, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )[:PQ_K]
+    order = sorted(
+        range(PQ_K),
+        key=lambda i: hashlib.md5(
+            str(seed_ids[i]).encode()
+        ).hexdigest(),
+    )
+    idx = {v: i for i, v in enumerate(ids)}
+    cents = [
+        np.stack(
+            [X[idx[seed_ids[o]], m * sd: (m + 1) * sd] for o in order]
+        ).astype(np.float32)
+        for m in range(PQ_M)
+    ]
+
+    def assign(cents):
+        codes = np.empty((n, PQ_M), dtype=np.int64)
+        qerr = np.empty((n, PQ_M))
+        for m in range(PQ_M):
+            sub = X[:, m * sd: (m + 1) * sd].astype(np.float64)
+            d = (
+                ((sub[:, None, :] - cents[m][None].astype(np.float64))
+                 ** 2).sum(-1)
+            )
+            codes[:, m] = d.argmin(1)
+            qerr[:, m] = d.min(1)
+        return codes, qerr
+
+    for _ in range(PQ_ITERS):
+        codes, _ = assign(cents)
+        for m in range(PQ_M):
+            sub = X[:, m * sd: (m + 1) * sd].astype(np.float64)
+            for c in range(PQ_K):
+                mask = codes[:, m] == c
+                if mask.any():
+                    cents[m][c] = sub[mask].mean(0).astype(np.float32)
+    codes, qerr = assign(cents)
+    mse = qerr.mean()
+    assert abs(rows[ids[0]].mean_quantization_mse - mse) < 1e-3
+
+    for qi in range(PQ_QUERIES):
+        q = X[qi].astype(np.float64)
+        lut = [
+            ((q[m * sd: (m + 1) * sd][None]
+              - cents[m].astype(np.float64)) ** 2).sum(-1)
+            for m in range(PQ_M)
+        ]
+        adc = np.array(
+            [
+                sum(lut[m][codes[i, m]] for m in range(PQ_M))
+                for i in range(n)
+            ]
+        )
+        short = sorted(range(n), key=lambda i: (adc[i], ids[i]))[
+            :PQ_SHORTLIST
+        ]
+        exact_d = ((X.astype(np.float64) - q) ** 2).sum(-1)
+        rer = sorted(short, key=lambda i: (exact_d[i], ids[i]))[
+            :PQ_TOPK
+        ]
+        true = sorted(range(n), key=lambda i: (exact_d[i], ids[i]))[
+            :PQ_TOPK
+        ]
+        recall = len(set(rer) & set(true)) / PQ_TOPK
+        assert abs(rows[ids[qi]].recall_at_10 - recall) <= 0.1 + 1e-9
+    # determinism across runs
+    again = {r.query_id: r for r in _rows(spark, "similarity_pq_adc")}
+    assert {k: v.recall_at_10 for k, v in rows.items()} == {
+        k: v.recall_at_10 for k, v in again.items()
+    }
+
+
+def test_sql_interface_invariants(spark):
+    """Top-3 per region, shares consistent, rank order correct."""
+    rows = _rows(spark, "sql_interface_topk_share")
+    per: dict[str, list] = {}
+    for r in rows:
+        per.setdefault(r.region, []).append(r)
+    assert len(per) == 5
+    for region, rs in per.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2, 3]
+        assert rs[0].revenue >= rs[1].revenue >= rs[2].revenue
+        assert all(0 < r.region_share < 1 for r in rs)
