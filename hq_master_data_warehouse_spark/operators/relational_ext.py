@@ -681,7 +681,7 @@ _SQL_SHOWCASE = """
         FROM rev JOIN {region} r ON rev.n_regionkey = r.r_regionkey
     )
     SELECT region, customer, rk AS rank,
-           ROUND(cents / 100.0, 2) AS revenue,
+           ROUND(CAST(cents AS DOUBLE) / 100, 2) AS revenue,
            ROUND(CAST(cents AS DOUBLE) / region_cents, 6)
                AS region_share
     FROM ranked WHERE rk <= 3
