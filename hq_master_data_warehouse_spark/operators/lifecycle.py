@@ -1029,3 +1029,110 @@ def dq_gap_and_islands(
     return islands.filter(
         F.col("n_days") >= ISLAND_MIN_DAYS
     ).select("user_id", "start_day", "end_day", "n_days")
+
+
+# ---------------------------------------------------------------------------
+# Frequent 3-itemsets (a-priori level 3)
+# ---------------------------------------------------------------------------
+# The level-wise step above basket_association_rules' pairs: frequent
+# triples {a < b < c} with support >= TRIPLE_MIN_SUPPORT, generated
+# the a-priori way -- candidate triples come from joining FREQUENT
+# pairs that share a prefix (candidate (a,b,c) needs (a,b) and (a,c)
+# frequent; support counting then verifies (b,c) implicitly), so the
+# blow-up is bounded by the frequent-pair list, never the raw item
+# cube.  All counts exact longs; support in exact ppm.
+TRIPLE_MIN_SUPPORT = 3
+
+
+@query(
+    "basket_frequent_triples",
+    oracle=f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    nn AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM op),
+    pair AS (
+        SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+        HAVING COUNT(*) >= {TRIPLE_MIN_SUPPORT}
+    ),
+    cand AS (
+        SELECT x.pa AS a, x.pb AS b, y.pb AS c
+        FROM pair x JOIN pair y ON x.pa = y.pa AND x.pb < y.pb
+    ),
+    sup AS (
+        SELECT cand.a, cand.b, cand.c,
+               CAST(COUNT(*) AS BIGINT) AS n_abc
+        FROM cand
+        JOIN op oa ON oa.p = cand.a
+        JOIN op ob ON ob.p = cand.b AND ob.o = oa.o
+        JOIN op oc ON oc.p = cand.c AND oc.o = oa.o
+        GROUP BY cand.a, cand.b, cand.c
+        HAVING COUNT(*) >= {TRIPLE_MIN_SUPPORT}
+    )
+    SELECT a AS part_a, b AS part_b, c AS part_c, n_abc AS n_orders,
+           CAST(FLOOR(1000000.0 * n_abc / nn.n) AS BIGINT)
+           AS support_ppm
+    FROM sup CROSS JOIN nn
+    """,
+)
+def basket_frequent_triples(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("o"),
+            F.col("l_partkey").alias("p"),
+        )
+        .distinct()
+        .cache()
+    )
+    nn = op.select("o").distinct().agg(
+        F.count("*").cast("long").alias("n")
+    )
+    a = op.select(F.col("o"), F.col("p").alias("pa"))
+    b = op.select(F.col("o"), F.col("p").alias("pb"))
+    pair = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= TRIPLE_MIN_SUPPORT)
+        .select("pa", "pb")
+    )
+    x = pair.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    y = pair.select(F.col("pa").alias("a2"), F.col("pb").alias("c"))
+    cand = x.join(
+        y,
+        (F.col("a") == F.col("a2")) & (F.col("b") < F.col("c")),
+    ).select("a", "b", "c")
+    oa = op.select(F.col("o"), F.col("p").alias("a"))
+    ob = op.select(F.col("o").alias("o2"), F.col("p").alias("b2"))
+    oc = op.select(F.col("o").alias("o3"), F.col("p").alias("c3"))
+    sup = (
+        cand.join(oa, "a")
+        .join(
+            ob,
+            (F.col("o") == F.col("o2"))
+            & (F.col("b2") == F.col("b")),
+        )
+        .join(
+            oc,
+            (F.col("o") == F.col("o3"))
+            & (F.col("c3") == F.col("c")),
+        )
+        .groupBy("a", "b", "c")
+        .agg(F.count("*").cast("long").alias("n_abc"))
+        .filter(F.col("n_abc") >= TRIPLE_MIN_SUPPORT)
+    )
+    return sup.crossJoin(F.broadcast(nn)).select(
+        F.col("a").alias("part_a"),
+        F.col("b").alias("part_b"),
+        F.col("c").alias("part_c"),
+        F.col("n_abc").alias("n_orders"),
+        F.floor(1000000.0 * F.col("n_abc") / F.col("n"))
+        .cast("long")
+        .alias("support_ppm"),
+    )

@@ -5187,3 +5187,315 @@ def ml_multiple_testing_bh(
         F.round(p_bh, 8).alias("p_bh"),
         F.when(p_bh < 0.05, 1).otherwise(0).alias("significant_05"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction for the priority A/B metric
+# ---------------------------------------------------------------------------
+# The experimentation-platform standard (Deng et al. 2013, public):
+# adjust each customer's post-period revenue by theta * (pre-period
+# revenue - pre mean), theta = cov(pre, post)/var(pre), cutting
+# metric variance without biasing the group difference.  Pre/post
+# split at the IVM date; "treatment" is the customer's majority
+# priority class (hi/lo).  Every moment is an exact integer cent sum
+# (DECIMAL(38,0) cross products); theta, the adjusted means, and the
+# variance-reduction percentage are fixed double expressions over
+# the pivoted 1-row moments -- zero per-row doubles are ever summed.
+@query(
+    "ml_cuped_adjustment",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CASE WHEN o_orderdate < DATE '1997-01-01'
+                    THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS pre,
+               CAST(SUM(CASE WHEN o_orderdate >= DATE '1997-01-01'
+                    THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS post,
+               CASE WHEN SUM(CASE WHEN o_orderpriority IN
+                        ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                        * 2 > COUNT(*)
+                    THEN 1 ELSE 0 END AS grp
+        FROM orders GROUP BY o_custkey
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pre) AS BIGINT) AS sx,
+               CAST(SUM(post) AS BIGINT) AS sy,
+               CAST(SUM(CAST(pre AS DECIMAL(38,0))
+                        * CAST(pre AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(pre AS DECIMAL(38,0))
+                        * CAST(post AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(CAST(post AS DECIMAL(38,0))
+                        * CAST(post AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS syy,
+               CAST(SUM(CASE WHEN grp = 1 THEN post ELSE 0 END)
+                    AS BIGINT) AS sy1,
+               CAST(SUM(CASE WHEN grp = 1 THEN pre ELSE 0 END)
+                    AS BIGINT) AS sx1,
+               CAST(SUM(grp) AS BIGINT) AS n1
+        FROM cust
+    ),
+    f AS (
+        SELECT n, n1, n - n1 AS n0,
+               (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                   AS theta,
+               CAST(sx AS DOUBLE) / n AS mx,
+               CAST(sy1 AS DOUBLE) / n1 AS my1,
+               CAST((sy - sy1) AS DOUBLE) / (n - n1) AS my0,
+               CAST(sx1 AS DOUBLE) / n1 AS mx1,
+               CAST((sx - sx1) AS DOUBLE) / (n - n1) AS mx0,
+               (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)
+                   AS vy_n2,
+               (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                   AS cxy_n2,
+               (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                   AS vx_n2
+        FROM m
+    )
+    SELECT n AS n_customers, n1 AS n_hi, n0 AS n_lo,
+           ROUND(theta, 6) AS theta,
+           ROUND((my1 - my0) / 100, 4) AS raw_diff,
+           ROUND(((my1 - theta * (mx1 - mx))
+                  - (my0 - theta * (mx0 - mx))) / 100, 4)
+               AS cuped_diff,
+           ROUND(cxy_n2 * cxy_n2 / (vx_n2 * vy_n2), 6)
+               AS variance_reduction
+    FROM f
+    """,
+)
+def ml_cuped_adjustment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(F.col("o_orderdate") < "1997-01-01", cents).otherwise(0)
+        )
+        .cast("long")
+        .alias("pre"),
+        F.sum(
+            F.when(
+                F.col("o_orderdate") >= "1997-01-01", cents
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("post"),
+        F.when(
+            F.sum(
+                F.col("o_orderpriority")
+                .isin("1-URGENT", "2-HIGH")
+                .cast("int")
+            )
+            * 2
+            > F.count("*"),
+            1,
+        )
+        .otherwise(0)
+        .alias("grp"),
+    )
+    m = cust.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pre").cast("long").alias("sx"),
+        F.sum("post").cast("long").alias("sy"),
+        F.sum(
+            F.col("pre").cast("decimal(38,0)")
+            * F.col("pre").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(
+            F.col("pre").cast("decimal(38,0)")
+            * F.col("post").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(
+            F.col("post").cast("decimal(38,0)")
+            * F.col("post").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("syy"),
+        F.sum(F.when(F.col("grp") == 1, F.col("post")).otherwise(0))
+        .cast("long")
+        .alias("sy1"),
+        F.sum(F.when(F.col("grp") == 1, F.col("pre")).otherwise(0))
+        .cast("long")
+        .alias("sx1"),
+        F.sum("grp").cast("long").alias("n1"),
+    )
+    n = F.col("n")
+    theta = (
+        n * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        n * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    mx = F.col("sx").cast("double") / n
+    my1 = F.col("sy1").cast("double") / F.col("n1")
+    my0 = (F.col("sy") - F.col("sy1")).cast("double") / (
+        n - F.col("n1")
+    )
+    mx1 = F.col("sx1").cast("double") / F.col("n1")
+    mx0 = (F.col("sx") - F.col("sx1")).cast("double") / (
+        n - F.col("n1")
+    )
+    vy = n * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy")
+    cxy = n * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    vx = n * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx")
+    return m.select(
+        n.alias("n_customers"),
+        F.col("n1").alias("n_hi"),
+        (n - F.col("n1")).alias("n_lo"),
+        F.round(theta, 6).alias("theta"),
+        F.round((my1 - my0) / 100, 4).alias("raw_diff"),
+        F.round(
+            (
+                (my1 - theta * (mx1 - mx))
+                - (my0 - theta * (mx0 - mx))
+            )
+            / 100,
+            4,
+        ).alias("cuped_diff"),
+        F.round(cxy * cxy / (vx * vy), 6).alias(
+            "variance_reduction"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized and trimmed robust statistics
+# ---------------------------------------------------------------------------
+# The robust-mean pair every metrics platform offers: winsorized
+# mean (clamp to the p05/p95 bounds) and trimmed mean (drop outside
+# them).  Bounds are EXACT ORDER STATISTICS -- the ceil(q*n)-th
+# smallest cent value via the grouped prefix-sum idiom (the
+# Mann-Whitney ranked pattern), NOT interpolating quantile_cont:
+# interpolation returns a non-integer double whose last ULP can
+# differ across engines and then flips a clamp (caught live at
+# sf0.001).  With integer bounds, the clamped/trimmed sums are exact
+# longs and both means single double expressions.
+@query(
+    "agg_winsorized_stats",
+    oracle="""
+    WITH g AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g),
+    byval AS (
+        SELECT cents, CAST(COUNT(*) AS BIGINT) AS t
+        FROM g GROUP BY cents
+    ),
+    ranked AS (
+        SELECT cents,
+               CAST(SUM(t) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+        FROM byval
+    ),
+    q AS (
+        SELECT MIN(CASE WHEN cum >= CEIL(0.05 * nn.n)
+                        THEN cents END) AS lo,
+               MIN(CASE WHEN cum >= CEIL(0.95 * nn.n)
+                        THEN cents END) AS hi
+        FROM ranked CROSS JOIN nn
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s_raw,
+               CAST(SUM(LEAST(GREATEST(cents, lo), hi))
+                    AS BIGINT) AS s_wins,
+               CAST(SUM(CASE WHEN cents BETWEEN lo AND hi
+                             THEN cents ELSE 0 END) AS BIGINT)
+                   AS s_trim,
+               CAST(SUM(CASE WHEN cents BETWEEN lo AND hi
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_trim
+        FROM g CROSS JOIN q
+    )
+    SELECT n AS n_orders, n_trim,
+           ROUND(CAST(s_raw AS DOUBLE) / n / 100, 4) AS mean_raw,
+           ROUND(CAST(s_wins AS DOUBLE) / n / 100, 4)
+               AS mean_winsorized,
+           ROUND(CAST(s_trim AS DOUBLE) / n_trim / 100, 4)
+               AS mean_trimmed
+    FROM s
+    """,
+)
+def agg_winsorized_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.select(
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    from pyspark.sql import Window
+
+    nn = g.agg(F.count("*").cast("long").alias("n"))
+    byval = g.groupBy("cents").agg(
+        F.count("*").cast("long").alias("t")
+    )
+    wr = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = byval.select(
+        "cents", F.sum("t").over(wr).cast("long").alias("cum")
+    )
+    q = ranked.crossJoin(F.broadcast(nn)).agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(0.05 * F.col("n")),
+                F.col("cents"),
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(0.95 * F.col("n")),
+                F.col("cents"),
+            )
+        ).alias("hi"),
+    )
+    inside = (F.col("cents") >= F.col("lo")) & (
+        F.col("cents") <= F.col("hi")
+    )
+    s = g.crossJoin(F.broadcast(q)).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s_raw"),
+        F.sum(
+            F.least(
+                F.greatest(F.col("cents"), F.col("lo")),
+                F.col("hi"),
+            )
+        )
+        .cast("long")
+        .alias("s_wins"),
+        F.sum(F.when(inside, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s_trim"),
+        F.sum(inside.cast("int")).cast("long").alias("n_trim"),
+    )
+    return s.select(
+        F.col("n").alias("n_orders"),
+        "n_trim",
+        F.round(F.col("s_raw").cast("double") / F.col("n") / 100, 4)
+        .alias("mean_raw"),
+        F.round(
+            F.col("s_wins").cast("double") / F.col("n") / 100, 4
+        ).alias("mean_winsorized"),
+        F.round(
+            F.col("s_trim").cast("double") / F.col("n_trim") / 100, 4
+        ).alias("mean_trimmed"),
+    )

@@ -193,6 +193,9 @@ DEFER_NEW: tuple[str, ...] = (
     "geo_haversine_pairs",
     "similarity_pq_adc",
     "sql_interface_topk_share",
+    "basket_frequent_triples",
+    "ml_cuped_adjustment",
+    "agg_winsorized_stats",
 )
 
 

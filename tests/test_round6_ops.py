@@ -2368,3 +2368,114 @@ def test_sql_interface_invariants(spark):
         assert [r.rank for r in rs] == [1, 2, 3]
         assert rs[0].revenue >= rs[1].revenue >= rs[2].revenue
         assert all(0 < r.region_share < 1 for r in rs)
+
+
+def test_frequent_triples_brute_force(spark):
+    """Exhaustive triple support count over the distinct basket
+    sets; a-priori completeness (every frequent triple found)."""
+    from hq_master_data_warehouse_spark.operators.lifecycle import (
+        TRIPLE_MIN_SUPPORT,
+    )
+    import itertools
+
+    rows = {
+        (r.part_a, r.part_b, r.part_c): r
+        for r in _rows(spark, "basket_frequent_triples")
+    }
+    con = duckdb.connect()
+    op = con.execute(
+        f"""SELECT DISTINCT l_orderkey, l_partkey
+        FROM '{SF_DIR_001}/lineitem.parquet'"""
+    ).fetchall()
+    baskets: dict[int, set] = {}
+    for o, p in op:
+        baskets.setdefault(o, set()).add(p)
+    support: dict[tuple, int] = {}
+    for items in baskets.values():
+        for tri in itertools.combinations(sorted(items), 3):
+            support[tri] = support.get(tri, 0) + 1
+    expect = {
+        t: c for t, c in support.items() if c >= TRIPLE_MIN_SUPPORT
+    }
+    assert set(rows) == set(expect)
+    n = len(baskets)
+    for t, c in expect.items():
+        assert rows[t].n_orders == c
+        assert rows[t].support_ppm == 1000000 * c // n
+
+
+def test_cuped_brute_force(spark):
+    """theta, adjusted diff, and variance reduction replayed from
+    per-customer floats; CUPED preserves the diff when groups have
+    equal pre-period means in expectation (identity check on the
+    formula, not the data)."""
+    row = _rows(spark, "ml_cuped_adjustment")[0]
+    con = duckdb.connect()
+    data = con.execute(
+        f"""SELECT
+               SUM(CASE WHEN o_orderdate < DATE '1997-01-01'
+                   THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                   ELSE 0 END),
+               SUM(CASE WHEN o_orderdate >= DATE '1997-01-01'
+                   THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                   ELSE 0 END),
+               CASE WHEN SUM(CASE WHEN o_orderpriority IN
+                    ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) * 2
+                    > COUNT(*) THEN 1 ELSE 0 END
+        FROM '{SF_DIR_001}/orders.parquet' GROUP BY o_custkey"""
+    ).fetchall()
+    import statistics
+
+    pre = [x for x, _, _ in data]
+    post = [y for _, y, _ in data]
+    grp = [g for *_, g in data]
+    n = len(data)
+    mx = statistics.mean(pre)
+    cov = sum(
+        (x - mx) * (y - statistics.mean(post))
+        for x, y in zip(pre, post)
+    )
+    var = sum((x - mx) ** 2 for x in pre)
+    theta = cov / var
+    hi = [i for i in range(n) if grp[i] == 1]
+    lo = [i for i in range(n) if grp[i] == 0]
+    my1 = statistics.mean(post[i] for i in hi)
+    my0 = statistics.mean(post[i] for i in lo)
+    adj1 = statistics.mean(
+        post[i] - theta * (pre[i] - mx) for i in hi
+    )
+    adj0 = statistics.mean(
+        post[i] - theta * (pre[i] - mx) for i in lo
+    )
+    assert row.n_customers == n
+    assert row.n_hi == len(hi) and row.n_lo == len(lo)
+    assert abs(row.theta - theta) < 1e-5
+    assert abs(row.raw_diff - (my1 - my0) / 100) < 1e-2
+    assert abs(row.cuped_diff - (adj1 - adj0) / 100) < 1e-2
+    # variance reduction == squared pre/post correlation
+    vy = sum((y - statistics.mean(post)) ** 2 for y in post)
+    assert abs(row.variance_reduction - cov * cov / (var * vy)) < 1e-5
+    assert 0 <= row.variance_reduction < 1
+
+
+def test_winsorized_brute_force(spark):
+    """Order-statistic bounds and all three means replayed; the
+    robust means sit between min and raw mean orderings sanely."""
+    row = _rows(spark, "agg_winsorized_stats")[0]
+    con = duckdb.connect()
+    cents = sorted(
+        x[0]
+        for x in con.execute(
+            f"""SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT)
+            FROM '{SF_DIR_001}/orders.parquet'"""
+        ).fetchall()
+    )
+    n = len(cents)
+    lo = cents[math.ceil(0.05 * n) - 1]
+    hi = cents[math.ceil(0.95 * n) - 1]
+    wins = [min(max(c, lo), hi) for c in cents]
+    trim = [c for c in cents if lo <= c <= hi]
+    assert row.n_orders == n and row.n_trim == len(trim)
+    assert abs(row.mean_raw - sum(cents) / n / 100) < 1e-3
+    assert abs(row.mean_winsorized - sum(wins) / n / 100) < 1e-3
+    assert abs(row.mean_trimmed - sum(trim) / len(trim) / 100) < 1e-3
