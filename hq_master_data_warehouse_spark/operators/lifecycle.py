@@ -1041,7 +1041,7 @@ def dq_gap_and_islands(
 # frequent; support counting then verifies (b,c) implicitly), so the
 # blow-up is bounded by the frequent-pair list, never the raw item
 # cube.  All counts exact longs; support in exact ppm.
-TRIPLE_MIN_SUPPORT = 3
+TRIPLE_MIN_SUPPORT = 2
 
 
 @query(
