@@ -3523,3 +3523,144 @@ def geo_haversine_pairs(
             F.round("dist_km", 4).alias("dist_km"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Next-event prediction eval (Markov argmax baseline)
+# ---------------------------------------------------------------------------
+# The sequence-model evaluation harness on top of events_transition_
+# matrix: learn P(next_type | current_type) on TRAIN users (md5
+# split, the split_train_holdout convention), predict the argmax
+# next type (ties -> lexicographic), and score accuracy on the
+# held-out users' transitions against the majority-class baseline
+# every sequence model must beat.  Transition extraction is one
+# per-user ordered window; training counts, argmax, and both
+# accuracies are exact integers -- the accuracy ratio is the only
+# double.
+@query(
+    "events_markov_next_event_eval",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                        < 'c' THEN 'train' ELSE 'test' END AS split,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    tr AS (
+        SELECT event_type AS cur, next_type AS nxt,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM seq WHERE split = 'train' AND next_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    pred AS (
+        SELECT cur,
+               MIN(CASE WHEN c = mx THEN nxt END) AS predicted
+        FROM (SELECT cur, nxt, c,
+                     MAX(c) OVER (PARTITION BY cur) AS mx
+              FROM tr)
+        GROUP BY cur
+    ),
+    base AS (
+        SELECT MIN(CASE WHEN c = mx THEN nxt END) AS majority
+        FROM (SELECT nxt, CAST(SUM(c) AS BIGINT) AS c,
+                     MAX(SUM(c)) OVER () AS mx
+              FROM tr GROUP BY nxt)
+    ),
+    test AS (
+        SELECT event_type AS cur, next_type AS nxt
+        FROM seq WHERE split = 'test' AND next_type IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test_transitions,
+           CAST(SUM(CASE WHEN test.nxt = pred.predicted
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct_markov,
+           CAST(SUM(CASE WHEN test.nxt = base.majority
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct_majority,
+           ROUND(CAST(SUM(CASE WHEN test.nxt = pred.predicted
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS acc_markov,
+           ROUND(CAST(SUM(CASE WHEN test.nxt = base.majority
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS acc_majority
+    FROM test
+    LEFT JOIN pred ON pred.cur = test.cur
+    CROSS JOIN base
+    """,
+)
+def events_markov_next_event_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        "event_type",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+            < "c",
+            "train",
+        )
+        .otherwise("test")
+        .alias("split"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    tr = (
+        seq.filter(
+            (F.col("split") == "train")
+            & F.col("next_type").isNotNull()
+        )
+        .groupBy(
+            F.col("event_type").alias("cur"),
+            F.col("next_type").alias("nxt"),
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+        .cache()
+    )
+    wmax = Window.partitionBy("cur")
+    pred = (
+        tr.withColumn("mx", F.max("c").over(wmax))
+        .groupBy("cur")
+        .agg(
+            F.min(
+                F.when(F.col("c") == F.col("mx"), F.col("nxt"))
+            ).alias("predicted")
+        )
+    )
+    totals = tr.groupBy("nxt").agg(F.sum("c").alias("c"))
+    wall = Window.partitionBy()
+    base = (
+        totals.withColumn("mx", F.max("c").over(wall))
+        .agg(
+            F.min(
+                F.when(F.col("c") == F.col("mx"), F.col("nxt"))
+            ).alias("majority")
+        )
+    )
+    test = seq.filter(
+        (F.col("split") == "test") & F.col("next_type").isNotNull()
+    ).select(
+        F.col("event_type").alias("cur"),
+        F.col("next_type").alias("nxt"),
+    )
+    joined = test.join(F.broadcast(pred), "cur", "left").crossJoin(
+        F.broadcast(base)
+    )
+    hit_m = (F.col("nxt") == F.col("predicted")).cast("int")
+    hit_b = (F.col("nxt") == F.col("majority")).cast("int")
+    return joined.agg(
+        F.count("*").cast("long").alias("n_test_transitions"),
+        F.sum(hit_m).cast("long").alias("n_correct_markov"),
+        F.sum(hit_b).cast("long").alias("n_correct_majority"),
+        F.round(
+            F.sum(hit_m).cast("double") / F.count("*"), 6
+        ).alias("acc_markov"),
+        F.round(
+            F.sum(hit_b).cast("double") / F.count("*"), 6
+        ).alias("acc_majority"),
+    )

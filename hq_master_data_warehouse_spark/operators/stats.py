@@ -5499,3 +5499,163 @@ def agg_winsorized_stats(
             F.col("s_trim").cast("double") / F.col("n_trim") / 100, 4
         ).alias("mean_trimmed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Delta-method standard error for a ratio metric
+# ---------------------------------------------------------------------------
+# The other experimentation-platform staple next to ml_cuped_
+# adjustment: the metric "revenue per order" is a RATIO of two
+# per-customer sums, so its variance needs the delta method --
+# var(Y/X) ~ (1/mx^2)(vy - 2r*cxy + r^2*vx)/n -- not the naive
+# per-row variance.  Computed per priority group (hi/lo) from exact
+# integer per-customer (orders, cents) pairs, plus the z score of
+# the between-group ratio difference.  Every moment is an exact
+# integer; the pivot to one row makes all doubles fixed-order.
+@query(
+    "ml_ratio_metric_delta_method",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CASE WHEN SUM(CASE WHEN o_orderpriority IN
+                        ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                        * 2 > COUNT(*)
+                    THEN 'hi' ELSE 'lo' END AS grp,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY o_custkey
+    ),
+    m AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(38,0))
+                        * CAST(x AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(x AS DECIMAL(38,0))
+                        * CAST(y AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(CAST(y AS DECIMAL(38,0))
+                        * CAST(y AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS syy
+        FROM cust GROUP BY grp
+    ),
+    d AS (
+        SELECT grp, n,
+               CAST(sy AS DOUBLE) / sx AS ratio,
+               CAST(sx AS DOUBLE) / n AS mx,
+               (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+               / (n - 1) AS vx,
+               (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+               / (n - 1) AS vy,
+               (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+               / (n - 1) AS cxy
+        FROM m
+    ),
+    se AS (
+        SELECT grp, n, ratio,
+               SQRT((vy - 2 * ratio * cxy + ratio * ratio * vx)
+                    / (mx * mx) / n) AS se_ratio
+        FROM d
+    )
+    SELECT grp, n AS n_customers,
+           ROUND(ratio / 100, 4) AS revenue_per_order,
+           ROUND(se_ratio / 100, 4) AS se_delta,
+           ROUND((ratio - (SELECT SUM(CASE WHEN grp = 'lo'
+                               THEN ratio END) FROM se))
+                 / SQRT(se_ratio * se_ratio
+                        + (SELECT SUM(CASE WHEN grp = 'lo'
+                               THEN se_ratio * se_ratio END)
+                           FROM se)), 6) AS z_vs_lo
+    FROM se
+    """,
+)
+def ml_ratio_metric_delta_method(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.when(
+            F.sum(
+                F.col("o_orderpriority")
+                .isin("1-URGENT", "2-HIGH")
+                .cast("int")
+            )
+            * 2
+            > F.count("*"),
+            "hi",
+        )
+        .otherwise("lo")
+        .alias("grp"),
+        F.count("*").cast("long").alias("x"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("y"),
+    )
+    m = cust.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)")
+            * F.col("x").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)")
+            * F.col("y").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(
+            F.col("y").cast("decimal(38,0)")
+            * F.col("y").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    n = F.col("n")
+    ratio = F.col("sy").cast("double") / F.col("sx")
+    mx = F.col("sx").cast("double") / n
+    vx = (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx") / n
+    ) / (n - 1)
+    vy = (
+        F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy") / n
+    ) / (n - 1)
+    cxy = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy") / n
+    ) / (n - 1)
+    se = m.select(
+        "grp",
+        n.alias("n"),
+        ratio.alias("ratio"),
+        F.sqrt(
+            (vy - 2 * ratio * cxy + ratio * ratio * vx)
+            / (mx * mx)
+            / n
+        ).alias("se_ratio"),
+    )
+    lo = se.filter(F.col("grp") == "lo").select(
+        F.col("ratio").alias("ratio_lo"),
+        (F.col("se_ratio") * F.col("se_ratio")).alias("var_lo"),
+    )
+    return se.crossJoin(F.broadcast(lo)).select(
+        "grp",
+        F.col("n").alias("n_customers"),
+        F.round(F.col("ratio") / 100, 4).alias("revenue_per_order"),
+        F.round(F.col("se_ratio") / 100, 4).alias("se_delta"),
+        F.round(
+            (F.col("ratio") - F.col("ratio_lo"))
+            / F.sqrt(
+                F.col("se_ratio") * F.col("se_ratio")
+                + F.col("var_lo")
+            ),
+            6,
+        ).alias("z_vs_lo"),
+    )

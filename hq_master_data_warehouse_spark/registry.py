@@ -196,6 +196,8 @@ DEFER_NEW: tuple[str, ...] = (
     "basket_frequent_triples",
     "ml_cuped_adjustment",
     "agg_winsorized_stats",
+    "events_markov_next_event_eval",
+    "ml_ratio_metric_delta_method",
 )
 
 

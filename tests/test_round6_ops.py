@@ -2479,3 +2479,89 @@ def test_winsorized_brute_force(spark):
     assert abs(row.mean_raw - sum(cents) / n / 100) < 1e-3
     assert abs(row.mean_winsorized - sum(wins) / n / 100) < 1e-3
     assert abs(row.mean_trimmed - sum(trim) / len(trim) / 100) < 1e-3
+
+
+def test_markov_eval_brute_force(spark):
+    """Train/predict/score replayed sequentially in Python."""
+    import hashlib
+
+    row = _rows(spark, "events_markov_next_event_eval")[0]
+    con = duckdb.connect()
+    ev = con.execute(
+        f"""SELECT user_id, event_type FROM
+            '{SF_DIR_001}/events.parquet' ORDER BY user_id, ts,
+            event_id"""
+    ).fetchall()
+    seqs: dict[int, list] = {}
+    for u, t in ev:
+        seqs.setdefault(u, []).append(t)
+    tr_counts: dict[tuple, int] = {}
+    test_pairs = []
+    for u, s in seqs.items():
+        split = hashlib.md5(str(u).encode()).hexdigest()[0] < "c"
+        for cur, nxt in zip(s, s[1:]):
+            if split:
+                tr_counts[(cur, nxt)] = tr_counts.get((cur, nxt), 0) + 1
+            else:
+                test_pairs.append((cur, nxt))
+    pred = {}
+    curs = {c for c, _ in tr_counts}
+    for c in curs:
+        cands = {n: v for (cc, n), v in tr_counts.items() if cc == c}
+        mx = max(cands.values())
+        pred[c] = min(n for n, v in cands.items() if v == mx)
+    totals: dict[str, int] = {}
+    for (_, n), v in tr_counts.items():
+        totals[n] = totals.get(n, 0) + v
+    mx = max(totals.values())
+    majority = min(n for n, v in totals.items() if v == mx)
+    n_m = sum(1 for c, n in test_pairs if pred.get(c) == n)
+    n_b = sum(1 for _, n in test_pairs if n == majority)
+    assert row.n_test_transitions == len(test_pairs)
+    assert row.n_correct_markov == n_m
+    assert row.n_correct_majority == n_b
+    assert abs(row.acc_markov - n_m / len(test_pairs)) < 1e-6
+    assert abs(row.acc_majority - n_b / len(test_pairs)) < 1e-6
+
+
+def test_delta_method_brute_force(spark):
+    """Delta-method SE replayed from per-customer floats; the z of
+    hi-vs-lo is consistent and lo's own z is 0."""
+    import statistics
+
+    rows = {r.grp: r for r in _rows(spark, "ml_ratio_metric_delta_method")}
+    con = duckdb.connect()
+    data = con.execute(
+        f"""SELECT CASE WHEN SUM(CASE WHEN o_orderpriority IN
+                ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) * 2
+                > COUNT(*) THEN 'hi' ELSE 'lo' END,
+               COUNT(*),
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        FROM '{SF_DIR_001}/orders.parquet' GROUP BY o_custkey"""
+    ).fetchall()
+    per: dict[str, list] = {}
+    for g, x, y in data:
+        per.setdefault(g, []).append((x, y))
+    stats = {}
+    for g, xy in per.items():
+        n = len(xy)
+        sx = sum(x for x, _ in xy)
+        sy = sum(y for _, y in xy)
+        r = sy / sx
+        mx = sx / n
+        vx = statistics.variance([x for x, _ in xy])
+        vy = statistics.variance([y for _, y in xy])
+        mxm = sx / n
+        mym = sy / n
+        cxy = sum(
+            (x - mxm) * (y - mym) for x, y in xy
+        ) / (n - 1)
+        se = math.sqrt((vy - 2 * r * cxy + r * r * vx) / (mx * mx) / n)
+        stats[g] = (n, r, se)
+        assert rows[g].n_customers == n
+        assert abs(rows[g].revenue_per_order - r / 100) < 1e-2
+        assert abs(rows[g].se_delta - se / 100) < 1e-2
+    (nh, rh, seh), (nl, rl, sel) = stats["hi"], stats["lo"]
+    z = (rh - rl) / math.sqrt(seh**2 + sel**2)
+    assert abs(rows["hi"].z_vs_lo - z) < 1e-4
+    assert rows["lo"].z_vs_lo == 0.0
