@@ -3664,3 +3664,131 @@ def events_markov_next_event_eval(
             F.sum(hit_b).cast("double") / F.count("*"), 6
         ).alias("acc_majority"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Customer segment migration matrix (year-over-year terciles)
+# ---------------------------------------------------------------------------
+# The lifecycle view behind "are my best customers staying": segment
+# every customer into revenue terciles PER YEAR (low/mid/high by
+# exact order-statistic boundaries -- the winsorize idiom partitioned
+# by year, no interpolating percentile), then count transitions
+# between consecutive years.  All boundaries, segments, and
+# transition counts are exact integers.  100 TB shape: one grouped
+# agg to (year, customer), per-year grouped prefix sums on the
+# bounded value domain, one LAG window per customer.
+@query(
+    "orders_segment_migration",
+    oracle="""
+    WITH cy AS (
+        SELECT o_custkey, year(o_orderdate) AS yr,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    nn AS (
+        SELECT yr, CAST(COUNT(*) AS BIGINT) AS n FROM cy GROUP BY yr
+    ),
+    byval AS (
+        SELECT yr, rev, CAST(COUNT(*) AS BIGINT) AS t
+        FROM cy GROUP BY yr, rev
+    ),
+    ranked AS (
+        SELECT yr, rev,
+               CAST(SUM(t) OVER (PARTITION BY yr ORDER BY rev
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+        FROM byval
+    ),
+    bounds AS (
+        SELECT ranked.yr,
+               MIN(CASE WHEN cum >= CEIL(nn.n / 3.0)
+                        THEN rev END) AS b1,
+               MIN(CASE WHEN cum >= CEIL(2.0 * nn.n / 3.0)
+                        THEN rev END) AS b2
+        FROM ranked JOIN nn ON nn.yr = ranked.yr
+        GROUP BY ranked.yr
+    ),
+    seg AS (
+        SELECT cy.o_custkey, cy.yr,
+               CASE WHEN cy.rev <= b.b1 THEN 'low'
+                    WHEN cy.rev <= b.b2 THEN 'mid'
+                    ELSE 'high' END AS segment
+        FROM cy JOIN bounds b ON b.yr = cy.yr
+    ),
+    trans AS (
+        SELECT segment AS seg_from,
+               LEAD(segment) OVER (PARTITION BY o_custkey
+                                   ORDER BY yr) AS seg_to,
+               LEAD(yr) OVER (PARTITION BY o_custkey
+                              ORDER BY yr) - yr AS dy
+        FROM seg
+    )
+    SELECT seg_from, seg_to, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM trans WHERE seg_to IS NOT NULL AND dy = 1
+    GROUP BY 1, 2
+    """,
+)
+def orders_segment_migration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cy = orders.groupBy(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    nn = cy.groupBy("yr").agg(F.count("*").cast("long").alias("n"))
+    byval = cy.groupBy("yr", "rev").agg(
+        F.count("*").cast("long").alias("t")
+    )
+    wr = Window.partitionBy("yr").orderBy("rev").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = byval.select(
+        "yr", "rev", F.sum("t").over(wr).cast("long").alias("cum")
+    )
+    bounds = (
+        ranked.join(nn, "yr")
+        .groupBy("yr")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.col("n") / 3.0),
+                    F.col("rev"),
+                )
+            ).alias("b1"),
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.ceil(2.0 * F.col("n") / 3.0),
+                    F.col("rev"),
+                )
+            ).alias("b2"),
+        )
+    )
+    seg = cy.join(F.broadcast(bounds), "yr").select(
+        "o_custkey",
+        "yr",
+        F.when(F.col("rev") <= F.col("b1"), "low")
+        .when(F.col("rev") <= F.col("b2"), "mid")
+        .otherwise("high")
+        .alias("segment"),
+    )
+    wl = Window.partitionBy("o_custkey").orderBy("yr")
+    trans = seg.select(
+        F.col("segment").alias("seg_from"),
+        F.lead("segment").over(wl).alias("seg_to"),
+        (F.lead("yr").over(wl) - F.col("yr")).alias("dy"),
+    )
+    return (
+        trans.filter(
+            F.col("seg_to").isNotNull() & (F.col("dy") == 1)
+        )
+        .groupBy("seg_from", "seg_to")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+    )

@@ -5659,3 +5659,123 @@ def ml_ratio_metric_delta_method(
             6,
         ).alias("z_vs_lo"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact 1-D Wasserstein (earth mover's) distance
+# ---------------------------------------------------------------------------
+# The transport-metric companion to ml_ks_statistic on the same
+# hi/lo priority split: W1 = integral |F_hi - F_lo| over the value
+# axis, computed EXACTLY on the grouped value domain --
+#   W1 * n1 * n2 = sum over distinct values v of
+#       (next_v - v) * |cum_hi(v) * n2 - cum_lo(v) * n1|
+# where every factor is an exact integer (the Mann-Whitney ranked-
+# prefix pattern + one LEAD).  KS reports the worst single gap; W1
+# the total transported mass -- both ship from one ordered pass.
+@query(
+    "ml_wasserstein_distance",
+    oracle="""
+    WITH g AS (
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS hi,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    byval AS (
+        SELECT cents, CAST(SUM(hi) AS BIGINT) AS t_hi,
+               CAST(SUM(1 - hi) AS BIGINT) AS t_lo
+        FROM g GROUP BY cents
+    ),
+    ranked AS (
+        SELECT cents,
+               CAST(SUM(t_hi) OVER w AS BIGINT) AS cum_hi,
+               CAST(SUM(t_lo) OVER w AS BIGINT) AS cum_lo,
+               LEAD(cents) OVER (ORDER BY cents) AS next_v
+        FROM byval
+        WINDOW w AS (ORDER BY cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)
+    ),
+    tot AS (
+        SELECT CAST(SUM(t_hi) AS BIGINT) AS n1,
+               CAST(SUM(t_lo) AS BIGINT) AS n2
+        FROM byval
+    ),
+    s AS (
+        SELECT CAST(SUM((next_v - cents)
+                        * ABS(CAST(cum_hi AS HUGEINT) * tot.n2
+                              - CAST(cum_lo AS HUGEINT) * tot.n1))
+                    AS HUGEINT) AS num
+        FROM ranked CROSS JOIN tot
+        WHERE next_v IS NOT NULL
+    )
+    SELECT tot.n1 AS n_hi, tot.n2 AS n_lo,
+           ROUND(CAST(s.num AS DOUBLE)
+                 / tot.n1 / tot.n2 / 100, 6) AS w1_dollars
+    FROM s CROSS JOIN tot
+    """,
+)
+def ml_wasserstein_distance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.select(
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("int")
+        .alias("hi"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    byval = g.groupBy("cents").agg(
+        F.sum("hi").cast("long").alias("t_hi"),
+        F.sum(1 - F.col("hi")).cast("long").alias("t_lo"),
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = byval.select(
+        "cents",
+        F.sum("t_hi").over(w).cast("long").alias("cum_hi"),
+        F.sum("t_lo").over(w).cast("long").alias("cum_lo"),
+        F.lead("cents").over(Window.orderBy("cents")).alias(
+            "next_v"
+        ),
+    )
+    tot = byval.agg(
+        F.sum("t_hi").cast("long").alias("n1"),
+        F.sum("t_lo").cast("long").alias("n2"),
+    )
+    s = (
+        ranked.filter(F.col("next_v").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("next_v") - F.col("cents")).cast(
+                    "decimal(38,0)"
+                )
+                * F.abs(
+                    F.col("cum_hi").cast("decimal(38,0)")
+                    * F.col("n2")
+                    - F.col("cum_lo").cast("decimal(38,0)")
+                    * F.col("n1")
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("num")
+        )
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        F.col("n1").alias("n_hi"),
+        F.col("n2").alias("n_lo"),
+        F.round(
+            F.col("num").cast("double")
+            / F.col("n1")
+            / F.col("n2")
+            / 100,
+            6,
+        ).alias("w1_dollars"),
+    )

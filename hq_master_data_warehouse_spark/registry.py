@@ -198,6 +198,8 @@ DEFER_NEW: tuple[str, ...] = (
     "agg_winsorized_stats",
     "events_markov_next_event_eval",
     "ml_ratio_metric_delta_method",
+    "ml_wasserstein_distance",
+    "orders_segment_migration",
 )
 
 

@@ -2565,3 +2565,70 @@ def test_delta_method_brute_force(spark):
     z = (rh - rl) / math.sqrt(seh**2 + sel**2)
     assert abs(rows["hi"].z_vs_lo - z) < 1e-4
     assert rows["lo"].z_vs_lo == 0.0
+
+
+def test_wasserstein_brute_force(spark):
+    """W1 recomputed two independent ways: the CDF-gap integral and
+    scipy-style sorted-sample transport on equalized quantiles
+    (cross-check only the CDF form exactly; the two agree for the
+    integral definition)."""
+    row = _rows(spark, "ml_wasserstein_distance")[0]
+    con = duckdb.connect()
+    data = con.execute(
+        f"""SELECT o_orderpriority IN ('1-URGENT','2-HIGH'),
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        FROM '{SF_DIR_001}/orders.parquet'"""
+    ).fetchall()
+    hi = sorted(c for t, c in data if t)
+    lo = sorted(c for t, c in data if not t)
+    n1, n2 = len(hi), len(lo)
+    values = sorted(set(hi) | set(lo))
+    import bisect
+
+    w1 = 0.0
+    for v, nv in zip(values, values[1:]):
+        f1 = bisect.bisect_right(hi, v) / n1
+        f2 = bisect.bisect_right(lo, v) / n2
+        w1 += (nv - v) * abs(f1 - f2)
+    assert (row.n_hi, row.n_lo) == (n1, n2)
+    assert abs(row.w1_dollars - w1 / 100) < 1e-4
+    assert row.w1_dollars >= 0
+
+
+def test_segment_migration_brute_force(spark):
+    """Per-year terciles and year-over-year transitions replayed."""
+    rows = {
+        (r.seg_from, r.seg_to): r.n_customers
+        for r in _rows(spark, "orders_segment_migration")
+    }
+    con = duckdb.connect()
+    cy = con.execute(
+        f"""SELECT o_custkey, year(o_orderdate),
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        FROM '{SF_DIR_001}/orders.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    per_year: dict[int, list] = {}
+    for c, y, r in cy:
+        per_year.setdefault(y, []).append(r)
+    bounds = {}
+    for y, revs in per_year.items():
+        revs.sort()
+        n = len(revs)
+        b1 = revs[math.ceil(n / 3) - 1]
+        b2 = revs[math.ceil(2 * n / 3) - 1]
+        bounds[y] = (b1, b2)
+
+    def seg(y, r):
+        b1, b2 = bounds[y]
+        return "low" if r <= b1 else ("mid" if r <= b2 else "high")
+
+    per_cust: dict[int, dict] = {}
+    for c, y, r in cy:
+        per_cust.setdefault(c, {})[y] = seg(y, r)
+    expect: dict[tuple, int] = {}
+    for segs in per_cust.values():
+        for y in sorted(segs):
+            if y + 1 in segs:
+                k = (segs[y], segs[y + 1])
+                expect[k] = expect.get(k, 0) + 1
+    assert rows == expect
