@@ -5779,3 +5779,160 @@ def ml_wasserstein_distance(
             6,
         ).alias("w1_dollars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction interval with exact coverage audit
+# ---------------------------------------------------------------------------
+# Distribution-free uncertainty for any point model: md5-split the
+# orders into train/calibration/test, fit the simplest model (train
+# group mean per priority), take q_hat = the ceil((n_cal+1)*0.9)-th
+# smallest calibration nonconformity |y - y_hat|, and report the
+# guaranteed-coverage interval plus its REALIZED test coverage.
+# Exactness: the group mean is floor-quantized to integer
+# micro-cents so every nonconformity is an exact LONG, q_hat an
+# exact order statistic (the ranked-prefix idiom), and coverage an
+# exact count ratio.  Conformal validity is unaffected -- any
+# deterministic score function is admissible.
+CONF_ALPHA = 0.1  # target 90% coverage
+
+
+@query(
+    "ml_conformal_interval",
+    oracle=f"""
+    WITH g AS (
+        SELECT o_orderpriority,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                1, 1) < '8' THEN 'train'
+                    WHEN substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                1, 1) < 'c' THEN 'cal'
+                    ELSE 'test' END AS split
+        FROM orders
+    ),
+    model AS (
+        SELECT o_orderpriority,
+               CAST(FLOOR(1000000.0 * SUM(cents) / COUNT(*))
+                    AS BIGINT) AS pred_u
+        FROM g WHERE split = 'train' GROUP BY o_orderpriority
+    ),
+    scored AS (
+        SELECT g.split,
+               ABS(1000000 * g.cents - model.pred_u) AS r
+        FROM g JOIN model USING (o_orderpriority)
+        WHERE g.split <> 'train'
+    ),
+    ncal AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM scored WHERE split = 'cal'
+    ),
+    byval AS (
+        SELECT r, CAST(COUNT(*) AS BIGINT) AS t
+        FROM scored WHERE split = 'cal' GROUP BY r
+    ),
+    ranked AS (
+        SELECT r, CAST(SUM(t) OVER (ORDER BY r
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+        FROM byval
+    ),
+    qhat AS (
+        SELECT MIN(CASE WHEN cum >= LEAST(
+                   CEIL((ncal.n + 1) * {1 - CONF_ALPHA}), ncal.n)
+                   THEN r END) AS q
+        FROM ranked CROSS JOIN ncal
+    )
+    SELECT ncal.n AS n_cal,
+           CAST((SELECT COUNT(*) FROM scored WHERE split = 'test')
+                AS BIGINT) AS n_test,
+           ROUND(CAST(qhat.q AS DOUBLE) / 1000000 / 100, 6)
+               AS interval_halfwidth,
+           ROUND((SELECT CAST(SUM(CASE WHEN r <= qhat.q
+                                  THEN 1 ELSE 0 END) AS DOUBLE)
+                         / COUNT(*)
+                  FROM scored WHERE split = 'test'), 6)
+               AS test_coverage
+    FROM qhat CROSS JOIN ncal
+    """,
+)
+def ml_conformal_interval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    h1 = F.substring(
+        F.md5(F.col("o_orderkey").cast("string")), 1, 1
+    )
+    g = orders.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.when(h1 < "8", "train")
+        .when(h1 < "c", "cal")
+        .otherwise("test")
+        .alias("split"),
+    )
+    model = (
+        g.filter(F.col("split") == "train")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.floor(1000000.0 * F.sum("cents") / F.count("*"))
+            .cast("long")
+            .alias("pred_u")
+        )
+    )
+    scored = (
+        g.filter(F.col("split") != "train")
+        .join(F.broadcast(model), "o_orderpriority")
+        .select(
+            "split",
+            F.abs(
+                1000000 * F.col("cents") - F.col("pred_u")
+            ).alias("r"),
+        )
+        .cache()
+    )
+    cal = scored.filter(F.col("split") == "cal")
+    ncal = cal.agg(F.count("*").cast("long").alias("n"))
+    byval = cal.groupBy("r").agg(
+        F.count("*").cast("long").alias("t")
+    )
+    wr = Window.orderBy("r").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = byval.select(
+        "r", F.sum("t").over(wr).cast("long").alias("cum")
+    )
+    k = F.least(
+        F.ceil((F.col("n") + 1) * (1 - CONF_ALPHA)), F.col("n")
+    )
+    qhat = ranked.crossJoin(F.broadcast(ncal)).agg(
+        F.min(
+            F.when(F.col("cum") >= k, F.col("r"))
+        ).alias("q")
+    )
+    test = scored.filter(F.col("split") == "test")
+    cov = test.crossJoin(F.broadcast(qhat)).agg(
+        F.count("*").cast("long").alias("n_test"),
+        F.round(
+            F.sum((F.col("r") <= F.col("q")).cast("int")).cast(
+                "double"
+            )
+            / F.count("*"),
+            6,
+        ).alias("test_coverage"),
+    )
+    return (
+        ncal.crossJoin(F.broadcast(cov))
+        .crossJoin(F.broadcast(qhat))
+        .select(
+            F.col("n").alias("n_cal"),
+            "n_test",
+            F.round(
+                F.col("q").cast("double") / 1000000 / 100, 6
+            ).alias("interval_halfwidth"),
+            "test_coverage",
+        )
+    )

@@ -200,6 +200,7 @@ DEFER_NEW: tuple[str, ...] = (
     "ml_ratio_metric_delta_method",
     "ml_wasserstein_distance",
     "orders_segment_migration",
+    "ml_conformal_interval",
 )
 
 

@@ -2632,3 +2632,48 @@ def test_segment_migration_brute_force(spark):
                 k = (segs[y], segs[y + 1])
                 expect[k] = expect.get(k, 0) + 1
     assert rows == expect
+
+
+def test_conformal_brute_force(spark):
+    """Full split-conformal replay (md5 splits, quantized means,
+    order-statistic q_hat, exact coverage); realized coverage sits
+    near the 90% target within binomial slack."""
+    import hashlib
+
+    row = _rows(spark, "ml_conformal_interval")[0]
+    con = duckdb.connect()
+    data = con.execute(
+        f"""SELECT o_orderkey, o_orderpriority,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        FROM '{SF_DIR_001}/orders.parquet'"""
+    ).fetchall()
+    split = {}
+    for k, _, _ in data:
+        h = hashlib.md5(str(k).encode()).hexdigest()[0]
+        split[k] = "train" if h < "8" else ("cal" if h < "c" else "test")
+    tr: dict[str, list] = {}
+    for k, p, c in data:
+        if split[k] == "train":
+            tr.setdefault(p, []).append(c)
+    pred = {
+        p: math.floor(1e6 * sum(v) / len(v)) for p, v in tr.items()
+    }
+    cal = sorted(
+        abs(1000000 * c - pred[p])
+        for k, p, c in data
+        if split[k] == "cal"
+    )
+    n_cal = len(cal)
+    kq = min(math.ceil((n_cal + 1) * 0.9), n_cal)
+    q = cal[kq - 1]
+    test = [
+        abs(1000000 * c - pred[p])
+        for k, p, c in data
+        if split[k] == "test"
+    ]
+    cov = sum(1 for r in test if r <= q) / len(test)
+    assert row.n_cal == n_cal and row.n_test == len(test)
+    assert abs(row.interval_halfwidth - q / 1e6 / 100) < 1e-4
+    assert abs(row.test_coverage - cov) < 1e-6
+    # marginal validity: realized coverage near 1 - alpha
+    assert 0.85 <= row.test_coverage <= 0.96
