@@ -1136,3 +1136,164 @@ def basket_frequent_triples(
         .cast("long")
         .alias("support_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative filtering (binary cosine)
+# ---------------------------------------------------------------------------
+# The recommender-system framing of the co-purchase data (distinct
+# from basket_association_rules' directional confidence/lift): item
+# similarity = cosine between binary CUSTOMER vectors,
+# n_ab / sqrt(n_a * n_b), computed entirely from exact co-occurrence
+# counts -- the "people who bought X also bought Y" kernel.
+# Candidates are blocked on a shared customer (never all item
+# pairs); top-20 by cosine with deterministic tie-breaks.
+CF_MIN_COMMON = 2
+CF_TOPK = 20
+
+
+@query(
+    "ml_item_cf_similarity",
+    oracle=f"""
+    WITH cp AS (
+        SELECT DISTINCT c.c_custkey AS cust, l.l_partkey AS p
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    item AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM cp GROUP BY p),
+    pair AS (
+        SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM cp a JOIN cp b ON a.cust = b.cust AND a.p < b.p
+        GROUP BY a.p, b.p
+        HAVING COUNT(*) >= {CF_MIN_COMMON}
+    )
+    SELECT pa AS part_a, pb AS part_b, n_ab AS n_common_customers,
+           ROUND(n_ab / SQRT(CAST(ia.n AS DOUBLE) * ib.n), 6)
+               AS cosine
+    FROM pair
+    JOIN item ia ON ia.p = pa
+    JOIN item ib ON ib.p = pb
+    ORDER BY cosine DESC, pa, pb
+    LIMIT {CF_TOPK}
+    """,
+)
+def ml_item_cf_similarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cp = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_partkey").alias("p"),
+        )
+        .distinct()
+        .cache()
+    )
+    item = cp.groupBy("p").agg(F.count("*").cast("long").alias("n"))
+    a = cp.select(F.col("cust"), F.col("p").alias("pa"))
+    b = cp.select(F.col("cust"), F.col("p").alias("pb"))
+    pair = (
+        a.join(b, "cust")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= CF_MIN_COMMON)
+    )
+    ia = item.select(F.col("p").alias("pa"), F.col("n").alias("na"))
+    ib = item.select(F.col("p").alias("pb"), F.col("n").alias("nb"))
+    cos = F.round(
+        F.col("n_ab")
+        / F.sqrt(F.col("na").cast("double") * F.col("nb")),
+        6,
+    )
+    return (
+        pair.join(ia, "pa")
+        .join(ib, "pb")
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("n_ab").alias("n_common_customers"),
+            cos.alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "part_a", "part_b")
+        .limit(CF_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase decay curve
+# ---------------------------------------------------------------------------
+# The retention table behind LTV models: for k = 1..10, how many
+# customers placed at least k orders, the share of the base, and the
+# k -> k+1 continuation rate.  Pure exact counting (one grouped
+# count + one bounded explode), the standard "90% place a 2nd order,
+# 74% of those a 3rd..." report.
+REPEAT_MAX_K = 10
+
+
+@query(
+    "orders_repeat_purchase_curve",
+    oracle=f"""
+    WITH c AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_custkey
+    ),
+    ks AS (SELECT UNNEST(generate_series(1, {REPEAT_MAX_K})) AS k),
+    curve AS (
+        SELECT ks.k,
+               CAST(SUM(CASE WHEN c.n_orders >= ks.k
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_k
+        FROM c CROSS JOIN ks GROUP BY ks.k
+    ),
+    base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c)
+    SELECT k, n_ge_k,
+           ROUND(CAST(n_ge_k AS DOUBLE) / base.n, 6) AS share,
+           ROUND(CAST(LEAD(n_ge_k) OVER (ORDER BY k) AS DOUBLE)
+                 / n_ge_k, 6) AS continuation_rate
+    FROM curve CROSS JOIN base
+    """,
+)
+def orders_repeat_purchase_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    ks = spark.range(1, REPEAT_MAX_K + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    curve = (
+        c.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                (F.col("n_orders") >= F.col("k")).cast("int")
+            )
+            .cast("long")
+            .alias("n_ge_k")
+        )
+    )
+    base = c.agg(F.count("*").cast("long").alias("n"))
+    wk = Window.orderBy("k")
+    return curve.crossJoin(F.broadcast(base)).select(
+        "k",
+        "n_ge_k",
+        F.round(
+            F.col("n_ge_k").cast("double") / F.col("n"), 6
+        ).alias("share"),
+        F.round(
+            F.lead("n_ge_k").over(wk).cast("double")
+            / F.col("n_ge_k"),
+            6,
+        ).alias("continuation_rate"),
+    )

@@ -201,6 +201,8 @@ DEFER_NEW: tuple[str, ...] = (
     "ml_wasserstein_distance",
     "orders_segment_migration",
     "ml_conformal_interval",
+    "ml_item_cf_similarity",
+    "orders_repeat_purchase_curve",
 )
 
 

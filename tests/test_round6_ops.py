@@ -2677,3 +2677,74 @@ def test_conformal_brute_force(spark):
     assert abs(row.test_coverage - cov) < 1e-6
     # marginal validity: realized coverage near 1 - alpha
     assert 0.85 <= row.test_coverage <= 0.96
+
+
+def test_item_cf_brute_force(spark):
+    """Cosines replayed from exhaustive customer-set intersections;
+    the reported 20 are the global top by (cosine, a, b)."""
+    from hq_master_data_warehouse_spark.operators.lifecycle import (
+        CF_MIN_COMMON,
+        CF_TOPK,
+    )
+
+    rows = _rows(spark, "ml_item_cf_similarity")
+    con = duckdb.connect()
+    cp = con.execute(
+        f"""SELECT DISTINCT o.o_custkey, l.l_partkey
+        FROM '{SF_DIR_001}/lineitem.parquet' l
+        JOIN '{SF_DIR_001}/orders.parquet' o
+          ON l.l_orderkey = o.o_orderkey"""
+    ).fetchall()
+    custs: dict[int, set] = {}
+    for c, p in cp:
+        custs.setdefault(p, set()).add(c)
+    pairs = []
+    parts = sorted(custs)
+    inv: dict[int, set] = {}
+    for p, cs in custs.items():
+        for c in cs:
+            inv.setdefault(c, set()).add(p)
+    common: dict[tuple, int] = {}
+    for items in inv.values():
+        s = sorted(items)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                common[(s[i], s[j])] = common.get((s[i], s[j]), 0) + 1
+    for (a, b), n_ab in common.items():
+        if n_ab >= CF_MIN_COMMON:
+            cos = n_ab / math.sqrt(len(custs[a]) * len(custs[b]))
+            pairs.append((round(cos, 6), a, b, n_ab))
+    pairs.sort(key=lambda x: (-x[0], x[1], x[2]))
+    expect = pairs[:CF_TOPK]
+    assert len(rows) == len(expect)
+    for r, (cos, a, b, n_ab) in zip(rows, expect):
+        assert (r.part_a, r.part_b, r.n_common_customers) == (a, b, n_ab)
+        assert abs(r.cosine - cos) < 1e-6
+
+
+def test_repeat_curve_brute_force(spark):
+    """Counts, shares and continuation rates replayed; the curve is
+    non-increasing in k."""
+    rows = sorted(_rows(spark, "orders_repeat_purchase_curve"),
+                  key=lambda r: r.k)
+    con = duckdb.connect()
+    counts = [
+        x[0]
+        for x in con.execute(
+            f"""SELECT COUNT(*) FROM '{SF_DIR_001}/orders.parquet'
+            GROUP BY o_custkey"""
+        ).fetchall()
+    ]
+    base = len(counts)
+    prev = None
+    for r in rows:
+        n_ge = sum(1 for c in counts if c >= r.k)
+        assert r.n_ge_k == n_ge
+        assert abs(r.share - n_ge / base) < 1e-6
+        if prev is not None:
+            assert prev.n_ge_k >= r.n_ge_k
+            assert abs(
+                prev.continuation_rate - r.n_ge_k / prev.n_ge_k
+            ) < 1e-6
+        prev = r
+    assert rows[-1].continuation_rate is None
