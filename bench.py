@@ -89,6 +89,11 @@ HEADLINE = [
     "orders_pareto_skyline",
     "events_peak_concurrency",
     "sketch_bloom_membership",
+    # round-6 continuation additions (same no-r1-baseline caveat)
+    "graph_kcore_decomposition",
+    "ml_permutation_test",
+    "dedup_tfidf_cosine_pairs",
+    "ml_adaboost_stumps",
 ]
 
 
