@@ -1083,8 +1083,15 @@ def dedup_shingle_containment(
 # -- the NB micro-nat discipline), so dot products and squared norms
 # are exact DECIMAL(38,0) integer sums in any aggregation order; the
 # cosine is one double expression per pair.  100 TB shape: shingle
-# blocking keeps candidates near-linear; the weight table joins on
-# the (token) key only within candidate pairs.
+# blocking keeps candidates near-linear ON NATURAL CORPORA; the
+# fixture's 31-word shared vocabulary makes nearly every doc pair a
+# genuine near-dup (9% of ALL pairs share a non-hot shingle at
+# sf0.1), so candidate volume there reflects the data, not the
+# operator -- measured: requiring >=2 shared shingles cuts
+# candidates 10x but loses 84% of true cosine>=0.8 pairs on this
+# corpus, so the single-shingle rule is kept; production corpora get
+# their sparsity back from a real vocabulary, and the documented
+# escape hatch past that is dedup_minhash_lsh.
 TFIDF_COSINE_THRESHOLD = 0.8
 
 _TOKENS_SPLIT_SQL = f"string_split({CANONICAL_SQL}, ' ')"
