@@ -461,3 +461,45 @@ def test_round6_queries_plan_shapes(spark):
     assert "CartesianProduct" not in plan
     # the GEMM ground truth runs as the cogrouped Arrow path
     assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_continuation_wave_plan_shapes(spark):
+    """Round-6 continuation pins: the statistical ops stay
+    pure-expression (no Python eval), the resampling family keeps
+    its single-scan + broadcast-scalar shape, and the blocked
+    pair ops never degrade to a cartesian."""
+    # exact-moment statistics: one scan, no Python, partial aggs
+    for name in (
+        "ml_anova_oneway",
+        "ml_levene_brown_forsythe",
+        "ml_durbin_watson",
+        "ml_wasserstein_distance",
+        "ml_cuped_adjustment",
+        "agg_winsorized_stats",
+        "ml_conformal_interval",
+    ):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    # resampling: replicate math is compiled aggregates, the only
+    # nested loops are broadcast 1-row scalars
+    for name in ("ml_permutation_test", "ml_adaboost_stumps"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "partial" in plan.lower(), name
+    # blocked pair ops: candidate generation is an equi-join
+    for name in (
+        "dedup_tfidf_cosine_pairs",
+        "geo_haversine_pairs",
+        "ml_item_cf_similarity",
+        "basket_frequent_triples",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+    # top-k pair ops end in TakeOrdered, not a global sort
+    for name in ("geo_haversine_pairs", "ml_item_cf_similarity"):
+        assert "TakeOrdered" in _plan(spark, name), name
+    # the audio featurizer is the sanctioned Arrow path
+    plan = _plan(spark, "multimodal_audio_features")
+    assert "MapInPandas" in plan
