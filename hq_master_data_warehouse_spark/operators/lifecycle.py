@@ -1297,3 +1297,162 @@ def orders_repeat_purchase_curve(
             6,
         ).alias("continuation_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test: first->second order interval by priority group
+# ---------------------------------------------------------------------------
+# The hypothesis test the KM/Nelson-Aalen pair was missing: do
+# hi-priority first orders lead to faster reorders than lo-priority
+# ones?  At every event time t: O1_t = hi events, E1_t = hi share of
+# the risk set times total events, V_t the hypergeometric variance;
+# z = sum(O1 - E1) / sqrt(sum V).  All risk-set counts are exact
+# integers from the duration-domain prefix sums (two descending
+# window passes); the per-time E/V terms are rationals summed on the
+# BOUNDED duration domain with ROUND(6) output -- the bounded-cell
+# double-sum discipline (events_entropy_rate precedent).
+@query(
+    "orders_logrank_test",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey,
+               CAST(o_orderdate AS DATE) AS d,
+               o_orderpriority,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ),
+    study AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS fin FROM orders),
+    subj AS (
+        SELECT CASE WHEN f.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS hi,
+               CASE WHEN s.d IS NULL
+                    THEN date_diff('day', f.d, study.fin)
+                    ELSE date_diff('day', f.d, s.d) END AS dur,
+               CASE WHEN s.d IS NULL THEN 0 ELSE 1 END AS ev
+        FROM (SELECT * FROM seq WHERE rn = 1) f
+        CROSS JOIN study
+        LEFT JOIN (SELECT * FROM seq WHERE rn = 2) s
+               ON s.o_custkey = f.o_custkey
+    ),
+    tab AS (
+        SELECT dur AS t,
+               CAST(SUM(ev) AS BIGINT) AS d_all,
+               CAST(SUM(ev * hi) AS BIGINT) AS d_hi,
+               CAST(COUNT(*) AS BIGINT) AS leaving,
+               CAST(SUM(hi) AS BIGINT) AS leaving_hi
+        FROM subj GROUP BY dur
+    ),
+    risk AS (
+        SELECT t, d_all, d_hi,
+               CAST(SUM(leaving) OVER wdesc AS BIGINT) AS n_all,
+               CAST(SUM(leaving_hi) OVER wdesc AS BIGINT) AS n_hi
+        FROM tab
+        WINDOW wdesc AS (ORDER BY t DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+    ),
+    terms AS (
+        SELECT d_hi,
+               CAST(d_all AS DOUBLE) * n_hi / n_all AS e_hi,
+               CASE WHEN n_all > 1
+                    THEN CAST(d_all AS DOUBLE) * n_hi
+                         * (n_all - n_hi) * (n_all - d_all)
+                         / (CAST(n_all AS DOUBLE) * n_all
+                            * (n_all - 1))
+                    ELSE 0.0 END AS v
+        FROM risk WHERE d_all > 0
+    )
+    SELECT CAST(SUM(d_hi) AS BIGINT) AS observed_hi,
+           ROUND(SUM(e_hi), 4) AS expected_hi,
+           ROUND((SUM(d_hi) - SUM(e_hi))
+                 / SQRT(SUM(v)), 6) AS z_logrank
+    FROM terms
+    """,
+)
+def orders_logrank_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        "o_orderkey",
+        "o_orderpriority",
+    )
+    wseq = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    seq = orders.select(
+        "o_custkey",
+        "d",
+        "o_orderpriority",
+        F.row_number().over(wseq).alias("rn"),
+    )
+    first = seq.filter(F.col("rn") == 1).select(
+        "o_custkey",
+        F.col("d").alias("d1"),
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("int")
+        .alias("hi"),
+    )
+    second = seq.filter(F.col("rn") == 2).select(
+        F.col("o_custkey").alias("ck2"), F.col("d").alias("d2")
+    )
+    fin = orders.agg(F.max("d").alias("fin"))
+    subj = (
+        first.crossJoin(F.broadcast(fin))
+        .join(second, first["o_custkey"] == second["ck2"], "left")
+        .select(
+            "hi",
+            F.when(
+                F.col("d2").isNull(),
+                F.datediff(F.col("fin"), F.col("d1")),
+            )
+            .otherwise(F.datediff(F.col("d2"), F.col("d1")))
+            .alias("dur"),
+            F.when(F.col("d2").isNull(), 0)
+            .otherwise(1)
+            .alias("ev"),
+        )
+    )
+    tab = subj.groupBy(F.col("dur").alias("t")).agg(
+        F.sum("ev").cast("long").alias("d_all"),
+        F.sum(F.col("ev") * F.col("hi")).cast("long").alias("d_hi"),
+        F.count("*").cast("long").alias("leaving"),
+        F.sum("hi").cast("long").alias("leaving_hi"),
+    )
+    wdesc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = tab.select(
+        "t",
+        "d_all",
+        "d_hi",
+        F.sum("leaving").over(wdesc).cast("long").alias("n_all"),
+        F.sum("leaving_hi").over(wdesc).cast("long").alias("n_hi"),
+    )
+    e_hi = F.col("d_all").cast("double") * F.col("n_hi") / F.col(
+        "n_all"
+    )
+    v = F.when(
+        F.col("n_all") > 1,
+        F.col("d_all").cast("double")
+        * F.col("n_hi")
+        * (F.col("n_all") - F.col("n_hi"))
+        * (F.col("n_all") - F.col("d_all"))
+        / (
+            F.col("n_all").cast("double")
+            * F.col("n_all")
+            * (F.col("n_all") - 1)
+        ),
+    ).otherwise(0.0)
+    terms = risk.filter(F.col("d_all") > 0).select(
+        "d_hi", e_hi.alias("e_hi"), v.alias("v")
+    )
+    return terms.agg(
+        F.sum("d_hi").cast("long").alias("observed_hi"),
+        F.round(F.sum("e_hi"), 4).alias("expected_hi"),
+        F.round(
+            (F.sum("d_hi") - F.sum("e_hi")) / F.sqrt(F.sum("v")), 6
+        ).alias("z_logrank"),
+    )

@@ -5936,3 +5936,140 @@ def ml_conformal_interval(
             "test_coverage",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Armitage trend test across ordered priority levels
+# ---------------------------------------------------------------------------
+# Does the probability of order status 'F' trend monotonically with
+# priority rank (1-URGENT .. 5-LOW, scores 1..5)?  The categorical
+# trend test used wherever a dose-response / severity gradient is
+# suspected.  With k = 5 bounded groups pivoted to one row, the
+# statistic z = sum w_i (p_i - p) s_i / sqrt(p(1-p) * S_ww) is a
+# fixed expression over exact integer (n_i, f_i) counts -- the
+# standard score form with S_ww = sum n_i (s_i - s_bar)^2 computed
+# from exact sums.
+_CA_SCORES = tuple((g, i + 1) for i, (g, _) in enumerate([
+    ("1-URGENT", 1), ("2-HIGH", 2), ("3-MEDIUM", 3),
+    ("4-NOT SPECIFIED", 4), ("5-LOW", 5),
+]))
+
+
+@query(
+    "ml_cochran_armitage_trend",
+    oracle=f"""
+    WITH g AS (
+        SELECT o_orderpriority,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS f
+        FROM orders
+    ),
+    m AS (
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(f) AS BIGINT) AS nf
+        FROM g GROUP BY o_orderpriority
+    ),
+    w AS (
+        SELECT {", ".join(
+            f"MAX(CASE WHEN o_orderpriority = '{g}' THEN n END)"
+            f" AS n{s}, "
+            f"MAX(CASE WHEN o_orderpriority = '{g}' THEN nf END)"
+            f" AS f{s}"
+            for g, s in _CA_SCORES
+        )}
+        FROM m
+    ),
+    t AS (
+        SELECT {" + ".join(f"n{s}" for _, s in _CA_SCORES)} AS n,
+               {" + ".join(f"f{s}" for _, s in _CA_SCORES)} AS nf,
+               {" + ".join(f"{s} * n{s}" for _, s in _CA_SCORES)}
+                   AS sn,
+               {" + ".join(f"{s} * f{s}" for _, s in _CA_SCORES)}
+                   AS sf,
+               {" + ".join(f"{s} * {s} * n{s}"
+                           for _, s in _CA_SCORES)} AS snn
+        FROM w
+    )
+    SELECT n AS n_orders, nf AS n_finished,
+           ROUND((CAST(sf AS DOUBLE) - CAST(nf AS DOUBLE) * sn / n)
+                 / SQRT((CAST(nf AS DOUBLE) / n)
+                        * (1.0 - CAST(nf AS DOUBLE) / n)
+                        * (CAST(snn AS DOUBLE)
+                           - CAST(sn AS DOUBLE) * sn / n)), 6)
+               AS z_trend
+    FROM t
+    """,
+)
+def ml_cochran_armitage_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.select(
+        "o_orderpriority",
+        (F.col("o_orderstatus") == "F").cast("int").alias("f"),
+    )
+    m = g.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("f").cast("long").alias("nf"),
+    )
+    w = m.agg(
+        *[
+            agg
+            for grp, s in _CA_SCORES
+            for agg in (
+                F.max(
+                    F.when(
+                        F.col("o_orderpriority") == grp, F.col("n")
+                    )
+                ).alias(f"n{s}"),
+                F.max(
+                    F.when(
+                        F.col("o_orderpriority") == grp, F.col("nf")
+                    )
+                ).alias(f"f{s}"),
+            )
+        ]
+    )
+
+    def _chain(expr_fn):
+        out = None
+        for _, s in _CA_SCORES:
+            e = expr_fn(s)
+            out = e if out is None else out + e
+        return out
+
+    n = _chain(lambda s: F.col(f"n{s}"))
+    nf = _chain(lambda s: F.col(f"f{s}"))
+    sn = _chain(lambda s: s * F.col(f"n{s}"))
+    sf = _chain(lambda s: s * F.col(f"f{s}"))
+    snn = _chain(lambda s: s * s * F.col(f"n{s}"))
+    t = w.select(
+        n.alias("n"),
+        nf.alias("nf"),
+        sn.alias("sn"),
+        sf.alias("sf"),
+        snn.alias("snn"),
+    )
+    p = F.col("nf").cast("double") / F.col("n")
+    return t.select(
+        F.col("n").alias("n_orders"),
+        F.col("nf").alias("n_finished"),
+        F.round(
+            (
+                F.col("sf").cast("double")
+                - F.col("nf").cast("double")
+                * F.col("sn")
+                / F.col("n")
+            )
+            / F.sqrt(
+                p
+                * (1.0 - p)
+                * (
+                    F.col("snn").cast("double")
+                    - F.col("sn").cast("double")
+                    * F.col("sn")
+                    / F.col("n")
+                )
+            ),
+            6,
+        ).alias("z_trend"),
+    )

@@ -203,6 +203,8 @@ DEFER_NEW: tuple[str, ...] = (
     "ml_conformal_interval",
     "ml_item_cf_similarity",
     "orders_repeat_purchase_curve",
+    "orders_logrank_test",
+    "ml_cochran_armitage_trend",
 )
 
 

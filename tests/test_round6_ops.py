@@ -2748,3 +2748,76 @@ def test_repeat_curve_brute_force(spark):
             ) < 1e-6
         prev = r
     assert rows[-1].continuation_rate is None
+
+
+def test_logrank_brute_force(spark):
+    """Log-rank O/E/V replayed with the textbook per-event-time
+    loop over the duration table."""
+    row = _rows(spark, "orders_logrank_test")[0]
+    con = duckdb.connect()
+    subj = con.execute(
+        f"""WITH seq AS (
+            SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+                   o_orderpriority,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS rn
+            FROM '{SF_DIR_001}/orders.parquet'),
+        fin AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS f
+                FROM '{SF_DIR_001}/orders.parquet')
+        SELECT f1.o_orderpriority IN ('1-URGENT','2-HIGH'),
+               CASE WHEN s.d IS NULL
+                    THEN date_diff('day', f1.d, fin.f)
+                    ELSE date_diff('day', f1.d, s.d) END,
+               s.d IS NOT NULL
+        FROM (SELECT * FROM seq WHERE rn=1) f1 CROSS JOIN fin
+        LEFT JOIN (SELECT * FROM seq WHERE rn=2) s
+               ON s.o_custkey = f1.o_custkey"""
+    ).fetchall()
+    times = sorted({t for _, t, ev in subj if ev})
+    o = e = v = 0.0
+    for t in times:
+        at_risk = [(hi, ev) for hi, tt, ev in subj if tt >= t]
+        d_all = sum(1 for hi, tt, ev in subj if tt == t and ev)
+        d_hi = sum(
+            1 for hi, tt, ev in subj if tt == t and ev and hi
+        )
+        n_all = len(at_risk)
+        n_hi = sum(1 for hi, _ in at_risk if hi)
+        o += d_hi
+        e += d_all * n_hi / n_all
+        if n_all > 1:
+            v += (
+                d_all * n_hi * (n_all - n_hi) * (n_all - d_all)
+                / (n_all**2 * (n_all - 1))
+            )
+    assert row.observed_hi == o
+    assert abs(row.expected_hi - e) < 1e-2
+    assert abs(row.z_logrank - (o - e) / math.sqrt(v)) < 1e-4
+
+
+def test_cochran_armitage_brute_force(spark):
+    """z recomputed from the 2x5 table with textbook score form."""
+    row = _rows(spark, "ml_cochran_armitage_trend")[0]
+    con = duckdb.connect()
+    cells = dict(
+        (p, (n, f))
+        for p, n, f in con.execute(
+            f"""SELECT o_orderpriority, COUNT(*),
+                   SUM(CASE WHEN o_orderstatus = 'F'
+                       THEN 1 ELSE 0 END)
+            FROM '{SF_DIR_001}/orders.parquet' GROUP BY 1"""
+        ).fetchall()
+    )
+    groups = sorted(cells)  # '1-URGENT' .. '5-LOW'
+    scores = range(1, 6)
+    n = sum(v[0] for v in cells.values())
+    nf = sum(v[1] for v in cells.values())
+    sf_ = sum(s * cells[g][1] for g, s in zip(groups, scores))
+    sn = sum(s * cells[g][0] for g, s in zip(groups, scores))
+    snn = sum(s * s * cells[g][0] for g, s in zip(groups, scores))
+    p = nf / n
+    z = (sf_ - nf * sn / n) / math.sqrt(
+        p * (1 - p) * (snn - sn * sn / n)
+    )
+    assert (row.n_orders, row.n_finished) == (n, nf)
+    assert abs(row.z_trend - z) < 1e-5
