@@ -6073,3 +6073,133 @@ def ml_cochran_armitage_trend(
             6,
         ).alias("z_trend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Granger causality (lag-1) of clicks on purchases
+# ---------------------------------------------------------------------------
+# The directional follow-up to events_xcorr_click_purchase: does
+# yesterday's click volume improve the prediction of today's
+# purchases beyond yesterday's purchases alone?  Restricted model
+# y_t ~ y_{t-1}; unrestricted y_t ~ y_{t-1} + x_{t-1}; F = (SSE_r -
+# SSE_u) / (SSE_u / (n - 3)).  Both SSEs come from CLOSED FORMS over
+# exact integer moments of the zero-filled daily series (simple-OLS
+# residual identity for the restricted model, the 2-regressor
+# cofactor solve of ml_ols_multivariate for the unrestricted), so
+# the F statistic is one fixed double expression -- no residual rows
+# materialized.
+@query(
+    "events_granger_causality",
+    oracle=f"""
+    WITH {_DAILY_XY_SQL},
+    lagged AS (
+        SELECT y AS yt,
+               LAG(y) OVER (ORDER BY d) AS yl,
+               LAG(x) OVER (ORDER BY d) AS xl
+        FROM series
+    ),
+    pts AS (SELECT yt, yl, xl FROM lagged WHERE yl IS NOT NULL),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(yt) AS BIGINT) AS sy,
+               CAST(SUM(yl) AS BIGINT) AS s1,
+               CAST(SUM(xl) AS BIGINT) AS s2,
+               CAST(SUM(yl * yl) AS BIGINT) AS s11,
+               CAST(SUM(yl * xl) AS BIGINT) AS s12,
+               CAST(SUM(xl * xl) AS BIGINT) AS s22,
+               CAST(SUM(yl * yt) AS BIGINT) AS s1y,
+               CAST(SUM(xl * yt) AS BIGINT) AS s2y,
+               CAST(SUM(yt * yt) AS BIGINT) AS syy
+        FROM pts
+    ),
+    c AS (
+        SELECT n,
+               CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n
+                   AS cyy,
+               CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n
+                   AS c11,
+               CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n
+                   AS c22,
+               CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 / n
+                   AS c12,
+               CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * sy / n
+                   AS c1y,
+               CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * sy / n
+                   AS c2y
+        FROM m
+    ),
+    sse AS (
+        SELECT n,
+               cyy - c1y * c1y / c11 AS sse_r,
+               cyy - (c22 * c1y * c1y - 2 * c12 * c1y * c2y
+                      + c11 * c2y * c2y)
+                     / (c11 * c22 - c12 * c12) AS sse_u
+        FROM c
+    )
+    SELECT n AS n_days,
+           ROUND(sse_r, 4) AS sse_restricted,
+           ROUND(sse_u, 4) AS sse_unrestricted,
+           ROUND((sse_r - sse_u) / (sse_u / (n - 3)), 6)
+               AS f_granger
+    FROM sse
+    """,
+)
+def events_granger_causality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    series = _daily_xy_series(spark, sf_dir)
+    w = Window.orderBy("d")
+    lagged = series.select(
+        F.col("y").alias("yt"),
+        F.lag("y").over(w).alias("yl"),
+        F.lag("x").over(w).alias("xl"),
+    ).filter(F.col("yl").isNotNull())
+    m = lagged.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("yt").cast("long").alias("sy"),
+        F.sum("yl").cast("long").alias("s1"),
+        F.sum("xl").cast("long").alias("s2"),
+        F.sum(F.col("yl") * F.col("yl")).cast("long").alias("s11"),
+        F.sum(F.col("yl") * F.col("xl")).cast("long").alias("s12"),
+        F.sum(F.col("xl") * F.col("xl")).cast("long").alias("s22"),
+        F.sum(F.col("yl") * F.col("yt")).cast("long").alias("s1y"),
+        F.sum(F.col("xl") * F.col("yt")).cast("long").alias("s2y"),
+        F.sum(F.col("yt") * F.col("yt")).cast("long").alias("syy"),
+    )
+    n = F.col("n")
+
+    def cc(sab, sa, sb):
+        return F.col(sab).cast("double") - F.col(sa).cast(
+            "double"
+        ) * F.col(sb) / n
+
+    c = m.select(
+        n.alias("n"),
+        cc("syy", "sy", "sy").alias("cyy"),
+        cc("s11", "s1", "s1").alias("c11"),
+        cc("s22", "s2", "s2").alias("c22"),
+        cc("s12", "s1", "s2").alias("c12"),
+        cc("s1y", "s1", "sy").alias("c1y"),
+        cc("s2y", "s2", "sy").alias("c2y"),
+    )
+    sse_r = F.col("cyy") - F.col("c1y") * F.col("c1y") / F.col("c11")
+    sse_u = F.col("cyy") - (
+        F.col("c22") * F.col("c1y") * F.col("c1y")
+        - 2 * F.col("c12") * F.col("c1y") * F.col("c2y")
+        + F.col("c11") * F.col("c2y") * F.col("c2y")
+    ) / (F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12"))
+    sse = c.select(
+        F.col("n"), sse_r.alias("sse_r"), sse_u.alias("sse_u")
+    )
+    return sse.select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("sse_r"), 4).alias("sse_restricted"),
+        F.round(F.col("sse_u"), 4).alias("sse_unrestricted"),
+        F.round(
+            (F.col("sse_r") - F.col("sse_u"))
+            / (F.col("sse_u") / (F.col("n") - 3)),
+            6,
+        ).alias("f_granger"),
+    )

@@ -205,6 +205,7 @@ DEFER_NEW: tuple[str, ...] = (
     "orders_repeat_purchase_curve",
     "orders_logrank_test",
     "ml_cochran_armitage_trend",
+    "events_granger_causality",
 )
 
 

@@ -2821,3 +2821,52 @@ def test_cochran_armitage_brute_force(spark):
     )
     assert (row.n_orders, row.n_finished) == (n, nf)
     assert abs(row.z_trend - z) < 1e-5
+
+
+def test_granger_brute_force(spark):
+    """Both SSEs replayed with explicit least-squares fits (numpy
+    lstsq) over the zero-filled daily series; F >= 0."""
+    import numpy as np
+
+    row = _rows(spark, "events_granger_causality")[0]
+    con = duckdb.connect()
+    days = con.execute(
+        f"""WITH b AS (SELECT CAST(MIN(ts) AS DATE) AS d0,
+                       CAST(MAX(ts) AS DATE) AS d1
+                FROM '{SF_DIR_001}/events.parquet')
+        SELECT datediff('day', b.d0, CAST(ts AS DATE)),
+               SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END),
+               SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)
+        FROM '{SF_DIR_001}/events.parquet' CROSS JOIN b
+        GROUP BY 1"""
+    ).fetchall()
+    span = con.execute(
+        f"""SELECT datediff('day', CAST(MIN(ts) AS DATE),
+                   CAST(MAX(ts) AS DATE))
+        FROM '{SF_DIR_001}/events.parquet'"""
+    ).fetchone()[0]
+    xs = [0] * (span + 1)
+    ys = [0] * (span + 1)
+    for d, x, y in days:
+        xs[d], ys[d] = x, y
+    yt = np.array(ys[1:], dtype=float)
+    yl = np.array(ys[:-1], dtype=float)
+    xl = np.array(xs[:-1], dtype=float)
+    one = np.ones_like(yt)
+
+    def sse(X):
+        beta, *_ = np.linalg.lstsq(X, yt, rcond=None)
+        r = yt - X @ beta
+        return float(r @ r)
+
+    sse_r = sse(np.column_stack([one, yl]))
+    sse_u = sse(np.column_stack([one, yl, xl]))
+    n = len(yt)
+    assert row.n_days == n
+    assert abs(row.sse_restricted - sse_r) < 1e-2
+    assert abs(row.sse_unrestricted - sse_u) < 1e-2
+    assert abs(
+        row.f_granger - (sse_r - sse_u) / (sse_u / (n - 3))
+    ) < 1e-3
+    assert row.f_granger >= 0
+    assert row.sse_unrestricted <= row.sse_restricted + 1e-9
