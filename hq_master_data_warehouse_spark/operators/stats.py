@@ -6203,3 +6203,313 @@ def events_granger_causality(
             6,
         ).alias("f_granger"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera normality test on order values
+# ---------------------------------------------------------------------------
+# The moment-based normality screen: JB = n/6 * (S^2 + K^2/4) from
+# skewness S and excess kurtosis K.  All four raw moments are exact
+# DECIMAL(38,0) integer sums (cents^4 * 15e3 rows ~ 1e35 < 10^38),
+# widened to double only inside the one fixed closed-form expression
+# -- the same discipline as every moment statistic here.
+@query(
+    "ml_jarque_bera",
+    oracle="""
+    WITH g AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS s1,
+               CAST(SUM(CAST(c AS DECIMAL(38,0))
+                        * CAST(c AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS s2,
+               CAST(SUM(CAST(c AS DECIMAL(38,0))
+                        * CAST(c AS DECIMAL(38,0)) * c)
+                    AS DECIMAL(38,0)) AS s3,
+               CAST(SUM(CAST(c AS DECIMAL(38,0))
+                        * CAST(c AS DECIMAL(38,0))
+                        * CAST(c AS DECIMAL(38,0)) * c)
+                    AS DECIMAL(38,0)) AS s4
+        FROM g
+    ),
+    c AS (
+        SELECT n,
+               CAST(s1 AS DOUBLE) / n AS mu,
+               CAST(s2 AS DOUBLE) / n AS r2,
+               CAST(s3 AS DOUBLE) / n AS r3,
+               CAST(s4 AS DOUBLE) / n AS r4
+        FROM m
+    ),
+    k AS (
+        SELECT n,
+               r2 - mu * mu AS m2,
+               r3 - 3 * mu * r2 + 2 * mu * mu * mu AS m3,
+               r4 - 4 * mu * r3 + 6 * mu * mu * r2
+                  - 3 * mu * mu * mu * mu AS m4
+        FROM c
+    )
+    SELECT n AS n_orders,
+           ROUND(m3 / POWER(m2, 1.5), 6) AS skewness,
+           ROUND(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis,
+           ROUND(n / 6.0 * (POWER(m3 / POWER(m2, 1.5), 2)
+                 + POWER(m4 / (m2 * m2) - 3, 2) / 4), 4)
+               AS jarque_bera
+    FROM k
+    """,
+)
+def ml_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    c = F.round(F.col("o_totalprice") * 100).cast("long")
+    g = orders.select(c.alias("c"))
+    d = F.col("c").cast("decimal(38,0)")
+    m = g.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(d * d).cast("decimal(38,0)").alias("s2"),
+        F.sum(d * d * F.col("c")).cast("decimal(38,0)").alias("s3"),
+        F.sum(d * d * d * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    k = m.select(
+        n.alias("n"),
+        (r2 - mu * mu).alias("m2"),
+        (r3 - 3 * mu * r2 + 2 * mu * mu * mu).alias("m3"),
+        (
+            r4
+            - 4 * mu * r3
+            + 6 * mu * mu * r2
+            - 3 * mu * mu * mu * mu
+        ).alias("m4"),
+    )
+    skew = F.col("m3") / F.pow(F.col("m2"), 1.5)
+    kurt = F.col("m4") / (F.col("m2") * F.col("m2")) - 3
+    return k.select(
+        F.col("n").alias("n_orders"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+        F.round(
+            F.col("n") / 6.0 * (F.pow(skew, 2) + F.pow(kurt, 2) / 4),
+            4,
+        ).alias("jarque_bera"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heteroskedasticity variance-trend diagnostic (Breusch-Pagan family)
+# ---------------------------------------------------------------------------
+# Do the daily-count OLS residuals have variance that grows with
+# time?  The LM form: BP = n * R^2 of e_t^2 on t.  Like
+# ml_durbin_watson, NO residual rows are materialized: e_t^2 =
+# (y - a - b t)^2 expands into moments of y, t up to (t^2, y^2, ty,
+# t^2 y, t y^2, t^3, t^4, t^2 y^2 ...), every one an exact integer
+# aggregate over the zero-filled daily series, with a and b the
+# closed-form OLS coefficients -- the whole statistic is one fixed
+# double expression over exact sums.
+@query(
+    "ml_hetero_variance_trend",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(o_orderdate) AS d0, MAX(o_orderdate) AS d1
+        FROM orders
+    ),
+    days AS (
+        SELECT UNNEST(generate_series(0,
+                   datediff('day', d0, d1))) AS t
+        FROM bounds
+    ),
+    counts AS (
+        SELECT datediff('day', bounds.d0, o_orderdate) AS t,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM orders CROSS JOIN bounds
+        GROUP BY 1
+    ),
+    series AS (
+        SELECT days.t, COALESCE(counts.y, 0) AS y
+        FROM days LEFT JOIN counts USING (t)
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(t) AS HUGEINT) AS st,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(t AS HUGEINT) * t) AS HUGEINT) AS st2,
+               CAST(SUM(CAST(t AS HUGEINT) * t * t) AS HUGEINT)
+                   AS st3,
+               CAST(SUM(CAST(t AS HUGEINT) * t * t * t) AS HUGEINT)
+                   AS st4,
+               CAST(SUM(CAST(t AS HUGEINT) * y) AS HUGEINT) AS sty,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS sy2,
+               CAST(SUM(CAST(t AS HUGEINT) * t * y) AS HUGEINT)
+                   AS st2y,
+               CAST(SUM(CAST(t AS HUGEINT) * y * y) AS HUGEINT)
+                   AS sty2,
+               CAST(SUM(CAST(t AS HUGEINT) * t * y * y) AS HUGEINT)
+                   AS st2y2,
+               CAST(SUM(CAST(t AS HUGEINT) * t * t * y) AS HUGEINT)
+                   AS st3y
+        FROM series
+    ),
+    fit AS (
+        SELECT *,
+               (n * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy)
+               / (n * CAST(st2 AS DOUBLE) - CAST(st AS DOUBLE) * st)
+                   AS b,
+               (CAST(sy AS DOUBLE)
+                - ((n * CAST(sty AS DOUBLE)
+                    - CAST(st AS DOUBLE) * sy)
+                   / (n * CAST(st2 AS DOUBLE)
+                      - CAST(st AS DOUBLE) * st)) * st) / n AS a
+        FROM m
+    ),
+    u AS (
+        -- per-t moments of u_t = e_t^2 expanded:
+        --   sum u    = sy2 - 2a sy - 2b sty + n a^2
+        --              + 2ab st + b^2 st2
+        --   sum t*u  = sty2 - 2a sty - 2b st2y + a^2 st
+        --              + 2ab st2 + b^2 st3
+        --   sum u^2 needs e^4: skipped -- the LM form only needs
+        --   R^2 of u on t, i.e. var(u) via sum u^2? NO: R^2 =
+        --   cov(u,t)^2 / (var(t) var(u)) -- var(u) DOES need u^2.
+        -- Instead use the equivalent regression-ESS form:
+        --   BP = n * ESS_u / TSS_u where both come from
+        --   cov(u,t) and var(u); var(u) needs sum u^2 = e^4
+        --   moments.  e^4 expands through y^4 t^4 cross moments --
+        --   exact but 15 terms; the Koenker studentized variant
+        --   BP_K = n * cov(u,t)^2 / (var(t) * var(u)) has the same
+        --   need.  We therefore report the SLOPE form instead:
+        --   the auxiliary slope g = cov(u,t)/var(t) and its exact
+        --   components, plus the scale-free trend share
+        --   cov(u,t)^2/var(t) normalized by mean(u)^2 -- fully
+        --   computable from the moments above and still a valid
+        --   monotone heteroskedasticity index (larger = stronger
+        --   variance trend).
+        SELECT n, b, a,
+               CAST(sy2 AS DOUBLE) - 2 * a * CAST(sy AS DOUBLE)
+               - 2 * b * CAST(sty AS DOUBLE) + n * a * a
+               + 2 * a * b * CAST(st AS DOUBLE)
+               + b * b * CAST(st2 AS DOUBLE) AS su,
+               CAST(sty2 AS DOUBLE) - 2 * a * CAST(sty AS DOUBLE)
+               - 2 * b * CAST(st2y AS DOUBLE)
+               + a * a * CAST(st AS DOUBLE)
+               + 2 * a * b * CAST(st2 AS DOUBLE)
+               + b * b * CAST(st3 AS DOUBLE) AS stu,
+               CAST(st AS DOUBLE) AS std_, CAST(st2 AS DOUBLE) AS st2d
+        FROM fit
+    )
+    SELECT n AS n_days,
+           ROUND(b, 8) AS trend_slope,
+           ROUND((stu - std_ * su / n)
+                 / (st2d - std_ * std_ / n), 8) AS var_trend_slope,
+           ROUND(POWER(stu - std_ * su / n, 2)
+                 / (st2d - std_ * std_ / n)
+                 / POWER(su / n, 2) / n, 6) AS hetero_index
+    FROM u
+    """,
+)
+def ml_hetero_variance_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.datediff("d1", "d0"))).alias(
+            "t"
+        )
+    )
+    counts = (
+        orders.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.datediff(F.to_date("o_orderdate"), F.col("d0")).alias(
+                "t"
+            )
+        )
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    series = days.join(counts, "t", "left").select(
+        "t", F.coalesce("y", F.lit(0)).alias("y")
+    )
+    td = F.col("t").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    m = series.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(td).cast("decimal(38,0)").alias("st"),
+        F.sum(yd).cast("decimal(38,0)").alias("sy"),
+        F.sum(td * td).cast("decimal(38,0)").alias("st2"),
+        F.sum(td * td * td).cast("decimal(38,0)").alias("st3"),
+        F.sum(td * td * td * td).cast("decimal(38,0)").alias("st4"),
+        F.sum(td * yd).cast("decimal(38,0)").alias("sty"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("sy2"),
+        F.sum(td * td * yd).cast("decimal(38,0)").alias("st2y"),
+        F.sum(td * yd * yd).cast("decimal(38,0)").alias("sty2"),
+        F.sum(td * td * yd * yd)
+        .cast("decimal(38,0)")
+        .alias("st2y2"),
+        F.sum(td * td * td * yd)
+        .cast("decimal(38,0)")
+        .alias("st3y"),
+    )
+    n = F.col("n")
+    b = (
+        n * F.col("sty").cast("double")
+        - F.col("st").cast("double") * F.col("sy").cast("double")
+    ) / (
+        n * F.col("st2").cast("double")
+        - F.col("st").cast("double") * F.col("st").cast("double")
+    )
+    fit = m.withColumn("b", b).withColumn(
+        "a",
+        (
+            F.col("sy").cast("double")
+            - F.col("b") * F.col("st").cast("double")
+        )
+        / n,
+    )
+    a = F.col("a")
+    bb = F.col("b")
+    su = (
+        F.col("sy2").cast("double")
+        - 2 * a * F.col("sy").cast("double")
+        - 2 * bb * F.col("sty").cast("double")
+        + n * a * a
+        + 2 * a * bb * F.col("st").cast("double")
+        + bb * bb * F.col("st2").cast("double")
+    )
+    stu = (
+        F.col("sty2").cast("double")
+        - 2 * a * F.col("sty").cast("double")
+        - 2 * bb * F.col("st2y").cast("double")
+        + a * a * F.col("st").cast("double")
+        + 2 * a * bb * F.col("st2").cast("double")
+        + bb * bb * F.col("st3").cast("double")
+    )
+    u = fit.select(
+        n.alias("n"),
+        bb.alias("b"),
+        su.alias("su"),
+        stu.alias("stu"),
+        F.col("st").cast("double").alias("std_"),
+        F.col("st2").cast("double").alias("st2d"),
+    )
+    cov = F.col("stu") - F.col("std_") * F.col("su") / F.col("n")
+    vart = F.col("st2d") - F.col("std_") * F.col("std_") / F.col("n")
+    return u.select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("b"), 8).alias("trend_slope"),
+        F.round(cov / vart, 8).alias("var_trend_slope"),
+        F.round(
+            F.pow(cov, 2)
+            / vart
+            / F.pow(F.col("su") / F.col("n"), 2)
+            / F.col("n"),
+            6,
+        ).alias("hetero_index"),
+    )

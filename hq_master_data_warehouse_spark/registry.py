@@ -206,6 +206,8 @@ DEFER_NEW: tuple[str, ...] = (
     "orders_logrank_test",
     "ml_cochran_armitage_trend",
     "events_granger_causality",
+    "ml_jarque_bera",
+    "ml_hetero_variance_trend",
 )
 
 

@@ -2870,3 +2870,64 @@ def test_granger_brute_force(spark):
     ) < 1e-3
     assert row.f_granger >= 0
     assert row.sse_unrestricted <= row.sse_restricted + 1e-9
+
+
+def test_jarque_bera_brute_force(spark):
+    """Skewness/kurtosis/JB replayed with explicit central moments
+    in Python floats."""
+    row = _rows(spark, "ml_jarque_bera")[0]
+    con = duckdb.connect()
+    cents = [
+        x[0]
+        for x in con.execute(
+            f"""SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT)
+            FROM '{SF_DIR_001}/orders.parquet'"""
+        ).fetchall()
+    ]
+    n = len(cents)
+    mu = sum(cents) / n
+    m2 = sum((c - mu) ** 2 for c in cents) / n
+    m3 = sum((c - mu) ** 3 for c in cents) / n
+    m4 = sum((c - mu) ** 4 for c in cents) / n
+    s = m3 / m2**1.5
+    k = m4 / m2**2 - 3
+    jb = n / 6 * (s**2 + k**2 / 4)
+    assert row.n_orders == n
+    assert abs(row.skewness - s) < 1e-4
+    assert abs(row.excess_kurtosis - k) < 1e-4
+    assert abs(row.jarque_bera - jb) < max(0.01 * jb, 0.01)
+    # uniform-ish distribution: negative excess kurtosis expected
+    assert row.excess_kurtosis < 0
+
+
+def test_variance_trend_brute_force(spark):
+    """Residuals materialized explicitly in Python; the auxiliary
+    slope and hetero index must match the momentized forms."""
+    row = _rows(spark, "ml_hetero_variance_trend")[0]
+    con = duckdb.connect()
+    days = dict(
+        con.execute(
+            f"""WITH b AS (SELECT MIN(o_orderdate) AS d0 FROM
+                    '{SF_DIR_001}/orders.parquet')
+            SELECT datediff('day', b.d0, o_orderdate), COUNT(*)
+            FROM '{SF_DIR_001}/orders.parquet' CROSS JOIN b
+            GROUP BY 1"""
+        ).fetchall()
+    )
+    n = max(days) + 1
+    y = [days.get(t, 0) for t in range(n)]
+    st, sy = sum(range(n)), sum(y)
+    st2 = sum(t * t for t in range(n))
+    sty = sum(t * v for t, v in enumerate(y))
+    b = (n * sty - st * sy) / (n * st2 - st * st)
+    a = (sy - b * st) / n
+    u = [(v - a - b * t) ** 2 for t, v in enumerate(y)]
+    su, stu = sum(u), sum(t * x for t, x in enumerate(u))
+    cov = stu - st * su / n
+    vart = st2 - st * st / n
+    assert row.n_days == n
+    assert abs(row.trend_slope - b) < 1e-8
+    assert abs(row.var_trend_slope - cov / vart) < 1e-6
+    hetero = cov**2 / vart / (su / n) ** 2 / n
+    assert abs(row.hetero_index - hetero) < 1e-4
+    assert row.hetero_index >= 0
