@@ -74,7 +74,9 @@ _SHINGLES_SQL = f"""
 """
 
 
-def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingle_rows(
+    spark: SparkSession, sf_dir: str, by_sh: bool = True
+) -> DataFrame:
     """(doc_id, shingle) exploded rows with the stop-shingle guard.
 
     The documents scan is a single small parquet split, so without an
@@ -83,15 +85,23 @@ def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     and every downstream stage inherits that layout via AQE's
     byte-based coalescing -- bytes stay small here while ROW counts
     explode, exactly the case AQE cannot see.  Repartitioning the doc
-    rows first parallelizes the explode; repartitioning the output on
-    ``sh`` co-partitions both sides of every downstream shingle
-    self-join (one exchange, reused by both sides)."""
+    rows first parallelizes the explode.
+
+    ``by_sh=True`` additionally repartitions the output on ``sh``,
+    co-partitioning both sides of a downstream shingle self-join (one
+    exchange, reused by both sides).  Consumers that next group by
+    ``doc_id`` (MinHash signatures) pass ``by_sh=False`` -- for them
+    the ``sh`` exchange is a pure extra shuffle that the doc_id
+    groupBy immediately re-shuffles away (measured +0.5 s at sf0.1,
+    VERDICT r7 item 3)."""
     docs = load_table(spark, sf_dir, "documents").repartition(
         DEFAULT_SHUFFLE_PARTITIONS, "doc_id"
     )
     rows = docs.select(
         "doc_id", F.explode(_shingles(F.col("text"))).alias("sh")
-    ).repartition(DEFAULT_SHUFFLE_PARTITIONS, "sh")
+    )
+    if by_sh:
+        rows = rows.repartition(DEFAULT_SHUFFLE_PARTITIONS, "sh")
     hot = (
         rows.groupBy("sh")
         .agg(F.count("*").alias("df"))
@@ -321,7 +331,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     join stays near-linear at corpus scale; the final exact check
     removes false positives, giving precision 1.0 by construction.
     """
-    rows = _shingle_rows(spark, sf_dir).cache()
+    # by_sh=False: every consumer below groups by doc_id, so a
+    # shingle-keyed exchange would be shuffled straight back.
+    rows = _shingle_rows(spark, sf_dir, by_sh=False).cache()
     sigs = _minhash_signatures(rows)
     r = N_HASHES // N_BANDS
     bands = sigs.select(
@@ -1204,16 +1216,19 @@ def dedup_tfidf_cosine_pairs(
        result removes;
     2. per-doc TF-IDF vectors pruned to TFIDF_TOP_TERMS and packed
        into a ``map<term, weight>`` column -- bounded at 64 entries
-       per doc, so the vector table is O(n_docs) and broadcastable
-       per block;
+       per doc, so the vector table is O(n_docs); it is cached and
+       joined WITHOUT a broadcast hint: AQE broadcasts it at fixture
+       scale and degrades to shuffle joins at corpus scale, where a
+       forced broadcast of an O(n_docs) table would OOM the driver
+       (VERDICT r7 item 2);
     3. dot product + shared-term count via ONE ``map_zip_with`` (a
        hash-merge of the two maps, O(terms) per pair -- per-key map
        probes would be O(terms^2) linear scans) materialized as a
        column, then two cheap ``aggregate`` passes over its values --
        no per-term row explosion, so the verify phase streams
        candidate PAIRS through a single stage: shingle join ->
-       broadcast vector joins -> dot -> threshold filter, with no
-       shuffle until the tiny post-filter distinct.
+       vector joins -> dot -> threshold filter, with no shuffle
+       until the tiny post-filter distinct.
 
     Exactness is unchanged: integer micro-unit weights, DECIMAL(38,0)
     dot accumulator, one double division per pair at the end.
@@ -1269,8 +1284,14 @@ def dedup_tfidf_cosine_pairs(
         .drop("rnk")
     )
     # one row per doc: pruned sparse vector as a map + exact sq norm.
-    # Per-term products stay in LONG (|w| <= ~1e9 on any real doc, so
-    # w_a*w_b <= ~1e18 fits); the SUM accumulates in DECIMAL(38,0).
+    # Cached because BOTH join sides (va, vb) consume it with
+    # different projections -- exchange reuse cannot dedupe those, so
+    # without the cache the whole tokenize/tf/dfreq/window pipeline
+    # runs twice (ADVICE r7).  Per-term products and the accumulator
+    # are DECIMAL(38,0): w = floor(1e6*tf*ln(N/df)) is NOT bounded by
+    # 1e9 for long docs with high-tf rare terms, and a BIGINT w_a*w_b
+    # would throw under ANSI (or wrap silently) past tf*idf ~ 3037
+    # (ADVICE r7).
     vecs = wq.groupBy("doc_id").agg(
         F.map_from_entries(
             F.collect_list(F.struct("tok", "w"))
@@ -1281,7 +1302,7 @@ def dedup_tfidf_cosine_pairs(
         )
         .cast("decimal(38,0)")
         .alias("nrm2"),
-    )
+    ).cache()
     va = vecs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("vec").alias("vec_a"),
@@ -1292,22 +1313,27 @@ def dedup_tfidf_cosine_pairs(
         F.col("vec").alias("vec_b"),
         F.col("nrm2").alias("nb2"),
     )
-    paired = cand.join(F.broadcast(va), "doc_a").join(
-        F.broadcast(vb), "doc_b"
-    )
+    # No broadcast hints: the vector table is O(n_docs).  AQE
+    # broadcasts it when it measures small and falls back to shuffle
+    # joins at corpus scale; a forced hint is honored past the auto
+    # threshold and OOMs at 1e8+ docs (VERDICT r7 item 2).
+    paired = cand.join(va, "doc_a").join(vb, "doc_b")
     # shared-term products, computed once per pair by a hash-merge of
-    # the two maps; non-shared terms contribute NULL
+    # the two maps; non-shared terms contribute NULL.  The multiply
+    # happens in DECIMAL(38,0) -- see the overflow note on `vecs`.
     zipped = paired.withColumn(
         "zv",
         F.expr(
             "map_values(map_zip_with(vec_a, vec_b,"
             " (k, x, y) -> IF(x IS NOT NULL AND y IS NOT NULL,"
-            " x * y, CAST(NULL AS BIGINT))))"
+            " CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)),"
+            " CAST(NULL AS DECIMAL(38,0)))))"
         ),
     )
     dot = F.expr(
         "aggregate(zv, CAST(0 AS DECIMAL(38,0)),"
-        " (acc, v) -> acc + CAST(coalesce(v, 0L) AS DECIMAL(38,0)))"
+        " (acc, v) -> CAST(acc + coalesce(v, CAST(0 AS DECIMAL(38,0)))"
+        " AS DECIMAL(38,0)))"
     )
     shared = F.expr(
         "aggregate(zv, 0L, (acc, v) -> acc + IF(v IS NULL, 0L, 1L))"

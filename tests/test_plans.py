@@ -132,6 +132,30 @@ def test_tfidf_plan_shape(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_tfidf_cosine_vector_joins_carry_no_broadcast_hint(spark):
+    """VERDICT r7 item 2: the per-doc vector table is O(n_docs); a
+    forced broadcast hint is honored past the auto threshold and OOMs
+    at corpus scale.  The only sanctioned hints in this plan are the
+    two stop-shingle anti-join guards (tiny HAVING>df aggregates).
+    AQE may still CHOOSE broadcast at fixture scale -- that is fine;
+    what must not exist is a hint that removes its freedom to degrade
+    to a shuffle join."""
+    df = registry.QUERIES["dedup_tfidf_cosine_pairs"](
+        spark, SF
+    )
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    hinted = [
+        ln
+        for ln in optimized.split("\n")
+        if "strategy=broadcast" in ln
+    ]
+    # exactly the two stop-shingle guards, nothing on the vector side
+    assert len(hinted) == 2, hinted
+    for ln in hinted:
+        assert "LeftAnti" in ln, ln
+        assert "doc_a" not in ln and "doc_b" not in ln, ln
+
+
 def test_incremental_maintenance_reads_once_per_partial(spark):
     plan = _plan(spark, "agg_incremental_maintenance")
     # both partials push their date predicate into the scan
