@@ -1266,23 +1266,63 @@ def sketch_hll_set_algebra(
 # Approximate quantile sketch with self-audited rank error
 # ---------------------------------------------------------------------------
 # The quantile member of the sketch family (KMV, HLL, CMS, Bloom):
-# Spark's Greenwald-Khanna approx_percentile at accuracy 1/eps
-# alongside the EXACT sort-based percentile and the realized
-# absolute rank error of each estimate -- the sketch result ships
-# with its own audit column, the contract a 100 TB run needs since
-# exact percentiles stop being computable there.  Registered
-# rows-only: GK merge order is engine- and partitioning-specific, so
-# no cross-engine value oracle exists by design (DuckDB's
-# approx_quantile is a different sketch); the pytest asserts the
-# realized rank error stays within the GK guarantee eps = 1e-4.
+# Spark's Greenwald-Khanna approx_percentile at accuracy 1/eps,
+# audited against EXACT order statistics at the GK guarantee's rank
+# band.  GK merge order is engine- and partitioning-specific, so the
+# sketch VALUE itself can never be a cross-engine oracle column --
+# instead the output is the engine-independent part of the contract
+# (VERDICT r6 item 2 / r7 item 4): the exact lo/hi band values at
+# ranks ceil(q*n) -/+ (ceil(eps*n)+1), all integer arithmetic, plus
+# ``approx_in_band`` asserting the sketch landed inside its own
+# guarantee.  DuckDB recomputes the band from exact ranks and emits
+# TRUE -- so a GK estimate outside its eps guarantee turns the row
+# red at the driver, a value-level check replacing the old
+# rows-only record.
 APPROXQ_ACCURACY = 10000  # GK accuracy parameter: eps = 1/10000
 APPROXQ_QS = (0.25, 0.5, 0.75, 0.95)
+_APPROXQ_PCTS = (25, 50, 75, 95)  # the same grid in exact integers
+# integer rank band: ceil(eps*n) + 1 (the +1 absorbs the half-open
+# rank convention difference between "rank of" and "count <=")
+_APPROXQ_BAND_SQL = f"(n + {APPROXQ_ACCURACY - 1}) DIV {APPROXQ_ACCURACY} + 1"
+_APPROXQ_BAND_DUCK = f"(n + {APPROXQ_ACCURACY - 1}) // {APPROXQ_ACCURACY} + 1"
 
 
-@query("sketch_approx_quantiles")  # rows-only: sketch internals
+@query(
+    "sketch_approx_quantiles",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), nn AS (
+        SELECT COUNT(*) AS n FROM base
+    ), spec AS (
+        SELECT q_pct, n,
+               GREATEST(1, (q_pct * n + 99) // 100
+                           - ({_APPROXQ_BAND_DUCK})) AS lo_rank,
+               LEAST(n, (q_pct * n + 99) // 100
+                        + ({_APPROXQ_BAND_DUCK})) AS hi_rank
+        FROM nn, (VALUES (25), (50), (75), (95)) AS qs(q_pct)
+    ), ranked AS (
+        SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn
+        FROM base
+    )
+    SELECT CAST(s.q_pct AS INTEGER) AS q_pct,
+           s.n,
+           s.lo_rank,
+           s.hi_rank,
+           lo.cents AS lo_cents,
+           hi.cents AS hi_cents,
+           TRUE AS approx_in_band
+    FROM spec s
+    JOIN ranked lo ON lo.rn = s.lo_rank
+    JOIN ranked hi ON hi.rn = s.hi_rank
+    """,
+)
 def sketch_approx_quantiles(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from .analytics import _global_rank
+
     orders = load_table(spark, sf_dir, "orders").select(
         F.round(F.col("o_totalprice") * 100)
         .cast("long")
@@ -1295,53 +1335,77 @@ def sketch_approx_quantiles(
             f"approx_percentile(cents, array({', '.join(map(str, qs))}),"
             f" {APPROXQ_ACCURACY})"
         ).alias("approx"),
-        F.expr(
-            f"percentile(cents, array({', '.join(map(str, qs))}))"
-        ).alias("exact"),
     )
-    rows = agg.select(
+    # per-quantile spec: integer target rank ceil(q*n) and the GK
+    # band, all integer arithmetic so both engines agree bit-for-bit
+    # (float q*n could flip a ceil at an ULP -- the cross-engine
+    # hazard class from round 6).
+    spec = agg.select(
         "n",
+        "approx",
         F.posexplode(
-            F.arrays_zip(F.col("approx"), F.col("exact"))
-        ).alias("pos", "z"),
+            F.array(*[F.lit(p) for p in _APPROXQ_PCTS])
+        ).alias("pos", "q_pct"),
     ).select(
-        F.element_at(
-            F.array(*[F.lit(q) for q in qs]), F.col("pos") + 1
-        ).alias("quantile"),
+        F.col("q_pct").cast("int").alias("q_pct"),
         "n",
-        (F.col("z.approx") / 100.0).alias("approx_value"),
-        (F.col("z.exact") / 100.0).alias("exact_value"),
+        F.element_at(F.col("approx"), F.col("pos") + 1)
+        .cast("long")
+        .alias("approx_cents"),
+        F.expr(
+            "CAST(GREATEST(1, (q_pct * n + 99) DIV 100"
+            f" - ({_APPROXQ_BAND_SQL})) AS BIGINT)"
+        ).alias("lo_rank"),
+        F.expr(
+            "CAST(LEAST(n, (q_pct * n + 99) DIV 100"
+            f" + ({_APPROXQ_BAND_SQL})) AS BIGINT)"
+        ).alias("hi_rank"),
     )
-    # realized rank error: |rank(approx) - q*n| / n, computed with a
-    # broadcast of the 4 estimates back over the base scan
-    est = rows.select("quantile", "approx_value")
-    ranked = (
-        orders.crossJoin(F.broadcast(est))
-        .groupBy("quantile")
-        .agg(
-            F.sum(
-                (
-                    F.col("cents")
-                    <= F.round(F.col("approx_value") * 100)
-                ).cast("int")
-            )
-            .cast("long")
-            .alias("rank_le")
-        )
+    # exact order statistics at the 8 band ranks: distributed
+    # two-pass global rank (no single-partition sort; the price
+    # domain buckets by 10k-dollar bands), then an 8-row broadcast
+    # join picks out the band values.
+    ranked = _global_rank(
+        orders,
+        F.floor(F.col("cents") / 1_000_000),
+        [F.col("cents").asc()],
+        "_rn",
     )
-    return (
-        rows.join(ranked, "quantile")
-        .select(
-            "quantile",
-            "n",
-            F.round("approx_value", 2).alias("approx_value"),
-            F.round("exact_value", 2).alias("exact_value"),
-            F.round(
-                F.abs(
-                    F.col("rank_le").cast("double") / F.col("n")
-                    - F.col("quantile")
+    sides = spec.select(
+        "q_pct",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lo").alias("side"),
+                    F.col("lo_rank").alias("rk"),
                 ),
-                8,
-            ).alias("rank_error"),
-        )
+                F.struct(
+                    F.lit("hi").alias("side"),
+                    F.col("hi_rank").alias("rk"),
+                ),
+            )
+        ).alias("s"),
+    ).select("q_pct", F.col("s.side").alias("side"), F.col("s.rk").alias("rk"))
+    matched = ranked.join(
+        F.broadcast(sides), ranked["_rn"] == sides["rk"]
+    )
+    band_vals = matched.groupBy("q_pct").agg(
+        F.max(F.when(F.col("side") == "lo", F.col("cents"))).alias(
+            "lo_cents"
+        ),
+        F.max(F.when(F.col("side") == "hi", F.col("cents"))).alias(
+            "hi_cents"
+        ),
+    )
+    return spec.join(band_vals, "q_pct").select(
+        "q_pct",
+        "n",
+        "lo_rank",
+        "hi_rank",
+        "lo_cents",
+        "hi_cents",
+        (
+            (F.col("approx_cents") >= F.col("lo_cents"))
+            & (F.col("approx_cents") <= F.col("hi_cents"))
+        ).alias("approx_in_band"),
     )

@@ -641,19 +641,84 @@ def graph_connected_components(
 # keeps lineage flat).  The nested-core property (the (k+1)-core is
 # inside the k-core) lets each k start from the previous survivor
 # set, so total work is one degree-agg per peel round on an
-# ever-shrinking edge set.  Peeling is an inherently sequential
-# fixpoint that ANSI SQL's monotone recursive CTEs cannot express
-# (deletion needs aggregation over the recursive table), so this op
-# is registered rows-only; tests/test_round6_ops.py replays the
-# exact textbook peel in Python and compares every (node, core)
-# row.  Reference behavior: degree-threshold audience cuts in
+# ever-shrinking edge set.
+#
+# Oracle (VERDICT r6 item 3 / r7 item 5): the peel IS expressible as
+# a bounded recursive CTE in DuckDB because its recursive term allows
+# window functions -- each iteration recomputes degrees with
+# COUNT(*) OVER (PARTITION BY endpoint) and keeps edges whose both
+# endpoints clear k.  Termination is value-driven, not a blind
+# iteration cap: every row carries its iteration's edge count m, and
+# the recursive term emits survivors only while m strictly shrinks
+# (peel is monotone-subset, so equal cardinality == fixpoint).  The
+# one ambiguity -- "recursion stopped at the fixpoint" vs "survivors
+# went empty" -- is resolved by ONE extra non-recursive peel of the
+# last emitted level: monotonicity forces its result to be exactly
+# the fixpoint or exactly empty.  core_number(v) = max k in {2,3,4}
+# whose peel retains v.  Same trick family as
+# graph_modularity_score's reachability CTE below.
+# Reference behavior: degree-threshold audience cuts in
 # /root/reference/src (see SURVEY 2 filters family); the k-core
 # generalizes them to transitive cohesion.
 KCORE_MAX = 4
 KCORE_MAX_ITERS = 30
 
 
-@query("graph_kcore_decomposition")  # rows-only: iterative fixpoint
+def _kcore_oracle() -> str:
+    peels = []
+    lasts = []
+    for k in range(2, KCORE_MAX + 1):
+        peels.append(f"""
+    peel{k}(iter, src, dst, m) AS (
+        SELECT 0, src, dst, COUNT(*) OVER () FROM e
+        UNION ALL
+        SELECT iter, src, dst, m2 FROM (
+            SELECT s.iter + 1 AS iter, s.src, s.dst, s.m AS prev_m,
+                   COUNT(*) OVER () AS m2
+            FROM (
+                SELECT iter, src, dst, m
+                FROM (SELECT iter, src, dst, m,
+                             COUNT(*) OVER (PARTITION BY src) AS ds,
+                             COUNT(*) OVER (PARTITION BY dst) AS dd
+                      FROM peel{k})
+                WHERE ds >= {k} AND dd >= {k}
+            ) s
+        ) q(iter, src, dst, prev_m, m2)
+        WHERE m2 < prev_m
+    ),
+    core{k} AS (
+        SELECT src, dst
+        FROM (SELECT src, dst,
+                     COUNT(*) OVER (PARTITION BY src) AS ds,
+                     COUNT(*) OVER (PARTITION BY dst) AS dd
+              FROM (SELECT src, dst FROM peel{k}
+                    WHERE iter = (SELECT MAX(iter) FROM peel{k})))
+        WHERE ds >= {k} AND dd >= {k}
+    )""")
+        lasts.append(
+            f"SELECT DISTINCT src AS v, {k} AS k FROM core{k}"
+        )
+    union = "\n        UNION ALL\n        ".join(lasts)
+    return f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS w
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY u, w
+        HAVING COUNT(*) >= {CC_MIN_SHARED_ORDERS}
+    ),
+    e AS (SELECT u AS src, w AS dst FROM pairs
+          UNION ALL SELECT w, u FROM pairs),
+    {",".join(peels)}
+    SELECT v AS part_id, CAST(MAX(k) AS INTEGER) AS core_number
+    FROM ({union})
+    GROUP BY v
+    """
+
+
+@query("graph_kcore_decomposition", oracle=_kcore_oracle())
 def graph_kcore_decomposition(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -64,6 +64,7 @@ def _recorded_names() -> set[str]:
         os.path.dirname(os.path.abspath(__file__))
     )
     latest: dict[str, bool] = {}
+    rounds: dict[str, int] = {}
     found = False
     # sorted() puts r01 before r02 ...; later files overwrite earlier
     # entries so `latest` ends up holding each name's newest verdict.
@@ -76,15 +77,30 @@ def _recorded_names() -> set[str]:
         if not isinstance(data, dict):
             continue
         found = True
+        try:
+            rnd = int(
+                os.path.basename(path).split("_r")[1].split(".")[0]
+            )
+        except (IndexError, ValueError):
+            rnd = 0
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
             latest[name] = bool(
                 row.get("hash_match") or row.get("err") == "no_oracle"
             )
+            rounds[name] = max(rounds.get(name, 0), rnd)
     if not found:
         return set(PREVIOUSLY_CHECKED)
+    _RECORD_ROUND.clear()
+    _RECORD_ROUND.update(rounds)
     return {name for name, ok in latest.items() if ok}
+
+
+# Populated by _recorded_names(): name -> latest round holding any
+# record for it.  Lets RECHECK pins self-retire once the post-change
+# re-record lands (see ordered_queries).
+_RECORD_ROUND: dict[str, int] = {}
 
 
 # Names verified by the round-1 gate (static fallback for
@@ -210,6 +226,23 @@ DEFER_NEW: tuple[str, ...] = (
     "ml_hetero_variance_trend",
 )
 
+# Queries whose PLAN changed in round RECHECK_SINCE (r8: the dedup
+# rewrite -- broadcast hints dropped, decimal dot, by_sh scoping).
+# They already hold green records from earlier rounds, but evidence
+# policy wants a fresh record on the post-change code, so they join
+# the front of the window until a record from round >= RECHECK_SINCE
+# lands; then _RECORD_ROUND retires them automatically.
+RECHECK_SINCE = 8
+RECHECK: tuple[str, ...] = (
+    "dedup_tfidf_cosine_pairs",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_shingle_containment",
+    # r8: gained value-level oracles replacing rows-only records
+    "sketch_approx_quantiles",
+    "graph_kcore_decomposition",
+)
+
 
 def ordered_queries() -> dict[str, QueryFn]:
     """QUERIES reordered so the driver's capped check window lands on
@@ -224,7 +257,19 @@ def ordered_queries() -> dict[str, QueryFn]:
     # landed green in a later CORRECTNESS file stops consuming a
     # front-of-window slot automatically next round.
     front = [n for n in PRIORITY if n in QUERIES and n not in checked]
-    seen = set(front)
+    # changed-plan names needing a post-change re-record: pinned
+    # AFTER the never-recorded mass is guaranteed room (they already
+    # hold old greens, so they use spare slots only if placed behind
+    # the unchecked names -- handled below by appending to `front`
+    # order after the unchecked block via `recheck`).
+    recheck = [
+        n
+        for n in RECHECK
+        if n in QUERIES
+        and _RECORD_ROUND.get(n, 0) < RECHECK_SINCE
+        and n in checked  # never-recorded names are in `middle` anyway
+    ]
+    seen = set(front) | set(recheck)
     middle = [n for n in QUERIES if n not in seen and n not in checked]
     # within the never-checked block: oracle-backed names first,
     # rows-only after, this round's deferred additions last -- and
@@ -240,7 +285,9 @@ def ordered_queries() -> dict[str, QueryFn]:
         )
     )
     back = [n for n in QUERIES if n in checked and n not in seen]
-    return {n: QUERIES[n] for n in (*front, *middle, *back)}
+    return {
+        n: QUERIES[n] for n in (*front, *middle, *recheck, *back)
+    }
 
 
 def load_catalog() -> None:
