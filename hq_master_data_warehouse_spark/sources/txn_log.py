@@ -57,8 +57,11 @@ def _table_dir(sf_dir: str, variant: str = "") -> str:
     # invalidates stale stagings instead of silently reusing them;
     # ``variant`` gives mutating queries (compaction) a private
     # instance so they never perturb the shared staged fixture
+    # "L2" = staging-layout generation (r8: distributed bucketed
+    # writes, nested <prefix>/_b=N paths); bumping it orphans any
+    # stale flat-layout staging instead of silently reusing it
     tag = hashlib.md5(
-        f"{sf_dir}:{FILE_KEYSPAN}:{variant}".encode()
+        f"{sf_dir}:{FILE_KEYSPAN}:L2:{variant}".encode()
     ).hexdigest()[:8]
     return os.path.join(tempfile.gettempdir(), f"hqmdw_txn_{tag}")
 
@@ -160,6 +163,49 @@ def _write_file(
         "min_key": int(stats["lo"]),
         "max_key": int(stats["hi"]),
     }
+
+
+def _write_bucketed(
+    df: DataFrame,
+    table_dir: str,
+    prefix: str,
+    key_col: str = "o_orderkey",
+) -> list[dict]:
+    """Write EVERY key-range bucket of ``df`` in ONE distributed job
+    and return one log entry per bucket dir.
+
+    The original staging looped ``_write_file`` per bucket on the
+    driver -- 3 Spark jobs per file, fine at 30 files (sf0.01), a
+    driver-bound stall at the ~18k buckets an sf1 keyspace produces
+    (VERDICT r6 item 7).  Here ``repartition(bucket)`` puts each
+    bucket on exactly one task and ``partitionBy`` splits task output
+    into one ``<prefix>/_b=N`` dir per bucket, so job count is O(1)
+    in the file count; zone maps come from ONE groupBy aggregate.
+    The partition column is derived, so its being stripped from the
+    parquet files leaves exactly the source schema when a bucket dir
+    is read directly."""
+    b = (F.col(key_col) / FILE_KEYSPAN).cast("long")
+    out = os.path.join(table_dir, prefix)
+    (
+        df.withColumn("_b", b)
+        .repartition("_b")
+        .write.mode("overwrite")
+        .partitionBy("_b")
+        .parquet(out)
+    )
+    stats = (
+        df.groupBy(b.alias("_b"))
+        .agg(F.min(key_col).alias("lo"), F.max(key_col).alias("hi"))
+        .collect()
+    )
+    return [
+        {
+            "path": f"{prefix}/_b={int(r['_b'])}",
+            "min_key": int(r["lo"]),
+            "max_key": int(r["hi"]),
+        }
+        for r in sorted(stats, key=lambda r: int(r["_b"]))
+    ]
 
 
 def committed_versions(table_dir: str) -> list[int]:
@@ -290,34 +336,21 @@ def build_txn_table(
     orders = load_table(spark, sf_dir, "orders")
     os.makedirs(table_dir, exist_ok=True)
 
-    # v0: key-clustered initial files
-    buckets = (
-        orders.select(
-            (F.col("o_orderkey") / FILE_KEYSPAN).cast("long").alias("b")
-        )
-        .distinct()
-        .collect()
-    )
-    adds = []
-    for r in sorted(x["b"] for x in buckets):
-        part = orders.filter(
-            (F.col("o_orderkey") / FILE_KEYSPAN).cast("long") == r
-        )
-        adds.append(_write_file(part, table_dir, f"data-v0-{r:05d}"))
+    # v0: key-clustered initial files -- one distributed write for
+    # the whole bucket set (not a per-bucket driver loop; see
+    # _write_bucketed)
+    adds = _write_bucketed(orders, table_dir, "data-v0")
     commit_batch_idempotent(table_dir, 0, adds, [])
 
-    # v1: delete keys % DEL_MOD == 0 -- rewrite only touched files
-    # (every file contains such keys here; partition-pruned rewrite
-    # is exercised separately in operators/ledger.py)
-    adds1, removes1 = [], []
-    for info in live_files(table_dir, 0):
-        src = os.path.join(table_dir, info["path"])
-        kept = spark.read.parquet(src).filter(
-            F.col("o_orderkey") % DEL_MOD != 0
-        )
-        name = info["path"].replace("v0", "v1")
-        adds1.append(_write_file(kept, table_dir, name))
-        removes1.append(info["path"])
+    # v1: delete keys % DEL_MOD == 0 -- every file contains such
+    # keys, so the rewrite touches all of them and runs as one
+    # distributed bucketed write too (partition-pruned rewrite of a
+    # TOUCHED SUBSET is exercised separately in operators/ledger.py)
+    kept = read_snapshot(spark, table_dir, 0).filter(
+        F.col("o_orderkey") % DEL_MOD != 0
+    )
+    adds1 = _write_bucketed(kept, table_dir, "data-v1")
+    removes1 = [info["path"] for info in live_files(table_dir, 0)]
     commit_batch_idempotent(table_dir, 1, adds1, removes1)
 
     # v2: re-insert the even half of what v1 deleted, as one append
@@ -440,7 +473,11 @@ def compact_table(spark: SparkSession, table_dir: str) -> int:
     live = live_files(table_dir, head)
     if len(live) <= 1:
         return head
-    snap = read_snapshot(spark, table_dir, head).coalesce(1)
+    # repartition(1), NOT coalesce(1): coalesce folds the SCAN into
+    # the single output task too, serializing the read of every live
+    # file (18k file-opens on one core at sf1); repartition keeps
+    # the scan parallel and pays one small shuffle into the writer
+    snap = read_snapshot(spark, table_dir, head).repartition(1)
     name = f"data-compact-{target:05d}"
     info = _write_file(snap, table_dir, name)
     won = commit_batch_idempotent(
@@ -630,6 +667,25 @@ def vacuum_table(
         ):
             continue
         full = os.path.join(table_dir, name)
+        nested_keep = {
+            p for p in keep if p.startswith(name + "/")
+        }
+        if nested_keep and os.path.isdir(full):
+            # bucketed container (data-vN/_b=K layout) with live
+            # children: sweep only the dead buckets inside it
+            for child in sorted(os.listdir(full)):
+                rel = f"{name}/{child}"
+                if child.startswith("_") or rel in keep:
+                    continue
+                cf = os.path.join(full, child)
+                if now - os.path.getmtime(cf) < min_age_s:
+                    continue
+                if os.path.isdir(cf):
+                    shutil.rmtree(cf)
+                else:
+                    os.remove(cf)
+                deleted.append(rel)
+            continue
         if now - os.path.getmtime(full) < min_age_s:
             continue
         if os.path.isdir(full):
