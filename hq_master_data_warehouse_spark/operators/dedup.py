@@ -1266,7 +1266,11 @@ def dedup_tfidf_cosine_pairs(
         ),
         "doc_id",
     )
-    rows = _shingle_rows(spark, sf_dir)
+    # cached like the sibling shingle consumers (jaccard /
+    # containment / minhash): within one run the self-join reuses
+    # the sh exchange anyway, but the cache also spares re-runs in
+    # the same session the explode + stop-shingle scan
+    rows = _shingle_rows(spark, sf_dir).cache()
     cand = (
         rows.select(F.col("doc_id").alias("doc_a"), "sh")
         .join(
