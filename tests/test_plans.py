@@ -149,8 +149,12 @@ def test_tfidf_cosine_vector_joins_carry_no_broadcast_hint(spark):
         for ln in optimized.split("\n")
         if "strategy=broadcast" in ln
     ]
-    # exactly the two stop-shingle guards, nothing on the vector side
-    assert len(hinted) == 2, hinted
+    # any hint that survives to the outer plan must be a stop-shingle
+    # anti-join guard, never the doc_a/doc_b vector joins.  (The
+    # shingle rows are cached, so the guards' hints usually live
+    # INSIDE the InMemoryRelation and this list is empty -- the
+    # invariant is the absence of vector-side hints, not a fixed
+    # guard count.)
     for ln in hinted:
         assert "LeftAnti" in ln, ln
         assert "doc_a" not in ln and "doc_b" not in ln, ln
