@@ -664,11 +664,13 @@ KCORE_MAX = 4
 KCORE_MAX_ITERS = 30
 
 
-def _kcore_oracle() -> str:
-    peels = []
-    lasts = []
-    for k in range(2, KCORE_MAX + 1):
-        peels.append(f"""
+def _kcore_peel_cte(k: int) -> str:
+    """The per-k peel as two CTE definitions (peel{k}, core{k}) over
+    an ``e(src, dst)`` doubled edge set -- shared by the oracle
+    builder and by tests/test_round6_ops.py's toy-graph termination
+    pins (empty-core vs nonempty-fixpoint), so the subtle stop logic
+    is locked by a DuckDB-only unit test, not just the fixture."""
+    return f"""
     peel{k}(iter, src, dst, m) AS (
         SELECT 0, src, dst, COUNT(*) OVER () FROM e
         UNION ALL
@@ -694,7 +696,14 @@ def _kcore_oracle() -> str:
               FROM (SELECT src, dst FROM peel{k}
                     WHERE iter = (SELECT MAX(iter) FROM peel{k})))
         WHERE ds >= {k} AND dd >= {k}
-    )""")
+    )"""
+
+
+def _kcore_oracle() -> str:
+    peels = []
+    lasts = []
+    for k in range(2, KCORE_MAX + 1):
+        peels.append(_kcore_peel_cte(k))
         lasts.append(
             f"SELECT DISTINCT src AS v, {k} AS k FROM core{k}"
         )

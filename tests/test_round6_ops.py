@@ -1364,6 +1364,48 @@ def _py_kcore(sf, kmax):
     return {v: c for v, c in core.items() if c >= 2}
 
 
+def test_kcore_oracle_cte_termination_cases():
+    """DuckDB-only pins for the r8 recursive-peel oracle's two stop
+    modes (the subtle part of `_kcore_peel_cte`):
+
+    - EMPTY-CORE stop: triangle + pendant chain -- at k=3 the first
+      peel kills everything, so the recursion emits nothing past
+      iter 0 and the final non-recursive peel must yield the empty
+      set (NOT the last non-empty level, the bug the extra peel
+      exists to prevent).
+    - NONEMPTY-FIXPOINT stop: 4-clique + pendant -- the k=3 peel
+      strips the pendant in one step and then reproduces the clique,
+      so the recursion stops on m2 == prev_m and the final peel
+      returns the clique unchanged.
+    """
+    from hq_master_data_warehouse_spark.operators.graph import (
+        _kcore_peel_cte,
+    )
+
+    con = duckdb.connect()
+
+    def cores(edges, k):
+        vals = ", ".join(f"({u},{w})" for u, w in edges)
+        sql = f"""
+        WITH RECURSIVE pairs(u, w) AS (VALUES {vals}),
+        e AS (SELECT u AS src, w AS dst FROM pairs
+              UNION ALL SELECT w, u FROM pairs),
+        {_kcore_peel_cte(k)}
+        SELECT DISTINCT src FROM core{k} ORDER BY src
+        """
+        return [r[0] for r in con.execute(sql).fetchall()]
+
+    tri_pendant = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    assert cores(tri_pendant, 2) == [1, 2, 3]
+    assert cores(tri_pendant, 3) == []  # empty-core stop
+
+    clique4_pendant = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5),
+    ]
+    assert cores(clique4_pendant, 3) == [1, 2, 3, 4]  # fixpoint stop
+    assert cores(clique4_pendant, 4) == []
+
+
 def test_kcore_brute_force(spark):
     """Every (part, core_number) row equals the exact textbook peel;
     nested-core property holds by construction of the replay."""
