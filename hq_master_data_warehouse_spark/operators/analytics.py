@@ -3093,6 +3093,114 @@ def window_bollinger_bands(
 
 
 # ---------------------------------------------------------------------------
+# Truncated EWMA of per-customer order revenue (r8)
+# ---------------------------------------------------------------------------
+# The exponential member of the TA window family (Bollinger = SMA
+# bands, RSI = Wilder momentum, rolling OLS = trend): a 16-term
+# truncated EWMA with alpha = 1/2 over each customer's order
+# sequence.  The truncation and the alpha are chosen to make the op
+# BIT-EXACT cross-engine, extending the r6 exactness discipline from
+# integers to floating point:
+#   - weights 2^-k are dyadic, and cents <= ~2^28 per order, so every
+#     product cents * 2^-k is an exactly representable double
+#     (<= 28+15 = 43 significant bits);
+#   - all 16 products share denominator 2^15, so their double SUM is
+#     exact in ANY association order (numerators sum below 2^53) --
+#     Spark's and DuckDB's different addition orders cannot diverge;
+#   - the available-terms weight sum is a subset-sum of dyadics
+#     (exact), and one final IEEE division of identical operands is
+#     correctly rounded identically in both engines.
+# Weight literals are injected as F.lit(0.5**k) Spark-side and
+# CAST(<repr> AS DOUBLE) in the oracle -- never bare SQL decimals,
+# which Spark parses as DECIMAL and DuckDB as DOUBLE (the r6
+# decimal-literal hazard).
+# Scale: the window is PARTITIONED by customer (orders-per-customer
+# bounded) and rows-based over 16 lags -- no global sort, no
+# corpus-sized window state.
+EWMA_TERMS = 16
+
+
+def _ewma_weights() -> list[float]:
+    return [0.5**k for k in range(EWMA_TERMS)]
+
+
+def _ewma_oracle() -> str:
+    lag_terms = []
+    den_terms = []
+    for k, w in enumerate(_ewma_weights()):
+        lag = (
+            "cents"
+            if k == 0
+            else f"LAG(cents, {k}) OVER win"
+        )
+        lit = f"CAST({w!r} AS DOUBLE)"
+        lag_terms.append(
+            f"COALESCE(CAST({lag} AS DOUBLE) * {lit}, 0.0)"
+        )
+        den_terms.append(
+            f"CASE WHEN {lag} IS NOT NULL THEN {lit} ELSE 0.0 END"
+        )
+    num = " + ".join(lag_terms)
+    den = " + ".join(den_terms)
+    return f"""
+    WITH seq AS (
+        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    w AS (
+        SELECT o_custkey, o_orderkey, order_date, cents,
+               {num} AS num,
+               {den} AS den
+        FROM seq
+        WINDOW win AS (PARTITION BY o_custkey
+                       ORDER BY order_date, o_orderkey)
+    )
+    SELECT o_custkey, o_orderkey, order_date,
+           ROUND(cents / 100.0, 2) AS revenue,
+           ROUND(num / den / 100.0, 6) AS ewma_revenue
+    FROM w
+    """
+
+
+@query("window_ewma_customer_revenue", oracle=_ewma_oracle())
+def window_ewma_customer_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    seq = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    win = Window.partitionBy("o_custkey").orderBy(
+        "order_date", "o_orderkey"
+    )
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k, wk in enumerate(_ewma_weights()):
+        lag = (
+            F.col("cents")
+            if k == 0
+            else F.lag("cents", k).over(win)
+        )
+        num = num + F.coalesce(
+            lag.cast("double") * F.lit(wk), F.lit(0.0)
+        )
+        den = den + F.when(lag.isNotNull(), F.lit(wk)).otherwise(0.0)
+    return seq.select(
+        "o_custkey",
+        "o_orderkey",
+        "order_date",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(num / den / 100.0, 6).alias("ewma_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Price elasticity of demand (log-log regression)
 # ---------------------------------------------------------------------------
 # The econometrics classic: elasticity = d ln(quantity) / d ln(unit

@@ -224,6 +224,9 @@ DEFER_NEW: tuple[str, ...] = (
     "events_granger_causality",
     "ml_jarque_bera",
     "ml_hetero_variance_trend",
+    # round 8 (single addition; the round otherwise held the freeze):
+    # the bit-exact truncated EWMA completing the TA window family
+    "window_ewma_customer_revenue",
 )
 
 # Queries whose PLAN changed in round RECHECK_SINCE (r8: the dedup

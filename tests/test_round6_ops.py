@@ -1522,6 +1522,56 @@ def test_bollinger_brute_force(spark):
         ) < 1e-3
 
 
+def test_ewma_brute_force(spark):
+    """Full truncated-EWMA replay in pure Python: per customer,
+    ordered by (order_date, o_orderkey), 16 dyadic weights.  The op
+    is designed bit-exact cross-engine (dyadic weights x integer
+    cents -> exact double sums), so the replay asserts EXACT equality
+    of the rounded output, not a tolerance."""
+    from hq_master_data_warehouse_spark.operators.analytics import (
+        EWMA_TERMS,
+        _ewma_weights,
+    )
+
+    rows = _rows(spark, "window_ewma_customer_revenue")
+    con = duckdb.connect()
+    data = con.execute(
+        f"""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE),
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        FROM '{SF_DIR_001}/orders.parquet'
+        ORDER BY o_custkey, 3, o_orderkey"""
+    ).fetchall()
+    weights = _ewma_weights()
+    assert len(weights) == EWMA_TERMS
+    expected = {}
+    series: list[int] = []
+    prev_cust = None
+    for cust, okey, _d, cents in data:
+        if cust != prev_cust:
+            series = []
+            prev_cust = cust
+        series.append(cents)
+        tail = series[-EWMA_TERMS:][::-1]  # newest first
+        num = sum(float(c) * weights[k] for k, c in enumerate(tail))
+        den = sum(weights[k] for k in range(len(tail)))
+        # same rounding discipline as the engines (half away from 0)
+        import math
+
+        v = num / den / 100.0
+        expected[(cust, okey)] = (
+            math.copysign(
+                math.floor(abs(v) * 1e6 + 0.5), v
+            )
+            / 1e6
+        )
+    assert len(rows) == len(expected)
+    for r in rows:
+        assert r.ewma_revenue == expected[(r.o_custkey, r.o_orderkey)], (
+            r.o_custkey,
+            r.o_orderkey,
+        )
+
+
 def test_adaboost_brute_force(spark):
     """Full 2-round AdaBoost replay in pure Python with the same
     integer weight scaling; every output cell must match."""
