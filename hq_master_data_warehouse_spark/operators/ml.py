@@ -680,6 +680,99 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Mean-reciprocal-rank companion to NDCG@k (r8): the per-QUERY
+#    retrieval-eval shape NDCG's single global ranking stops short
+#    of.  vec_id % MRR_QUERIES buckets the corpus into query groups;
+#    within each, documents rank by the shared margin model
+#    (deterministic tie-break margin DESC, vec_id), and the first
+#    top-grade document (label % 4 == 3) yields the reciprocal rank.
+#    Exactness discipline: RR is emitted in integer MICRO-UNITS
+#    (1e6 DIV pos) -- no per-engine double reciprocal sums -- and the
+#    margin reuses the NDCG fold whose cross-engine bit-equality is
+#    already proven.  Per-query rows only: the mean is one exact
+#    integer sum away for any consumer (and the replay pytest).
+MRR_QUERIES = 8
+
+
+@query(
+    "ml_mrr_reciprocal_ranks",
+    oracle=f"""
+    WITH m AS (
+        SELECT vec_id,
+               vec_id % {MRR_QUERIES} AS query_id,
+               label % 4 = 3 AS rel,
+               list_sum(list_transform(
+                   generate_series(1, {EMB_DIM}),
+                   i -> CAST(embedding[i] AS DOUBLE) * ({_W_SQL})[i]
+               )) + {BIAS!r} AS margin
+        FROM embeddings
+    ),
+    ranked AS (
+        SELECT query_id, rel,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY margin DESC, vec_id)
+                   AS pos
+        FROM m
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_relevant,
+           MIN(CASE WHEN rel THEN pos END) AS first_rel_pos,
+           CAST(COALESCE(1000000 // MIN(CASE WHEN rel THEN pos END),
+                         0) AS BIGINT) AS rr_micro
+    FROM ranked
+    GROUP BY query_id
+    """,
+)
+def ml_mrr_reciprocal_ranks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = F.array(*[F.lit(x) for x in WEIGHTS])
+    prod = F.zip_with(
+        F.col("embedding"), w, lambda x, wi: x.cast("double") * wi
+    )
+    margin = (
+        F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v) + BIAS
+    )
+    m = emb.select(
+        "vec_id",
+        (F.col("vec_id") % MRR_QUERIES).alias("query_id"),
+        (F.col("label") % 4 == 3).alias("rel"),
+        margin.alias("margin"),
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("margin"), F.asc("vec_id")
+    )
+    ranked = m.withColumn("pos", F.row_number().over(win))
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("rel").cast("int"))
+            .cast("long")
+            .alias("n_relevant"),
+            F.min(F.when(F.col("rel"), F.col("pos"))).alias(
+                "first_rel_pos"
+            ),
+        )
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "n_docs",
+            "n_relevant",
+            "first_rel_pos",
+            F.coalesce(
+                F.expr("1000000 DIV first_rel_pos"), F.lit(0)
+            )
+            .cast("long")
+            .alias("rr_micro"),
+        )
+    )
+
+
 # -- scalar classification report: precision / recall / F1 / MCC /
 #    Cohen's kappa from the four exact confusion counts in ONE
 #    aggregation pass -- the derived metrics the confusion-matrix

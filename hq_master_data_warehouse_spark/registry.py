@@ -224,9 +224,11 @@ DEFER_NEW: tuple[str, ...] = (
     "events_granger_causality",
     "ml_jarque_bera",
     "ml_hetero_variance_trend",
-    # round 8 (single addition; the round otherwise held the freeze):
-    # the bit-exact truncated EWMA completing the TA window family
+    # round 8 (small curated wave; freeze otherwise held): the
+    # bit-exact truncated EWMA completing the TA window family, and
+    # the per-query MRR companion to NDCG (integer micro-unit RR)
     "window_ewma_customer_revenue",
+    "ml_mrr_reciprocal_ranks",
 )
 
 # Queries whose PLAN changed in round RECHECK_SINCE (r8: the dedup

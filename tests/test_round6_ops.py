@@ -1572,6 +1572,45 @@ def test_ewma_brute_force(spark):
         )
 
 
+def test_mrr_brute_force(spark):
+    """Per-query reciprocal ranks replayed in pure Python with the
+    same margin model and tie-break; rr_micro is exact integer
+    division, so equality is exact."""
+    from hq_master_data_warehouse_spark.operators.ml import (
+        BIAS,
+        MRR_QUERIES,
+        WEIGHTS,
+    )
+
+    rows = {r.query_id: r for r in _rows(spark, "ml_mrr_reciprocal_ranks")}
+    con = duckdb.connect()
+    data = con.execute(
+        f"""SELECT vec_id, label, embedding
+        FROM '{SF_DIR_001}/embeddings.parquet'"""
+    ).fetchall()
+    groups: dict[int, list] = {}
+    for vec_id, label, emb in data:
+        # same sequential left-fold the engines use
+        margin = 0.0
+        for x, w in zip(emb, WEIGHTS):
+            margin += float(x) * w
+        margin += BIAS
+        groups.setdefault(vec_id % MRR_QUERIES, []).append(
+            (margin, vec_id, label % 4 == 3)
+        )
+    assert set(rows) == set(groups)
+    for q, docs in groups.items():
+        docs.sort(key=lambda t: (-t[0], t[1]))
+        first = next(
+            (i + 1 for i, t in enumerate(docs) if t[2]), None
+        )
+        r = rows[q]
+        assert r.n_docs == len(docs)
+        assert r.n_relevant == sum(1 for t in docs if t[2])
+        assert r.first_rel_pos == first
+        assert r.rr_micro == (1000000 // first if first else 0)
+
+
 def test_adaboost_brute_force(spark):
     """Full 2-round AdaBoost replay in pure Python with the same
     integer weight scaling; every output cell must match."""
