@@ -332,6 +332,50 @@ def _global_rank(
     )
 
 
+def _grouped_global_rank(
+    df: DataFrame,
+    part_cols: list,
+    bucket: "F.Column",
+    sort_cols: list,
+    out: str,
+) -> DataFrame:
+    """Per-GROUP global row_number without a whole-group-on-one-task
+    window (r8).
+
+    ``Window.partitionBy(group)`` puts EVERY row of a group on one
+    task -- fine for high-cardinality keys, a straggler/OOM shape
+    when the group domain is small (5 order priorities over a fact
+    table = table/5 rows per task).  Same two-pass prefix-sum trick
+    as ``_global_rank``, one level down: rows shuffle on (group,
+    coarse bucket of the leading sort key), rank locally in
+    parallel, and the per-(group, bucket) COUNTS -- a tiny table,
+    |groups| x |buckets| rows -- are prefix-summed WITHIN each group
+    and broadcast back.  The only window over the full input is
+    bucket-partitioned; the group-partitioned window runs on the
+    count table, bounded by the bucket domain."""
+    b = df.withColumn("_b", bucket)
+    w_in = Window.partitionBy(*part_cols, "_b").orderBy(*sort_cols)
+    local = b.withColumn("_lrn", F.row_number().over(w_in))
+    totals = b.groupBy(*part_cols, "_b").agg(
+        F.count("*").alias("_bc")
+    )
+    w_pfx = (
+        Window.partitionBy(*part_cols)
+        .orderBy(F.col("_b").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = totals.select(
+        *part_cols,
+        "_b",
+        F.coalesce(F.sum("_bc").over(w_pfx), F.lit(0)).alias("_off"),
+    )
+    return (
+        local.join(F.broadcast(prefix), [*part_cols, "_b"])
+        .withColumn(out, (F.col("_off") + F.col("_lrn")).cast("long"))
+        .drop("_b", "_lrn", "_off")
+    )
+
+
 def _ntile_from_rank(rn: "F.Column", n_rows: "F.Column", k: int):
     """NTILE(k) computed arithmetically from a global rank: the first
     (n mod k) buckets take ceil(n/k) rows, the rest floor(n/k) --
@@ -3161,6 +3205,139 @@ def _ewma_oracle() -> str:
            ROUND(num / den / 100.0, 6) AS ewma_revenue
     FROM w
     """
+
+
+# ---------------------------------------------------------------------------
+# Tukey-fence outliers per order priority (r8)
+# ---------------------------------------------------------------------------
+# The classical-quartile companion to events_value_mad_outliers
+# (robust-center family): per-group Q1/Q3 as EXACT order statistics
+# at integer ranks ceil(n/4) = (n+3) DIV 4 and ceil(3n/4) =
+# (3n+3) DIV 4 -- never a builtin percentile_disc, whose rank
+# convention differs between engines for n = 3 (mod 4), and never
+# float q*n, whose ceil can flip at an ULP (the r6 hazard class).
+# The 1.5-IQR fences are kept in DOUBLED cents so they stay integer:
+# cents < Q1 - 1.5*IQR  <=>  2*cents < 5*Q1 - 3*Q3.  Per-group order
+# statistics come from _grouped_global_rank, so no group ever sits
+# on a single task; outlier share is integer micro-units.
+TUKEY_GROUP = "o_orderpriority"
+
+
+@query(
+    "dq_tukey_fence_outliers",
+    oracle=f"""
+    WITH base AS (
+        SELECT {TUKEY_GROUP} AS grp,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    ranked AS (
+        SELECT grp, cents,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cents)
+                   AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+        FROM base
+    ),
+    quart AS (
+        SELECT grp, MAX(n) AS n,
+               MAX(CASE WHEN rn = (n + 3) // 4 THEN cents END)
+                   AS q1_cents,
+               MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END)
+                   AS q3_cents
+        FROM ranked GROUP BY grp
+    )
+    SELECT q.grp AS {TUKEY_GROUP}, q.n, q.q1_cents, q.q3_cents,
+           q.q3_cents - q.q1_cents AS iqr_cents,
+           CAST(SUM(CASE WHEN 2 * b.cents <
+                              5 * q.q1_cents - 3 * q.q3_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN 2 * b.cents >
+                              5 * q.q3_cents - 3 * q.q1_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(SUM(CASE WHEN 2 * b.cents <
+                              5 * q.q1_cents - 3 * q.q3_cents
+                           OR 2 * b.cents >
+                              5 * q.q3_cents - 3 * q.q1_cents
+                         THEN 1 ELSE 0 END) * 1000000 // MAX(q.n)
+                AS BIGINT) AS outlier_ppm
+    FROM quart q JOIN base b ON b.grp = q.grp
+    GROUP BY q.grp, q.n, q.q1_cents, q.q3_cents
+    """,
+)
+def dq_tukey_fence_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col(TUKEY_GROUP).alias("grp"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    ranked = _grouped_global_rank(
+        base,
+        ["grp"],
+        F.floor(F.col("cents") / 1_000_000),
+        [F.col("cents").asc()],
+        "rn",
+    )
+    counts = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    targets = counts.select(
+        "grp",
+        "n",
+        F.expr("(n + 3) DIV 4").alias("q1_rank"),
+        F.expr("(3 * n + 3) DIV 4").alias("q3_rank"),
+    )
+    quart = (
+        ranked.join(F.broadcast(targets), "grp")
+        .filter(
+            (F.col("rn") == F.col("q1_rank"))
+            | (F.col("rn") == F.col("q3_rank"))
+        )
+        .groupBy("grp", "n")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == F.col("q1_rank"), F.col("cents"))
+            ).alias("q1_cents"),
+            F.max(
+                F.when(F.col("rn") == F.col("q3_rank"), F.col("cents"))
+            ).alias("q3_cents"),
+        )
+    )
+    lo2 = 5 * F.col("q1_cents") - 3 * F.col("q3_cents")
+    hi2 = 5 * F.col("q3_cents") - 3 * F.col("q1_cents")
+    return (
+        base.join(F.broadcast(quart), "grp")
+        .groupBy("grp", "n", "q1_cents", "q3_cents")
+        .agg(
+            F.sum((2 * F.col("cents") < lo2).cast("int"))
+            .cast("long")
+            .alias("n_low"),
+            F.sum((2 * F.col("cents") > hi2).cast("int"))
+            .cast("long")
+            .alias("n_high"),
+            F.sum(
+                (
+                    (2 * F.col("cents") < lo2)
+                    | (2 * F.col("cents") > hi2)
+                ).cast("int")
+            ).alias("_n_out"),
+        )
+        .select(
+            F.col("grp").alias(TUKEY_GROUP),
+            "n",
+            "q1_cents",
+            "q3_cents",
+            (F.col("q3_cents") - F.col("q1_cents")).alias("iqr_cents"),
+            "n_low",
+            "n_high",
+            F.expr("CAST(_n_out * 1000000 DIV n AS BIGINT)").alias(
+                "outlier_ppm"
+            ),
+        )
+    )
 
 
 @query("window_ewma_customer_revenue", oracle=_ewma_oracle())

@@ -229,6 +229,7 @@ DEFER_NEW: tuple[str, ...] = (
     # the per-query MRR companion to NDCG (integer micro-unit RR)
     "window_ewma_customer_revenue",
     "ml_mrr_reciprocal_ranks",
+    "dq_tukey_fence_outliers",
 )
 
 # Queries whose PLAN changed in round RECHECK_SINCE (r8: the dedup

@@ -1572,6 +1572,43 @@ def test_ewma_brute_force(spark):
         )
 
 
+def test_tukey_fence_brute_force(spark):
+    """Quartiles, fences, and outlier counts replayed in pure Python
+    with the same integer rank and doubled-cents fence arithmetic;
+    all columns are integers, so equality is exact."""
+    rows = {
+        r.o_orderpriority: r
+        for r in _rows(spark, "dq_tukey_fence_outliers")
+    }
+    con = duckdb.connect()
+    data = con.execute(
+        f"""SELECT o_orderpriority,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        FROM '{SF_DIR_001}/orders.parquet'"""
+    ).fetchall()
+    groups: dict[str, list[int]] = {}
+    for g, c in data:
+        groups.setdefault(g, []).append(c)
+    assert set(rows) == set(groups)
+    for g, cents in groups.items():
+        cents.sort()
+        n = len(cents)
+        q1 = cents[(n + 3) // 4 - 1]
+        q3 = cents[(3 * n + 3) // 4 - 1]
+        lo2, hi2 = 5 * q1 - 3 * q3, 5 * q3 - 3 * q1
+        n_low = sum(1 for c in cents if 2 * c < lo2)
+        n_high = sum(1 for c in cents if 2 * c > hi2)
+        r = rows[g]
+        assert (r.n, r.q1_cents, r.q3_cents, r.iqr_cents) == (
+            n,
+            q1,
+            q3,
+            q3 - q1,
+        )
+        assert (r.n_low, r.n_high) == (n_low, n_high)
+        assert r.outlier_ppm == (n_low + n_high) * 1000000 // n
+
+
 def test_mrr_brute_force(spark):
     """Per-query reciprocal ranks replayed in pure Python with the
     same margin model and tie-break; rr_micro is exact integer
