@@ -773,6 +773,105 @@ def ml_mrr_reciprocal_ranks(
     )
 
 
+# -- Precision@k / Recall@k per query (r8): completes the retrieval
+#    battery (NDCG = graded, MRR = first-hit, P/R@k = set overlap).
+#    Same query buckets and bit-exact margin ranking as MRR; every
+#    output is an integer count or an integer ppm ratio
+#    (x * 1e6 DIV y), so there is no float anywhere past the proven
+#    margin fold.
+PRK_K = 10
+
+
+@query(
+    "ml_precision_recall_at_k",
+    oracle=f"""
+    WITH m AS (
+        SELECT vec_id,
+               vec_id % {MRR_QUERIES} AS query_id,
+               label % 4 = 3 AS rel,
+               list_sum(list_transform(
+                   generate_series(1, {EMB_DIM}),
+                   i -> CAST(embedding[i] AS DOUBLE) * ({_W_SQL})[i]
+               )) + {BIAS!r} AS margin
+        FROM embeddings
+    ),
+    ranked AS (
+        SELECT query_id, rel,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY margin DESC, vec_id)
+                   AS pos
+        FROM m
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_relevant,
+           CAST(SUM(CASE WHEN rel AND pos <= {PRK_K}
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS rel_in_topk,
+           CAST(SUM(CASE WHEN rel AND pos <= {PRK_K}
+                         THEN 1 ELSE 0 END) * 1000000 // {PRK_K}
+                AS BIGINT) AS precision_ppm,
+           CAST(COALESCE(SUM(CASE WHEN rel AND pos <= {PRK_K}
+                                  THEN 1 ELSE 0 END) * 1000000
+                         // NULLIF(SUM(CASE WHEN rel THEN 1
+                                            ELSE 0 END), 0),
+                         0) AS BIGINT) AS recall_ppm
+    FROM ranked
+    GROUP BY query_id
+    """,
+)
+def ml_precision_recall_at_k(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = F.array(*[F.lit(x) for x in WEIGHTS])
+    prod = F.zip_with(
+        F.col("embedding"), w, lambda x, wi: x.cast("double") * wi
+    )
+    margin = (
+        F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v) + BIAS
+    )
+    m = emb.select(
+        "vec_id",
+        (F.col("vec_id") % MRR_QUERIES).alias("query_id"),
+        (F.col("label") % 4 == 3).alias("rel"),
+        margin.alias("margin"),
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("margin"), F.asc("vec_id")
+    )
+    ranked = m.withColumn("pos", F.row_number().over(win))
+    hit = F.col("rel") & (F.col("pos") <= PRK_K)
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            F.sum(F.col("rel").cast("int"))
+            .cast("long")
+            .alias("n_relevant"),
+            F.sum(hit.cast("int")).cast("long").alias("rel_in_topk"),
+        )
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "n_relevant",
+            "rel_in_topk",
+            F.expr(
+                f"CAST(rel_in_topk * 1000000 DIV {PRK_K} AS BIGINT)"
+            ).alias("precision_ppm"),
+            F.coalesce(
+                F.expr(
+                    "CAST(rel_in_topk * 1000000"
+                    " DIV NULLIF(n_relevant, 0) AS BIGINT)"
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )
+
+
 # -- scalar classification report: precision / recall / F1 / MCC /
 #    Cohen's kappa from the four exact confusion counts in ONE
 #    aggregation pass -- the derived metrics the confusion-matrix

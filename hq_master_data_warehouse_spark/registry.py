@@ -230,6 +230,7 @@ DEFER_NEW: tuple[str, ...] = (
     "window_ewma_customer_revenue",
     "ml_mrr_reciprocal_ranks",
     "dq_tukey_fence_outliers",
+    "ml_precision_recall_at_k",
 )
 
 # Queries whose PLAN changed in round RECHECK_SINCE (r8: the dedup

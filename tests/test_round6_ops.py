@@ -1648,6 +1648,54 @@ def test_mrr_brute_force(spark):
         assert r.rr_micro == (1000000 // first if first else 0)
 
 
+def test_precision_recall_at_k_brute_force(spark):
+    """P@k / R@k replayed in pure Python; all integer outputs, exact
+    equality.  Cross-checked against the MRR rows on the same fixture
+    (first_rel_pos <= k  <=>  rel_in_topk >= 1)."""
+    from hq_master_data_warehouse_spark.operators.ml import (
+        BIAS,
+        MRR_QUERIES,
+        PRK_K,
+        WEIGHTS,
+    )
+
+    rows = {
+        r.query_id: r
+        for r in _rows(spark, "ml_precision_recall_at_k")
+    }
+    mrr = {r.query_id: r for r in _rows(spark, "ml_mrr_reciprocal_ranks")}
+    con = duckdb.connect()
+    data = con.execute(
+        f"""SELECT vec_id, label, embedding
+        FROM '{SF_DIR_001}/embeddings.parquet'"""
+    ).fetchall()
+    groups: dict[int, list] = {}
+    for vec_id, label, emb in data:
+        margin = 0.0
+        for x, w in zip(emb, WEIGHTS):
+            margin += float(x) * w
+        margin += BIAS
+        groups.setdefault(vec_id % MRR_QUERIES, []).append(
+            (margin, vec_id, label % 4 == 3)
+        )
+    assert set(rows) == set(groups)
+    for q, docs in groups.items():
+        docs.sort(key=lambda t: (-t[0], t[1]))
+        n_rel = sum(1 for t in docs if t[2])
+        hits = sum(1 for t in docs[:PRK_K] if t[2])
+        r = rows[q]
+        assert (r.n_relevant, r.rel_in_topk) == (n_rel, hits)
+        assert r.precision_ppm == hits * 1000000 // PRK_K
+        assert r.recall_ppm == (
+            hits * 1000000 // n_rel if n_rel else 0
+        )
+        # consistency with the MRR view of the same ranking
+        m = mrr[q]
+        assert (hits >= 1) == (
+            m.first_rel_pos is not None and m.first_rel_pos <= PRK_K
+        )
+
+
 def test_adaboost_brute_force(spark):
     """Full 2-round AdaBoost replay in pure Python with the same
     integer weight scaling; every output cell must match."""
