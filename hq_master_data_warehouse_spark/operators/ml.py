@@ -773,6 +773,163 @@ def ml_mrr_reciprocal_ranks(
     )
 
 
+# -- Closed-form ridge regression (r8): the regularized member of
+#    the regression family (OLS slope = window_rolling_ols_slope,
+#    robust = orders_theilsen_trend, 2-regressor closed form =
+#    events_granger_causality).  y = line revenue in cents on
+#    x1 = quantity, x2 = discount basis points; the centered 2x2
+#    normal equations get lambda*n added to the diagonal (scaling
+#    the penalty with n keeps the shrinkage strength
+#    size-independent), then one cofactor solve.  Exactness: all
+#    moments are DECIMAL(38,0) integer sums (cents^2 overflows
+#    BIGINT past ~sf0.05 -- the tfidf lesson), and the solve is a
+#    fixed double expression tree identical in both engines; OLS
+#    coefficients ship alongside so the shrinkage is visible.
+RIDGE_LAMBDA = 1000.0  # per-row penalty, cents^2-scale units
+
+
+@query(
+    "ml_ridge_regression_closed_form",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y,
+               CAST(l_quantity AS BIGINT) AS x1,
+               CAST(ROUND(l_discount * 100) AS BIGINT) AS x2
+        FROM lineitem
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(CAST(x1 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s1,
+               CAST(SUM(CAST(x2 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s2,
+               CAST(SUM(CAST(x1 AS DECIMAL(19,0))
+                        * CAST(x1 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s11,
+               CAST(SUM(CAST(x1 AS DECIMAL(19,0))
+                        * CAST(x2 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s12,
+               CAST(SUM(CAST(x2 AS DECIMAL(19,0))
+                        * CAST(x2 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s22,
+               CAST(SUM(CAST(x1 AS DECIMAL(19,0))
+                        * CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s1y,
+               CAST(SUM(CAST(x2 AS DECIMAL(19,0))
+                        * CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s2y
+        FROM base
+    ),
+    c AS (
+        SELECT n,
+               CAST(sy AS DOUBLE) AS sy_d,
+               CAST(s1 AS DOUBLE) AS s1_d,
+               CAST(s2 AS DOUBLE) AS s2_d,
+               CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n AS c11,
+               CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / n AS c12,
+               CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n AS c22,
+               CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) / n AS c1y,
+               CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) / n AS c2y
+        FROM m
+    ),
+    solved AS (
+        SELECT n, sy_d, s1_d, s2_d, c11, c12, c22, c1y, c2y,
+               (c11 + {RIDGE_LAMBDA!r} * n) * (c22 + {RIDGE_LAMBDA!r} * n)
+                   - c12 * c12 AS det_r,
+               c11 * c22 - c12 * c12 AS det_o
+        FROM c
+    )
+    SELECT n,
+           ROUND(((c22 + {RIDGE_LAMBDA!r} * n) * c1y - c12 * c2y)
+                 / det_r, 8) AS ridge_b1,
+           ROUND(((c11 + {RIDGE_LAMBDA!r} * n) * c2y - c12 * c1y)
+                 / det_r, 8) AS ridge_b2,
+           ROUND((sy_d
+                  - ((c22 + {RIDGE_LAMBDA!r} * n) * c1y - c12 * c2y)
+                    / det_r * s1_d
+                  - ((c11 + {RIDGE_LAMBDA!r} * n) * c2y - c12 * c1y)
+                    / det_r * s2_d) / n / 100, 6) AS ridge_intercept,
+           ROUND((c22 * c1y - c12 * c2y) / det_o, 8) AS ols_b1,
+           ROUND((c11 * c2y - c12 * c1y) / det_o, 8) AS ols_b2
+    FROM solved
+    """,
+)
+def ml_ridge_regression_closed_form(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    base = li.select(
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("y"),
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+    )
+    m = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(d19("y")).cast("decimal(38,0)").alias("sy"),
+        F.sum(d19("x1")).cast("decimal(38,0)").alias("s1"),
+        F.sum(d19("x2")).cast("decimal(38,0)").alias("s2"),
+        F.sum(d19("x1") * d19("x1")).cast("decimal(38,0)").alias("s11"),
+        F.sum(d19("x1") * d19("x2")).cast("decimal(38,0)").alias("s12"),
+        F.sum(d19("x2") * d19("x2")).cast("decimal(38,0)").alias("s22"),
+        F.sum(d19("x1") * d19("y")).cast("decimal(38,0)").alias("s1y"),
+        F.sum(d19("x2") * d19("y")).cast("decimal(38,0)").alias("s2y"),
+    )
+    n = F.col("n")
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    c = m.select(
+        "n",
+        dd("sy").alias("sy_d"),
+        dd("s1").alias("s1_d"),
+        dd("s2").alias("s2_d"),
+        (dd("s11") - dd("s1") * dd("s1") / n).alias("c11"),
+        (dd("s12") - dd("s1") * dd("s2") / n).alias("c12"),
+        (dd("s22") - dd("s2") * dd("s2") / n).alias("c22"),
+        (dd("s1y") - dd("s1") * dd("sy") / n).alias("c1y"),
+        (dd("s2y") - dd("s2") * dd("sy") / n).alias("c2y"),
+    )
+    lam_n = F.lit(RIDGE_LAMBDA) * F.col("n")
+    det_r = (F.col("c11") + lam_n) * (F.col("c22") + lam_n) - F.col(
+        "c12"
+    ) * F.col("c12")
+    det_o = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    rb1 = (
+        (F.col("c22") + lam_n) * F.col("c1y")
+        - F.col("c12") * F.col("c2y")
+    ) / det_r
+    rb2 = (
+        (F.col("c11") + lam_n) * F.col("c2y")
+        - F.col("c12") * F.col("c1y")
+    ) / det_r
+    return c.select(
+        "n",
+        F.round(rb1, 8).alias("ridge_b1"),
+        F.round(rb2, 8).alias("ridge_b2"),
+        F.round(
+            (
+                F.col("sy_d")
+                - rb1 * F.col("s1_d")
+                - rb2 * F.col("s2_d")
+            )
+            / F.col("n")
+            / 100,
+            6,
+        ).alias("ridge_intercept"),
+        F.round(
+            (
+                F.col("c22") * F.col("c1y")
+                - F.col("c12") * F.col("c2y")
+            )
+            / det_o,
+            8,
+        ).alias("ols_b1"),
+        F.round(
+            (
+                F.col("c11") * F.col("c2y")
+                - F.col("c12") * F.col("c1y")
+            )
+            / det_o,
+            8,
+        ).alias("ols_b2"),
+    )
+
+
 # -- Precision@k / Recall@k per query (r8): completes the retrieval
 #    battery (NDCG = graded, MRR = first-hit, P/R@k = set overlap).
 #    Same query buckets and bit-exact margin ranking as MRR; every

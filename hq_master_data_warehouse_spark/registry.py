@@ -231,6 +231,7 @@ DEFER_NEW: tuple[str, ...] = (
     "ml_mrr_reciprocal_ranks",
     "dq_tukey_fence_outliers",
     "ml_precision_recall_at_k",
+    "ml_ridge_regression_closed_form",
 )
 
 # Queries whose PLAN changed in round RECHECK_SINCE (r8: the dedup

@@ -1648,6 +1648,46 @@ def test_mrr_brute_force(spark):
         assert r.rr_micro == (1000000 // first if first else 0)
 
 
+def test_ridge_closed_form_brute_force(spark):
+    """Ridge and OLS coefficients recomputed with numpy from the raw
+    integer columns; the closed-form solve must agree, and ridge must
+    shrink the coefficient vector relative to OLS."""
+    import numpy as np
+
+    from hq_master_data_warehouse_spark.operators.ml import (
+        RIDGE_LAMBDA,
+    )
+
+    (row,) = _rows(spark, "ml_ridge_regression_closed_form")
+    con = duckdb.connect()
+    data = con.execute(
+        f"""SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+               CAST(l_quantity AS BIGINT),
+               CAST(ROUND(l_discount * 100) AS BIGINT)
+        FROM '{SF_DIR_001}/lineitem.parquet'"""
+    ).fetchall()
+    y = np.array([d[0] for d in data], dtype=float)
+    X = np.array([[d[1], d[2]] for d in data], dtype=float)
+    n = len(y)
+    assert row.n == n
+    Xc = X - X.mean(axis=0)
+    yc = y - y.mean()
+    C = Xc.T @ Xc
+    cxy = Xc.T @ yc
+    b_ols = np.linalg.solve(C, cxy)
+    b_ridge = np.linalg.solve(C + RIDGE_LAMBDA * n * np.eye(2), cxy)
+    assert abs(row.ols_b1 - b_ols[0]) < 1e-6
+    assert abs(row.ols_b2 - b_ols[1]) < 1e-6
+    assert abs(row.ridge_b1 - b_ridge[0]) < 1e-6
+    assert abs(row.ridge_b2 - b_ridge[1]) < 1e-6
+    intercept = (
+        y.mean() - (b_ridge @ X.mean(axis=0))
+    ) / 100
+    assert abs(row.ridge_intercept - intercept) < 1e-4
+    # the penalty actually shrinks
+    assert np.linalg.norm(b_ridge) < np.linalg.norm(b_ols)
+
+
 def test_precision_recall_at_k_brute_force(spark):
     """P@k / R@k replayed in pure Python; all integer outputs, exact
     equality.  Cross-checked against the MRR rows on the same fixture
