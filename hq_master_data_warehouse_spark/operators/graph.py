@@ -661,7 +661,6 @@ def graph_connected_components(
 # /root/reference/src (see SURVEY 2 filters family); the k-core
 # generalizes them to transitive cohesion.
 KCORE_MAX = 4
-KCORE_MAX_ITERS = 30
 
 
 def _kcore_peel_cte(k: int) -> str:
@@ -784,8 +783,28 @@ def graph_kcore_decomposition(
         # thresholded edge set is small, so per-round fixed cost --
         # scheduling + checkpoint + probe -- dominates the joins).
         # Edge count is monotone non-increasing; unchanged across a
-        # double-step IS the degree->=k fixpoint.
-        for _ in range(KCORE_MAX_ITERS // 2):
+        # double-step IS the degree->=k fixpoint.  The loop runs TO
+        # the fixpoint, not to an iteration budget: each non-fixpoint
+        # double-step strictly shrinks the edge count, so termination
+        # is guaranteed in <= n_edges rounds, and the oracle (which
+        # peels to the exact fixpoint) stays comparable at any scale
+        # -- a silent cap would over-report core numbers on
+        # long-pendant-chain graphs (ADVICE r8).  The backstop bound
+        # is DYNAMIC: peel output is a subset of its input, so each
+        # non-fixpoint double-step strictly shrinks the count and the
+        # fixpoint must arrive within n_edges + 1 steps; hitting the
+        # bound is therefore impossible for deterministic input and
+        # RAISES instead of proceeding with an unconverged edge set.
+        backstop = n_edges + 1
+        for step in range(backstop + 1):
+            if step == backstop:
+                raise RuntimeError(
+                    f"k-core peel for k={k} did not converge within "
+                    f"{backstop} double-steps -- monotone peel cannot "
+                    "cycle, so the input is changing between passes "
+                    "(nondeterministic source?); refusing to emit "
+                    "unconverged core numbers"
+                )
             cur = _peel(_peel(cur, k), k).localCheckpoint()
             n_new = cur.count()
             if n_new == n_edges:

@@ -63,6 +63,13 @@ def _recorded_names() -> set[str]:
     repo_root = os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))
     )
+    # Reset the rounds map up front so EVERY exit path (including the
+    # static fallback below) leaves _RECORD_ROUND consistent with the
+    # record source this call actually used -- previously the fallback
+    # returned PREVIOUSLY_CHECKED while keeping stale rounds from an
+    # earlier call, and ordered_queries' RECHECK retirement reasoned
+    # from the mismatched pair (ADVICE r8).
+    _RECORD_ROUND.clear()
     latest: dict[str, bool] = {}
     rounds: dict[str, int] = {}
     found = False
@@ -92,7 +99,6 @@ def _recorded_names() -> set[str]:
             rounds[name] = max(rounds.get(name, 0), rnd)
     if not found:
         return set(PREVIOUSLY_CHECKED)
-    _RECORD_ROUND.clear()
     _RECORD_ROUND.update(rounds)
     return {name for name, ok in latest.items() if ok}
 

@@ -152,12 +152,22 @@ def _write_file(
     key_col: str = "o_orderkey",
 ) -> dict:
     """Write one data file (a single-job parquet dir) and return its
-    log entry with key zone-map stats."""
+    log entry with key zone-map stats.
+
+    Stats are derived by reading back the JUST-WRITTEN path, not by
+    re-evaluating ``df``: a second evaluation of a non-deterministic
+    input (e.g. a snapshot re-read racing a concurrent commit) could
+    disagree with the committed bytes, and zone maps that lie break
+    pruning correctness (ADVICE r8).  The read-back scans only
+    parquet footers/column stats of freshly written (page-cached)
+    files, so it is cheaper than a second source scan."""
     path = os.path.join(table_dir, name)
     df.write.mode("overwrite").parquet(path)
-    stats = df.agg(
-        F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
-    ).collect()[0]
+    stats = (
+        df.sparkSession.read.parquet(path)
+        .agg(F.min(key_col).alias("lo"), F.max(key_col).alias("hi"))
+        .collect()[0]
+    )
     return {
         "path": name,
         "min_key": int(stats["lo"]),
@@ -180,7 +190,12 @@ def _write_bucketed(
     (VERDICT r6 item 7).  Here ``repartition(bucket)`` puts each
     bucket on exactly one task and ``partitionBy`` splits task output
     into one ``<prefix>/_b=N`` dir per bucket, so job count is O(1)
-    in the file count; zone maps come from ONE groupBy aggregate.
+    in the file count; zone maps come from ONE groupBy aggregate over
+    the READ-BACK output, not a second evaluation of ``df`` -- stats
+    must describe the committed bytes even if the input plan is
+    non-deterministic between passes (e.g. a snapshot re-read racing
+    a concurrent commit), and the read-back is footer/stat-bounded on
+    freshly written page-cached files (ADVICE r8).
     The partition column is derived, so its being stripped from the
     parquet files leaves exactly the source schema when a bucket dir
     is read directly."""
@@ -194,7 +209,8 @@ def _write_bucketed(
         .parquet(out)
     )
     stats = (
-        df.groupBy(b.alias("_b"))
+        df.sparkSession.read.parquet(out)
+        .groupBy("_b")
         .agg(F.min(key_col).alias("lo"), F.max(key_col).alias("hi"))
         .collect()
     )

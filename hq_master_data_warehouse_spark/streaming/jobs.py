@@ -178,14 +178,33 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests; Kafka in production -- the downstream plan is identical."""
     raw_schema = _events_raw_schema_ddl(spark, sf_dir)
     # The file stream source lists a DIRECTORY (the drop-box contract,
-    # T1); stage the fixture file into one, keyed by sf_dir.
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # T1); stage the fixture file into one, keyed by sf_dir PLUS a
+    # layout/content generation token (part names, sizes, mtimes) so a
+    # REGENERATED fixture -- different bytes or part count at the same
+    # path -- gets a fresh drop box instead of silently reusing stale
+    # parts (ADVICE r8; txn_log's 'L2' layout bump, same hazard).
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src):
+        gen = ";".join(
+            f"{n}:{os.path.getsize(os.path.join(src, n))}:"
+            f"{os.stat(os.path.join(src, n)).st_mtime_ns}"
+            for n in sorted(os.listdir(src))
+            if n.endswith(".parquet")
+        )
+    else:
+        st = os.stat(src)
+        gen = f"file:{st.st_size}:{st.st_mtime_ns}"
+    tag = hashlib.md5(f"{sf_dir}|{gen}".encode()).hexdigest()[:12]
     drop_dir = os.path.join(tempfile.gettempdir(), f"hqmdw_events_{tag}")
     done = os.path.join(drop_dir, "_staged")
     staged = os.path.join(drop_dir, "events.parquet")
-    if not (os.path.exists(done) or os.path.exists(staged)):
+    if not os.path.exists(done):
+        # the _staged marker is written LAST, so its absence means a
+        # missing or half-staged box from a crashed run -- clear and
+        # restage rather than trust partial contents
+        if os.path.isdir(drop_dir):
+            shutil.rmtree(drop_dir, ignore_errors=True)
         os.makedirs(drop_dir, exist_ok=True)
-        src = f"{sf_dir}/events.parquet"
         if os.path.isdir(src):
             # multi-part fixture (e.g. the derived sf1 is a parquet
             # DIRECTORY, not a single file): stage every part flat
