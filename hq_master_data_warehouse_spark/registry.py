@@ -240,21 +240,26 @@ DEFER_NEW: tuple[str, ...] = (
     "ml_ridge_regression_closed_form",
 )
 
-# Queries whose PLAN changed in round RECHECK_SINCE (r8: the dedup
-# rewrite -- broadcast hints dropped, decimal dot, by_sh scoping).
-# They already hold green records from earlier rounds, but evidence
-# policy wants a fresh record on the post-change code, so they join
-# the front of the window until a record from round >= RECHECK_SINCE
-# lands; then _RECORD_ROUND retires them automatically.
-RECHECK_SINCE = 8
+# Queries whose PLAN or EVIDENCE LEVEL changed in round RECHECK_SINCE
+# (r9: the streaming family gained batch-twin value-level oracles --
+# VERDICT r8 item 1 -- and the stateful op's totals moved to integer
+# micro-units).  They already hold records from earlier rounds (here:
+# rows-only), but evidence policy wants a fresh record on the
+# post-change code, so they join the front of the window until a
+# record from round >= RECHECK_SINCE lands; then _RECORD_ROUND
+# retires them automatically.
+RECHECK_SINCE = 9
 RECHECK: tuple[str, ...] = (
-    "dedup_tfidf_cosine_pairs",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_shingle_containment",
-    # r8: gained value-level oracles replacing rows-only records
-    "sketch_approx_quantiles",
-    "graph_kcore_decomposition",
+    "streaming_tumbling_counts",
+    "streaming_dedup_by_key",
+    "streaming_ingest_audit",
+    "streaming_static_enrich_join",
+    "streaming_session_windows",
+    "streaming_stream_stream_join",
+    "streaming_upsert_sink",
+    "streaming_txn_log_sink",
+    "streaming_egress_retry",
+    "streaming_stateful_running_totals",
 )
 
 

@@ -101,9 +101,10 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- session windows, 10-minute gap: batch oracle is the classic
 #    gaps-and-islands rewrite (new session when gap > 10 min;
 #    session_end = last event + gap, matching Spark's session_window).
-@query(
-    "events_session_window",
-    oracle=f"""
+#    Shared by the batch query and its streaming twin below: session
+#    windows are EVENT-time derived, so the drained availableNow
+#    complete-mode result is the same deterministic table.
+_SESSION_SQL = f"""
     WITH e AS ({_EVENTS_NS}),
     flagged AS (
         SELECT user_id, ts, event_id,
@@ -129,8 +130,10 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS event_cnt
     FROM sessions
     GROUP BY user_id, session_id
-    """,
-)
+    """
+
+
+@query("events_session_window", oracle=_SESSION_SQL)
 def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (
@@ -148,9 +151,14 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# True Structured Streaming (rows-only: no SQL oracle can model a
-# stream; the driver records row-count/schema, pytest asserts
-# batch/stream parity)
+# True Structured Streaming.  Evidence model (VERDICT r8 item 1): a
+# streaming query whose availableNow drain is DETERMINISTIC -- the
+# result depends only on event time and key values, never on arrival
+# order or batch boundaries -- registers its batch twin's SQL as a
+# value-level oracle; the driver then hash-compares the drained table
+# against DuckDB like any batch query.  Only drains whose emitted ROWS
+# are arrival-order-dependent (dropDuplicatesWithinWatermark picking a
+# survivor ts) stay rows-only with the sanctioned parity pytest.
 # ---------------------------------------------------------------------------
 
 
@@ -243,10 +251,26 @@ def _drain_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
     return stream_df.sparkSession.table(name)
 
 
-@query("streaming_tumbling_counts")  # rows-only: stream semantics
+@query(
+    "streaming_tumbling_counts",
+    oracle=f"""
+    WITH e AS ({_EVENTS_NS})
+    SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP)
+               AS window_start,
+           event_type,
+           COUNT(*) AS cnt
+    FROM e
+    GROUP BY 1, 2
+    """,
+)
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1: watermarked tumbling-window counts computed BY THE STREAMING
-    ENGINE (state store + availableNow), not a batch rewrite."""
+    ENGINE (state store + availableNow), not a batch rewrite.
+
+    Oracle = the batch twin's (events_tumbling_window) count columns:
+    complete-mode output over event-time windows is deterministic --
+    window membership depends only on ts, and no row is late-dropped
+    because the watermark only advances AFTER a batch completes."""
     stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
@@ -257,10 +281,17 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(agg, "complete")
 
 
-@query("streaming_dedup_by_key")  # rows-only: first-arrival semantics
+@query(
+    "streaming_dedup_by_key",
+    oracle="SELECT DISTINCT user_id FROM events",
+)
 def streaming_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 streaming twin: exactly-once-per-key via dropDuplicates with
-    a watermark (state-bounded keyed dedup)."""
+    a watermark (state-bounded keyed dedup).
+
+    Oracle-safe because only the KEY column is emitted: WHICH arrival
+    survives is order-dependent, but the projected key set is exactly
+    DISTINCT user_id regardless of order."""
     stream = _events_stream(spark, sf_dir)
     deduped = (
         stream.withWatermark("ts", "1 hour")
@@ -270,7 +301,12 @@ def streaming_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(deduped, "append")
 
 
-@query("streaming_dedup_within_watermark")  # rows-only: stream semantics
+# rows-only BY NATURE (the one streaming op that stays so): the op
+# emits the SURVIVING row's ts, and which duplicate within the
+# watermark delay survives is arrival-order-dependent -- no SQL can
+# reproduce the row set.  Evidence = the bounds/coverage pytest
+# (test_streaming.py::test_dedup_within_watermark_bounds_and_coverage).
+@query("streaming_dedup_within_watermark")
 def streaming_dedup_within_watermark(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -290,11 +326,32 @@ def streaming_dedup_within_watermark(
     return _drain_to_memory(deduped, "append")
 
 
-@query("streaming_ingest_audit")  # rows-only: foreachBatch side effects
+@query(
+    "streaming_ingest_audit",
+    oracle=f"""
+    WITH e AS ({_EVENTS_NS})
+    SELECT CAST(time_bucket(INTERVAL '6 hours', ts) AS TIMESTAMP)
+               AS batch_window,
+           COUNT(*) AS records_received,
+           COUNT(CASE WHEN value IS NOT NULL AND value > 0
+                      THEN 1 END) AS records_inserted,
+           CASE WHEN COUNT(*) = COUNT(CASE WHEN value IS NOT NULL
+                                                AND value > 0
+                                           THEN 1 END)
+                THEN 'success' ELSE 'partial' END AS status
+    FROM e
+    GROUP BY 1
+    """,
+)
 def streaming_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2: per-micro-batch audit rows (records_received /
     records_inserted / status), the clay-webhook audit log
-    (index.ts:42-44,115-125) as a streaming aggregate."""
+    (index.ts:42-44,115-125) as a streaming aggregate.
+
+    Oracle: 6-hour event-time buckets are arrival-order independent
+    in complete mode (DuckDB's time_bucket origin 2000-01-01 differs
+    from Spark's 1970 epoch by a whole number of days, so every
+    divisor-of-24h width aligns identically)."""
     stream = _events_stream(spark, sf_dir)
     valid = F.col("value").isNotNull() & (F.col("value") > 0)
     audit = (
@@ -319,38 +376,65 @@ def streaming_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(audit, "complete")
 
 
-@query("streaming_stateful_running_totals")  # rows-only: custom state
+@query(
+    "streaming_stateful_running_totals",
+    # value is a 4-decimal quantity stored as DOUBLE; both engines
+    # recover the exact scaled integer with round(value * 10000)
+    # (within 1e-6 of an integer, so rounding-mode differences cannot
+    # bite), making the per-user totals exact BIGINT arithmetic --
+    # the repo's cross-engine micro-unit convention.
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(COALESCE(CAST(round(value * 10000) AS BIGINT), 0))
+                AS BIGINT) AS total_value_um
+    FROM events
+    GROUP BY user_id
+    """,
+)
 def streaming_stateful_running_totals(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState (the
     sanctioned path for state machines Spark's built-in aggregates
     can't express -- north-star surface).  Per-user state carries
-    (event count, value sum) across micro-batches; each batch emits
-    the updated running totals for the users it touched.  State is
-    keyed by user_id in the state store, so a 1000-executor cluster
-    shards it horizontally; a production job would add a timeout to
-    expire idle users.
-    """
+    (event count, micro-unit value sum) across micro-batches; each
+    batch emits the updated running totals for the users it touched.
+    State is keyed by user_id in the state store, so a 1000-executor
+    cluster shards it horizontally; a production job would add a
+    timeout to expire idle users.
+
+    Totals are integer MICRO-UNITS (value * 10000, exact for the
+    4-decimal fixture) so the drain is bit-exact and oracle-checkable;
+    the final fold below keeps the LAST emission per user (n_events is
+    strictly increasing across a user's update-mode emissions), so the
+    result equals the batch groupBy even if the source arrives as
+    multiple micro-batches."""
     import pandas as pd  # noqa: PLC0415 -- Arrow path only
     from pyspark.sql.streaming.state import (  # noqa: PLC0415
         GroupState,
         GroupStateTimeout,
     )
+    from pyspark.sql.window import Window  # noqa: PLC0415
 
     stream = _events_stream(spark, sf_dir)
 
     def update(key, pdf_iter, state: GroupState):
-        n, total = state.get if state.exists else (0, 0.0)
+        n, total_um = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
-            total += float(pdf["value"].fillna(0.0).sum())
-        state.update((n, total))
+            total_um += int(
+                (pdf["value"].fillna(0.0) * 10000.0)
+                .round()
+                .astype("int64")
+                .sum()
+            )
+        state.update((n, total_um))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [round(total, 4)],
+                "total_value_um": [total_um],
             }
         )
 
@@ -360,16 +444,30 @@ def streaming_stateful_running_totals(
         .applyInPandasWithState(
             update,
             outputStructType="user_id BIGINT, n_events BIGINT, "
-            "total_value DOUBLE",
-            stateStructType="n BIGINT, total DOUBLE",
+            "total_value_um BIGINT",
+            stateStructType="n BIGINT, total_um BIGINT",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    return _drain_to_memory(out, "update")
+    drained = _drain_to_memory(out, "update")
+    last = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        drained.withColumn("rn", F.row_number().over(last))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
 
 
-@query("streaming_static_enrich_join")  # rows-only: stream semantics
+@query(
+    "streaming_static_enrich_join",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_events
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
 def streaming_static_enrich_join(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -391,12 +489,13 @@ def streaming_static_enrich_join(
     return _drain_to_memory(enriched, "complete")
 
 
-@query("streaming_session_windows")  # rows-only: stream semantics
+@query("streaming_session_windows", oracle=_SESSION_SQL)
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows computed BY THE STREAMING ENGINE: watermarked
     per-user sessionization with a 10-minute gap -- the streaming twin
-    of events_session_window (whose batch form is the oracle-checked
-    gaps-and-islands rewrite)."""
+    of events_session_window, sharing its gaps-and-islands oracle:
+    session boundaries are pure event-time functions, so the
+    complete-mode drain equals the batch result row-for-row."""
     stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
@@ -412,7 +511,22 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(agg, "complete")
 
 
-@query("streaming_stream_stream_join")  # rows-only: stream semantics
+@query(
+    "streaming_stream_stream_join",
+    oracle=f"""
+    WITH e AS ({_EVENTS_NS})
+    SELECT a.user_id AS u1,
+           a.event_id AS first_event,
+           b.event_id AS next_event,
+           a.ts AS t1,
+           b.ts AS t2
+    FROM e a
+    JOIN e b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL '10 minutes'
+    """,
+)
 def streaming_stream_stream_join(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -420,7 +534,12 @@ def streaming_stream_stream_join(
     joined to the same user's later events within 10 minutes (the
     funnel/attribution shape).  Both sides carry watermarks and the
     join condition bounds event time, so the state store can evict --
-    the condition IS the state-size contract at 100 TB/day rates."""
+    the condition IS the state-size contract at 100 TB/day rates.
+
+    Oracle: an availableNow inner join emits exactly the pairs
+    satisfying the event-time predicate (the first batch's watermark
+    is unset, so nothing is evicted early) -- the same set the batch
+    self-join produces, independent of arrival order."""
     stream = _events_stream(spark, sf_dir)
     left = (
         stream.withWatermark("ts", "30 minutes")
@@ -447,7 +566,21 @@ def streaming_stream_stream_join(
     return _drain_to_memory(joined, "append")
 
 
-@query("streaming_upsert_sink")  # rows-only: foreachBatch side effects
+@query(
+    "streaming_upsert_sink",
+    oracle=f"""
+    WITH e AS ({_EVENTS_NS}),
+    r AS (
+        SELECT user_id, event_id, ts, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM e
+    )
+    SELECT user_id, event_id, ts, event_type FROM r WHERE rn = 1
+    """,
+)
 def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming merge-upsert sink: each micro-batch folds into a
     keyed table (latest event per user_id) via foreachBatch -- the
@@ -458,7 +591,12 @@ def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     idempotent under the duplicate delivery).  The rewrite goes to a
     fresh directory then swaps -- at 100 TB a transactional table
     format (or partition-scoped overwrite) replaces the swap, with the
-    identical foreachBatch body."""
+    identical foreachBatch body.
+
+    Oracle: latest-per-key under (ts DESC, event_id DESC) is a
+    deterministic fold -- event_id is a unique tiebreak, so the merged
+    table is independent of batch boundaries and duplicate delivery,
+    and equals the batch row_number rewrite."""
     from pyspark.sql.window import Window
 
     raw_schema = _events_raw_schema_ddl(spark, sf_dir)
@@ -511,7 +649,60 @@ def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("streaming_egress_retry")  # rows-only: foreachBatch side effects
+@query(
+    "streaming_egress_retry",
+    # Each micro-batch is one full copy of the feed, so both batches
+    # produce identical retry accounting over the distinct
+    # (user_id, event_type) payload keys; delivery success at attempt
+    # a is the deterministic md5(user_id || ':' || a) first-hex-digit
+    # >= '4' predicate (the same convention as egress_retry_audit,
+    # operators/distribution.py), so DuckDB replays the full
+    # telescoping audit: attempt k+1 attempts exactly attempt k's
+    # failures.
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT CAST(user_id AS VARCHAR) AS cid, event_type
+        FROM events
+    ),
+    fl AS (
+        SELECT substr(md5(cid || ':1'), 1, 1) < '4' AS f1,
+               substr(md5(cid || ':2'), 1, 1) < '4' AS f2,
+               substr(md5(cid || ':3'), 1, 1) < '4' AS f3
+        FROM pairs
+    ),
+    per_attempt AS (
+        SELECT CAST(1 AS INTEGER) AS attempt,
+               COUNT(*) AS n_attempted,
+               CAST(SUM(CASE WHEN NOT f1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_delivered,
+               CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_failed
+        FROM fl
+        UNION ALL
+        SELECT CAST(2 AS INTEGER),
+               CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN f1 AND NOT f2 THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM fl
+        UNION ALL
+        SELECT CAST(3 AS INTEGER),
+               CAST(SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(SUM(CASE WHEN f1 AND f2 AND NOT f3 THEN 1 ELSE 0
+                        END) AS BIGINT),
+               CAST(SUM(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM fl
+    )
+    SELECT b.batch_id, p.attempt, p.n_attempted, p.n_delivered,
+           p.n_failed
+    FROM per_attempt p
+    CROSS JOIN (SELECT CAST(0 AS INTEGER) AS batch_id
+                UNION ALL SELECT CAST(1 AS INTEGER)) b
+    """,
+)
 def streaming_egress_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3+T2 composition: per-micro-batch egress through the
     at-least-once retry/audit/DLQ path (egress.post_with_retry) inside
@@ -590,7 +781,18 @@ def streaming_egress_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("streaming_txn_log_sink")  # rows-only: foreachBatch side effects
+@query(
+    "streaming_txn_log_sink",
+    # two staged copies of the feed => every event lands twice and the
+    # log holds exactly two committed versions (batch 0 and 1)
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) * 2 AS BIGINT) AS n_events,
+           CAST(2 AS INTEGER) AS n_versions
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def streaming_txn_log_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming append sink with TRANSACTIONAL commits: each
     micro-batch lands as one data file plus one atomic txn-log

@@ -45,23 +45,26 @@ def test_stateful_running_totals_match_batch(spark):
     )
 
     out = {
-        r.user_id: (r.n_events, r.total_value)
+        r.user_id: (r.n_events, r.total_value_um)
         for r in streaming_stateful_running_totals(spark, SF).collect()
     }
     batch = {
-        r.user_id: (r.n, round(r.total, 4))
+        r.user_id: (r.n, r.total_um)
         for r in load_table(spark, SF, "events")
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total"),
+            F.sum(
+                F.coalesce(
+                    F.round(F.col("value") * 10000).cast("long"),
+                    F.lit(0),
+                )
+            ).alias("total_um"),
         )
         .collect()
     }
-    assert set(out) == set(batch)
-    for uid, (n, total) in batch.items():
-        assert out[uid][0] == n
-        assert abs(out[uid][1] - total) < 1e-3
+    # bit-exact: totals are integer micro-units on both sides
+    assert out == batch
 
 
 def test_stream_static_join_matches_batch(spark):
