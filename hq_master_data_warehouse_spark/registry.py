@@ -260,6 +260,10 @@ RECHECK: tuple[str, ...] = (
     "streaming_txn_log_sink",
     "streaming_egress_retry",
     "streaming_stateful_running_totals",
+    # r9: md5-derived hash families make the full LSH pipelines
+    # engine-reproducible -- both now carry value-level oracles
+    "dedup_minhash_lsh",
+    "dedup_simhash",
 )
 
 
