@@ -94,6 +94,15 @@ HEADLINE = [
     "ml_permutation_test",
     "dedup_tfidf_cosine_pairs",
     "ml_adaboost_stumps",
+    # round 9 additions (VERDICT r8 item 3): regression-track the slow
+    # tail -- modularity is the slowest known cell -- plus the r8
+    # curated wave and the rewritten simhash (same no-r1-baseline
+    # caveat; cross-round ratios stay on the common subset)
+    "graph_modularity_score",
+    "dq_tukey_fence_outliers",
+    "window_ewma_customer_revenue",
+    "ml_precision_recall_at_k",
+    "dedup_simhash",
 ]
 
 

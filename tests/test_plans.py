@@ -531,3 +531,65 @@ def test_continuation_wave_plan_shapes(spark):
     # the audio featurizer is the sanctioned Arrow path
     plan = _plan(spark, "multimodal_audio_features")
     assert "MapInPandas" in plan
+
+
+def _physical_tree(spark, name: str):
+    """Yield every node of the pre-AQE physical plan tree."""
+    df = registry.QUERIES[name](spark, SF)
+    root = df._jdf.queryExecution().sparkPlan()
+
+    def walk(node):
+        yield node
+        for i in range(node.children().length()):
+            yield from walk(node.children().apply(i))
+
+    return list(walk(root))
+
+
+def test_prefix_rank_windows_run_on_count_tables_only(spark):
+    """The two-pass distributed ranks (_global_rank /
+    _grouped_global_rank, operators/analytics.py) emit WindowExec
+    warnings for their UNBUCKETED prefix windows -- provably cosmetic
+    because those windows consume the per-bucket COUNT table (bounded
+    by the bucket domain), never the raw input (VERDICT r8 item 5).
+
+    Pin the shape structurally: in both consumer plans, every Window
+    node that does NOT partition by the bucket column `_b` must have
+    an Aggregate somewhere below it (its input is an aggregated count
+    table); the only windows running directly over the scan are the
+    `_b`-partitioned local ranks, which parallelize by construction."""
+    for name in ("orders_rfm_scores", "dq_tukey_fence_outliers"):
+        windows = [
+            n
+            for n in _physical_tree(spark, name)
+            if n.nodeName() == "Window"
+        ]
+        assert windows, f"{name}: expected Window nodes in the plan"
+        seen_unbucketed = 0
+        for w in windows:
+            part_cols = [
+                str(w.partitionSpec().apply(i))
+                for i in range(w.partitionSpec().length())
+            ]
+            if any("_b" in c for c in part_cols):
+                continue  # bucketed local rank: parallel by design
+            seen_unbucketed += 1
+            subtree_names = {
+                d.nodeName()
+                for d in _physical_tree_from(w)
+                if d is not w
+            }
+            assert any("Aggregate" in s for s in subtree_names), (
+                f"{name}: unbucketed Window partitioned by "
+                f"{part_cols or 'nothing'} runs on un-aggregated "
+                f"input -- the tiny-count-table contract is broken"
+            )
+        # each helper has at least one prefix window to certify
+        assert seen_unbucketed >= 1, name
+
+
+def _physical_tree_from(node):
+    out = [node]
+    for i in range(node.children().length()):
+        out.extend(_physical_tree_from(node.children().apply(i)))
+    return out

@@ -283,6 +283,104 @@ def test_concurrent_writers_all_commit_distinct_versions(tmp_path):
     assert paths == {f"w{w}_{i}" for w in range(8) for i in range(5)}
 
 
+def test_first_writers_race_log_dir_creation(tmp_path):
+    """The dir-creation race called out in committed_versions (ADVICE
+    r8 / VERDICT r8 item 4): concurrent FIRST writers on a table whose
+    ``_txn_log`` dir does not exist yet must serialize through the
+    optimistic loop -- every committer either lands a distinct version
+    or fails loudly; no committer may silently lose its commit or
+    corrupt the log.  Both writers read head=-1 through the absent-dir
+    fallback, both attempt version 0, exactly one os.link wins, the
+    loser re-reads and lands version 1."""
+    import threading
+
+    from hq_master_data_warehouse_spark.sources.txn_log import (
+        commit_with_retry,
+        committed_versions,
+    )
+
+    d = str(tmp_path / "fresh")  # NOT created: the race under test
+    start = threading.Barrier(8)
+    won: list[int] = []
+    lock = threading.Lock()
+    errors: list[BaseException] = []
+
+    def first_writer(wid: int) -> None:
+        try:
+            start.wait()  # maximize the simultaneous-first-commit race
+            v = commit_with_retry(
+                d,
+                [{"path": f"first_{wid}", "min_key": 0, "max_key": 0}],
+                [],
+                max_attempts=500,
+            )
+            with lock:
+                won.append(v)
+        except BaseException as e:  # noqa: BLE001
+            with lock:
+                errors.append(e)
+
+    threads = [
+        threading.Thread(target=first_writer, args=(w,))
+        for w in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert sorted(won) == list(range(8))
+    assert committed_versions(d) == list(range(8))
+    assert {f["path"] for f in live_files(d, None)} == {
+        f"first_{w}" for w in range(8)
+    }
+
+
+def test_idempotent_commit_same_version_single_winner(tmp_path):
+    """commit_batch_idempotent under contention: many threads replaying
+    the SAME batch version (the streaming-sink retry storm) -- exactly
+    one returns True, the rest no-op False, and the committed action is
+    one of the attempted payloads intact (never an interleaving)."""
+    import threading
+
+    from hq_master_data_warehouse_spark.sources.txn_log import (
+        commit_batch_idempotent,
+        committed_versions,
+    )
+
+    d = str(tmp_path / "idem")  # log dir also created under the race
+    start = threading.Barrier(8)
+    results: list[tuple[int, bool]] = []
+    lock = threading.Lock()
+
+    def replayer(wid: int) -> None:
+        start.wait()
+        ok = commit_batch_idempotent(
+            d,
+            7,
+            [{"path": f"b7_w{wid}", "min_key": wid, "max_key": wid}],
+            [],
+        )
+        with lock:
+            results.append((wid, ok))
+
+    threads = [
+        threading.Thread(target=replayer, args=(w,)) for w in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    winners = [wid for wid, ok in results if ok]
+    assert len(winners) == 1
+    assert committed_versions(d) == [7]
+    live = live_files(d, None)
+    assert len(live) == 1
+    # the committed payload is the winner's, whole
+    assert live[0]["path"] == f"b7_w{winners[0]}"
+    assert live[0]["min_key"] == winners[0]
+
+
 def test_stale_remove_raises_conflict_not_lost_update(tmp_path):
     """Write-write conflict detection: a transaction holding a stale
     view that plans to remove a file another writer already removed
