@@ -148,7 +148,82 @@ def _planes() -> list[list[int]]:
     return planes
 
 
-@query("similarity_ann_lsh")  # rows-only: LSH family is engine-specific
+def _chain_dot_sql(a: str, b: str | None = None) -> str:
+    """``sum_i a[i]*b[i]`` (or ``a[i]^2``) as an EXPLICIT left-
+    associative chain -- the exact IEEE operation sequence of Spark's
+    ``F.aggregate(zip_with(...), 0.0, acc + x)`` fold, so DuckDB
+    reproduces the double result BIT-FOR-BIT (float addition is not
+    associative; a set-based SUM() could land one ULP away and flip a
+    hyperplane sign or a rank).  float32 inputs cast to double are
+    exact, products of separate * and + operators are never
+    FMA-fused by either engine's vectorized kernels."""
+    terms = "0.0"
+    for i in range(1, EMB_DIM + 1):
+        x = f"CAST({a}[{i}] AS DOUBLE)"
+        y = x if b is None else f"CAST({b}[{i}] AS DOUBLE)"
+        terms += f" + {x} * {y}"
+    return f"({terms})"
+
+
+def _chain_cosine_sql(a: str, b: str) -> str:
+    """Bit-identical SQL twin of ``cosine_expr`` (same chain folds,
+    same dot/(sqrt*sqrt) shape; sqrt and / are exactly rounded in
+    IEEE-754, so equality of the folds gives equality of the
+    cosine)."""
+    return (
+        f"({_chain_dot_sql(a, b)} / "
+        f"(sqrt({_chain_dot_sql(a)}) * sqrt({_chain_dot_sql(b)})))"
+    )
+
+
+def _ann_lsh_oracle() -> str:
+    """DuckDB twin of the full hyperplane-LSH pipeline (VERDICT r8
+    item 7): the +-1 planes are deterministic constants, so the sign
+    bits inline as literal add/subtract chains; bands, candidate
+    join, and the exact-cosine verify replay exactly."""
+    per_band = N_PLANES // PLANE_BANDS
+    sign_exprs = []
+    for p, plane in enumerate(_planes()):
+        chain = "0.0"
+        for i, v in enumerate(plane):
+            op = "+" if v > 0 else "-"
+            chain += f" {op} CAST(embedding[{i + 1}] AS DOUBLE)"
+        sign_exprs.append(
+            f"CASE WHEN ({chain}) >= 0 THEN 1 ELSE 0 END AS s{p}"
+        )
+    band_selects = "\n        UNION ALL\n        ".join(
+        f"SELECT vec_id, embedding, {b} AS band, "
+        + " || ".join(
+            f"CAST(s{b * per_band + i} AS VARCHAR)"
+            for i in range(per_band)
+        )
+        + " AS key FROM s"
+        for b in range(PLANE_BANDS)
+    )
+    cos = _chain_cosine_sql("a.embedding", "b.embedding")
+    signs = ",\n               ".join(sign_exprs)
+    return f"""
+    WITH s AS (
+        SELECT vec_id, embedding,
+               {signs}
+        FROM embeddings
+    ),
+    bands AS (
+        {band_selects}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND({cos}, 6) AS cosine
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.key = b.key
+         AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM pairs
+    WHERE cosine >= {ANN_THRESHOLD}
+    """
+
+
+@query("similarity_ann_lsh", oracle=_ann_lsh_oracle())
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via sign-pattern bucketing: bucket key per band = the sign
     bits of 4 hyperplane dot products; pairs sharing any band's bucket
@@ -260,7 +335,49 @@ def _assigned(emb: DataFrame) -> DataFrame:
     )
 
 
-@query("similarity_ivf_topk")  # rows-only: index layout is engine-specific
+def _ivf_oracle() -> str:
+    """DuckDB twin of the IVF index + probe (VERDICT r8 item 7).
+    Every ranking that shapes the result -- nearest-centroid
+    assignment (max of struct(cos, cid) == ORDER BY cos DESC, cid
+    DESC), probe-list selection, and the final top-k -- runs on the
+    bit-identical chain cosine, so the index layout and the search
+    replay exactly."""
+    assign_cos = _chain_cosine_sql("e.embedding", "c.ce")
+    probe_cos = _chain_cosine_sql("c.ce", "q.qe")
+    out_cos = _chain_cosine_sql("e.embedding", "q.qe")
+    return f"""
+    WITH q AS (
+        SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+    ),
+    cent AS (
+        SELECT vec_id AS centroid_id, embedding AS ce
+        FROM embeddings WHERE vec_id < {K_CENTROIDS}
+    ),
+    assigned AS (
+        SELECT e.vec_id, e.embedding, e.label, c.centroid_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {assign_cos} DESC, c.centroid_id DESC
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    probe AS (
+        SELECT c.centroid_id AS list_id
+        FROM cent c CROSS JOIN q
+        ORDER BY {probe_cos} DESC, c.centroid_id ASC
+        LIMIT {NPROBE}
+    )
+    SELECT e.vec_id, e.label, ROUND({out_cos}, 6) AS cosine
+    FROM assigned e CROSS JOIN q
+    WHERE e.rn = 1
+      AND e.centroid_id IN (SELECT list_id FROM probe)
+      AND e.vec_id <> 0
+    ORDER BY cosine DESC, e.vec_id ASC
+    LIMIT {IVF_TOPK}
+    """
+
+
+@query("similarity_ivf_topk", oracle=_ivf_oracle())
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k neighbours of the vec_id-0 query via IVF probing: rank
     centroids by query cosine, search only the NPROBE best inverted

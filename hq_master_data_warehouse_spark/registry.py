@@ -264,6 +264,10 @@ RECHECK: tuple[str, ...] = (
     # engine-reproducible -- both now carry value-level oracles
     "dedup_minhash_lsh",
     "dedup_simhash",
+    # r9: bit-identical chain-fold cosine SQL gives the ANN family
+    # full-pipeline oracles (signs, bands, probe, top-k)
+    "similarity_ann_lsh",
+    "similarity_ivf_topk",
 )
 
 
