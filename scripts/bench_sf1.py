@@ -77,6 +77,17 @@ HEAVY = [
     # one structured-streaming availableNow drain (state store +
     # micro-batch scheduling at 10x input)
     "streaming_tumbling_counts",
+    # round-9 wave (VERDICT r8 item 6): the retrieval-eval battery
+    # (three grouped-window passes over the shared margin ranking),
+    # the grouped two-pass Tukey rank, the 16-term truncated EWMA,
+    # and the rewritten md5-family simhash (same replica-pair output
+    # caveat as minhash; the runtime ratio is the evidence)
+    "ml_ndcg_at_k",
+    "ml_mrr_reciprocal_ranks",
+    "ml_precision_recall_at_k",
+    "dq_tukey_fence_outliers",
+    "window_ewma_customer_revenue",
+    "dedup_simhash",
 ]
 
 MARKERS = [
