@@ -368,3 +368,87 @@ def test_global_prefix_sum_matches_window_model(spark, rows):
         ).collect()
     }
     assert got == expect
+
+
+# -- chain-fold cosine bit-exactness (round 9): the ANN oracles
+#    (similarity_ann_lsh / similarity_ivf_topk) rest on the claim
+#    that an explicit left-associative SQL chain reproduces Spark's
+#    F.aggregate fold BIT-FOR-BIT.  Pin the claim itself on random
+#    float32 vectors, not just the fixture: any engine/version drift
+#    that reassociates or FMA-fuses the arithmetic fails here first.
+vec32 = st.lists(
+    st.floats(
+        min_value=-8.0,
+        max_value=8.0,
+        allow_nan=False,
+        allow_infinity=False,
+        width=32,  # float32-representable, exact as double
+    ),
+    min_size=8,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vec32, vec32)
+def test_chain_fold_cosine_is_bit_exact_across_engines(spark, a, b):
+    import duckdb
+
+    from hq_master_data_warehouse_spark.operators.similarity import (
+        cosine_expr,
+    )
+
+    if not any(a) or not any(b):
+        return  # zero vector: cosine undefined (NaN) in both engines
+    dim = len(a)
+    sdf = spark.createDataFrame(
+        [(a, b)], "va array<float>, vb array<float>"
+    )
+    spark_val = sdf.select(
+        cosine_expr(F.col("va"), F.col("vb")).alias("c")
+    ).collect()[0]["c"]
+
+    # the exact chain the oracle builder emits, with literal vectors
+    dot = "0.0" + "".join(
+        f" + CAST(va[{i}] AS DOUBLE) * CAST(vb[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    na = "0.0" + "".join(
+        f" + CAST(va[{i}] AS DOUBLE) * CAST(va[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    nb = "0.0" + "".join(
+        f" + CAST(vb[{i}] AS DOUBLE) * CAST(vb[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    # 'e0' forces DuckDB to parse each literal as DOUBLE (a bare
+    # '1.7734375' parses as DECIMAL and converts to FLOAT inexactly
+    # -- a literal-parsing artifact the real oracles never hit
+    # because their floats come from parquet)
+    def lit(v: list) -> str:
+        return (
+            "["
+            + ",".join(
+                r if ("e" in (r := repr(x)) or "E" in r) else r + "e0"
+                for x in v
+            )
+            + "]::FLOAT[]"
+        )
+
+    lit_a, lit_b = lit(a), lit(b)
+    duck_val = duckdb.connect().execute(
+        f"SELECT ({dot}) / (sqrt({na}) * sqrt({nb})) "
+        f"FROM (SELECT {lit_a} AS va, {lit_b} AS vb)"
+    ).fetchone()[0]
+
+    # BIT equality, not approx: the oracles' candidate sets and ranks
+    # depend on it
+    import struct
+
+    assert struct.pack("<d", spark_val) == struct.pack(
+        "<d", duck_val
+    ), (spark_val, duck_val)
