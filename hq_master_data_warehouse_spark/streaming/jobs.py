@@ -8,9 +8,11 @@ Every event-time operator below exists in BOTH forms:
 * batch form (registered, oracle-checked): same window expression over
   the parquet ``events`` table -- DuckDB oracles via time_bucket /
   gaps-and-islands SQL;
-* streaming form (registered, rows-only): the identical plan under
-  ``readStream`` with a watermark, drained with availableNow into a
-  memory sink.  Batch/stream parity is asserted in pytest.
+* streaming form (registered, oracle-checked since r9 wherever the
+  drain is deterministic): the identical plan under ``readStream``
+  with a watermark, drained with availableNow into a memory sink and
+  hash-compared against the batch twin's SQL.  Batch/stream parity is
+  additionally asserted in pytest.
 
 At 100 TB-scale streaming, state lives in the state store keyed by
 (window, group); the watermark bounds state size -- late rows beyond
