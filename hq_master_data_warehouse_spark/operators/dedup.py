@@ -366,10 +366,38 @@ def _minhash_signatures(rows: DataFrame) -> DataFrame:
     return proj.groupBy("doc_id").agg(*aggs)
 
 
-def _minhash_oracle() -> str:
-    """DuckDB twin of the full MinHash+LSH pipeline: same md5-derived
-    signatures, same banded candidate join, same exact-Jaccard verify
-    in integer ppm."""
+def _mh_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH band rows from a signature table.
+
+    Band key = the band's minhash quadruple as a delimited string --
+    identical across engines (BIGINT-to-decimal-text rendering), so
+    the oracle's candidate set matches by construction.  ~40 bytes
+    per key; a production run could hash it engine-side to 8 bytes,
+    but only identically on both sides (md5) -- never xxhash64."""
+    r = N_HASHES // N_BANDS
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[F.col(f"mh{b * r + i}") for i in range(r)],
+                        ).alias("key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+
+
+def _mh_shared_ctes() -> str:
+    """The oracle CTE prefix shared by every MinHash-LSH query:
+    filtered shingle rows, md5-derived hash words, signatures, band
+    keys, and per-doc set sizes."""
     r = N_HASHES // N_BANDS
     sig_cols = ",\n               ".join(
         f"MIN((h1 + {s} * h2) % {_MH_MOD}) AS mh{s}"
@@ -383,8 +411,7 @@ def _minhash_oracle() -> str:
         + " AS key FROM sigs"
         for b in range(N_BANDS)
     )
-    return f"""
-    WITH rows_f AS ({_SHINGLE_ROWS_SQL}),
+    return f"""rows_f AS ({_SHINGLE_ROWS_SQL}),
     h AS (
         SELECT doc_id,
                ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h1,
@@ -399,13 +426,21 @@ def _minhash_oracle() -> str:
     bands AS (
         {band_selects}
     ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM rows_f GROUP BY doc_id)"""
+
+
+def _minhash_oracle() -> str:
+    """DuckDB twin of the full MinHash+LSH pipeline: same md5-derived
+    signatures, same banded candidate join, same exact-Jaccard verify
+    in integer ppm."""
+    return f"""
+    WITH {_mh_shared_ctes()},
     cands AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a
         JOIN bands b ON a.band = b.band AND a.key = b.key
          AND a.doc_id < b.doc_id
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM rows_f GROUP BY doc_id),
     common AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
         FROM rows_f a JOIN rows_f b
@@ -442,30 +477,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # by_sh=False: every consumer below groups by doc_id, so a
     # shingle-keyed exchange would be shuffled straight back.
     rows = _shingle_rows(spark, sf_dir, by_sh=False).cache()
-    sigs = _minhash_signatures(rows)
-    r = N_HASHES // N_BANDS
-    # band key = the band's minhash quadruple as a delimited string --
-    # identical across engines (BIGINT-to-decimal-text rendering), so
-    # the oracle's candidate set matches by construction.  ~40 bytes
-    # per key; a production run could hash it engine-side to 8 bytes,
-    # but only identically on both sides (md5) -- never xxhash64.
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "|",
-                            *[F.col(f"mh{b * r + i}") for i in range(r)],
-                        ).alias("key"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
+    bands = _mh_bands(_minhash_signatures(rows))
 
     left = bands.select(
         F.col("doc_id").alias("doc_a"), "band", "key"
@@ -505,6 +517,104 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
+            c.alias("inter_cnt"),
+            union.alias("union_cnt"),
+        )
+        .filter(
+            F.col("inter_cnt") * 1_000_000
+            >= JACCARD_THRESHOLD_PPM * F.col("union_cnt")
+        )
+        .withColumn(
+            "jaccard_ppm",
+            F.expr("inter_cnt * 1000000 DIV union_cnt"),
+        )
+    )
+
+
+# -- incremental near-dup: new BATCH probed against the existing
+#    CORPUS's band index (the production dedup shape -- a daily crawl
+#    is deduped against the accumulated corpus WITHOUT recomputing
+#    corpus-internal pairs).  Here docs with doc_id % INCR_BATCH_MOD
+#    == 0 play the incoming batch; the rest are the corpus whose band
+#    index a real deployment keeps PRECOMPUTED (signatures are
+#    per-doc, so the index appends incrementally -- the whole point).
+#    Work per increment = O(batch shingles) + band probes; never
+#    O(corpus^2), never corpus re-shuffle.
+INCR_BATCH_MOD = 10
+
+
+def _incremental_oracle() -> str:
+    return f"""
+    WITH {_mh_shared_ctes()},
+    cands AS (
+        SELECT DISTINCT a.doc_id AS batch_doc, b.doc_id AS corpus_doc
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.key = b.key
+        WHERE a.doc_id % {INCR_BATCH_MOD} = 0
+          AND b.doc_id % {INCR_BATCH_MOD} <> 0
+    ),
+    common AS (
+        SELECT a.doc_id AS batch_doc, b.doc_id AS corpus_doc,
+               COUNT(*) AS c
+        FROM rows_f a JOIN rows_f b ON a.sh = b.sh
+        WHERE a.doc_id % {INCR_BATCH_MOD} = 0
+          AND b.doc_id % {INCR_BATCH_MOD} <> 0
+        GROUP BY 1, 2
+    )
+    SELECT cd.batch_doc, cd.corpus_doc,
+           CAST(c AS BIGINT) AS inter_cnt,
+           CAST(sa.n + sb.n - c AS BIGINT) AS union_cnt,
+           CAST(c * 1000000 // (sa.n + sb.n - c) AS BIGINT)
+               AS jaccard_ppm
+    FROM cands cd
+    JOIN common USING (batch_doc, corpus_doc)
+    JOIN sizes sa ON sa.doc_id = cd.batch_doc
+    JOIN sizes sb ON sb.doc_id = cd.corpus_doc
+    WHERE c * 1000000 >= {JACCARD_THRESHOLD_PPM} * (sa.n + sb.n - c)
+    """
+
+
+@query("dedup_incremental_lsh", oracle=_incremental_oracle())
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus MinHash-LSH near-dup: each incoming batch doc
+    probes the corpus band index; exact Jaccard (integer ppm, same
+    md5-derived machinery as dedup_minhash_lsh) verifies candidates.
+    Reports the (batch_doc, corpus_doc) near-dup pairs an ingestion
+    pipeline would drop or link before appending the batch."""
+    rows = _shingle_rows(spark, sf_dir, by_sh=False).cache()
+    bands = _mh_bands(_minhash_signatures(rows))
+    is_batch = F.col("doc_id") % INCR_BATCH_MOD == 0
+    batch = bands.filter(is_batch).select(
+        F.col("doc_id").alias("batch_doc"), "band", "key"
+    )
+    corpus = bands.filter(~is_batch).select(
+        F.col("doc_id").alias("corpus_doc"), "band", "key"
+    )
+    cands = (
+        batch.join(corpus, on=["band", "key"])
+        .select("batch_doc", "corpus_doc")
+        .distinct()
+    )
+    doc_sets = rows.groupBy("doc_id").agg(
+        F.collect_set("sh").alias("shs")
+    )
+    sa = doc_sets.select(
+        F.col("doc_id").alias("batch_doc"), F.col("shs").alias("shs_a")
+    )
+    sb = doc_sets.select(
+        F.col("doc_id").alias("corpus_doc"),
+        F.col("shs").alias("shs_b"),
+    )
+    c = F.size(F.array_intersect(F.col("shs_a"), F.col("shs_b"))).cast(
+        "long"
+    )
+    union = (F.size("shs_a") + F.size("shs_b")).cast("long") - c
+    return (
+        cands.join(sa, on="batch_doc")
+        .join(sb, on="corpus_doc")
+        .select(
+            "batch_doc",
+            "corpus_doc",
             c.alias("inter_cnt"),
             union.alias("union_cnt"),
         )

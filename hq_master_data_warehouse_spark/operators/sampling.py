@@ -255,3 +255,72 @@ def pack_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select("doc_id", "shard", "pos")
     )
+
+
+# -- leakage-safe split: hash-split by NEAR-DUP CLUSTER, not by doc.
+#    A plain per-doc hash split puts near-identical documents on both
+#    sides of a train/holdout cut, leaking training text into the
+#    held-out set (the classic eval-contamination failure).  Here the
+#    split key is the cluster REPRESENTATIVE -- the min doc_id of the
+#    document's ngram-Jaccard duplicate cluster (the same pair graph
+#    dedup_duplicate_clusters folds), singletons representing
+#    themselves -- so a whole near-dup cluster always lands on one
+#    side.  Scale shape: the pair graph + components are the existing
+#    dedup machinery; the split itself is a map-side md5 on rep_id.
+def _leakage_safe_oracle() -> str:
+    from .dedup import _PAIR_JACCARD_SQL  # noqa: PLC0415
+
+    return f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({_PAIR_JACCARD_SQL}) t
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    comp AS (
+        SELECT node, MIN(r) AS component FROM reach GROUP BY node
+    )
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS rep_id,
+           CASE WHEN substr(md5(CAST(COALESCE(c.component, d.doc_id)
+                                     AS VARCHAR)), 1, 2) < '{SPLIT_CUT}'
+                THEN 'train' ELSE 'holdout' END AS split
+    FROM documents d
+    LEFT JOIN comp c ON c.node = d.doc_id
+    """
+
+
+@query("split_leakage_safe", oracle=_leakage_safe_oracle())
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/holdout assignment keyed on the near-dup cluster
+    representative: no near-duplicate pair ever spans the split
+    (pinned by pytest), closing the contamination channel a per-doc
+    hash split leaves open."""
+    from .dedup import connected_components, dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("rep")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    rep = F.coalesce(F.col("rep"), F.col("doc_id"))
+    bucket = F.substring(F.md5(rep.cast("string")), 1, 2)
+    return (
+        docs.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            rep.alias("rep_id"),
+            F.when(bucket < SPLIT_CUT, "train")
+            .otherwise("holdout")
+            .alias("split"),
+        )
+    )

@@ -238,6 +238,12 @@ DEFER_NEW: tuple[str, ...] = (
     "dq_tukey_fence_outliers",
     "ml_precision_recall_at_k",
     "ml_ridge_regression_closed_form",
+    # round 9 (small curated wave; freeze otherwise held): the
+    # batch-vs-corpus incremental dedup probe and the
+    # cluster-representative split that closes the near-dup
+    # train/holdout contamination channel
+    "dedup_incremental_lsh",
+    "split_leakage_safe",
 )
 
 # Queries whose PLAN or EVIDENCE LEVEL changed in round RECHECK_SINCE

@@ -590,3 +590,76 @@ def test_ann_recall_eval_matches_registered_queries(spark):
     ivf_ids = {r.vec_id for r in similarity_ivf_topk(spark, SF).collect()}
     assert rows["ivf_top10"].hits == len(ivf_ids & exact_ids)
     assert rows["ivf_top10"].denom == IVF_TOPK
+
+
+def test_incremental_lsh_pairs_are_cross_side_and_within_exact(spark):
+    """dedup_incremental_lsh: every reported pair is batch-vs-corpus
+    (never corpus-internal), clears the ppm threshold exactly, and is
+    a subset of the exact ngram-Jaccard pair set (the banding can
+    only MISS true pairs, never invent them -- the verify phase is
+    exact)."""
+    from hq_master_data_warehouse_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        JACCARD_THRESHOLD_PPM,
+        dedup_incremental_lsh,
+        dedup_ngram_jaccard,
+    )
+
+    rows = dedup_incremental_lsh(spark, SF).collect()
+    assert rows, "fixture contains no batch-vs-corpus near-dups"
+    exact = _pairs(dedup_ngram_jaccard(spark, SF))
+    for r in rows:
+        assert r.batch_doc % INCR_BATCH_MOD == 0
+        assert r.corpus_doc % INCR_BATCH_MOD != 0
+        assert (
+            r.inter_cnt * 1_000_000
+            >= JACCARD_THRESHOLD_PPM * r.union_cnt
+        )
+        assert r.jaccard_ppm == r.inter_cnt * 1_000_000 // r.union_cnt
+        key = (
+            min(r.batch_doc, r.corpus_doc),
+            max(r.batch_doc, r.corpus_doc),
+        )
+        assert key in exact
+
+
+def test_leakage_safe_split_never_separates_near_dups(spark):
+    """split_leakage_safe: the contamination contract -- no
+    ngram-Jaccard near-dup pair may span train/holdout, every doc is
+    assigned exactly once, and singleton docs fall back to the plain
+    per-doc hash split (same SPLIT_CUT convention)."""
+    from hq_master_data_warehouse_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+    )
+    from hq_master_data_warehouse_spark.operators.sampling import (
+        SPLIT_CUT,
+        split_leakage_safe,
+    )
+    import hashlib
+
+    out = {
+        r.doc_id: (r.rep_id, r.split)
+        for r in split_leakage_safe(spark, SF).collect()
+    }
+    docs = {
+        r.doc_id
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    }
+    assert set(out) == docs  # total assignment, once per doc
+    paired = set()
+    for a, b in _pairs(dedup_ngram_jaccard(spark, SF)):
+        assert out[a][1] == out[b][1], (a, b, out[a], out[b])
+        assert out[a][0] == out[b][0]  # same representative
+        paired |= {a, b}
+    for d, (rep, split) in out.items():
+        if d not in paired:
+            assert rep == d  # singleton represents itself
+        expect = (
+            "train"
+            if hashlib.md5(str(rep).encode()).hexdigest()[:2]
+            < SPLIT_CUT
+            else "holdout"
+        )
+        assert split == expect
