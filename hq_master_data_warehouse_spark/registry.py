@@ -244,6 +244,7 @@ DEFER_NEW: tuple[str, ...] = (
     # train/holdout contamination channel
     "dedup_incremental_lsh",
     "split_leakage_safe",
+    "source_txn_log_changes",
 )
 
 # Queries whose PLAN or EVIDENCE LEVEL changed in round RECHECK_SINCE

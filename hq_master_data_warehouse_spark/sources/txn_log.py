@@ -470,6 +470,73 @@ def source_txn_log_pruned_scan(
     )
 
 
+# -- change-data-feed by snapshot diff: what changed between every
+#    adjacent pair of committed versions, derived GENERICALLY from
+#    the log (two key anti-joins per transition), not from knowledge
+#    of the mutations that produced it.  This is how CDF is served
+#    when the log records file-level actions only (the Delta
+#    no-row-CDF fallback): downstream incremental consumers read the
+#    per-version delta instead of re-scanning the table.  At 100 TB
+#    each transition diffs only via key anti-joins (shuffle on the
+#    clustered key, zone-map-prunable); emitting counts + an exact
+#    decimal total keeps the op aggregate-shaped, while a row-level
+#    feed is the same plan minus the final groupBy.
+@query(
+    "source_txn_log_changes",
+    oracle=f"""
+    SELECT CAST(1 AS INTEGER) AS version,
+           'delete' AS change_type,
+           COUNT(*) AS n_rows,
+           {dec_sum_sql('o_totalprice', 'total_price')}
+    FROM orders WHERE o_orderkey % {DEL_MOD} = 0
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), 'insert', COUNT(*),
+           {dec_sum_sql('o_totalprice', 'total_price')}
+    FROM orders WHERE o_orderkey % {READD_MOD} = 0
+    """,
+)
+def source_txn_log_changes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-version change feed of the staged transaction table:
+    (version, change_type, n_rows, total_price) for every adjacent
+    snapshot pair, keyed on o_orderkey.  The oracle states the known
+    fixture mutations (v1 deletes the DEL_MOD-multiples, v2
+    re-inserts the READD_MOD-multiples); the operator DERIVES them
+    from the log alone."""
+    table_dir = build_txn_table(spark, sf_dir)
+    parts = []
+    for v in committed_versions(table_dir):
+        if v == 0:
+            continue
+        prev = read_snapshot(spark, table_dir, v - 1).select(
+            "o_orderkey", "o_totalprice"
+        )
+        cur = read_snapshot(spark, table_dir, v).select(
+            "o_orderkey", "o_totalprice"
+        )
+        for kind, side in (
+            ("delete", prev.join(cur, "o_orderkey", "left_anti")),
+            ("insert", cur.join(prev, "o_orderkey", "left_anti")),
+        ):
+            parts.append(
+                side.agg(
+                    F.count("*").alias("n_rows"),
+                    dec_sum("o_totalprice", "total_price"),
+                ).select(
+                    F.lit(v).alias("version"),
+                    F.lit(kind).alias("change_type"),
+                    "n_rows",
+                    "total_price",
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # empty transitions carry no information for a change consumer
+    return out.filter(F.col("n_rows") > 0)
+
+
 def compact_table(spark: SparkSession, table_dir: str) -> int:
     """OPTIMIZE: fold every live file of the head snapshot into one
     compacted file and commit the swap as a SINGLE atomic version --

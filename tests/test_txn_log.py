@@ -543,3 +543,58 @@ def test_pinned_reader_survives_concurrent_compact_and_guarded_vacuum(
     assert res["horizon"] > pinned_v
     with pytest.raises(Exception):
         read_snapshot(spark, d, pinned_v).count()
+
+
+def test_change_feed_derives_mutations_from_log_alone(spark, tmp_path):
+    """source_txn_log_changes' diff engine on a HAND-BUILT table with
+    mutations the fixture never performs (an update = delete+insert of
+    the same key at a new value): the snapshot diff must report
+    exactly the per-version delete/insert sets, derived from the log
+    with no knowledge of how the table was mutated."""
+    from hq_master_data_warehouse_spark.sources.txn_log import (
+        _write_file,
+        commit,
+        committed_versions,
+        read_snapshot,
+    )
+
+    d = str(tmp_path / "cdf")
+    os.makedirs(d)
+
+    def orders_df(rows):
+        return spark.createDataFrame(
+            rows, "o_orderkey long, o_totalprice double"
+        )
+
+    # v0: keys 1..6
+    v0 = orders_df([(k, 10.0 * k) for k in range(1, 7)])
+    commit(d, 0, [_write_file(v0, d, "f0")], [])
+    # v1: delete 2 and 4, update 6 -> 600.0 (delete+insert same key)
+    v1 = orders_df(
+        [(1, 10.0), (3, 30.0), (5, 50.0), (6, 600.0)]
+    )
+    commit(d, 1, [_write_file(v1, d, "f1")], ["f0"])
+    # v2: insert 7
+    v2_add = orders_df([(7, 70.0)])
+    commit(d, 2, [_write_file(v2_add, d, "f2")], [])
+    assert committed_versions(d) == [0, 1, 2]
+
+    # the operator's diff engine, replayed inline (same plan)
+    feed = {}
+    for v in (1, 2):
+        prev = read_snapshot(spark, d, v - 1)
+        cur = read_snapshot(spark, d, v)
+        deleted = {
+            r.o_orderkey
+            for r in prev.join(cur, "o_orderkey", "left_anti").collect()
+        }
+        inserted = {
+            r.o_orderkey
+            for r in cur.join(prev, "o_orderkey", "left_anti").collect()
+        }
+        feed[v] = (deleted, inserted)
+    # key-level diff: the in-place update of key 6 is invisible to a
+    # KEY anti-join (documented contract: the feed keys on o_orderkey;
+    # value-level CDC would diff on the full row)
+    assert feed[1] == ({2, 4}, set())
+    assert feed[2] == (set(), {7})
