@@ -509,32 +509,44 @@ def source_txn_log_changes(
     for v in committed_versions(table_dir):
         if v == 0:
             continue
+        # ONE full-outer key join per transition (not two anti-joins:
+        # that would scan each snapshot twice); a side missing on the
+        # right is a delete, missing on the left an insert, present
+        # on both unchanged-by-key (not part of the feed).  groupBy
+        # emits only non-empty change types, so empty transitions
+        # vanish without an explicit filter.
         prev = read_snapshot(spark, table_dir, v - 1).select(
-            "o_orderkey", "o_totalprice"
+            "o_orderkey", F.col("o_totalprice").alias("pp")
         )
         cur = read_snapshot(spark, table_dir, v).select(
-            "o_orderkey", "o_totalprice"
+            "o_orderkey", F.col("o_totalprice").alias("pc")
         )
-        for kind, side in (
-            ("delete", prev.join(cur, "o_orderkey", "left_anti")),
-            ("insert", cur.join(prev, "o_orderkey", "left_anti")),
-        ):
-            parts.append(
-                side.agg(
-                    F.count("*").alias("n_rows"),
-                    dec_sum("o_totalprice", "total_price"),
-                ).select(
-                    F.lit(v).alias("version"),
-                    F.lit(kind).alias("change_type"),
-                    "n_rows",
-                    "total_price",
-                )
+        change = (
+            F.when(F.col("pc").isNull(), "delete")
+            .when(F.col("pp").isNull(), "insert")
+        )
+        parts.append(
+            prev.join(cur, "o_orderkey", "full_outer")
+            .withColumn("change_type", change)
+            .filter(F.col("change_type").isNotNull())
+            .groupBy("change_type")
+            .agg(
+                F.count("*").alias("n_rows"),
+                dec_sum(
+                    F.coalesce("pp", "pc"), "total_price"
+                ),
             )
+            .select(
+                F.lit(v).alias("version"),
+                "change_type",
+                "n_rows",
+                "total_price",
+            )
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    # empty transitions carry no information for a change consumer
-    return out.filter(F.col("n_rows") > 0)
+    return out
 
 
 def compact_table(spark: SparkSession, table_dir: str) -> int:

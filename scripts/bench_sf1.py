@@ -88,6 +88,13 @@ HEAVY = [
     "dq_tukey_fence_outliers",
     "window_ewma_customer_revenue",
     "dedup_simhash",
+    # round-9 curated wave: batch-vs-corpus probe (same replica-pair
+    # output caveat as minhash), the cluster-representative split
+    # (CC-dependent), and the snapshot-diff change feed (stages the
+    # default-variant txn table fresh at first run per scale)
+    "dedup_incremental_lsh",
+    "split_leakage_safe",
+    "source_txn_log_changes",
 ]
 
 MARKERS = [
@@ -116,6 +123,9 @@ CONSTRUCT_TIMED = {
     "graph_connected_components",
     "graph_kcore_decomposition",
     "graph_modularity_score",
+    # the leakage-safe split runs connected components (driver-probed
+    # iteration) at construction time
+    "split_leakage_safe",
     # the availableNow drain runs the stream EAGERLY at construction
     # and returns the memory-sink table; re-writing that table would
     # time nothing
