@@ -495,38 +495,34 @@ def source_txn_log_pruned_scan(
     FROM orders WHERE o_orderkey % {READD_MOD} = 0
     """,
 )
-def source_txn_log_changes(
-    spark: SparkSession, sf_dir: str
+def snapshot_changes(
+    spark: SparkSession, table_dir: str, key_col: str = "o_orderkey",
+    value_col: str = "o_totalprice",
 ) -> DataFrame:
-    """Per-version change feed of the staged transaction table:
-    (version, change_type, n_rows, total_price) for every adjacent
-    snapshot pair, keyed on o_orderkey.  The oracle states the known
-    fixture mutations (v1 deletes the DEL_MOD-multiples, v2
-    re-inserts the READD_MOD-multiples); the operator DERIVES them
-    from the log alone."""
-    table_dir = build_txn_table(spark, sf_dir)
+    """The diff engine behind source_txn_log_changes, reusable on ANY
+    txn-log table (the hand-built-table pytest drives this exact code
+    path).  ONE full-outer key join per adjacent snapshot pair (not
+    two anti-joins: that would scan each snapshot twice); a side
+    missing on the right is a delete, missing on the left an insert,
+    present on both unchanged-by-key (not part of the feed).  groupBy
+    emits only non-empty change types, so empty transitions vanish
+    without an explicit filter."""
     parts = []
     for v in committed_versions(table_dir):
         if v == 0:
             continue
-        # ONE full-outer key join per transition (not two anti-joins:
-        # that would scan each snapshot twice); a side missing on the
-        # right is a delete, missing on the left an insert, present
-        # on both unchanged-by-key (not part of the feed).  groupBy
-        # emits only non-empty change types, so empty transitions
-        # vanish without an explicit filter.
         prev = read_snapshot(spark, table_dir, v - 1).select(
-            "o_orderkey", F.col("o_totalprice").alias("pp")
+            key_col, F.col(value_col).alias("pp")
         )
         cur = read_snapshot(spark, table_dir, v).select(
-            "o_orderkey", F.col("o_totalprice").alias("pc")
+            key_col, F.col(value_col).alias("pc")
         )
         change = (
             F.when(F.col("pc").isNull(), "delete")
             .when(F.col("pp").isNull(), "insert")
         )
         parts.append(
-            prev.join(cur, "o_orderkey", "full_outer")
+            prev.join(cur, key_col, "full_outer")
             .withColumn("change_type", change)
             .filter(F.col("change_type").isNotNull())
             .groupBy("change_type")
@@ -547,6 +543,18 @@ def source_txn_log_changes(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def source_txn_log_changes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-version change feed of the staged transaction table:
+    (version, change_type, n_rows, total_price) for every adjacent
+    snapshot pair, keyed on o_orderkey.  The oracle states the known
+    fixture mutations (v1 deletes the DEL_MOD-multiples, v2
+    re-inserts the READD_MOD-multiples); the operator DERIVES them
+    from the log alone via snapshot_changes."""
+    return snapshot_changes(spark, build_txn_table(spark, sf_dir))
 
 
 def compact_table(spark: SparkSession, table_dir: str) -> int:

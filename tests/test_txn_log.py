@@ -555,7 +555,7 @@ def test_change_feed_derives_mutations_from_log_alone(spark, tmp_path):
         _write_file,
         commit,
         committed_versions,
-        read_snapshot,
+        snapshot_changes,
     )
 
     d = str(tmp_path / "cdf")
@@ -579,22 +579,17 @@ def test_change_feed_derives_mutations_from_log_alone(spark, tmp_path):
     commit(d, 2, [_write_file(v2_add, d, "f2")], [])
     assert committed_versions(d) == [0, 1, 2]
 
-    # the operator's diff engine, replayed inline (same plan)
-    feed = {}
-    for v in (1, 2):
-        prev = read_snapshot(spark, d, v - 1)
-        cur = read_snapshot(spark, d, v)
-        deleted = {
-            r.o_orderkey
-            for r in prev.join(cur, "o_orderkey", "left_anti").collect()
-        }
-        inserted = {
-            r.o_orderkey
-            for r in cur.join(prev, "o_orderkey", "left_anti").collect()
-        }
-        feed[v] = (deleted, inserted)
+    # THE operator's diff engine (not a reimplementation): the same
+    # snapshot_changes the registered query wraps
+    feed = {
+        (r.version, r.change_type): (r.n_rows, r.total_price)
+        for r in snapshot_changes(spark, d).collect()
+    }
     # key-level diff: the in-place update of key 6 is invisible to a
-    # KEY anti-join (documented contract: the feed keys on o_orderkey;
-    # value-level CDC would diff on the full row)
-    assert feed[1] == ({2, 4}, set())
-    assert feed[2] == (set(), {7})
+    # KEY diff (documented contract: the feed keys on o_orderkey;
+    # value-level CDC would diff on the full row), and empty change
+    # types are absent, not zero rows
+    assert feed == {
+        (1, "delete"): (2, 10.0 * 2 + 10.0 * 4),
+        (2, "insert"): (1, 70.0),
+    }
