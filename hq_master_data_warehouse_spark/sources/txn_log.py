@@ -481,20 +481,6 @@ def source_txn_log_pruned_scan(
 #    clustered key, zone-map-prunable); emitting counts + an exact
 #    decimal total keeps the op aggregate-shaped, while a row-level
 #    feed is the same plan minus the final groupBy.
-@query(
-    "source_txn_log_changes",
-    oracle=f"""
-    SELECT CAST(1 AS INTEGER) AS version,
-           'delete' AS change_type,
-           COUNT(*) AS n_rows,
-           {dec_sum_sql('o_totalprice', 'total_price')}
-    FROM orders WHERE o_orderkey % {DEL_MOD} = 0
-    UNION ALL
-    SELECT CAST(2 AS INTEGER), 'insert', COUNT(*),
-           {dec_sum_sql('o_totalprice', 'total_price')}
-    FROM orders WHERE o_orderkey % {READD_MOD} = 0
-    """,
-)
 def snapshot_changes(
     spark: SparkSession, table_dir: str, key_col: str = "o_orderkey",
     value_col: str = "o_totalprice",
@@ -545,6 +531,20 @@ def snapshot_changes(
     return out
 
 
+@query(
+    "source_txn_log_changes",
+    oracle=f"""
+    SELECT CAST(1 AS INTEGER) AS version,
+           'delete' AS change_type,
+           COUNT(*) AS n_rows,
+           {dec_sum_sql('o_totalprice', 'total_price')}
+    FROM orders WHERE o_orderkey % {DEL_MOD} = 0
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), 'insert', COUNT(*),
+           {dec_sum_sql('o_totalprice', 'total_price')}
+    FROM orders WHERE o_orderkey % {READD_MOD} = 0
+    """,
+)
 def source_txn_log_changes(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
