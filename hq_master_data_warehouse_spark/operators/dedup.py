@@ -701,8 +701,11 @@ def _simhash_oracle() -> str:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-token 60-bit hash votes each bit up or down; the sign
     vector is the fingerprint.  Near-dups = hamming <= 3, found via
-    8-bit band equality (a pair within hamming 3 must agree on at
-    least one of 4 bands -- pigeonhole), verified with bit_count.
+    15-bit band equality (SIMHASH_BITS // SIMHASH_BANDS; a pair
+    within hamming 3 must agree on at least one of 4 bands --
+    pigeonhole), verified with bit_count.  Band width is the scale
+    knob: the r9 bench caught 8-bit keys going quadratic at 10x data
+    (BENCH_SF1.md), so the key space is sized to keep buckets sparse.
 
     Value-level oracle (VERDICT r8 item 2): the token hash is the
     first 60 bits of md5 -- identical in both engines -- so DuckDB
