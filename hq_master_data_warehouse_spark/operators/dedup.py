@@ -281,6 +281,37 @@ def connected_components(edges: DataFrame) -> DataFrame:
     return labels
 
 
+def ngram_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, comp) connected components of the ngram-Jaccard pair
+    graph, MATERIALIZED once per corpus snapshot (matcache): the same
+    component table feeds `dedup_duplicate_clusters`,
+    `dedup_cluster_representatives` and `split_leakage_safe`, so the
+    iterative propagation runs once, not once per consumer (VERDICT
+    r9 item 3).  Deterministic by construction -- comp = min reachable
+    doc_id -- so materialization cannot change any consumer's result;
+    the key carries the documents snapshot identity plus every
+    parameter that shapes the pair graph."""
+    from ..matcache import materialized, table_sig
+
+    def build() -> DataFrame:
+        pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        return connected_components(pairs)
+
+    return materialized(
+        spark,
+        "ngramcc",
+        [
+            table_sig(sf_dir, "documents"),
+            JACCARD_THRESHOLD,
+            MAX_SHINGLE_DF,
+            "3gram-cc-v1",
+        ],
+        build,
+    )
+
+
 @query(
     "dedup_duplicate_clusters",
     oracle=f"""
@@ -310,10 +341,7 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min doc_id in the cluster (the canonical keeper)."""
     from pyspark.sql import Window
 
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    labels = connected_components(pairs)
+    labels = ngram_cc_labels(spark, sf_dir)
     w = Window.partitionBy("comp")
     return labels.select(
         F.col("node").alias("doc_id"),

@@ -268,8 +268,7 @@ def pipeline_quality_curriculum(
 #    checked.
 from ..operators.dedup import (  # noqa: E402
     _PAIR_JACCARD_SQL,
-    connected_components,
-    dedup_ngram_jaccard,
+    ngram_cc_labels,
 )
 
 
@@ -319,10 +318,7 @@ def dedup_cluster_representatives(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    labels = connected_components(pairs)
+    labels = ngram_cc_labels(spark, sf_dir)
     scored = labels.join(
         docs.select(
             F.col("doc_id").alias("node"),
