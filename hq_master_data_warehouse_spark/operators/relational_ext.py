@@ -222,28 +222,148 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- approximate sketches (rows-only: HLL/KLL internals are
-#    engine-specific; correctness asserted relative to exact counts in
-#    pytest).  This is the 100 TB cardinality path -- one pass, fixed
-#    memory, mergeable state.  The quantile array is string-encoded
-#    (fixed-scale decimals) -- list cells crash the gate's
-#    canonicalizer, same rule as array_functions_showcase below.
-@query("agg_approx_sketches")
+# -- approximate sketches, self-audited (r10 oracle conversion,
+#    VERDICT r9 item 4): HLL/GK register layouts and merge orders are
+#    engine-specific, so the sketch VALUES can never be oracle
+#    columns -- instead the output is the engine-independent part of
+#    the contract, the same pattern as sketch_approx_quantiles' GK
+#    band.  Per group: the exact distinct count, a boolean asserting
+#    the HLL estimate sits inside 3x its configured rsd, the exact
+#    lo/hi price-cent values at the GK rank band for q50/q90 (pure
+#    integer arithmetic, identical in both engines), and booleans
+#    asserting each GK estimate landed inside its own guarantee.
+#    DuckDB recomputes counts and bands exactly and emits TRUE, so a
+#    sketch outside its error contract turns the row red at the
+#    driver.  This is the 100 TB cardinality path -- one pass, fixed
+#    memory, mergeable state.
+SKETCH_HLL_RSD = 0.05
+SKETCH_GK_ACCURACY = 1000
+_SK_BAND_DUCK = f"(n + {SKETCH_GK_ACCURACY - 1}) // {SKETCH_GK_ACCURACY} + 1"
+
+
+@query(
+    "agg_approx_sketches",
+    oracle=f"""
+    WITH base AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    ), grp AS (
+        SELECT l_returnflag, COUNT(*) AS n FROM base GROUP BY 1
+    ), ranked AS (
+        SELECT l_returnflag, cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_returnflag ORDER BY cents
+               ) AS rn
+        FROM base
+    ), spec AS (
+        SELECT g.l_returnflag, q.q_pct, g.n,
+               GREATEST(1, (q.q_pct * g.n + 99) // 100
+                           - ({_SK_BAND_DUCK})) AS lo_rank,
+               LEAST(g.n, (q.q_pct * g.n + 99) // 100
+                          + ({_SK_BAND_DUCK})) AS hi_rank
+        FROM grp g, (VALUES (50), (90)) AS q(q_pct)
+    ), bands AS (
+        SELECT s.l_returnflag, s.q_pct, lo.cents AS lo_c, hi.cents AS hi_c
+        FROM spec s
+        JOIN ranked lo ON lo.l_returnflag = s.l_returnflag
+                      AND lo.rn = s.lo_rank
+        JOIN ranked hi ON hi.l_returnflag = s.l_returnflag
+                      AND hi.rn = s.hi_rank
+    ), piv AS (
+        SELECT l_returnflag,
+               MAX(lo_c) FILTER (q_pct = 50) AS lo50_cents,
+               MAX(hi_c) FILTER (q_pct = 50) AS hi50_cents,
+               MAX(lo_c) FILTER (q_pct = 90) AS lo90_cents,
+               MAX(hi_c) FILTER (q_pct = 90) AS hi90_cents
+        FROM bands GROUP BY 1
+    )
+    SELECT li.l_returnflag,
+           COUNT(DISTINCT li.l_partkey) AS exact_parts,
+           TRUE AS hll_in_rse,
+           p.lo50_cents, p.hi50_cents, p.lo90_cents, p.hi90_cents,
+           TRUE AS q50_in_band,
+           TRUE AS q90_in_band
+    FROM lineitem li JOIN piv p USING (l_returnflag)
+    GROUP BY li.l_returnflag, p.lo50_cents, p.hi50_cents,
+             p.lo90_cents, p.hi90_cents
+    """,
+)
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    return lineitem.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.approx_count_distinct(
+            "l_partkey", SKETCH_HLL_RSD
+        ).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
-        F.array_join(
-            F.transform(
-                F.expr(
-                    "approx_percentile("
-                    "l_extendedprice, array(0.5, 0.9), 1000)"
-                ),
-                lambda x: x.cast("decimal(18,2)").cast("string"),
-            ),
-            ",",
-        ).alias("approx_price_quantiles"),
+        F.expr(
+            "approx_percentile(cents, array(0.5, 0.9), "
+            f"{SKETCH_GK_ACCURACY})"
+        ).alias("approx_q"),
+    )
+    ranked = li.select(
+        "l_returnflag",
+        "cents",
+        F.row_number()
+        .over(
+            Window.partitionBy("l_returnflag").orderBy("cents")
+        )
+        .alias("rn"),
+    )
+    band = (F.col("n") + (SKETCH_GK_ACCURACY - 1)) / F.lit(
+        SKETCH_GK_ACCURACY
+    )
+    band = F.floor(band) + 1
+
+    def rank_col(q_pct: int, which: str):
+        target = F.ceil(F.col("n") * q_pct / 100)
+        if which == "lo":
+            return F.greatest(F.lit(1), target - band)
+        return F.least(F.col("n"), target + band)
+
+    out = agg
+    for q_pct in (50, 90):
+        for which in ("lo", "hi"):
+            side = ranked.select(
+                F.col("l_returnflag").alias("_rf"),
+                F.col("cents").alias(f"{which}{q_pct}_cents"),
+                F.col("rn").alias("_rn"),
+            )
+            out = (
+                out.join(
+                    side,
+                    (F.col("l_returnflag") == F.col("_rf"))
+                    & (F.col("_rn") == rank_col(q_pct, which)),
+                )
+                .drop("_rf")
+                .drop("_rn")
+            )
+    return out.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 3 * SKETCH_HLL_RSD * F.col("exact_parts")
+        ).alias("hll_in_rse"),
+        "lo50_cents",
+        "hi50_cents",
+        "lo90_cents",
+        "hi90_cents",
+        F.col("approx_q")[0]
+        .between(F.col("lo50_cents"), F.col("hi50_cents"))
+        .alias("q50_in_band"),
+        F.col("approx_q")[1]
+        .between(F.col("lo90_cents"), F.col("hi90_cents"))
+        .alias("q90_in_band"),
     )
 
 

@@ -66,15 +66,88 @@ def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sample_source_mix")  # rows-only: sampling is engine-specific
-def sample_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted source mix via seeded stratified sampling: one pass,
-    each stratum kept at its MIX_WEIGHTS fraction.  pytest checks the
-    achieved fractions and run-to-run determinism."""
+#: audit tolerance for the achieved stratum fraction, in sigmas of
+#: the Bernoulli count (plus a small-stratum absolute floor): wide
+#: enough that any correct sampler passes w.h.p., tight enough that a
+#: weight/stratum mix-up (25% vs 100%) fails by construction.
+MIX_TOL_SIGMAS = 4.5
+MIX_TOL_FLOOR = 8
+
+
+def source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seeded stratified sample itself (full rows) -- the
+    production output; the registered query audits it."""
     docs = load_table(spark, sf_dir, "documents")
     sources = [r[0] for r in docs.select("source").distinct().collect()]
     fractions = {s: MIX_WEIGHTS.get(s, 1.0) for s in sources}
     return docs.sampleBy("source", fractions, seed=MIX_SEED)
+
+
+@query(
+    "sample_source_mix",
+    oracle=f"""
+    WITH per AS (
+        SELECT source, COUNT(*) AS n_total,
+               CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                    THEN 0.25 ELSE 1.0 END AS weight
+        FROM documents GROUP BY source
+    )
+    SELECT source, n_total,
+           ROUND(n_total * weight, 2) AS expected_n,
+           CAST(GREATEST({MIX_TOL_FLOOR}, CEIL(
+               {MIX_TOL_SIGMAS} * SQRT(n_total * weight * (1 - weight))
+           )) AS BIGINT) AS tolerance,
+           TRUE AS within_tol
+    FROM per
+    """,
+)
+def sample_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mix via seeded stratified sampling (sampleBy:
+    one pass, each stratum kept at its MIX_WEIGHTS fraction), audited
+    per stratum.  The kept COUNT is engine-specific (Spark's seeded
+    Bernoulli), so the value-level contract is the engine-independent
+    part (same conversion pattern as sketch_approx_quantiles' GK
+    band): per source, the stratum size, the expected kept count, the
+    binomial tolerance, and ``within_tol`` asserting the achieved
+    count landed inside it -- the oracle recomputes size/expectation/
+    tolerance exactly and emits TRUE, so a sampler bug (wrong weight,
+    wrong stratum, double-sampling) turns the row red at the driver.
+    A separate pytest pins run-to-run determinism of the sample
+    itself; `sample_hash_weighted_mix` is the exact-membership
+    complement."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = (
+        source_mix_sample(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    per = docs.groupBy("source").agg(F.count("*").alias("n_total"))
+    w = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, 0.25
+    ).otherwise(1.0)
+    tol = F.greatest(
+        F.lit(MIX_TOL_FLOOR),
+        F.ceil(
+            MIX_TOL_SIGMAS
+            * F.sqrt(F.col("n_total") * w * (1 - w))
+        ),
+    ).cast("long")
+    return (
+        per.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_total",
+            F.round(F.col("n_total") * w, 2).alias("expected_n"),
+            tol.alias("tolerance"),
+            (
+                F.abs(
+                    F.coalesce("n_kept", F.lit(0))
+                    - F.col("n_total") * w
+                )
+                <= tol
+            ).alias("within_tol"),
+        )
+    )
 
 
 # -- deterministic weighted source mix: the oracle-checkable

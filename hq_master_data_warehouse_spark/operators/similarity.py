@@ -952,7 +952,65 @@ MMR_K = 10
 MMR_CANDIDATES = 50
 
 
-@query("similarity_mmr_diversify")  # rows-only: iterative re-ranker
+def _mmr_oracle() -> str:
+    """Value-level replay of the greedy MMR selection (r10 oracle
+    conversion, VERDICT r9 item 4): the recursive CTE carries the
+    selected set as a list and re-derives each step's argmax of
+    ``lambda*rel - (1-lambda)*max_sim_to_selected`` with the same
+    ROUND(cos, 6) inputs and (score DESC, vec_id) tie-break the
+    operator uses.  Works because the chain-fold cosine is bit-exact
+    between engines (the r9 ANN-oracle result) and all downstream
+    arithmetic runs on identical rounded doubles."""
+    cos = (
+        "ROUND(list_cosine_similarity("
+        "list_transform({a}, x -> CAST(x AS DOUBLE)), "
+        "list_transform({b}, x -> CAST(x AS DOUBLE))), 6)"
+    )
+    lam, oml = MMR_LAMBDA, 1 - MMR_LAMBDA
+    return f"""
+    WITH RECURSIVE q AS (
+        SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+    ),
+    cand AS (
+        SELECT e.vec_id, e.embedding,
+               {cos.format(a="e.embedding", b="q.qe")} AS rel
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 0
+        ORDER BY rel DESC, e.vec_id
+        LIMIT {MMR_CANDIDATES}
+    ),
+    sims AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               {cos.format(a="a.embedding", b="b.embedding")} AS sim
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    mmr(rank, vec_id, rel, mmr_score, sel) AS (
+        SELECT 1, vec_id, rel, rel, [vec_id]
+        FROM (SELECT * FROM cand ORDER BY rel DESC, vec_id LIMIT 1)
+        UNION ALL
+        SELECT rank, vec_id, rel, score, list_append(sel, vec_id)
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                       ORDER BY score DESC, vec_id) AS rn
+            FROM (
+                SELECT DISTINCT m.rank + 1 AS rank, c.vec_id, c.rel,
+                       m.sel AS sel,
+                       {lam} * c.rel - {oml} * MAX(s.sim) OVER (
+                           PARTITION BY c.vec_id) AS score
+                FROM mmr m
+                JOIN cand c ON NOT list_contains(m.sel, c.vec_id)
+                JOIN sims s ON s.ia = c.vec_id
+                           AND list_contains(m.sel, s.ib)
+                WHERE m.rank < {MMR_K}
+            )
+        ) WHERE rn = 1
+    )
+    SELECT CAST(rank AS INTEGER) AS rank, vec_id, rel, mmr_score
+    FROM mmr
+    """
+
+
+@query("similarity_mmr_diversify", oracle=_mmr_oracle())
 def similarity_mmr_diversify(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -962,12 +1020,21 @@ def similarity_mmr_diversify(
 
     Scale shape: the expensive stage -- scoring the corpus against the
     query -- is the fully distributed exact top-k; MMR itself re-ranks
-    only the MMR_CANDIDATES-row head, a bounded O(k * c * dim) numpy
-    loop (the standard reranker contract: rerankers run on the
+    only the MMR_CANDIDATES-row head, a bounded O(k * c^2 * dim)
+    driver loop (the standard reranker contract: rerankers run on the
     retrieved head, never the corpus).  The bounded head collect is
     the same sanctioned pattern as the convergence probes in
-    connected components."""
-    import numpy as np
+    connected components.
+
+    Cross-engine determinism (what made the oracle possible): the
+    head's rel comes from the Spark chain-fold cosine ROUND 6; the
+    pairwise sims are computed on the driver with the SAME
+    left-associated dot/(sqrt*sqrt) order as cosine_expr and the same
+    half-away-from-zero 6-dp rounding DuckDB's ROUND uses (never
+    np.round: banker's rounding diverges at the .5 boundary) -- so
+    every number entering the greedy argmax is the identical double
+    in both engines, and ties break on vec_id."""
+    import math
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(
@@ -982,35 +1049,52 @@ def similarity_mmr_diversify(
         .limit(MMR_CANDIDATES)
         .collect()
     )
-    ids = np.array([r.vec_id for r in head], dtype=np.int64)
-    rel = np.array([r.rel for r in head], dtype=np.float64)
-    V = np.array([r.embedding for r in head], dtype=np.float64)
-    norms = np.linalg.norm(V, axis=1, keepdims=True)
-    V = V / np.where(norms == 0, 1.0, norms)
-    sims = V @ V.T
-    selected: list[int] = []
-    max_sim = np.full(len(head), -np.inf)
+    ids = [int(r.vec_id) for r in head]
+    rel = [float(r.rel) for r in head]
+    V = [[float(x) for x in r.embedding] for r in head]
+
+    def r6(x: float) -> float:
+        return math.copysign(
+            math.floor(abs(x) * 1e6 + 0.5) / 1e6, x
+        )
+
+    def dot(a: list, b: list) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):  # left-assoc, as F.aggregate folds
+            acc = acc + x * y
+        return acc
+
+    norm = [math.sqrt(dot(v, v)) for v in V]
+    n = len(head)
+    sims = [
+        [
+            r6(dot(V[i], V[j]) / (norm[i] * norm[j]))
+            if i != j
+            else 1.0
+            for j in range(n)
+        ]
+        for i in range(n)
+    ]
+    remaining = list(range(n))
+    # -inf, not 0: every remaining row gets a real max after the
+    # first pick, and an all-negative sim column must not clamp at 0
+    max_sim = [float("-inf")] * n
     out = []
-    for step in range(min(MMR_K, len(head))):
-        if selected:
-            score = MMR_LAMBDA * rel - (1 - MMR_LAMBDA) * max_sim
+    for step in range(min(MMR_K, n)):
+        if step == 0:
+            score = rel
         else:
-            score = rel.copy()
-        score[selected] = -np.inf
-        # deterministic tie-break: lowest vec_id among max scores
-        best = int(
-            np.lexsort((ids, -score))[0]
-        )
-        selected.append(best)
-        max_sim = np.maximum(max_sim, sims[best])
-        out.append(
-            (
-                step + 1,
-                int(ids[best]),
-                float(rel[best]),
-                float(score[best]) if step else float(rel[best]),
-            )
-        )
+            score = [
+                MMR_LAMBDA * rel[i]
+                - (1 - MMR_LAMBDA) * max_sim[i]
+                for i in range(n)
+            ]
+        best = min(remaining, key=lambda i: (-score[i], ids[i]))
+        remaining.remove(best)
+        for i in remaining:
+            if sims[best][i] > max_sim[i]:
+                max_sim[i] = sims[best][i]
+        out.append((step + 1, ids[best], rel[best], score[best]))
     return spark.createDataFrame(
         out, "rank int, vec_id long, rel double, mmr_score double"
     )

@@ -248,15 +248,33 @@ DEFER_NEW: tuple[str, ...] = (
 )
 
 # Queries whose PLAN or EVIDENCE LEVEL changed in round RECHECK_SINCE
-# (r9: the streaming family gained batch-twin value-level oracles --
-# VERDICT r8 item 1 -- and the stateful op's totals moved to integer
-# micro-units).  They already hold records from earlier rounds (here:
-# rows-only), but evidence policy wants a fresh record on the
-# post-change code, so they join the front of the window until a
-# record from round >= RECHECK_SINCE lands; then _RECORD_ROUND
-# retires them automatically.
-RECHECK_SINCE = 9
+# (r10: three rows-only ops converted to value-level oracles --
+# sample_source_mix and agg_approx_sketches via the GK-band/
+# tolerance-audit pattern, similarity_mmr_diversify via a recursive-
+# CTE replay of the greedy selection on bit-exact rounded cosines --
+# plus the consumers of the r10 shared CC materialization and the
+# file-level CDF rewrite).  They already hold records from earlier
+# rounds, but evidence policy wants a fresh record on the post-change
+# code, so they join the front of the window until a record from
+# round >= RECHECK_SINCE lands; then _RECORD_ROUND retires them
+# automatically.
+RECHECK_SINCE = 10
 RECHECK: tuple[str, ...] = (
+    "sample_source_mix",
+    "agg_approx_sketches",
+    "similarity_mmr_diversify",
+    "source_txn_log_changes",
+    "graph_connected_components",
+    "graph_modularity_score",
+    "dedup_duplicate_clusters",
+    "dedup_cluster_representatives",
+    "split_leakage_safe",
+)
+
+# r9 RECHECK block, retired (all re-records landed green in
+# CORRECTNESS_r09): streaming family batch-twin oracles, md5 LSH
+# rewrites, ANN chain-fold oracles.
+_RECHECK_R9_RETIRED: tuple[str, ...] = (
     "streaming_tumbling_counts",
     "streaming_dedup_by_key",
     "streaming_ingest_audit",

@@ -352,11 +352,12 @@ def test_source_mix_fractions_and_determinism(spark):
     from hq_master_data_warehouse_spark.operators.sampling import (
         MIX_WEIGHTS,
         sample_source_mix,
+        source_mix_sample,
     )
     from hq_master_data_warehouse_spark.sources.loaders import load_table
 
     sf = "/root/testdata/sf0.01"
-    mixed = sample_source_mix(spark, sf)
+    mixed = source_mix_sample(spark, sf)
     got = {
         r.source: r.n for r in
         mixed.groupBy("source").count().withColumnRenamed("count", "n").collect()
@@ -372,9 +373,19 @@ def test_source_mix_fractions_and_determinism(spark):
         # Bernoulli sampling tolerance on 25-doc strata
         assert abs(achieved - want) <= 0.35, (src, achieved, want)
     # seeded: same plan, same rows
-    again = {r.doc_id for r in sample_source_mix(spark, sf).select("doc_id").collect()}
+    again = {r.doc_id for r in source_mix_sample(spark, sf).select("doc_id").collect()}
     first = {r.doc_id for r in mixed.select("doc_id").collect()}
     assert first == again
+    # the registered AUDIT query (r10 oracle conversion): every
+    # stratum present, every achieved count inside its binomial band
+    audit = sample_source_mix(spark, sf).collect()
+    assert len(audit) == len(base)
+    assert all(r.within_tol for r in audit)
+    # the tolerance is TIGHT enough to catch a weight mix-up: a 25%
+    # stratum sampled at 100% overshoots expected_n by ~3x its band
+    for r in audit:
+        if MIX_WEIGHTS.get(r.source, 1.0) == 0.25:
+            assert base[r.source] - r.expected_n > r.tolerance
 
 
 def test_approx_sketches_within_error_bounds(spark):
@@ -383,11 +394,13 @@ def test_approx_sketches_within_error_bounds(spark):
     )
 
     for r in agg_approx_sketches(spark, "/root/testdata/sf0.01").collect():
-        # HLL++ default rsd is 5%; allow 3x headroom
-        assert abs(r.approx_parts - r.exact_parts) <= 0.15 * r.exact_parts
-        # quantiles are a comma-joined fixed-scale decimal string
-        q50, q90 = (float(x) for x in r.approx_price_quantiles.split(","))
-        assert q50 <= q90
+        # the op itself asserts HLL within 3x rsd and each GK
+        # estimate inside its rank band (r10 oracle conversion);
+        # here pin the audited booleans and the band's sanity
+        assert r.hll_in_rse and r.q50_in_band and r.q90_in_band
+        assert r.lo50_cents <= r.hi50_cents <= r.hi90_cents
+        assert r.lo50_cents <= r.lo90_cents <= r.hi90_cents
+        assert r.exact_parts > 0
 
 
 def test_simhash_pairs_deterministic_and_bounded(spark):
