@@ -26,6 +26,7 @@ import hashlib
 import os
 import shutil
 import tempfile
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -207,32 +208,49 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(f"{sf_dir}|{gen}".encode()).hexdigest()[:12]
     drop_dir = os.path.join(tempfile.gettempdir(), f"hqmdw_events_{tag}")
     done = os.path.join(drop_dir, "_staged")
-    staged = os.path.join(drop_dir, "events.parquet")
     if not os.path.exists(done):
-        # the _staged marker is written LAST, so its absence means a
-        # missing or half-staged box from a crashed run -- clear and
-        # restage rather than trust partial contents
-        if os.path.isdir(drop_dir):
-            shutil.rmtree(drop_dir, ignore_errors=True)
-        os.makedirs(drop_dir, exist_ok=True)
+        # Stage into a PER-WRITER tmp dir and atomically rename into
+        # place (ADVICE r9): the old in-place restage rmtree'd the
+        # SHARED box whenever the marker was absent, so two
+        # concurrent stagers (parallel pytest workers, bench + gate)
+        # could delete files mid-copy or out from under a just-
+        # started stream.  With the rename, the final path either
+        # does not exist or is a COMPLETE box (marker written before
+        # the rename); a losing stager just discards its tmp.
+        tmp = f"{drop_dir}.tmp{os.getpid()}-{threading.get_ident()}"
+        os.makedirs(tmp, exist_ok=True)
         if os.path.isdir(src):
             # multi-part fixture (e.g. the derived sf1 is a parquet
             # DIRECTORY, not a single file): stage every part flat
             # into the drop box -- the file-stream source lists it
-            # non-recursively.  The _staged marker (written last)
-            # makes the staging idempotent; "_"-prefixed files are
-            # invisible to the source.
+            # non-recursively.  "_"-prefixed files are invisible to
+            # the source.
             for i, name in enumerate(sorted(os.listdir(src))):
                 if not name.endswith(".parquet"):
                     continue
                 shutil.copyfile(
                     os.path.join(src, name),
-                    os.path.join(drop_dir, f"part-{i:05d}.parquet"),
+                    os.path.join(tmp, f"part-{i:05d}.parquet"),
                 )
         else:
-            shutil.copyfile(src, staged)
-        with open(done, "w") as f:
+            shutil.copyfile(src, os.path.join(tmp, "events.parquet"))
+        with open(os.path.join(tmp, "_staged"), "w") as f:
             f.write("ok")
+        try:
+            os.rename(tmp, drop_dir)
+        except OSError:
+            # the path is occupied: by a concurrent stager's COMPLETE
+            # box (marker present -- use it), or by a markerless
+            # half-box from a crashed PRE-RENAME-ERA run (clear it
+            # and retry once; current-era crashes only ever leave
+            # .tmp siblings behind)
+            if not os.path.exists(done):
+                shutil.rmtree(drop_dir, ignore_errors=True)
+                try:
+                    os.rename(tmp, drop_dir)
+                except OSError:
+                    pass  # lost the retry race; winner's box stands
+            shutil.rmtree(tmp, ignore_errors=True)
     return normalize_event_ts(
         spark.readStream.schema(raw_schema).parquet(drop_dir)
     )
@@ -240,7 +258,16 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _drain_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
     """Run an availableNow trigger to completion into a memory sink and
-    return the materialized result table."""
+    return the materialized result table.
+
+    Append-mode drains assert the SINGLE-DATA-BATCH assumption
+    (ADVICE r9): the batch twins oracling the watermarked append-mode
+    plans (stream-stream join, dedup-by-key) are only valid because
+    the whole drop box arrives in one micro-batch -- if a source
+    limit (maxFilesPerTrigger) or split staging ever spreads the data
+    across batches, watermark eviction between batches would make the
+    emitted set diverge from the batch oracle SILENTLY.  This turns
+    that future footgun into a loud failure at drain time."""
     name = f"mem_{uuid.uuid4().hex[:8]}"
     q = (
         stream_df.writeStream.format("memory")
@@ -250,6 +277,19 @@ def _drain_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    if mode == "append":
+        data_batches = sum(
+            1
+            for p in q.recentProgress
+            if p and p.get("numInputRows", 0) > 0
+        )
+        if data_batches > 1:
+            raise RuntimeError(
+                f"append-mode drain saw {data_batches} data "
+                "micro-batches; the batch-twin oracle contract "
+                "requires all input in ONE batch (did a source "
+                "trigger limit or split staging sneak in?)"
+            )
     return stream_df.sparkSession.table(name)
 
 

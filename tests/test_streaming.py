@@ -213,3 +213,55 @@ def test_streaming_egress_retry_audit_telescopes(spark):
     assert {(k, v.n_attempted, v.n_delivered) for k, v in a.items()} == {
         (k, v.n_attempted, v.n_delivered) for k, v in b.items()
     }
+
+
+def test_concurrent_staging_never_deletes_a_live_box(spark, tmp_path):
+    """ADVICE r9: the drop-box staging must be atomic-rename, never an
+    in-place rmtree+copy of the shared path -- N concurrent stagers of
+    the same fresh fixture must all end up with ONE complete box and
+    every reader must see a complete file set."""
+    import os
+    import shutil
+    import threading
+
+    from hq_master_data_warehouse_spark.streaming.jobs import (
+        _events_stream,
+    )
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    shutil.copyfile(
+        "/root/testdata/sf0.001/events.parquet",
+        os.path.join(sf, "events.parquet"),
+    )
+    errs = []
+
+    def stage():
+        try:
+            # building the reader runs the staging path end-to-end
+            _events_stream(spark, sf)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=stage) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    # exactly one complete box for this fixture, no tmp leftovers
+    import glob
+    import hashlib
+    import tempfile
+
+    st = os.stat(os.path.join(sf, "events.parquet"))
+    gen = f"file:{st.st_size}:{st.st_mtime_ns}"
+    tag = hashlib.md5(f"{sf}|{gen}".encode()).hexdigest()[:12]
+    box = os.path.join(tempfile.gettempdir(), f"hqmdw_events_{tag}")
+    assert os.path.exists(os.path.join(box, "_staged"))
+    assert not glob.glob(box + ".tmp*")
+    # box is readable and complete
+    n = spark.read.parquet(box).count()
+    assert n == spark.read.parquet(
+        os.path.join(sf, "events.parquet")
+    ).count()
