@@ -183,9 +183,83 @@ def delta_roundtrip(spark, sf_dir: str) -> tuple[float, int, int]:
     return round(dt, 2), n_files, n_rows
 
 
+def _completed_stages(spark) -> dict:
+    """Completed-stage metrics from the UI REST API (the session is
+    created with the UI on for exactly this purpose): stage key ->
+    {shuffle write/read bytes, memory/disk spill bytes}."""
+    import json as _json
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app_id}/stages?status=COMPLETE"
+    with urllib.request.urlopen(url, timeout=30) as r:
+        stages = _json.load(r)
+    return {
+        (s["stageId"], s["attemptId"]): s for s in stages
+    }
+
+
+def memory_evidence(spark, name: str, sf_dir: str) -> dict:
+    """Run one cold pass of ``name`` and return the shuffle/spill
+    totals of exactly the stages that pass executed (VERDICT r9 item
+    5: the 100 TB narrative needs a memory story, not just
+    wall-clock).  memoryBytesSpilled/diskBytesSpilled == 0 means the
+    whole plan ran in-memory at this scale."""
+    before = set(_completed_stages(spark))
+    df = registry.QUERIES[name](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    after = _completed_stages(spark)
+    new = [after[k] for k in after if k not in before]
+    tot = lambda f: sum(s.get(f, 0) for s in new)  # noqa: E731
+    peak = lambda f: max((s.get(f, 0) for s in new), default=0)  # noqa: E731
+    return {
+        "stages": len(new),
+        "shuffle_write_mb": round(tot("shuffleWriteBytes") / 2**20, 1),
+        "peak_stage_shuffle_write_mb": round(
+            peak("shuffleWriteBytes") / 2**20, 1
+        ),
+        "shuffle_read_mb": round(tot("shuffleReadBytes") / 2**20, 1),
+        "memory_spilled_mb": round(
+            tot("memoryBytesSpilled") / 2**20, 1
+        ),
+        "disk_spilled_mb": round(tot("diskBytesSpilled") / 2**20, 1),
+    }
+
+
+#: queries whose sf1 memory/spill profile is recorded (the heavy
+#: tail: the largest iterative-join plan and the CC-consumer split).
+#: cold=True clears the shared matcache first, so the profile
+#: includes the once-per-snapshot component BUILD; cold=False is the
+#: steady-state consumer plan (what the bench cells measure).
+MEM_EVIDENCE = [
+    # warm rows FIRST: the cold rows clear the SHARED matcache, so a
+    # warm row after them would silently include a rebuild
+    ("graph_modularity_score", False),
+    ("split_leakage_safe", False),
+    ("graph_modularity_score", True),
+    ("split_leakage_safe", True),
+]
+
+
+def _clear_matcache() -> None:
+    import glob
+    import shutil
+    import tempfile
+
+    for d in glob.glob(
+        os.path.join(tempfile.gettempdir(), "hqmdw_mat_*")
+    ):
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
     registry.load_catalog()
-    spark = get_spark(master=f"local[{CPUS}]")
+    # UI on: the REST stage API is the spill/shuffle evidence source
+    spark = get_spark(
+        master=f"local[{CPUS}]",
+        extra_conf={"spark.ui.enabled": "true"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     rows = []
@@ -195,6 +269,18 @@ def main() -> None:
         ratio = round(t1 / t01, 2) if t01 else float("nan")
         rows.append((name, t01, t1, ratio, s01, s1))
         print(name, t01, t1, ratio, s01, "->", s1, flush=True)
+
+    mem_rows = []
+    for name, cold in MEM_EVIDENCE:
+        label = f"{name} ({'cold: + CC build' if cold else 'warm'})"
+        if cold:
+            _clear_matcache()
+        m01 = memory_evidence(spark, name, SF01)
+        if cold:
+            _clear_matcache()
+        m1 = memory_evidence(spark, name, SF1)
+        mem_rows.append((label, m01, m1))
+        print("mem", label, m01, "->", m1, flush=True)
 
     dt01, nf01, nr01 = delta_roundtrip(spark, SF01)
     dt1, nf1, nr1 = delta_roundtrip(spark, SF1)
@@ -238,6 +324,27 @@ def main() -> None:
                 f"| {name} | {t01} | {t1} | {ratio}x | `{s01}` | "
                 f"`{s1}` |\n"
             )
+        f.write(
+            "\n## Memory / spill evidence (heavy tail)\n\n"
+            "Shuffle and spill totals over exactly the stages one "
+            "cold pass executed (UI REST stage metrics).  Zero "
+            "spill = the plan fits executor memory at this scale; "
+            "shuffle volume growing ~linearly with data while spill "
+            "stays zero is the headroom story for the next 10x.\n\n"
+            "| query | scale | stages | shuffle write MB | peak "
+            "stage write MB | shuffle read MB | mem spilled MB | "
+            "disk spilled MB |\n|---|---|---|---|---|---|---|---|\n"
+        )
+        for name, m01, m1 in mem_rows:
+            for scale, m in (("sf0.1", m01), ("sf1", m1)):
+                f.write(
+                    f"| {name} | {scale} | {m['stages']} | "
+                    f"{m['shuffle_write_mb']} | "
+                    f"{m['peak_stage_shuffle_write_mb']} | "
+                    f"{m['shuffle_read_mb']} | "
+                    f"{m['memory_spilled_mb']} | "
+                    f"{m['disk_spilled_mb']} |\n"
+                )
         f.write("\n_Edit with per-query notes after each run._\n")
     spark.stop()
 
