@@ -90,7 +90,8 @@ HEAVY = [
     "dedup_simhash",
     # round-9 curated wave: batch-vs-corpus probe (same replica-pair
     # output caveat as minhash), the cluster-representative split
-    # (CC-dependent), and the snapshot-diff change feed (stages the
+    # (reads the shared matcache component table since r10), and the
+    # change feed (file-level CDF since r10; stages the
     # default-variant txn table fresh at first run per scale)
     "dedup_incremental_lsh",
     "split_leakage_safe",
@@ -123,8 +124,10 @@ CONSTRUCT_TIMED = {
     "graph_connected_components",
     "graph_kcore_decomposition",
     "graph_modularity_score",
-    # the leakage-safe split runs connected components (driver-probed
-    # iteration) at construction time
+    # the leakage-safe split consumes the matcache component table;
+    # construction is a cheap cache read when warm, but on a cache
+    # miss it runs the full CC build eagerly -- keep it
+    # construction-timed so a cold cell is attributed honestly
     "split_leakage_safe",
     # the availableNow drain runs the stream EAGERLY at construction
     # and returns the memory-sink table; re-writing that table would

@@ -548,7 +548,7 @@ def test_pinned_reader_survives_concurrent_compact_and_guarded_vacuum(
 def test_change_feed_derives_mutations_from_log_alone(spark, tmp_path):
     """source_txn_log_changes' diff engine on a HAND-BUILT table with
     mutations the fixture never performs (an update = delete+insert of
-    the same key at a new value): the snapshot diff must report
+    the same key at a new value): the change feed must report
     exactly the per-version delete/insert sets, derived from the log
     with no knowledge of how the table was mutated."""
     from hq_master_data_warehouse_spark.sources.txn_log import (
