@@ -1876,17 +1876,24 @@ def _nb_holdout_predictions(
     cnt = tr.groupBy("lang", "token").agg(
         F.count("*").cast("long").alias("c")
     )
+    # SPARSE model table: only OBSERVED (lang, token) pairs carry a
+    # row (VERDICT r9 nit).  An unobserved in-vocab pair's smoothed
+    # weight log((0+1)/(ct+v)) is EXACTLY the per-lang default lp0
+    # below, so the scored join's coalesce(lp, lp0) reconstructs the
+    # dense grid's value bit-for-bit while the broadcast shrinks from
+    # |langs| x |vocab| to the observed pairs -- at corpus scale
+    # (millions of types x many langs) the dense grid is prohibitive
+    # and sparse-plus-default is the only sane NB model layout.
     grid = (
-        cls.crossJoin(voc)
+        cnt.join(cls, "lang")
         .crossJoin(F.broadcast(v))
-        .join(cnt, ["lang", "token"], "left")
         .select(
             "lang",
             "token",
             F.floor(
                 1000000
                 * F.log(
-                    (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                    (F.col("c") + 1)
                     / (F.col("ct") + F.col("v")).cast("double")
                 )
             )
