@@ -671,3 +671,57 @@ def test_change_feed_reads_only_touched_files(spark, tmp_path):
         (1, "insert"): (1, 70.0),
         (2, "insert"): (1, 80.0),
     }
+
+
+def test_change_feed_deep_history_single_scan_plan(spark, tmp_path):
+    """The r10 single-scan CDF contract: a feed over a DEEP commit
+    history compiles to ONE parquet FileScan (all touched files in
+    one read, the action map broadcast), not an O(versions)-branch
+    union of per-version scans -- the property that keeps plan size
+    and listing cost flat as history grows."""
+    from hq_master_data_warehouse_spark.sources.txn_log import (
+        _write_file,
+        commit,
+        snapshot_changes,
+    )
+
+    d = str(tmp_path / "deep")
+    os.makedirs(d)
+
+    def orders_df(rows):
+        return spark.createDataFrame(
+            rows, "o_orderkey long, o_totalprice double"
+        )
+
+    def build(root: str, n_versions: int):
+        os.makedirs(root)
+        commit(
+            root,
+            0,
+            [_write_file(orders_df([(0, 5.0)]), root, "f0")],
+            [],
+        )
+        for v in range(1, n_versions):
+            f = _write_file(
+                orders_df([(100 + v, 1.0 * v)]), root, f"f{v}"
+            )
+            commit(root, v, [f], [])
+        feed = snapshot_changes(spark, root)
+        rows = {
+            (r.version, r.change_type): r.n_rows
+            for r in feed.collect()
+        }
+        assert rows == {
+            (v, "insert"): 1 for v in range(1, n_versions)
+        }
+        plan = feed._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Scan parquet")
+
+    shallow = build(str(tmp_path / "deep3"), 3)
+    deep = build(str(tmp_path / "deep12"), 12)
+    # ONE parquet relation feeds the whole feed (AQE prints the same
+    # scan node in both its initial- and final-plan sections, hence
+    # <= 2 occurrences); critically the count DOES NOT GROW with
+    # history depth -- the old per-version union plan scaled its scan
+    # nodes with the version count
+    assert deep == shallow <= 2
