@@ -725,3 +725,124 @@ def test_change_feed_deep_history_single_scan_plan(spark, tmp_path):
     # history depth -- the old per-version union plan scaled its scan
     # nodes with the version count
     assert deep == shallow <= 2
+
+
+# -- property test: the file-level CDF equals the snapshot-level diff
+#    on ARBITRARY mutation workloads that respect the writer contract
+#    (a writer touching a key rewrites its containing file).  The
+#    reference model folds snapshots in pure Python; the engine
+#    derives the feed from per-version file actions only.
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ops = st.lists(
+    st.one_of(
+        # append n fresh keys
+        st.tuples(st.just("append"), st.integers(1, 4), st.just(0)),
+        # rewrite one live file: drop keys where (key % 3 == mod),
+        # bump surviving values, optionally add one fresh key
+        st.tuples(st.just("rewrite"), st.integers(0, 5), st.integers(0, 2)),
+        # prune one live file entirely
+        st.tuples(st.just("prune"), st.integers(0, 5), st.just(0)),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(ops=_ops)
+def test_change_feed_matches_snapshot_model_on_random_workloads(
+    spark, tmp_path_factory, ops
+):
+    import collections
+
+    from hq_master_data_warehouse_spark.sources.txn_log import (
+        _write_file,
+        commit,
+        snapshot_changes,
+    )
+
+    d = str(tmp_path_factory.mktemp("cdfprop"))
+
+    def write(rows, name):
+        df = spark.createDataFrame(
+            sorted(rows.items()),
+            "o_orderkey long, o_totalprice double",
+        )
+        return _write_file(df, d, name)
+
+    files: dict[str, dict[int, float]] = {}  # live name -> rows
+    snapshots = []  # folded key -> value per version
+    next_key = [0]
+    seq = [0]
+
+    def fresh_rows(n):
+        rows = {}
+        for _ in range(n):
+            next_key[0] += 1
+            rows[next_key[0]] = 10.0 * next_key[0]
+        return rows
+
+    def do_commit(add_rows_by_name, remove_names):
+        version = len(snapshots)
+        adds = []
+        for name, rows in add_rows_by_name.items():
+            adds.append(write(rows, name))
+            files[name] = rows
+        for name in remove_names:
+            del files[name]
+        commit(d, version, adds, list(remove_names))
+        snap = {}
+        for rows in files.values():
+            snap.update(rows)
+        snapshots.append(dict(snap))
+
+    # v0: initial load
+    do_commit({"init": fresh_rows(3)}, [])
+    for kind, a, b in ops:
+        seq[0] += 1
+        name = f"f{seq[0]}"
+        if kind == "append":
+            do_commit({name: fresh_rows(a)}, [])
+        elif not files:
+            continue
+        elif kind == "rewrite":
+            victim = sorted(files)[a % len(files)]
+            old = files[victim]
+            new = {
+                k: v + 1.0 for k, v in old.items() if k % 3 != b
+            }
+            new.update(fresh_rows(1))
+            do_commit({name: new}, [victim])
+        else:  # prune
+            victim = sorted(files)[a % len(files)]
+            do_commit({}, [victim])
+
+    # reference: per-version key diff of adjacent folded snapshots
+    want = collections.defaultdict(lambda: [0, 0.0])
+    for v in range(1, len(snapshots)):
+        prev, cur = snapshots[v - 1], snapshots[v]
+        for k in prev.keys() - cur.keys():
+            cell = want[(v, "delete")]
+            cell[0] += 1
+            cell[1] += prev[k]
+        for k in cur.keys() - prev.keys():
+            cell = want[(v, "insert")]
+            cell[0] += 1
+            cell[1] += cur[k]
+
+    got = {
+        (r.version, r.change_type): [r.n_rows, r.total_price]
+        for r in snapshot_changes(spark, d).collect()
+    }
+    assert {k: (v[0], round(v[1], 4)) for k, v in got.items()} == {
+        k: (v[0], round(v[1], 4)) for k, v in want.items()
+    }
