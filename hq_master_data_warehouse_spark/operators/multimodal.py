@@ -643,7 +643,44 @@ def _featurize_batches(
         )
 
 
-@query("multimodal_feature_extract")  # rows-only: Arrow/pandas path
+@query(
+    "multimodal_feature_extract",
+    # r10 oracle conversion: the fake featurizer is a byte-level
+    # deterministic function of the payload (16-bin low-nibble
+    # histogram, %.6f formatting), and a byte's low nibble IS the
+    # second hex digit of its hex encoding -- so DuckDB replays the
+    # whole Arrow path from hex(encode(text)) without any decoder.
+    # printf('%.6f') and Python's f'{x:.6f}' both correctly round
+    # the identical double, so the strings match bit-for-bit.
+    oracle="""
+    WITH pay AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS blen
+        FROM documents
+    ),
+    nib AS (
+        SELECT p.doc_id,
+               strpos('0123456789ABCDEF',
+                      substr(p.hx, 2 * i, 1)) - 1 AS bin
+        FROM pay p,
+             LATERAL unnest(generate_series(1, p.blen)) AS t(i)
+    ),
+    counts AS (
+        SELECT doc_id, bin, COUNT(*) AS c FROM nib GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT p.doc_id, p.blen, b.bin, COALESCE(c.c, 0) AS c
+        FROM pay p
+        CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bin) b
+        LEFT JOIN counts c ON c.doc_id = p.doc_id AND c.bin = b.bin
+    )
+    SELECT doc_id, blen AS byte_len,
+           string_agg(printf('%.6f', c / GREATEST(blen, 1)),
+                      ',' ORDER BY bin) AS feature
+    FROM grid
+    GROUP BY doc_id, blen
+    """,
+)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary -> fixed-size feature vector via ``mapInPandas``: the
     one sanctioned Python hot path (Arrow-batched, partition-parallel,
@@ -654,12 +691,32 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary.mapInPandas(_featurize_batches, schema=_FEATURE_SCHEMA)
 
 
-@query("multimodal_frame_sample")  # rows-only: posexplode plumbing
+@query(
+    "multimodal_frame_sample",
+    # r10 oracle conversion: frame slicing is pure byte arithmetic
+    # on the payload, so DuckDB replays it on hex(encode(text)) --
+    # frame f covers hex chars [f*2*FS+1, 2*FS].  Frames are emitted
+    # HEX-ENCODED (VARCHAR) because raw binary cells canonicalize
+    # differently per engine (bytearray vs bytes str()).
+    oracle="""
+    WITH pay AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) // 32 AS n_frames
+        FROM documents
+    )
+    SELECT doc_id, CAST(f AS INT) AS frame_no,
+           substr(hx, f * 64 + 1, 64) AS frame_hex
+    FROM pay,
+         LATERAL unnest(generate_series(0, n_frames - 1)) AS t(f)
+    WHERE n_frames > 0 AND f % 4 = 0
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling plumbing: segment the payload into
     fixed-size "frames" (JVM-side), keep every 4th -- the partition-
     and-schema shape of real frame extraction, with byte slices
-    standing in for decoded frames."""
+    standing in for decoded frames (hex-encoded so the differential
+    gate can compare them across engines)."""
     docs = load_table(spark, sf_dir, "documents")
     binary = with_binary_payload(docs)
     frame_size = 32
@@ -677,10 +734,12 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "frame_no",
-            F.expr(
-                f"substring(payload, frame_no * {frame_size} + 1,"
-                f" {frame_size})"
-            ).alias("frame_bytes"),
+            F.hex(
+                F.expr(
+                    f"substring(payload, frame_no * {frame_size} + 1,"
+                    f" {frame_size})"
+                )
+            ).alias("frame_hex"),
         )
     )
 
@@ -713,7 +772,33 @@ def _resize_batches(
         )
 
 
-@query("multimodal_resize")  # rows-only: Arrow/pandas path
+@query(
+    "multimodal_resize",
+    # r10 oracle conversion: the fake resize (strided byte sampling
+    # + zero padding) is byte arithmetic, replayed in DuckDB over
+    # hex(encode(text)): sampled byte i sits at hex chars
+    # [i*stride*2+1, 2]; positions past the payload pad with '00'
+    # exactly like ljust.  Thumb emitted hex-encoded (same binary-
+    # cell canonicalization rule as multimodal_frame_sample).
+    oracle=f"""
+    WITH pay AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS blen,
+               GREATEST(octet_length(encode(text)) // {THUMB_BYTES},
+                        1) AS stride
+        FROM documents
+    )
+    SELECT doc_id, blen AS orig_len,
+           list_aggregate(
+               list_transform(
+                   generate_series(0, {THUMB_BYTES - 1}),
+                   i -> CASE WHEN blen > 0 AND i * stride < blen
+                             THEN substr(hx, i * stride * 2 + 1, 2)
+                             ELSE '00' END),
+               'string_agg', '') AS thumb_hex
+    FROM pay
+    """,
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media resize plumbing via ``mapInPandas``: every payload mapped
     to a fixed-size thumbnail, Arrow-batched and partition-parallel.
@@ -721,7 +806,11 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales is fixed output size per row and zero driver involvement."""
     docs = load_table(spark, sf_dir, "documents")
     binary = with_binary_payload(docs).select("doc_id", "payload")
-    return binary.mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)
+    return binary.mapInPandas(
+        _resize_batches, schema=_RESIZE_SCHEMA
+    ).select(
+        "doc_id", "orig_len", F.hex(F.col("thumb")).alias("thumb_hex")
+    )
 
 
 # ---------------------------------------------------------------------------

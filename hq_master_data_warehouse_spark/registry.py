@@ -263,6 +263,12 @@ RECHECK: tuple[str, ...] = (
     "sample_source_mix",
     "agg_approx_sketches",
     "similarity_mmr_diversify",
+    # second r10 conversion wave: the fake featurizer/slicer/resizer
+    # are byte-level deterministic, so DuckDB replays the whole
+    # Arrow path from hex(encode(text))
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "multimodal_resize",
     "source_txn_log_changes",
     "graph_connected_components",
     "graph_modularity_score",

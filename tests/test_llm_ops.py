@@ -426,10 +426,11 @@ def test_resize_fixed_shape_and_determinism(spark):
     rows = multimodal_resize(spark, SF).collect()
     assert rows
     for r in rows:
-        assert len(r.thumb) == THUMB_BYTES
+        # hex-encoded since the r10 oracle conversion: 2 chars/byte
+        assert len(r.thumb_hex) == 2 * THUMB_BYTES
         assert r.orig_len >= 0
-    again = {(r.doc_id, bytes(r.thumb)) for r in multimodal_resize(spark, SF).collect()}
-    assert {(r.doc_id, bytes(r.thumb)) for r in rows} == again
+    again = {(r.doc_id, r.thumb_hex) for r in multimodal_resize(spark, SF).collect()}
+    assert {(r.doc_id, r.thumb_hex) for r in rows} == again
 
 
 def test_connected_components_chain_and_forest(spark):
