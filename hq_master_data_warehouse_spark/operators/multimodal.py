@@ -463,7 +463,35 @@ def _decode_audio_batches(
         yield pd.DataFrame(out)
 
 
-@query("multimodal_decode_audio")  # rows-only: binary decode path
+@query(
+    "multimodal_decode_audio",
+    # r10 oracle conversion: the WAV container is a fixed RIFF header
+    # + the first 128 payload bytes (zero-padded) as 64 mono 16-bit
+    # LE samples, so the decoded stats are integer arithmetic DuckDB
+    # replays from hex(encode(text)) via the '0x' cast (hi byte = 2nd
+    # hex pair of each sample).  SUM/64 is a power-of-two division --
+    # exact in both engines.
+    oracle="""
+    WITH pay AS (
+        SELECT doc_id,
+               substr(hex(encode(text)) || repeat('00', 128), 1, 256)
+                   AS hx
+        FROM documents
+    ),
+    samp AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(hx, 4*i + 3, 2),
+                           substr(hx, 4*i + 1, 2)) AS INT) AS u
+        FROM pay, LATERAL unnest(generate_series(0, 63)) AS t(i)
+    )
+    SELECT doc_id, 8000 AS sample_rate, 1 AS n_channels,
+           CAST(64 AS BIGINT) AS n_samples,
+           CAST(SUM(ABS(CASE WHEN u >= 32768
+                             THEN u - 65536 ELSE u END))
+                AS DOUBLE) / 64 AS mean_abs_amplitude
+    FROM samp GROUP BY doc_id
+    """,
+)
 def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real audio decode over ``mapInPandas``: each document payload is
     wrapped JVM-side into a well-formed 16-bit PCM WAV (RIFF/fmt/data
@@ -491,7 +519,29 @@ def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return framed.mapInPandas(_decode_audio_batches, schema=_AUDIO_SCHEMA)
 
 
-@query("multimodal_decode_image")  # rows-only: binary decode path
+@query(
+    "multimodal_decode_image",
+    # r10 oracle conversion: the PPM container is headers + the raw
+    # payload bytes (padded with 'x' = 0x78), so the decoded pixel
+    # stats are byte arithmetic DuckDB replays from hex(encode(text)).
+    oracle="""
+    WITH pay AS (
+        SELECT doc_id,
+               substr(hex(encode(text)) || repeat('78', 96), 1, 192)
+                   AS hx
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(hx, 2*i - 1, 2)) AS INT) AS v
+        FROM pay, LATERAL unnest(generate_series(1, 96)) AS t(i)
+    )
+    SELECT doc_id, 8 AS width, 4 AS height,
+           CAST(32 AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS DOUBLE) / 96 AS mean_byte
+    FROM b GROUP BY doc_id
+    """,
+)
 def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real image decode over ``mapInPandas``: each document payload is
     wrapped JVM-side into a well-formed binary PPM (header + 96 pixel
@@ -595,7 +645,30 @@ def multimodal_decode_jpeg(
     )
 
 
-@query("multimodal_decode_png")  # rows-only: binary decode path
+@query(
+    "multimodal_decode_png",
+    # r10 oracle conversion: the PNG round-trip is LOSSLESS, so the
+    # decoded pixels must equal the pre-encode payload bytes (padded
+    # with 'x' = 0x78) -- the oracle restates the input stats, and
+    # any encoder/filter/defilter/inflate bug breaks the equality.
+    oracle="""
+    WITH pay AS (
+        SELECT doc_id,
+               substr(hex(encode(text)) || repeat('78', 96), 1, 192)
+                   AS hx
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(hx, 2*i - 1, 2)) AS INT) AS v
+        FROM pay, LATERAL unnest(generate_series(1, 96)) AS t(i)
+    )
+    SELECT doc_id, 8 AS width, 4 AS height,
+           CAST(32 AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS DOUBLE) / 96 AS mean_byte
+    FROM b GROUP BY doc_id
+    """,
+)
 def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-codec decode over ``mapInPandas``: document payloads
     framed as real zlib-compressed PNGs (all five scanline filters)
@@ -989,7 +1062,62 @@ def _audio_feature_batches(
         yield pd.DataFrame(rows)
 
 
-@query("multimodal_audio_features")  # rows-only: binary decode path
+@query(
+    "multimodal_audio_features",
+    # r10 oracle conversion: frames/RMS/ZCR over the fixed WAV
+    # geometry are integer arithmetic on the first 128 payload bytes
+    # (64 int16-LE samples), replayed from hex(encode(text)).  The
+    # only float ops -- SUM(v*v)/16.0 (power-of-two division, exact)
+    # then one SQRT, and zc/15.0 -- act on identical doubles in both
+    # engines.  Zero-crossings count sign flips over the NONZERO
+    # samples of each frame, exactly as the operator does.
+    oracle="""
+    WITH pay AS (
+        SELECT doc_id,
+               substr(hex(encode(text)) || repeat('00', 128), 1, 256)
+                   AS hx
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, i,
+               CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+        FROM (
+            SELECT doc_id, i,
+                   CAST(concat('0x', substr(hx, 4*i + 3, 2),
+                               substr(hx, 4*i + 1, 2)) AS INT) AS u
+            FROM pay, LATERAL unnest(generate_series(0, 63)) AS t(i)
+        )
+    ),
+    fr AS (
+        SELECT doc_id, f, i, v
+        FROM s, LATERAL unnest(
+                 generate_series(0, (64 - 16) // 8)) AS g(f)
+        WHERE s.i >= f * 8 AND s.i < f * 8 + 16
+    ),
+    rms AS (
+        SELECT doc_id, f, SQRT(SUM(v * v) / 16.0) AS rms
+        FROM fr GROUP BY 1, 2
+    ),
+    zc AS (
+        SELECT doc_id, f,
+               COUNT(*) FILTER (prev IS NOT NULL AND sgn <> prev)
+                   AS zc
+        FROM (
+            SELECT doc_id, f, SIGN(v) AS sgn,
+                   LAG(SIGN(v)) OVER (
+                       PARTITION BY doc_id, f ORDER BY i) AS prev
+            FROM fr WHERE v <> 0
+        ) GROUP BY 1, 2
+    )
+    SELECT rms.doc_id, CAST(rms.f AS INT) AS frame,
+           CAST(rms.f * 8 AS INT) AS start_sample,
+           rms.rms,
+           CAST(COALESCE(zc.zc, 0) AS INT) AS zero_crossings,
+           COALESCE(zc.zc, 0) / 15.0 AS zcr
+    FROM rms LEFT JOIN zc
+      ON zc.doc_id = rms.doc_id AND zc.f = rms.f
+    """,
+)
 def multimodal_audio_features(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

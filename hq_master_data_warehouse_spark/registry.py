@@ -269,6 +269,14 @@ RECHECK: tuple[str, ...] = (
     "multimodal_feature_extract",
     "multimodal_frame_sample",
     "multimodal_resize",
+    # third r10 conversion wave: the PPM/PNG/WAV codec paths are
+    # byte/integer arithmetic on the framed payload (PNG via the
+    # lossless round-trip property), so DuckDB replays the decoded
+    # stats exactly
+    "multimodal_decode_image",
+    "multimodal_decode_png",
+    "multimodal_decode_audio",
+    "multimodal_audio_features",
     "source_txn_log_changes",
     "graph_connected_components",
     "graph_modularity_score",
