@@ -277,6 +277,11 @@ RECHECK: tuple[str, ...] = (
     "multimodal_decode_png",
     "multimodal_decode_audio",
     "multimodal_audio_features",
+    # r10 plan change: the NB model table went dense -> sparse
+    # (observed pairs + per-lang default); values bit-identical but
+    # the consumers' plans changed, so re-record
+    "ml_naive_bayes_langid",
+    "ml_mcnemar_nb_vs_heuristic",
     "source_txn_log_changes",
     "graph_connected_components",
     "graph_modularity_score",
