@@ -524,25 +524,44 @@ CC_MAX_ITERS = 30
 def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(u, w) u<w part pairs co-purchased in >= CC_MIN_SHARED_ORDERS
     distinct orders -- the shared substrate of the CC/modularity
-    family."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("w")
-    )
-    return (
-        a.join(b, "k")
-        .filter(F.col("u") < F.col("w"))
-        .groupBy("u", "w")
-        .agg(F.count("*").alias("n_orders"))
-        .filter(F.col("n_orders") >= CC_MIN_SHARED_ORDERS)
-        .select("u", "w")
+    family, MATERIALIZED once per input snapshot (matcache): the
+    lineitem self-join + threshold groupBy is the heaviest shuffle in
+    both consumers and is a deterministic SET (no floats, no order
+    dependence), so both read the same pair table."""
+    from ..matcache import materialized, table_sig
+
+    def build() -> DataFrame:
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        a = li.select(
+            F.col("l_orderkey").alias("k"),
+            F.col("l_partkey").alias("u"),
+        )
+        b = li.select(
+            F.col("l_orderkey").alias("k"),
+            F.col("l_partkey").alias("w"),
+        )
+        return (
+            a.join(b, "k")
+            .filter(F.col("u") < F.col("w"))
+            .groupBy("u", "w")
+            .agg(F.count("*").alias("n_orders"))
+            .filter(F.col("n_orders") >= CC_MIN_SHARED_ORDERS)
+            .select("u", "w")
+        )
+
+    return materialized(
+        spark,
+        "copurchpairs",
+        [
+            table_sig(sf_dir, "lineitem"),
+            CC_MIN_SHARED_ORDERS,
+            "pairs-v1",
+        ],
+        build,
     )
 
 
