@@ -1406,13 +1406,205 @@ def _pq_l2(a, b):
     )
 
 
-@query("similarity_pq_adc")  # rows-only: iterative codebook training
-def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
+#: PQ trains and serves on PQ_Q-quantized components (the int8/int16
+#: quantization standard practice applies BEFORE PQ at scale): every
+#: distance, LUT cell and rank is then EXACT INTEGER arithmetic, and
+#: the centroid update ROUND(SUM/COUNT) divides exact integers -- the
+#: identical double in any engine -- so the whole iterative pipeline
+#: replays bit-for-bit in DuckDB (r10 oracle conversion; the float
+#: k-means it replaces was engine-specific by mean-summation order).
+PQ_Q = 10_000
+
+
+def _pq_quantize(col: Column) -> Column:
+    """array<float> -> array<long> at PQ_Q scale (ROUND is
+    half-away-from-zero in both engines)."""
+    return F.transform(
+        col,
+        lambda x: F.round(x.cast("double") * PQ_Q).cast("long"),
     )
-    dim = len(emb.select("embedding").first()[0])
-    subs = _pq_subvectors(emb, dim).cache()
+
+
+def _pq_l2i(a, b):
+    """Exact integer squared L2 between two array<long> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_dist_sql(a: str, b: str, n: int) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {n}), "
+        f"j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j])))"
+    )
+
+
+def _pq_assign_sql(tag: str, cents: str) -> str:
+    """One argmin-assignment CTE over the quantized subvectors."""
+    d = _pq_dist_sql("s.sub", "c.center", 8)
+    return f"""
+    {tag} AS (
+        SELECT vec_id, m, cid, d FROM (
+            SELECT t.*, ROW_NUMBER() OVER (
+                       PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+            FROM (
+                SELECT s.vec_id, s.m, c.cid, {d} AS d
+                FROM subs s JOIN {cents} c ON c.m = s.m
+            ) t
+        ) WHERE rn = 1
+    )"""
+
+
+def _pq_update_sql(utag: str, atag: str, prev: str, out: str) -> str:
+    """Lloyd update: per-dim ROUND(SUM/COUNT) of the members (exact
+    integers in, identical double division + half-away round in both
+    engines, integer centroid out); empty cells keep the old
+    center."""
+    return f"""
+    {utag} AS (
+        SELECT m, cid, list(c ORDER BY j) AS center FROM (
+            SELECT s.m, a.cid, jj.j,
+                   CAST(ROUND(SUM(s.sub[jj.j]) / COUNT(*))
+                        AS BIGINT) AS c
+            FROM subs s
+            JOIN {atag} a ON a.vec_id = s.vec_id AND a.m = s.m
+            CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS j) jj
+            GROUP BY s.m, a.cid, jj.j
+        ) GROUP BY m, cid
+    ),
+    {out} AS (
+        SELECT p.m, p.cid, COALESCE(u.center, p.center) AS center
+        FROM {prev} p
+        LEFT JOIN {utag} u ON u.m = p.m AND u.cid = p.cid
+    )"""
+
+
+def _pq_oracle() -> str:
+    full = _pq_dist_sql("qv.qe", "ev.e", 64)
+    lutd = _pq_dist_sql("qs2.qsub", "c.center", 8)
+    return f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(ROUND(CAST(x AS DOUBLE) * {PQ_Q})
+                             AS BIGINT)) AS e
+        FROM embeddings
+    ),
+    subs AS (
+        SELECT vec_id, m, e[(m*8+1):(m*8+8)] AS sub
+        FROM q, (SELECT unnest(generate_series(0, {PQ_M - 1}))
+                 AS m) mm
+    ),
+    seedh AS (
+        SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h
+        FROM embeddings ORDER BY h, vec_id LIMIT {PQ_K}
+    ),
+    c0 AS (
+        SELECT s.m,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.m ORDER BY sh.h) - 1 AS cid,
+               s.sub AS center
+        FROM subs s JOIN seedh sh USING (vec_id)
+    ),
+    {_pq_assign_sql("a1", "c0")},
+    {_pq_update_sql("u1", "a1", "c0", "c1")},
+    {_pq_assign_sql("a2", "c1")},
+    {_pq_update_sql("u2", "a2", "c1", "c2")},
+    {_pq_assign_sql("codes", "c2")},
+    qs AS (
+        SELECT vec_id AS qid, e AS qe FROM q
+        ORDER BY vec_id LIMIT {PQ_QUERIES}
+    ),
+    qsubs AS (
+        SELECT qid, m, qe[(m*8+1):(m*8+8)] AS qsub
+        FROM qs, (SELECT unnest(generate_series(0, {PQ_M - 1}))
+                  AS m) mm
+    ),
+    lut AS (
+        SELECT qs2.qid, c.m, c.cid, {lutd} AS d
+        FROM qsubs qs2 JOIN c2 c ON c.m = qs2.m
+    ),
+    adc AS (
+        SELECT l.qid, k.vec_id, SUM(l.d) AS adc
+        FROM codes k
+        JOIN lut l ON l.m = k.m AND l.cid = k.cid
+        GROUP BY 1, 2
+    ),
+    short AS (
+        SELECT qid, vec_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY qid ORDER BY adc, vec_id) AS rn
+            FROM adc
+        ) WHERE rn <= {PQ_SHORTLIST}
+    ),
+    rer AS (
+        SELECT qid, vec_id FROM (
+            SELECT t.qid, t.vec_id, ROW_NUMBER() OVER (
+                       PARTITION BY t.qid
+                       ORDER BY t.rd, t.vec_id) AS rn
+            FROM (
+                SELECT sh.qid, sh.vec_id, {full} AS rd
+                FROM short sh
+                JOIN qs qv ON qv.qid = sh.qid
+                JOIN q ev ON ev.vec_id = sh.vec_id
+            ) t
+        ) WHERE rn <= {PQ_TOPK}
+    ),
+    ex AS (
+        SELECT qid, vec_id FROM (
+            SELECT t.qid, t.vec_id, ROW_NUMBER() OVER (
+                       PARTITION BY t.qid
+                       ORDER BY t.ed, t.vec_id) AS rn
+            FROM (
+                SELECT qv.qid, ev.vec_id, {full} AS ed
+                FROM qs qv CROSS JOIN q ev
+            ) t
+        ) WHERE rn <= {PQ_TOPK}
+    ),
+    hits AS (
+        SELECT r.qid, COUNT(*) AS n
+        FROM rer r
+        JOIN ex ON ex.qid = r.qid AND ex.vec_id = r.vec_id
+        GROUP BY 1
+    ),
+    mse AS (
+        SELECT CAST(SUM(d) AS DOUBLE) / COUNT(*)
+               / {PQ_Q * PQ_Q}.0 AS mse
+        FROM codes
+    )
+    SELECT qs.qid AS query_id,
+           COALESCE(hits.n, 0) / {PQ_TOPK}.0 AS recall_at_10,
+           ROUND(mse.mse, 8) AS mean_quantization_mse
+    FROM qs LEFT JOIN hits ON hits.qid = qs.qid CROSS JOIN mse
+    """
+
+
+@query("similarity_pq_adc", oracle=_pq_oracle())
+def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization + asymmetric-distance serving, trained on
+    PQ_Q-quantized components: hash-seeded init, PQ_ITERS Lloyd
+    refinements (argmin by exact integer L2, ties to the lowest cid;
+    centroid update = per-dim ROUND(SUM/COUNT), empty cells keep the
+    old center), nibble codes, per-query LUT, ADC shortlist of
+    PQ_SHORTLIST, exact integer rerank, and recall@{PQ_TOPK} against
+    the exact integer top-{PQ_TOPK} -- with the mean quantization
+    error riding along in float^2 units.
+
+    Every number in the pipeline is either an exact integer or the
+    result of the identical IEEE double op on exact integers, so the
+    DuckDB oracle (unrolled CTE per iteration) replays training,
+    encoding, serving, and the recall audit bit-for-bit -- the r10
+    conversion of the one op whose float k-means was engine-specific
+    by mean-summation order (VERDICT r9 item 4's last candidate)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _pq_quantize(F.col("embedding")).alias("e")
+    )
+    dim = 64
+    subs = _pq_subvectors(
+        emb.select("vec_id", F.col("e").alias("embedding")), dim
+    ).cache()
 
     # hash-seeded init: the PQ_K vectors with smallest md5(vec_id)
     # seed every subspace's codebook (deterministic, no RNG)
@@ -1444,7 +1636,7 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def assign(cents: DataFrame) -> DataFrame:
         """argmin centroid per (vec, m); ties -> lowest cid."""
-        d = _pq_l2(F.col("sub"), F.col("center"))
+        d = _pq_l2i(F.col("sub"), F.col("center"))
         return (
             subs.join(F.broadcast(cents), "m")
             .groupBy("vec_id", "m")
@@ -1461,14 +1653,21 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     for _ in range(PQ_ITERS):
         asg = assign(centroids)
-        sub_dim = dim // PQ_M
-        # new centroid = elementwise mean of members (empty cells
-        # keep their old center via the left join fallback)
+        # new centroid = per-dim ROUND(SUM/COUNT) of the members
+        # (exact ints -> identical double division -> half-away
+        # round -> integer centroid); empty cells keep their old
+        # center via the left-join fallback
         exploded = (
             subs.join(asg.select("vec_id", "m", "cid"), ["vec_id", "m"])
             .select("m", "cid", F.posexplode("sub").alias("i", "x"))
             .groupBy("m", "cid", "i")
-            .agg(F.avg("x").alias("mx"))
+            .agg(
+                F.round(
+                    F.sum("x").cast("double") / F.count("*")
+                )
+                .cast("long")
+                .alias("mx")
+            )
             .groupBy("m", "cid")
             .agg(
                 F.array_sort(
@@ -1479,7 +1678,7 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "m",
                 "cid",
                 F.transform(
-                    F.col("pairs"), lambda s: s["mx"].cast("float")
+                    F.col("pairs"), lambda s: s["mx"]
                 ).alias("new_center"),
             )
         )
@@ -1498,10 +1697,13 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # queries: the PQ_QUERIES smallest vec_ids
     queries = emb.orderBy("vec_id").limit(PQ_QUERIES).select(
         F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qemb"),
+        F.col("e").alias("qe"),
     )
     qsubs = _pq_subvectors(
-        queries.select(F.col("qid").alias("vec_id"), F.col("qemb").alias("embedding")),
+        queries.select(
+            F.col("qid").alias("vec_id"),
+            F.col("qe").alias("embedding"),
+        ),
         dim,
     ).select(F.col("vec_id").alias("qid"), "m", F.col("sub").alias("qsub"))
     lut = (
@@ -1510,7 +1712,7 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             "m",
             "cid",
-            _pq_l2(F.col("qsub"), F.col("center")).alias("d"),
+            _pq_l2i(F.col("qsub"), F.col("center")).alias("d"),
         )
     )
     adc = (
@@ -1535,7 +1737,7 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             "vec_id",
-            _pq_l2(F.col("qemb"), F.col("embedding")).alias("rd"),
+            _pq_l2i(F.col("qe"), F.col("e")).alias("rd"),
         )
     )
     wrr = Window.partitionBy("qid").orderBy(
@@ -1551,7 +1753,7 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             "vec_id",
-            _pq_l2(F.col("qemb"), F.col("embedding")).alias("d"),
+            _pq_l2i(F.col("qe"), F.col("e")).alias("d"),
         )
     )
     we = Window.partitionBy("qid").orderBy(
@@ -1569,7 +1771,13 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy(approx_top["qid"].alias("qid")).agg(
         F.count("*").alias("n_hits")
     )
-    qerr = codes.agg(F.avg("qerr").alias("mse"))
+    qerr = codes.agg(
+        (
+            F.sum("qerr").cast("double")
+            / F.count("*")
+            / (PQ_Q * PQ_Q)
+        ).alias("mse")
+    )
     return (
         queries.select("qid")
         .join(hits, "qid", "left")

@@ -282,6 +282,11 @@ RECHECK: tuple[str, ...] = (
     # the consumers' plans changed, so re-record
     "ml_naive_bayes_langid",
     "ml_mcnemar_nb_vs_heuristic",
+    # fourth r10 conversion: PQ retrained on PQ_Q-quantized inputs --
+    # every distance/rank exact integer, centroid update =
+    # ROUND(SUM/COUNT) of exact ints -- so the whole iterative
+    # pipeline replays in an unrolled-CTE oracle
+    "similarity_pq_adc",
     "source_txn_log_changes",
     "graph_connected_components",
     "graph_modularity_score",

@@ -2525,19 +2525,19 @@ def test_geo_ops_brute_force(spark):
 
 
 def test_pq_adc_replay(spark):
-    """Full numpy replay of the PQ pipeline (hash-seeded init, 2
-    Lloyd iterations, ADC shortlist, exact rerank).  Centroid means
-    pass through float32 exactly as the engine does; recall is
-    compared with a +-0.1 tolerance to absorb last-ULP argmin flips
-    in degenerate ties."""
+    """Full pure-Python replay of the INTEGER PQ pipeline (r10:
+    hash-seeded init, PQ_Q quantization, 2 Lloyd iterations with
+    ROUND(SUM/COUNT) centroid updates, ADC shortlist, exact integer
+    rerank).  Since every pipeline number is exact, the comparison is
+    EXACT EQUALITY -- the pre-r10 float model needed a +-0.1 recall
+    tolerance for last-ULP argmin flips."""
     import hashlib
-
-    import numpy as np
 
     from hq_master_data_warehouse_spark.operators.similarity import (
         PQ_ITERS,
         PQ_K,
         PQ_M,
+        PQ_Q,
         PQ_QUERIES,
         PQ_SHORTLIST,
         PQ_TOPK,
@@ -2550,9 +2550,18 @@ def test_pq_adc_replay(spark):
         " ORDER BY vec_id"
     ).fetchall()
     ids = [v for v, _ in emb]
-    X = np.array([e for _, e in emb], dtype=np.float32)
-    n, dim = X.shape
+
+    def r_half_away(x: float) -> int:
+        import math
+
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    X = [
+        [r_half_away(float(x) * PQ_Q) for x in e] for _, e in emb
+    ]
+    n, dim = len(X), len(X[0])
     sd = dim // PQ_M
+    idx = {v: i for i, v in enumerate(ids)}
     seed_ids = sorted(
         ids, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
     )[:PQ_K]
@@ -2562,56 +2571,68 @@ def test_pq_adc_replay(spark):
             str(seed_ids[i]).encode()
         ).hexdigest(),
     )
-    idx = {v: i for i, v in enumerate(ids)}
     cents = [
-        np.stack(
-            [X[idx[seed_ids[o]], m * sd: (m + 1) * sd] for o in order]
-        ).astype(np.float32)
+        [
+            list(X[idx[seed_ids[o]]][m * sd: (m + 1) * sd])
+            for o in order
+        ]
         for m in range(PQ_M)
     ]
 
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
     def assign(cents):
-        codes = np.empty((n, PQ_M), dtype=np.int64)
-        qerr = np.empty((n, PQ_M))
-        for m in range(PQ_M):
-            sub = X[:, m * sd: (m + 1) * sd].astype(np.float64)
-            d = (
-                ((sub[:, None, :] - cents[m][None].astype(np.float64))
-                 ** 2).sum(-1)
-            )
-            codes[:, m] = d.argmin(1)
-            qerr[:, m] = d.min(1)
+        codes, qerr = [], []
+        for i in range(n):
+            cr, qr = [], []
+            for m in range(PQ_M):
+                sub = X[i][m * sd: (m + 1) * sd]
+                best = min(
+                    range(PQ_K), key=lambda c: (d2(sub, cents[m][c]), c)
+                )
+                cr.append(best)
+                qr.append(d2(sub, cents[m][best]))
+            codes.append(cr)
+            qerr.append(qr)
         return codes, qerr
 
     for _ in range(PQ_ITERS):
         codes, _ = assign(cents)
         for m in range(PQ_M):
-            sub = X[:, m * sd: (m + 1) * sd].astype(np.float64)
             for c in range(PQ_K):
-                mask = codes[:, m] == c
-                if mask.any():
-                    cents[m][c] = sub[mask].mean(0).astype(np.float32)
+                members = [
+                    X[i][m * sd: (m + 1) * sd]
+                    for i in range(n)
+                    if codes[i][m] == c
+                ]
+                if members:
+                    cnt = len(members)
+                    cents[m][c] = [
+                        r_half_away(
+                            sum(v[j] for v in members) / cnt
+                        )
+                        for j in range(sd)
+                    ]
     codes, qerr = assign(cents)
-    mse = qerr.mean()
-    assert abs(rows[ids[0]].mean_quantization_mse - mse) < 1e-3
+    mse = sum(sum(q) for q in qerr) / (n * PQ_M) / (PQ_Q * PQ_Q)
+    assert rows[ids[0]].mean_quantization_mse == round(mse, 8)
 
     for qi in range(PQ_QUERIES):
-        q = X[qi].astype(np.float64)
+        q = X[qi]
         lut = [
-            ((q[m * sd: (m + 1) * sd][None]
-              - cents[m].astype(np.float64)) ** 2).sum(-1)
+            [d2(q[m * sd: (m + 1) * sd], cents[m][c])
+             for c in range(PQ_K)]
             for m in range(PQ_M)
         ]
-        adc = np.array(
-            [
-                sum(lut[m][codes[i, m]] for m in range(PQ_M))
-                for i in range(n)
-            ]
-        )
+        adc = [
+            sum(lut[m][codes[i][m]] for m in range(PQ_M))
+            for i in range(n)
+        ]
         short = sorted(range(n), key=lambda i: (adc[i], ids[i]))[
             :PQ_SHORTLIST
         ]
-        exact_d = ((X.astype(np.float64) - q) ** 2).sum(-1)
+        exact_d = [d2(X[i], q) for i in range(n)]
         rer = sorted(short, key=lambda i: (exact_d[i], ids[i]))[
             :PQ_TOPK
         ]
@@ -2619,7 +2640,7 @@ def test_pq_adc_replay(spark):
             :PQ_TOPK
         ]
         recall = len(set(rer) & set(true)) / PQ_TOPK
-        assert abs(rows[ids[qi]].recall_at_10 - recall) <= 0.1 + 1e-9
+        assert rows[ids[qi]].recall_at_10 == recall  # EXACT
     # determinism across runs
     again = {r.query_id: r for r in _rows(spark, "similarity_pq_adc")}
     assert {k: v.recall_at_10 for k, v in rows.items()} == {
