@@ -892,32 +892,71 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PHASH_SCHEMA = "doc_id long, phash string, band0 int, band1 int, band2 int, band3 int"
 
 
-def phash64(pixels: bytes, w: int, h: int) -> int:
-    """64-bit DCT perceptual hash of an RGB image: luma -> 8x8 average
-    pool -> 2D DCT-II -> sign of the 64 lowest-frequency coefficients
-    against their median (DC excluded from the median, standard
-    pHash).  Pure deterministic numpy float64 -- identical input
-    bytes always give identical hashes."""
-    import numpy as np
+#: 8x8 fixed-point DCT-II basis at 2^14 scale, row-major -- the
+#: standard fixed-point DCT practice (JPEG hardware quantizes its
+#: basis exactly like this).  Computed ONCE here and embedded as
+#: INTEGER literals in the SQL oracle, so libm cos() variance between
+#: engines is irrelevant AND every downstream value is an exact
+#: integer: luma at x1000 (299r + 587g + 114b), block-SUM pooling
+#: (scales sign-vs-median comparisons uniformly), integer DCT, exact
+#: integer median.  Bounds: |B| <= 2^14, luma < 2^18, 64 terms ->
+#: |coef| < 2^52, comfortably exact in BIGINT.
+import math as _math  # noqa: E402
 
-    px = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
-    luma = (
-        0.299 * px[:, :, 0]
-        + 0.587 * px[:, :, 1]
-        + 0.114 * px[:, :, 2]
+PHASH_DCT_SCALE = 1 << 14
+PHASH_BASIS: tuple[int, ...] = tuple(
+    int(
+        _math.copysign(
+            _math.floor(
+                abs(_math.cos(_math.pi * (2 * j + 1) * i / 16.0))
+                * PHASH_DCT_SCALE
+                + 0.5
+            ),
+            _math.cos(_math.pi * (2 * j + 1) * i / 16.0),
+        )
     )
-    # average-pool to 8x8 (inputs here are already 8x8 or small;
-    # general path pools by integer blocks)
+    for i in range(8)
+    for j in range(8)
+)
+
+
+def phash64(pixels: bytes, w: int, h: int) -> int:
+    """64-bit fixed-point-DCT perceptual hash of an RGB image:
+    integer luma -> 8x8 block-sum pool -> integer 2D DCT-II
+    (PHASH_BASIS) -> sign of the 64 lowest-frequency coefficients
+    against their exact integer median (DC excluded, standard pHash).
+
+    r10: every operation is exact integer arithmetic, so the whole
+    hash replays bit-for-bit in the DuckDB oracle with plain
+    (order-independent) SUMs -- the float/numpy formulation it
+    replaces was engine-specific by summation order.  Identical input
+    bytes always give identical hashes."""
+    luma = [
+        299 * pixels[3 * t] + 587 * pixels[3 * t + 1]
+        + 114 * pixels[3 * t + 2]
+        for t in range(w * h)
+    ]
     bh, bw = max(1, h // 8), max(1, w // 8)
-    pooled = luma[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(
-        axis=(1, 3)
-    )
-    n = 8
-    k = np.arange(n)
-    basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
-    coefs = basis @ pooled @ basis.T
-    flat = coefs.flatten()
-    med = float(np.median(flat[1:]))
+    pooled = [
+        sum(
+            luma[(r * bh + dr) * w + c * bw + dc]
+            for dr in range(bh)
+            for dc in range(bw)
+        )
+        for r in range(8)
+        for c in range(8)
+    ]
+    B = PHASH_BASIS
+    flat = [
+        sum(
+            B[i * 8 + k] * pooled[k * 8 + l] * B[j * 8 + l]
+            for k in range(8)
+            for l in range(8)  # noqa: E741
+        )
+        for i in range(8)
+        for j in range(8)
+    ]
+    med = sorted(flat[1:])[31]  # exact middle of 63 integers
     bits = 0
     for i, v in enumerate(flat):
         if v > med:
@@ -942,7 +981,78 @@ def _phash_batches(batches):
         yield pd.DataFrame(out)
 
 
-@query("multimodal_phash_neardup")  # rows-only: decode not in SQL
+
+def _phash_oracle() -> str:
+    """DuckDB replay of the full fixed-point pHash pipeline: bytes ->
+    integer luma -> integer DCT (PHASH_BASIS literals; plain SUM is
+    safe because every term is an exact integer) -> median-sign
+    bands -> banded candidate join -> exact Hamming (r10)."""
+    bas = ", ".join(
+        f"({i // 8}, {i % 8}, {v})" for i, v in enumerate(PHASH_BASIS)
+    )
+    return f"""
+    WITH basis(i, k, v) AS (VALUES {bas}),
+    pay AS (
+        SELECT doc_id,
+               substr(hex(encode(text)) || repeat('78', 192), 1, 384)
+                   AS hx
+        FROM documents
+    ),
+    luma AS (
+        SELECT doc_id, t // 8 AS k, t % 8 AS l,
+               299 * CAST(concat('0x',
+                         substr(hx, 6*t + 1, 2)) AS BIGINT)
+               + 587 * CAST(concat('0x',
+                           substr(hx, 6*t + 3, 2)) AS BIGINT)
+               + 114 * CAST(concat('0x',
+                           substr(hx, 6*t + 5, 2)) AS BIGINT) AS p
+        FROM pay, LATERAL unnest(generate_series(0, 63)) AS tt(t)
+    ),
+    coef AS (
+        SELECT l.doc_id, bi.i * 8 + bj.i AS ij,
+               SUM(bi.v * l.p * bj.v) AS f
+        FROM luma l
+        JOIN basis bi ON bi.k = l.k
+        JOIN basis bj ON bj.k = l.l
+        GROUP BY l.doc_id, bi.i, bj.i
+    ),
+    medv AS (
+        SELECT doc_id, f AS med FROM (
+            SELECT doc_id, f,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY f) AS rn
+            FROM coef WHERE ij <> 0
+        ) WHERE rn = 32
+    ),
+    bands AS (
+        SELECT c.doc_id, c.ij // 16 AS band,
+               SUM(CASE WHEN c.f > m.med
+                        THEN CAST(1 AS BIGINT) << (c.ij % 16)
+                        ELSE 0 END) AS bval
+        FROM coef c JOIN medv m ON m.doc_id = c.doc_id
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bval = b.bval
+                    AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    ham AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(SUM(bit_count(xor(x.bval, y.bval))) AS INT)
+                   AS hamming
+        FROM cand c
+        JOIN bands x ON x.doc_id = c.doc_a
+        JOIN bands y ON y.doc_id = c.doc_b AND y.band = x.band
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 10
+    """
+
+
+@query("multimodal_phash_neardup", oracle=_phash_oracle())
 def multimodal_phash_neardup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

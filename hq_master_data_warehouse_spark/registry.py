@@ -282,6 +282,10 @@ RECHECK: tuple[str, ...] = (
     # the consumers' plans changed, so re-record
     "ml_naive_bayes_langid",
     "ml_mcnemar_nb_vs_heuristic",
+    # fifth r10 conversion: pHash moved to the standard fixed-point
+    # DCT (2^14 integer basis) -- every value exact integer, so the
+    # DCT/median/bands/hamming replay relationally in DuckDB
+    "multimodal_phash_neardup",
     # fourth r10 conversion: PQ retrained on PQ_Q-quantized inputs --
     # every distance/rank exact integer, centroid update =
     # ROUND(SUM/COUNT) of exact ints -- so the whole iterative
