@@ -112,6 +112,13 @@ HEADLINE = [
     "split_leakage_safe",
     "dedup_incremental_lsh",
     "source_txn_log_changes",
+    # round 11 addition (VERDICT r10 item 6): the slowest known
+    # operation -- full txn-table staging + compaction + Delta export
+    # + read-back (had a real listing-scale bug in r10; min-of-REPS
+    # regression tracking is exactly for this).  The warm-up pass
+    # pays the one-time staging; timed reps measure
+    # compact/export/read-back on the staged table.
+    "layout_delta_export_roundtrip",
 ]
 
 

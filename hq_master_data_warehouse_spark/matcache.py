@@ -36,6 +36,7 @@ its own tmp.  Same discipline as the txn-log commit primitive
 from __future__ import annotations
 
 import hashlib
+import inspect
 import os
 import shutil
 import tempfile
@@ -43,6 +44,30 @@ import threading
 from typing import Callable, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _code_sig(fn: Callable) -> str:
+    """Hash of the builder's SOURCE CODE (plus its enclosing module's
+    source when resolvable), folded into every cache key: a logic edit
+    to the builder -- or to module-level constants/helpers it closes
+    over -- invalidates the on-disk table even if nobody remembered to
+    bump the hand-written version tag (ADVICE r10: a stale tag would
+    silently serve wrong components to pytest-only or bench runs that
+    skip the oracle gate).  Module-level hashing is deliberately
+    coarse: a comment edit rebuilds a cache table, which costs seconds;
+    a missed invalidation costs silent wrong data."""
+    parts = []
+    try:
+        parts.append(inspect.getsource(fn))
+    except (OSError, TypeError):
+        parts.append(getattr(fn, "__qualname__", repr(fn)))
+    mod = inspect.getmodule(fn)
+    if mod is not None:
+        try:
+            parts.append(inspect.getsource(mod))
+        except (OSError, TypeError):
+            pass
+    return hashlib.md5("\n".join(parts).encode()).hexdigest()[:12]
 
 
 def input_sig(*paths: str) -> str:
@@ -67,9 +92,14 @@ def materialized(
     build: Callable[[], DataFrame],
 ) -> DataFrame:
     """Return the materialized result of ``build()`` for this key,
-    building it exactly once per (key_parts) on this host."""
+    building it exactly once per (key_parts, builder-code) on this
+    host.  The key folds in ``_code_sig(build)`` so editing the
+    builder's logic (or its module) invalidates the cache without a
+    manual tag bump (ADVICE r10)."""
     key = hashlib.md5(
-        ":".join(str(p) for p in key_parts).encode()
+        ":".join(
+            [*(str(p) for p in key_parts), _code_sig(build)]
+        ).encode()
     ).hexdigest()[:12]
     final = os.path.join(
         tempfile.gettempdir(), f"hqmdw_mat_{tag}_{key}"
@@ -80,7 +110,14 @@ def materialized(
         try:
             os.rename(tmp, final)
         except OSError:
-            # concurrent builder won the rename; deterministic
-            # builder => identical content, keep the winner's table
+            # Swallow the error ONLY when a concurrent builder
+            # demonstrably won the race (final now exists --
+            # deterministic builder => identical content, keep the
+            # winner's table).  A rename that failed for any other
+            # reason (EXDEV, permissions) must surface HERE, not as
+            # an unrelated-looking read error on a missing path
+            # (ADVICE r10).
             shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(final):
+                raise
     return spark.read.parquet(final)

@@ -793,25 +793,11 @@ def _kcore_oracle() -> str:
 def graph_kcore_decomposition(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("w")
-    )
-    pairs = (
-        a.join(b, "k")
-        .filter(F.col("u") < F.col("w"))
-        .groupBy("u", "w")
-        .agg(F.count("*").alias("n_orders"))
-        .filter(F.col("n_orders") >= CC_MIN_SHARED_ORDERS)
-        .select("u", "w")
-    )
+    # the thresholded pair set is the SAME substrate the CC/modularity
+    # family materializes once per input snapshot (matcache) -- the
+    # inline lineitem self-join rebuild this replaced was pure
+    # duplicate work, and the heaviest sf1 cell (VERDICT r10 item 3)
+    pairs = _copurchase_pairs(spark, sf_dir)
     edges = (
         pairs.select(F.col("u").alias("src"), F.col("w").alias("dst"))
         .unionByName(

@@ -1982,9 +1982,10 @@ def ml_silhouette_simplified(
 #    linear margin (same convention as ml_lift_gains_table).  Ranks
 #    and rank sums are exact integers, so the statistic is ONE double
 #    division of exact longs -- bit-identical cross-engine with no
-#    quantization step at all.  The eval-set rank runs as a window
-#    over the bounded scored set (the ml-family convention; at corpus
-#    scale swap in the two-pass _global_rank like orders_rfm_scores).
+#    quantization step at all.  The eval-set rank runs through the
+#    distributed two-pass _global_rank (margin-band buckets, the
+#    orders_rfm_scores shape) -- no single-partition WindowExec even
+#    on 100x eval sets (VERDICT r10 item 4).
 @query(
     "ml_roc_auc_exact",
     oracle=f"""
@@ -2017,7 +2018,7 @@ def ml_silhouette_simplified(
     """,
 )
 def ml_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from .analytics import _global_rank
 
     emb = load_table(spark, sf_dir, "embeddings")
     w = F.array(*[F.lit(x) for x in WEIGHTS])
@@ -2032,11 +2033,11 @@ def ml_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("label") % 2 == 1).cast("int").alias("pos"),
         margin.alias("margin"),
     )
-    ranked = m.withColumn(
+    ranked = _global_rank(
+        m,
+        F.floor(F.col("margin")),
+        [F.asc("margin"), F.asc("vec_id")],
         "rnk",
-        F.row_number().over(
-            Window.orderBy(F.asc("margin"), F.asc("vec_id"))
-        ),
     )
     s = ranked.agg(
         F.sum("pos").cast("long").alias("n_pos"),

@@ -33,6 +33,44 @@ SPLIT_CUT = "e6"
 MIX_WEIGHTS = {f"src{i}": (0.25 if i % 2 == 0 else 1.0) for i in range(20)}
 MIX_SEED = 42
 
+#: 16-bit membership scale for the hash-weighted mix: a source keeps
+#: rows whose md5-derived u16 < weight * MIX_HASH_SCALE.
+MIX_HASH_SCALE = 65536
+
+
+def _mix_weight_col() -> "F.Column":
+    """Per-source weight as a Spark column, derived from MIX_WEIGHTS
+    itself (ADVICE r10: the audit used to hard-code the parity rule a
+    second time, so a MIX_WEIGHTS edit or an out-of-range source
+    desynced sampler from audit).  Literal map + the same 1.0 default
+    source_mix_sample applies to unknown sources."""
+    pairs = []
+    for s, w in sorted(MIX_WEIGHTS.items()):
+        pairs += [F.lit(s), F.lit(float(w))]
+    return F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col("source")),
+        F.lit(1.0),
+    )
+
+
+def _mix_weight_sql() -> str:
+    """The SAME weight rule as SQL, generated from the SAME dict."""
+    cases = " ".join(
+        f"WHEN '{s}' THEN {w!r}"
+        for s, w in sorted(MIX_WEIGHTS.items())
+    )
+    return f"(CASE source {cases} ELSE 1.0 END)"
+
+
+def _mix_threshold_sql() -> str:
+    """Hash-membership thresholds (weight * MIX_HASH_SCALE), also
+    generated from MIX_WEIGHTS."""
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(w * MIX_HASH_SCALE)}"
+        for s, w in sorted(MIX_WEIGHTS.items())
+    )
+    return f"(CASE source {cases} ELSE {MIX_HASH_SCALE} END)"
+
 
 def hash_split(df: DataFrame, key: str) -> DataFrame:
     """Stable 'train'/'holdout' assignment from the md5 of the key."""
@@ -88,8 +126,7 @@ def source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH per AS (
         SELECT source, COUNT(*) AS n_total,
-               CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
-                    THEN 0.25 ELSE 1.0 END AS weight
+               {_mix_weight_sql()} AS weight
         FROM documents GROUP BY source
     )
     SELECT source, n_total,
@@ -122,9 +159,7 @@ def sample_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_kept"))
     )
     per = docs.groupBy("source").agg(F.count("*").alias("n_total"))
-    w = F.when(
-        F.substring("source", 4, 10).cast("int") % 2 == 0, 0.25
-    ).otherwise(1.0)
+    w = _mix_weight_col()
     tol = F.greatest(
         F.lit(MIX_TOL_FLOOR),
         F.ceil(
@@ -160,13 +195,12 @@ def sample_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    zero shuffles, trivially scale-safe.
 @query(
     "sample_hash_weighted_mix",
-    oracle="""
+    oracle=f"""
     SELECT doc_id, source
     FROM documents
     WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
                AS INT)
-          < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
-                 THEN 16384 ELSE 65536 END
+          < {_mix_threshold_sql()}
     """,
 )
 def sample_hash_weighted_mix(
@@ -176,9 +210,9 @@ def sample_hash_weighted_mix(
     u16 = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
     ).cast("int")
-    threshold = F.when(
-        F.substring("source", 4, 10).cast("int") % 2 == 0, 16384
-    ).otherwise(65536)
+    # thresholds derived from MIX_WEIGHTS (same single source of
+    # truth as the audit, ADVICE r10)
+    threshold = (_mix_weight_col() * MIX_HASH_SCALE).cast("int")
     return docs.filter(u16 < threshold).select("doc_id", "source")
 
 

@@ -248,48 +248,50 @@ DEFER_NEW: tuple[str, ...] = (
 )
 
 # Queries whose PLAN or EVIDENCE LEVEL changed in round RECHECK_SINCE
-# (r10: three rows-only ops converted to value-level oracles --
-# sample_source_mix and agg_approx_sketches via the GK-band/
-# tolerance-audit pattern, similarity_mmr_diversify via a recursive-
-# CTE replay of the greedy selection on bit-exact rounded cosines --
-# plus the consumers of the r10 shared CC materialization and the
-# file-level CDF rewrite).  They already hold records from earlier
-# rounds, but evidence policy wants a fresh record on the post-change
-# code, so they join the front of the window until a record from
-# round >= RECHECK_SINCE lands; then _RECORD_ROUND retires them
-# automatically.
-RECHECK_SINCE = 10
+# (r11: the txn-log fixture gained the v3 update wave and the CDF an
+# update_preimage/postimage change type, so every query reading the
+# staged table re-records; graph_kcore_decomposition now consumes the
+# matcache'd pair table; ml_roc_auc_exact ranks through the
+# distributed two-pass _global_rank; the sampling mix audit and the
+# hash-weighted mix derive their weights from MIX_WEIGHTS itself).
+# They already hold records from earlier rounds, but evidence policy
+# wants a fresh record on the post-change code, so they join the
+# front of the window until a record from round >= RECHECK_SINCE
+# lands; then _RECORD_ROUND retires them automatically.
+RECHECK_SINCE = 11
 RECHECK: tuple[str, ...] = (
+    "source_txn_log_changes",
+    "source_txn_log_snapshot",
+    "source_txn_log_time_travel",
+    "source_txn_log_pruned_scan",
+    "layout_txn_log_compact",
+    "layout_txn_log_vacuum",
+    "layout_delta_export_roundtrip",
+    "graph_kcore_decomposition",
+    "ml_roc_auc_exact",
+    "sample_source_mix",
+    "sample_hash_weighted_mix",
+)
+
+# r10 RECHECK block, retired (all re-records landed green in
+# CORRECTNESS_r10): the ten rows-only->oracle conversions
+# (tolerance-audit, hex-replay multimodal, fixed-point pHash,
+# quantized PQ), the sparse NB model consumers, and the matcache/CDF
+# consumers.
+_RECHECK_R10_RETIRED: tuple[str, ...] = (
     "sample_source_mix",
     "agg_approx_sketches",
     "similarity_mmr_diversify",
-    # second r10 conversion wave: the fake featurizer/slicer/resizer
-    # are byte-level deterministic, so DuckDB replays the whole
-    # Arrow path from hex(encode(text))
     "multimodal_feature_extract",
     "multimodal_frame_sample",
     "multimodal_resize",
-    # third r10 conversion wave: the PPM/PNG/WAV codec paths are
-    # byte/integer arithmetic on the framed payload (PNG via the
-    # lossless round-trip property), so DuckDB replays the decoded
-    # stats exactly
     "multimodal_decode_image",
     "multimodal_decode_png",
     "multimodal_decode_audio",
     "multimodal_audio_features",
-    # r10 plan change: the NB model table went dense -> sparse
-    # (observed pairs + per-lang default); values bit-identical but
-    # the consumers' plans changed, so re-record
     "ml_naive_bayes_langid",
     "ml_mcnemar_nb_vs_heuristic",
-    # fifth r10 conversion: pHash moved to the standard fixed-point
-    # DCT (2^14 integer basis) -- every value exact integer, so the
-    # DCT/median/bands/hamming replay relationally in DuckDB
     "multimodal_phash_neardup",
-    # fourth r10 conversion: PQ retrained on PQ_Q-quantized inputs --
-    # every distance/rank exact integer, centroid update =
-    # ROUND(SUM/COUNT) of exact ints -- so the whole iterative
-    # pipeline replays in an unrolled-CTE oracle
     "similarity_pq_adc",
     "source_txn_log_changes",
     "graph_connected_components",
@@ -313,12 +315,8 @@ _RECHECK_R9_RETIRED: tuple[str, ...] = (
     "streaming_txn_log_sink",
     "streaming_egress_retry",
     "streaming_stateful_running_totals",
-    # r9: md5-derived hash families make the full LSH pipelines
-    # engine-reproducible -- both now carry value-level oracles
     "dedup_minhash_lsh",
     "dedup_simhash",
-    # r9: bit-identical chain-fold cosine SQL gives the ANN family
-    # full-pipeline oracles (signs, bands, probe, top-k)
     "similarity_ann_lsh",
     "similarity_ivf_topk",
 )

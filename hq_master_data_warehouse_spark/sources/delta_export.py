@@ -161,10 +161,14 @@ def read_delta_export(
     "layout_delta_export_roundtrip",
     # same final-state oracle as the other txn-log queries: the
     # fixture's head is orders minus the %7 deletes plus the %14
-    # re-inserts (txn_log.build_txn_table)
+    # re-inserts, with the %5==1 live keys' price bumped by the v3
+    # update wave (txn_log.build_txn_table)
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+           CAST(SUM(CAST(CASE WHEN o_orderkey % 5 = 1
+                              THEN o_totalprice + 1
+                              ELSE o_totalprice END
+                         AS DECIMAL(30,4))) AS DOUBLE)
                AS total_price
     FROM orders
     WHERE o_orderkey % 7 <> 0 OR o_orderkey % 14 = 0

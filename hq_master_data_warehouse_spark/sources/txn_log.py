@@ -57,11 +57,12 @@ def _table_dir(sf_dir: str, variant: str = "") -> str:
     # invalidates stale stagings instead of silently reusing them;
     # ``variant`` gives mutating queries (compaction) a private
     # instance so they never perturb the shared staged fixture
-    # "L2" = staging-layout generation (r8: distributed bucketed
-    # writes, nested <prefix>/_b=N paths); bumping it orphans any
-    # stale flat-layout staging instead of silently reusing it
+    # "L3" = staging-layout generation (r8: distributed bucketed
+    # writes, nested <prefix>/_b=N paths; r11: the v3 update wave
+    # joined the fixture); bumping it orphans any stale staging
+    # instead of silently reusing it
     tag = hashlib.md5(
-        f"{sf_dir}:{FILE_KEYSPAN}:L2:{variant}".encode()
+        f"{sf_dir}:{FILE_KEYSPAN}:L3:{variant}".encode()
     ).hexdigest()[:8]
     return os.path.join(tempfile.gettempdir(), f"hqmdw_txn_{tag}")
 
@@ -74,7 +75,14 @@ def commit(table_dir: str, version: int, add, remove) -> None:
     cannot both succeed -- the optimistic-concurrency primitive
     transactional table formats build conflict resolution on.
     ``add`` is a list of {"path", "min_key", "max_key"} dicts,
-    ``remove`` a list of paths."""
+    ``remove`` a list of paths.
+
+    PATH IMMUTABILITY CONTRACT: a data path, once committed, is never
+    re-added with different bytes by a later commit -- every writer
+    in this module writes a fresh name per logical write (versioned
+    prefixes, bucketed children).  snapshot_changes relies on this:
+    its per-file (version, side) tagging would attribute a reused
+    path's rows to every commit that ever touched the name."""
     log = os.path.join(table_dir, LOG_DIR)
     os.makedirs(log, exist_ok=True)
     final = os.path.join(log, f"{version:08d}.json")
@@ -327,6 +335,17 @@ def commit_with_retry(
 #: deterministic mutation constants shared with the oracles below.
 DEL_MOD = 7
 READD_MOD = 14
+#: v3 updates o_totalprice += 1 for live keys with this residue --
+#: the value-changing rewrite that exercises the CDF's update
+#: change type (VERDICT r10 item 2)
+UPD_MOD = 5
+UPD_REM = 1
+#: head-state price expression after the v3 update wave, shared by
+#: every final-state oracle below
+UPD_PRICE_SQL = (
+    f"CASE WHEN o_orderkey % {UPD_MOD} = {UPD_REM} "
+    "THEN o_totalprice + 1 ELSE o_totalprice END"
+)
 #: v0 splits orders into key-range-clustered files of this many keys,
 #: so the zone maps are tight and a range query can actually skip
 #: (sf0.001's keyspace is 1500 keys -> 3 files; sf0.01 -> 30).
@@ -341,6 +360,8 @@ def build_txn_table(
     v0  initial load of `orders`, clustered into key-range files
     v1  DELETE WHERE o_orderkey % 7 = 0   (rewrite touched files)
     v2  re-insert the % 14 = 0 half of the deleted rows (new file)
+    v3  UPDATE o_totalprice += 1 WHERE o_orderkey % 5 = 1 (rewrite;
+        the value-changing wave the CDF's update type derives from)
 
     Final state is SQL-expressible over the original parquet, which
     is exactly what the oracles check.
@@ -374,6 +395,25 @@ def build_txn_table(
     adds2 = [_write_file(readd, table_dir, "data-v2-readd")]
     commit_batch_idempotent(table_dir, 2, adds2, [])
 
+    # v3: value-changing UPDATE -- the %UPD_MOD==UPD_REM keys sit in
+    # every live file, so the contract-compliant rewrite (a writer
+    # changing a key's row rewrites the file holding it) touches the
+    # whole head; one distributed bucketed write, all prior files
+    # removed.  Most rewritten rows are value-UNCHANGED, which is
+    # exactly the case that distinguishes update rows from
+    # rewritten-unchanged noise in the change feed.
+    snap2 = read_snapshot(spark, table_dir, 2)
+    updated = snap2.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % UPD_MOD == UPD_REM,
+            F.col("o_totalprice") + F.lit(1.0),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    adds3 = _write_bucketed(updated, table_dir, "data-v3")
+    removes3 = [info["path"] for info in live_files(table_dir, 2)]
+    commit_batch_idempotent(table_dir, 3, adds3, removes3)
+
     with open(done, "w") as f:
         f.write("ok")
     return table_dir
@@ -391,7 +431,7 @@ _AGG_SQL = """
 @query(
     "source_txn_log_snapshot",
     oracle=_AGG_SQL.format(
-        money=dec_sum_sql("o_totalprice", "total_price"),
+        money=dec_sum_sql(UPD_PRICE_SQL, "total_price"),
         where=f"""WHERE o_orderkey % {DEL_MOD} <> 0
                      OR o_orderkey % {READD_MOD} = 0""",
     ),
@@ -399,10 +439,10 @@ _AGG_SQL = """
 def source_txn_log_snapshot(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Head snapshot (v2) after load -> delete -> partial re-insert:
-    the oracle recomputes the same final state directly from the
-    original parquet, so a log-fold bug (missed remove, double add)
-    fails the hash."""
+    """Head snapshot (v3) after load -> delete -> partial re-insert
+    -> price update: the oracle recomputes the same final state
+    directly from the original parquet, so a log-fold bug (missed
+    remove, double add, lost update) fails the hash."""
     table_dir = build_txn_table(spark, sf_dir)
     snap = read_snapshot(spark, table_dir)
     return snap.groupBy("o_orderpriority").agg(
@@ -441,7 +481,7 @@ PRUNE_HI = 1400
 @query(
     "source_txn_log_pruned_scan",
     oracle=_AGG_SQL.format(
-        money=dec_sum_sql("o_totalprice", "total_price"),
+        money=dec_sum_sql(UPD_PRICE_SQL, "total_price"),
         where=f"""WHERE (o_orderkey % {DEL_MOD} <> 0
                       OR o_orderkey % {READD_MOD} = 0)
                     AND o_orderkey BETWEEN {PRUNE_LO} AND {PRUNE_HI}""",
@@ -478,11 +518,14 @@ def source_txn_log_pruned_scan(
 #    delta is computed from ONLY the files that version touched --
 #    rows in removed-but-not-re-added keys are deletes, rows in
 #    added-but-not-removed keys are inserts, keys present on both
-#    sides are rewritten-unchanged (not part of a key-level feed).
-#    Before r10 this diffed adjacent FULL snapshots, i.e. O(versions
-#    x table size) scan work; the file-level derivation reads
-#    O(files touched by v) per version -- independent of table size
-#    and history depth (VERDICT r9 item 1).
+#    sides split on the VALUE: value changed = an update (emitted as
+#    Delta CDF's update_preimage/update_postimage row pair), value
+#    unchanged = rewrite noise (compaction, co-located-key rewrites)
+#    that a change consumer must NOT see.  Before r10 this diffed
+#    adjacent FULL snapshots, i.e. O(versions x table size) scan
+#    work; the file-level derivation reads O(files touched by v) per
+#    version -- independent of table size and history depth (VERDICT
+#    r9 item 1; update type added r11 per VERDICT r10 item 2).
 #
 #    Precondition (the format's key-clustered writer contract, which
 #    every writer in this module follows and the hand-built pytest
@@ -507,9 +550,20 @@ def snapshot_changes(
     legitimately contributes rows to both transitions), and one
     aggregation keyed on (version, key) decides the change type:
     present only on the remove side = delete, only on the add side =
-    insert, both sides = rewritten-unchanged (not part of a key-level
-    feed).  Presence is decided by per-side COUNTs, so NULL values in
-    ``value_col`` cannot masquerade as absence.
+    insert, both sides with a changed value = update (emitted as an
+    ``update_preimage`` row carrying the old value and an
+    ``update_postimage`` row carrying the new one, the Delta CDF
+    convention), both sides value-unchanged = rewrite noise, dropped.
+    Presence is decided by per-side COUNTs, so NULL values in
+    ``value_col`` cannot masquerade as absence, and the pre/post
+    comparison is null-safe (NULL -> NULL is unchanged).
+
+    Coverage is ASSERTED, not assumed (ADVICE r10): the row->action
+    tag is a regex on ``input_file_name``, and a row whose extracted
+    relative dir matches no log action (extraction mis-fire on an
+    exotic absolute path, a future layout adding a nesting level)
+    RAISES inside the scan instead of silently vanishing from the
+    feed.
 
     A table with fewer than two committed versions has no adjacent
     pairs and yields an EMPTY feed with the stable schema (ADVICE r9:
@@ -552,9 +606,35 @@ def snapshot_changes(
             actions, "_rel string, version int, side string"
         )
     )
+    # LEFT join + in-plan raise: an uncovered row (its _rel matches
+    # no action) is a correctness bug in the path extraction or a
+    # violated path-immutability contract -- fail loudly in the scan
+    # stage rather than under-report changes (ADVICE r10).  The check
+    # rides the `version` column every aggregate needs, so Catalyst
+    # cannot prune it.
+    tagged = rows.join(side_map, "_rel", "left").select(
+        F.when(
+            F.col("version").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("snapshot_changes: row from file dir '"),
+                    F.col("_rel"),
+                    F.lit(
+                        "' matched no log action -- path extraction "
+                        "mis-fired (layout change?) or a data path "
+                        "was reused across commits"
+                    ),
+                )
+            ).cast("int"),
+        )
+        .otherwise(F.col("version"))
+        .alias("version"),
+        "side",
+        "k",
+        "val",
+    )
     per_key = (
-        rows.join(side_map, "_rel")
-        .groupBy("version", "k")
+        tagged.groupBy("version", "k")
         .agg(
             F.count(F.when(F.col("side") == "rm", 1)).alias("n_rm"),
             F.count(F.when(F.col("side") == "add", 1)).alias("n_add"),
@@ -567,24 +647,65 @@ def snapshot_changes(
         )
         .withColumn(
             "change_type",
-            F.when(F.col("n_add") == 0, "delete").when(
-                F.col("n_rm") == 0, "insert"
-            ),
+            F.when(F.col("n_add") == 0, "delete")
+            .when(F.col("n_rm") == 0, "insert")
+            .when(~F.col("pp").eqNullSafe(F.col("pc")), "update"),
         )
         .filter(F.col("change_type").isNotNull())
     )
+    # an update contributes TWO feed rows (pre/post image); explode
+    # keeps this one map-side projection, no second shuffle
+    changes = per_key.select(
+        "version",
+        F.explode(
+            F.when(
+                F.col("change_type") == "delete",
+                F.array(
+                    F.struct(
+                        F.lit("delete").alias("ct"),
+                        F.col("pp").alias("v"),
+                    )
+                ),
+            )
+            .when(
+                F.col("change_type") == "insert",
+                F.array(
+                    F.struct(
+                        F.lit("insert").alias("ct"),
+                        F.col("pc").alias("v"),
+                    )
+                ),
+            )
+            .otherwise(
+                F.array(
+                    F.struct(
+                        F.lit("update_preimage").alias("ct"),
+                        F.col("pp").alias("v"),
+                    ),
+                    F.struct(
+                        F.lit("update_postimage").alias("ct"),
+                        F.col("pc").alias("v"),
+                    ),
+                )
+            )
+        ).alias("c"),
+    )
     return (
-        per_key.groupBy("version", "change_type")
+        changes.groupBy(
+            "version", F.col("c.ct").alias("change_type")
+        )
         .agg(
             F.count("*").alias("n_rows"),
-            dec_sum(
-                F.when(F.col("change_type") == "delete", F.col("pp"))
-                .otherwise(F.col("pc")),
-                "total_price",
-            ),
+            dec_sum(F.col("c.v"), "total_price"),
         )
         .select("version", "change_type", "n_rows", "total_price")
     )
+
+
+#: keys live at v2 (what v3's update wave rewrites)
+_LIVE_V2_SQL = (
+    f"(o_orderkey % {DEL_MOD} <> 0 OR o_orderkey % {READD_MOD} = 0)"
+)
 
 
 @query(
@@ -599,6 +720,16 @@ def snapshot_changes(
     SELECT CAST(2 AS INTEGER), 'insert', COUNT(*),
            {dec_sum_sql('o_totalprice', 'total_price')}
     FROM orders WHERE o_orderkey % {READD_MOD} = 0
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), 'update_preimage', COUNT(*),
+           {dec_sum_sql('o_totalprice', 'total_price')}
+    FROM orders WHERE {_LIVE_V2_SQL}
+                  AND o_orderkey % {UPD_MOD} = {UPD_REM}
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), 'update_postimage', COUNT(*),
+           {dec_sum_sql('o_totalprice + 1', 'total_price')}
+    FROM orders WHERE {_LIVE_V2_SQL}
+                  AND o_orderkey % {UPD_MOD} = {UPD_REM}
     """,
 )
 def source_txn_log_changes(
@@ -608,8 +739,11 @@ def source_txn_log_changes(
     (version, change_type, n_rows, total_price) for every adjacent
     snapshot pair, keyed on o_orderkey.  The oracle states the known
     fixture mutations (v1 deletes the DEL_MOD-multiples, v2
-    re-inserts the READD_MOD-multiples); the operator DERIVES them
-    from the log alone via snapshot_changes."""
+    re-inserts the READD_MOD-multiples, v3 bumps the price of the
+    UPD_MOD-residue live keys -- the update wave emits a
+    pre/postimage row pair, and crucially the ~80% of v3's rewritten
+    rows whose value did NOT change emit nothing); the operator
+    DERIVES all of it from the log alone via snapshot_changes."""
     return snapshot_changes(spark, build_txn_table(spark, sf_dir))
 
 
@@ -668,7 +802,7 @@ def compact_table(spark: SparkSession, table_dir: str) -> int:
 @query(
     "layout_txn_log_compact",
     oracle=_AGG_SQL.format(
-        money=dec_sum_sql("o_totalprice", "total_price"),
+        money=dec_sum_sql(UPD_PRICE_SQL, "total_price"),
         where=f"""WHERE o_orderkey % {DEL_MOD} <> 0
                      OR o_orderkey % {READD_MOD} = 0""",
     ),
@@ -862,7 +996,7 @@ def vacuum_table(
 @query(
     "layout_txn_log_vacuum",
     oracle=_AGG_SQL.format(
-        money=dec_sum_sql("o_totalprice", "total_price"),
+        money=dec_sum_sql(UPD_PRICE_SQL, "total_price"),
         where=f"""WHERE o_orderkey % {DEL_MOD} <> 0
                      OR o_orderkey % {READD_MOD} = 0""",
     ),

@@ -31,17 +31,21 @@ def test_versions_fold_monotonically(spark, table_dir):
     v0 = {f["path"] for f in live_files(table_dir, 0)}
     v1 = {f["path"] for f in live_files(table_dir, 1)}
     v2 = {f["path"] for f in live_files(table_dir, 2)}
+    v3 = {f["path"] for f in live_files(table_dir, 3)}
     head = {f["path"] for f in live_files(table_dir)}
-    assert head == v2
-    # v1 rewrote every v0 file; v2 appended one
+    assert head == v3
+    # v1 rewrote every v0 file; v2 appended one; v3 (the update
+    # wave) rewrote the whole head again
     assert v0.isdisjoint(v1)
     assert v1 < v2 and len(v2) == len(v1) + 1
+    assert v2.isdisjoint(v3)
 
 
 def test_time_travel_pins_row_counts(spark, table_dir):
     n0 = read_snapshot(spark, table_dir, version=0).count()
     n1 = read_snapshot(spark, table_dir, version=1).count()
     n2 = read_snapshot(spark, table_dir, version=2).count()
+    n3 = read_snapshot(spark, table_dir, version=3).count()
     orders = spark.read.parquet(f"{SF}/orders.parquet")
     assert n0 == orders.count()
     assert n1 == orders.filter(F.col("o_orderkey") % 7 != 0).count()
@@ -49,18 +53,21 @@ def test_time_travel_pins_row_counts(spark, table_dir):
         (F.col("o_orderkey") % 7 != 0) | (F.col("o_orderkey") % 14 == 0)
     ).count()
     assert n1 < n2 < n0
+    # the v3 UPDATE changes values, never cardinality
+    assert n3 == n2
 
 
 def test_uncommitted_tmp_commit_is_invisible(spark, table_dir):
     log = os.path.join(table_dir, "_txn_log")
+    victim = live_files(table_dir)[0]["path"]
     tmp = os.path.join(log, "00000099.json.tmp")
     with open(tmp, "w") as f:
         json.dump(
-            {"version": 99, "add": [], "remove": ["data-v2-readd"]}, f
+            {"version": 99, "add": [], "remove": [victim]}, f
         )
     try:
         head = {f["path"] for f in live_files(table_dir)}
-        assert "data-v2-readd" in head, (
+        assert victim in head, (
             "a half-written commit must not be replayed"
         )
     finally:
@@ -148,7 +155,7 @@ def test_checkpoint_fold_equivalence(spark, table_dir):
     # checkpoint at v1, then verify every version folds identically
     # whether starting from scratch or from the checkpoint
     write_checkpoint(table_dir, 1)
-    for v in (0, 1, 2, None):
+    for v in (0, 1, 2, 3, None):
         assert key(live_files_from_checkpoint(table_dir, v)) == key(
             live_files(table_dir, v)
         ), f"checkpoint fold diverges at version {v}"
@@ -157,7 +164,7 @@ def test_checkpoint_fold_equivalence(spark, table_dir):
         committed_versions,
     )
 
-    assert committed_versions(table_dir) == [0, 1, 2]
+    assert committed_versions(table_dir) == [0, 1, 2, 3]
 
 
 def test_vacuum_destroys_history_but_not_head(spark):
@@ -546,11 +553,13 @@ def test_pinned_reader_survives_concurrent_compact_and_guarded_vacuum(
 
 
 def test_change_feed_derives_mutations_from_log_alone(spark, tmp_path):
-    """source_txn_log_changes' diff engine on a HAND-BUILT table with
-    mutations the fixture never performs (an update = delete+insert of
-    the same key at a new value): the change feed must report
-    exactly the per-version delete/insert sets, derived from the log
-    with no knowledge of how the table was mutated."""
+    """source_txn_log_changes' diff engine on a HAND-BUILT table: the
+    change feed must report exactly the per-version delete/insert/
+    update sets, derived from the log with no knowledge of how the
+    table was mutated -- including the same-key value change inside a
+    rewrite, which emits a Delta-CDF-style pre/postimage row pair
+    (VERDICT r10 item 2: this used to be dropped as
+    rewritten-unchanged)."""
     from hq_master_data_warehouse_spark.sources.txn_log import (
         _write_file,
         commit,
@@ -585,12 +594,14 @@ def test_change_feed_derives_mutations_from_log_alone(spark, tmp_path):
         (r.version, r.change_type): (r.n_rows, r.total_price)
         for r in snapshot_changes(spark, d).collect()
     }
-    # key-level diff: the in-place update of key 6 is invisible to a
-    # KEY diff (documented contract: the feed keys on o_orderkey;
-    # value-level CDC would diff on the full row), and empty change
-    # types are absent, not zero rows
+    # the in-place update of key 6 (60.0 -> 600.0 inside the v1
+    # rewrite) surfaces as an update pre/postimage pair; keys 1/3/5,
+    # rewritten at UNCHANGED values, emit nothing; empty change types
+    # are absent, not zero rows
     assert feed == {
         (1, "delete"): (2, 10.0 * 2 + 10.0 * 4),
+        (1, "update_preimage"): (1, 60.0),
+        (1, "update_postimage"): (1, 600.0),
         (2, "insert"): (1, 70.0),
     }
 
@@ -727,11 +738,78 @@ def test_change_feed_deep_history_single_scan_plan(spark, tmp_path):
     assert deep == shallow <= 2
 
 
+def test_checkpoint_fold_deep_history(tmp_path):
+    """Executable evidence for the module docstring's claim that
+    checkpointing bounds log replay (VERDICT r10 item 7): a
+    several-hundred-commit log with periodic checkpoints folds to the
+    SAME live set as the raw replay at every probed version --
+    including versions between checkpoints, at checkpoints, and at
+    head -- on a workload of interleaved appends, rewrites and prunes.
+    Metadata-only (commits carry synthetic paths; live_files never
+    reads data), so 300 commits cost milliseconds."""
+    import random
+
+    from hq_master_data_warehouse_spark.sources.txn_log import (
+        CHECKPOINT_EVERY,
+        commit,
+        committed_versions,
+        live_files,
+        live_files_from_checkpoint,
+        write_checkpoint,
+    )
+
+    d = str(tmp_path / "deepcp")
+    os.makedirs(d)
+    rng = random.Random(1107)
+    live: list[str] = []
+    n_commits = 300
+    for v in range(n_commits):
+        adds, removes = [], []
+        kind = rng.choice(["append", "append", "rewrite", "prune"])
+        if kind == "append" or not live:
+            for i in range(rng.randint(1, 3)):
+                adds.append(
+                    {"path": f"f{v}_{i}", "min_key": v, "max_key": v}
+                )
+        elif kind == "rewrite":
+            victim = rng.choice(live)
+            removes.append(victim)
+            adds.append(
+                {"path": f"rw{v}", "min_key": v, "max_key": v}
+            )
+        else:  # prune
+            removes.append(rng.choice(live))
+        commit(d, v, adds, removes)
+        for p in removes:
+            live.remove(p)
+        live += [a["path"] for a in adds]
+        if v and v % CHECKPOINT_EVERY == 0:
+            write_checkpoint(d, v)
+
+    assert committed_versions(d) == list(range(n_commits))
+
+    def key(files):
+        return sorted(f["path"] for f in files)
+
+    # probe around checkpoint boundaries, mid-intervals, and head
+    probes = {0, 1, CHECKPOINT_EVERY - 1, CHECKPOINT_EVERY,
+              CHECKPOINT_EVERY + 1, 155, 156, 290, n_commits - 1}
+    for v in sorted(probes) + [None]:
+        assert key(live_files_from_checkpoint(d, v)) == key(
+            live_files(d, v)
+        ), f"checkpoint fold diverges at version {v}"
+    # head fold through checkpoints agrees with the python model too
+    assert key(live_files_from_checkpoint(d, None)) == sorted(live)
+
+
 # -- property test: the file-level CDF equals the snapshot-level diff
 #    on ARBITRARY mutation workloads that respect the writer contract
 #    (a writer touching a key rewrites its containing file).  The
 #    reference model folds snapshots in pure Python; the engine
-#    derives the feed from per-version file actions only.
+#    derives the feed from per-version file actions only.  Rewrites
+#    MUTATE surviving values (+1.0 per rewrite), so the model also
+#    exercises the update pre/postimage classification on keys that
+#    are rewritten multiple times.
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -817,8 +895,12 @@ def test_change_feed_matches_snapshot_model_on_random_workloads(
         elif kind == "rewrite":
             victim = sorted(files)[a % len(files)]
             old = files[victim]
+            # even keys mutate (-> update pre/post pair), odd keys
+            # are rewritten at the SAME value (-> must emit nothing)
             new = {
-                k: v + 1.0 for k, v in old.items() if k % 3 != b
+                k: (v + 1.0 if k % 2 == 0 else v)
+                for k, v in old.items()
+                if k % 3 != b
             }
             new.update(fresh_rows(1))
             do_commit({name: new}, [victim])
@@ -838,6 +920,14 @@ def test_change_feed_matches_snapshot_model_on_random_workloads(
             cell = want[(v, "insert")]
             cell[0] += 1
             cell[1] += cur[k]
+        for k in prev.keys() & cur.keys():
+            if prev[k] != cur[k]:
+                pre = want[(v, "update_preimage")]
+                pre[0] += 1
+                pre[1] += prev[k]
+                post = want[(v, "update_postimage")]
+                post[0] += 1
+                post[1] += cur[k]
 
     got = {
         (r.version, r.change_type): [r.n_rows, r.total_price]
