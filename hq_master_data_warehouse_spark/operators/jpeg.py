@@ -16,9 +16,19 @@ and baseline JPEG with zero external codec dependencies.  Progressive
 and arithmetic-coded JPEGs remain out (rare in training corpora and
 explicitly rejected with a clear error).
 
-Everything here is deterministic: integer entropy decode, float64
-IDCT with a fixed operation order, half-away rounding -- the same
-payload always yields identical pixels.
+Everything here is deterministic AND integer-exact (r11): the DCT /
+IDCT run on a 2^14-scaled integer basis (the JPEG-hardware
+quantization, same trick as multimodal_phash_neardup's fixed-point
+DCT), the color transforms on 2^16-scaled integer coefficients, and
+every rounding is an explicit half-away integer shift.  Fixed-point
+is the PRODUCTION formulation -- libjpeg and every hardware codec
+decode with scaled-integer DCTs (ITU-T T.83 conformance explicitly
+budgets for it) -- and it makes the decoded pixels a pure integer
+function of the bitstream: the same payload yields identical pixels
+on any host, and a relational engine can replay the entire
+encode->decode pipeline (minus the Huffman layer, which is a lossless
+inverse pair and cancels) to cross-check the decoded stats
+value-for-value.
 """
 
 from __future__ import annotations
@@ -132,7 +142,42 @@ def _dct_matrix() -> np.ndarray:
     return c
 
 
-_C = _dct_matrix()
+# -- fixed-point constants (r11) --------------------------------------
+#: DCT basis scale: 2^14, the JPEG-hardware quantization (identical to
+#: multimodal_phash_neardup's fixed-point DCT basis).
+FP_DCT_SHIFT = 14
+#: integer DCT-II basis, |values| <= 8192*sqrt(2) < 2^14
+CS_FP = np.rint(_dct_matrix() * (1 << FP_DCT_SHIFT)).astype(np.int64)
+#: color-transform coefficient scale: 2^16 (the BT.601 integer form).
+FP_CCOEF_SHIFT = 16
+_CS16 = 1 << FP_CCOEF_SHIFT
+#: RGB -> YCbCr rows (JFIF), scaled by 2^16
+FP_Y = (round(0.299 * _CS16), round(0.587 * _CS16), round(0.114 * _CS16))
+FP_CB = (
+    round(-0.168736 * _CS16),
+    round(-0.331264 * _CS16),
+    round(0.5 * _CS16),
+)
+FP_CR = (
+    round(0.5 * _CS16),
+    round(-0.418688 * _CS16),
+    round(-0.081312 * _CS16),
+)
+#: YCbCr -> RGB coefficients, scaled by 2^16
+FP_R_CR = round(1.402 * _CS16)
+FP_G_CB = round(-0.344136 * _CS16)
+FP_G_CR = round(-0.714136 * _CS16)
+FP_B_CB = round(1.772 * _CS16)
+#: decoded plane working scale: 2^12 fractional bits per sample
+FP_PLANE_SHIFT = 12
+
+
+def _rdiv(v, shift: int):
+    """Round-half-away-from-zero division by 2^shift on ints/arrays
+    (the single rounding primitive of the fixed-point pipeline; Python
+    ``>>`` floors on negatives, so the shift runs on |v|)."""
+    h = 1 << (shift - 1)
+    return np.sign(v) * ((np.abs(v) + h) >> shift)
 
 
 # -- canonical Huffman ------------------------------------------------
@@ -321,9 +366,10 @@ def _decode_scan(
     vmax = max(c["v"] for c in comps)
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    # planes hold fixed-point samples at scale 2^FP_PLANE_SHIFT
     planes = {
         c["id"]: np.zeros(
-            (mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64
+            (mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.int64
         )
         for c in comps
     }
@@ -355,7 +401,9 @@ def _decode_scan(
                         x0 = (mx * c["h"] + bx) * 8
                         planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = blk
             mcu_count += 1
-    # upsample to full geometry, crop, color-transform
+    # upsample to full geometry, crop, color-transform -- all in
+    # fixed-point: samples at scale 2^FP_PLANE_SHIFT, color
+    # coefficients at 2^FP_CCOEF_SHIFT, one half-away shift per pixel
     out = []
     for c in comps:
         p = planes[c["id"]]
@@ -363,18 +411,27 @@ def _decode_scan(
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         out.append(p[:height, :width])
+    half = 128 << FP_PLANE_SHIFT
     if len(out) == 1:
-        pix = np.clip(np.rint(out[0] + 128), 0, 255).astype(np.uint8)
+        pix = np.clip(
+            _rdiv(out[0] + half, FP_PLANE_SHIFT), 0, 255
+        ).astype(np.uint8)
         return {
             "width": width, "height": height, "mode": "L",
             "pixels": pix.tobytes(),
         }
-    y, cb, cr = out[0] + 128, out[1], out[2]
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
+    y, cb, cr = out[0] + half, out[1], out[2]
+    ys = y << FP_CCOEF_SHIFT
+    r = ys + FP_R_CR * cr
+    g = ys + FP_G_CB * cb + FP_G_CR * cr
+    b = ys + FP_B_CB * cb
+    shift = FP_PLANE_SHIFT + FP_CCOEF_SHIFT
     rgb = np.stack(
-        [np.clip(np.rint(ch), 0, 255) for ch in (r, g, b)], axis=-1
+        [
+            np.clip(_rdiv(ch, shift), 0, 255)
+            for ch in (r, g, b)
+        ],
+        axis=-1,
     ).astype(np.uint8)
     return {
         "width": width, "height": height, "mode": "RGB",
@@ -402,8 +459,11 @@ def _decode_block(reader, dc_tbl, ac_tbl, quant, pred, cid):
             raise ValueError("AC run past end of block")
         zz[k] = _extend(reader.read_bits(s), s)
         k += 1
-    coef = (zz * quant)[_UNZIG].reshape(8, 8).astype(np.float64)
-    return _C.T @ coef @ _C
+    coef = (zz * quant)[_UNZIG].reshape(8, 8).astype(np.int64)
+    # integer IDCT at scale 2^(2*FP_DCT_SHIFT), reduced to the plane
+    # working scale with ONE half-away shift
+    s = CS_FP.T @ coef @ CS_FP
+    return _rdiv(s, 2 * FP_DCT_SHIFT - FP_PLANE_SHIFT)
 
 
 # -- minimal encoder (fixtures + egress) ------------------------------
@@ -446,18 +506,23 @@ def encode_jpeg(
     fixed by the spec tables (~Q50)."""
     rgb = np.frombuffer(pixels, dtype=np.uint8).reshape(
         height, width, 3
-    ).astype(np.float64)
+    ).astype(np.int64)
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-    y = 0.299 * r + 0.587 * g + 0.114 * b - 128
-    cb = -0.168736 * r - 0.331264 * g + 0.5 * b
-    cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+    # fixed-point YCbCr at scale 2^FP_CCOEF_SHIFT, level shift folded
+    # into the scaled luma (128 is exact at any scale)
+    y = (
+        FP_Y[0] * r + FP_Y[1] * g + FP_Y[2] * b
+        - (128 << FP_CCOEF_SHIFT)
+    )
+    cb = FP_CB[0] * r + FP_CB[1] * g + FP_CB[2] * b
+    cr = FP_CR[0] * r + FP_CR[1] * g + FP_CR[2] * b
     hv = 2 if subsample else 1
     mcux = (width + 8 * hv - 1) // (8 * hv)
     mcuy = (height + 8 * hv - 1) // (8 * hv)
 
     def pad(p, fy, fx):
         th, tw = mcuy * 8 * fy, mcux * 8 * fx
-        out = np.zeros((th, tw))
+        out = np.zeros((th, tw), dtype=np.int64)
         out[: p.shape[0], : p.shape[1]] = p
         # edge-replicate padding avoids ringing at the borders
         if p.shape[0] < th:
@@ -467,21 +532,22 @@ def encode_jpeg(
         return out
 
     if subsample:
-        # 2x2 mean downsample of chroma
+        # 2x2 mean downsample of chroma (half-away integer mean)
         ph = (height + 1) & ~1
         pw = (width + 1) & ~1
 
         def down(p):
-            pp = np.zeros((ph, pw))
+            pp = np.zeros((ph, pw), dtype=np.int64)
             pp[:height, :width] = p
             if height < ph:
                 pp[height:, :width] = p[-1:, :]
             if width < pw:
                 pp[:, width:] = pp[:, width - 1 : width]
-            return (
+            return _rdiv(
                 pp[0::2, 0::2] + pp[1::2, 0::2]
-                + pp[0::2, 1::2] + pp[1::2, 1::2]
-            ) / 4.0
+                + pp[0::2, 1::2] + pp[1::2, 1::2],
+                2,
+            )
         comps = [
             (1, pad(y, 2, 2), QUANT_LUM, hv, hv),
             (2, pad(down(cb), 1, 1), QUANT_CHROM, 1, 1),
@@ -507,9 +573,17 @@ def encode_jpeg(
                         y0 = (my * cv + by) * 8
                         x0 = (mx * ch + bx) * 8
                         block = plane[y0 : y0 + 8, x0 : x0 + 8]
-                        coef = _C @ block @ _C.T
-                        q = np.rint(
-                            coef / quant.reshape(8, 8)
+                        # integer forward DCT at scale
+                        # 2^(FP_CCOEF_SHIFT + 2*FP_DCT_SHIFT);
+                        # quantization divides by q at that scale in
+                        # one exact half-away integer division
+                        t = CS_FP @ block @ CS_FP.T
+                        denom = quant.reshape(8, 8).astype(
+                            np.int64
+                        ) << (FP_CCOEF_SHIFT + 2 * FP_DCT_SHIFT)
+                        q = (
+                            np.sign(t)
+                            * ((2 * np.abs(t) + denom) // (2 * denom))
                         ).astype(np.int32)
                         zz = q.reshape(-1)[ZIGZAG]
                         _encode_block(

@@ -271,6 +271,10 @@ RECHECK: tuple[str, ...] = (
     "ml_roc_auc_exact",
     "sample_source_mix",
     "sample_hash_weighted_mix",
+    # r11 conversion: the JPEG codec's math core moved to fixed-point
+    # integers, so the decode stats replay relationally -- the query
+    # leaves the rows-only set (2 remain: zlib, watermark dedup)
+    "multimodal_decode_jpeg",
 )
 
 # r10 RECHECK block, retired (all re-records landed green in

@@ -81,6 +81,70 @@ def test_progressive_and_garbage_rejected():
         decode_jpeg(b"\x00\x01not a jpeg")
 
 
+def test_hand_built_bitstream_decodes_to_known_pixels():
+    """Decoder pin INDEPENDENT of the encoder (the oracle replay
+    cancels the Huffman layer between encode and decode, so a
+    symmetric encoder+decoder bug is invisible to it -- this test is
+    the complement): a grayscale 8x8 JPEG whose scan bits are written
+    BY HAND (Annex K canonical codes: DC category 3 = '100', magnitude
+    5 = '101', AC EOB = '1010', 1-padded to 0x96 0xBF) must decode to
+    the exact flat plane the fixed-point IDCT of a lone DC coefficient
+    predicts."""
+    import struct
+
+    from hq_master_data_warehouse_spark.operators.jpeg import (
+        AC_LUM_SPEC,
+        CS_FP,
+        DC_LUM_SPEC,
+        FP_CCOEF_SHIFT,
+        FP_DCT_SHIFT,
+        FP_PLANE_SHIFT,
+        QUANT_LUM,
+        ZIGZAG,
+    )
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(body) + 2
+        ) + body
+
+    def dht(tc, th, spec):
+        bits, vals = spec
+        return seg(
+            0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
+        )
+
+    jpg = b"\xff\xd8"
+    jpg += seg(0xDB, bytes([0]) + bytes(QUANT_LUM[ZIGZAG].tolist()))
+    jpg += seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    jpg += dht(0, 0, DC_LUM_SPEC) + dht(1, 0, AC_LUM_SPEC)
+    jpg += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    jpg += bytes([0b10010110, 0b10111111])  # hand-written scan bits
+    jpg += b"\xff\xd9"
+
+    out = decode_jpeg(jpg)
+    assert (out["width"], out["height"], out["mode"]) == (8, 8, "L")
+
+    # expected: DC level 5, dequant 5*16=80, IDCT of a lone DC is the
+    # flat plane CS_FP[0,0]^2 * 80 at scale 2^28
+    deq = 5 * int(QUANT_LUM[0])
+    s28 = int(CS_FP[0, 0]) ** 2 * deq
+    sh = 2 * FP_DCT_SHIFT - FP_PLANE_SHIFT
+    s12 = (abs(s28) + (1 << (sh - 1))) >> sh
+    pix = min(
+        max(
+            (s12 + (128 << FP_PLANE_SHIFT) + (1 << (FP_PLANE_SHIFT - 1)))
+            >> FP_PLANE_SHIFT,
+            0,
+        ),
+        255,
+    )
+    assert FP_CCOEF_SHIFT == 16  # constants the arithmetic above assumes
+    got = np.frombuffer(out["pixels"], dtype=np.uint8)
+    assert got.shape == (64,)
+    assert set(got.tolist()) == {pix}
+
+
 def test_spark_decode_jpeg_query(spark):
     from hq_master_data_warehouse_spark.registry import (
         QUERIES,
