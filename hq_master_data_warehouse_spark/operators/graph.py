@@ -36,30 +36,56 @@ from ..sources.loaders import load_table
 PR_DAMPING = 0.85
 PR_ITERS = 5
 
+def _copurchase_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(u, w, n_orders) for every distinct co-purchased part pair
+    u < w -- the ONE materialized substrate of the whole graph family
+    (matcache, r11): the lineitem self-join + pair aggregation is the
+    heaviest shuffle in every graph query, and both derived edge sets
+    -- the distinct pair set (PageRank / triangle / BFS /
+    link-prediction) and the >= CC_MIN_SHARED_ORDERS thresholded set
+    (CC / modularity / k-core) -- are map-side projections/filters of
+    this table.  Built once per corpus snapshot; deterministic integer
+    SET, so the cache cannot change results.  At 100 TB this is the
+    only sane shape: nobody re-runs the basket self-join per
+    downstream graph metric."""
+    from ..matcache import materialized, table_sig
+
+    def build() -> DataFrame:
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        a = li.select(
+            F.col("l_orderkey").alias("k"),
+            F.col("l_partkey").alias("u"),
+        )
+        b = li.select(
+            F.col("l_orderkey").alias("k"),
+            F.col("l_partkey").alias("w"),
+        )
+        return (
+            a.join(b, "k")
+            .filter(F.col("u") < F.col("w"))
+            .groupBy("u", "w")
+            .agg(F.count("*").alias("n_orders"))
+        )
+
+    return materialized(
+        spark,
+        "copurchbase",
+        [table_sig(sf_dir, "lineitem"), "base-v1"],
+        build,
+    )
+
+
 def _copurchase_und(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected distinct co-purchase pair set (u < w) -- the shared
     edge derivation for every graph operator here (its SQL twin is
-    _TRI_EDGES / _edges_sql).  Deriving the u < w half first means
-    the distinct -- the heaviest shuffle in each graph query -- moves
-    half the rows of the directed formulation; callers cache it (or
-    the directed union built from it) per their iteration shape."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("w")
-    )
-    return (
-        a.join(b, "k")
-        .filter(F.col("u") < F.col("w"))
-        .select("u", "w")
-        .distinct()  # pairs repeat across orders: dedup is the point
-    )
+    _TRI_EDGES / _edges_sql).  A column-pruned projection of the
+    materialized pair table: the scan reads (u, w) only, no shuffle,
+    no lineitem self-join per consumer."""
+    return _copurchase_base(spark, sf_dir).select("u", "w")
 
 
 
@@ -523,45 +549,14 @@ CC_MAX_ITERS = 30
 
 def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(u, w) u<w part pairs co-purchased in >= CC_MIN_SHARED_ORDERS
-    distinct orders -- the shared substrate of the CC/modularity
-    family, MATERIALIZED once per input snapshot (matcache): the
-    lineitem self-join + threshold groupBy is the heaviest shuffle in
-    both consumers and is a deterministic SET (no floats, no order
-    dependence), so both read the same pair table."""
-    from ..matcache import materialized, table_sig
-
-    def build() -> DataFrame:
-        li = (
-            load_table(spark, sf_dir, "lineitem")
-            .select("l_orderkey", "l_partkey")
-            .distinct()
-        )
-        a = li.select(
-            F.col("l_orderkey").alias("k"),
-            F.col("l_partkey").alias("u"),
-        )
-        b = li.select(
-            F.col("l_orderkey").alias("k"),
-            F.col("l_partkey").alias("w"),
-        )
-        return (
-            a.join(b, "k")
-            .filter(F.col("u") < F.col("w"))
-            .groupBy("u", "w")
-            .agg(F.count("*").alias("n_orders"))
-            .filter(F.col("n_orders") >= CC_MIN_SHARED_ORDERS)
-            .select("u", "w")
-        )
-
-    return materialized(
-        spark,
-        "copurchpairs",
-        [
-            table_sig(sf_dir, "lineitem"),
-            CC_MIN_SHARED_ORDERS,
-            "pairs-v1",
-        ],
-        build,
+    distinct orders -- the CC/modularity/k-core edge set, derived
+    MAP-SIDE from the one materialized pair table (_copurchase_base):
+    a pruned scan + filter, no shuffle per consumer (r11; previously
+    its own matcache entry duplicating the self-join)."""
+    return (
+        _copurchase_base(spark, sf_dir)
+        .filter(F.col("n_orders") >= CC_MIN_SHARED_ORDERS)
+        .select("u", "w")
     )
 
 

@@ -275,6 +275,15 @@ RECHECK: tuple[str, ...] = (
     # integers, so the decode stats replay relationally -- the query
     # leaves the rows-only set (2 remain: zlib, watermark dedup)
     "multimodal_decode_jpeg",
+    # r11 plan change: the whole graph family now derives its edge
+    # sets map-side from the single materialized co-purchase pair
+    # table (_copurchase_base); values identical, plans changed
+    "graph_pagerank_copurchase",
+    "graph_triangle_count",
+    "graph_bfs_hops",
+    "graph_link_prediction_jaccard",
+    "graph_connected_components",
+    "graph_modularity_score",
 )
 
 # r10 RECHECK block, retired (all re-records landed green in
