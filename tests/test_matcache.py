@@ -97,3 +97,46 @@ def test_input_sig_tracks_mtime(tmp_path):
     s1 = input_sig(str(p))
     os.utime(p, ns=(1, 1))
     assert input_sig(str(p)) != s1  # regenerated fixture = new key
+
+
+def test_code_sig_differs_between_builders_and_is_stable():
+    """ADVICE r10: the cache key folds in the builder's SOURCE, so a
+    logic edit invalidates the table without a tag bump.  Pin the
+    primitive: two builders with different bodies hash differently;
+    the same builder hashes identically across calls."""
+    from hq_master_data_warehouse_spark.matcache import _code_sig
+
+    def build_a():
+        return 1
+
+    def build_b():
+        return 2
+
+    assert _code_sig(build_a) != _code_sig(build_b)
+    assert _code_sig(build_a) == _code_sig(build_a)
+
+
+def test_failed_rename_reraises_when_no_winner(spark, monkeypatch):
+    """ADVICE r10: an os.rename failure is only swallowed when a
+    concurrent builder demonstrably won (the final dir exists); a
+    genuine failure (EXDEV, permissions) must surface at the rename,
+    not as a confusing read error on a missing path."""
+    import pytest
+
+    from hq_master_data_warehouse_spark import matcache
+
+    tag = "pytestrename"
+    _clear(tag)
+
+    def bad_rename(src, dst):
+        raise OSError(18, "Invalid cross-device link")
+
+    monkeypatch.setattr(matcache.os, "rename", bad_rename)
+    with pytest.raises(OSError, match="cross-device"):
+        matcache.materialized(
+            spark,
+            tag,
+            ["x"],
+            lambda: spark.range(3).select(F.col("id").alias("v")),
+        )
+    _clear(tag)
