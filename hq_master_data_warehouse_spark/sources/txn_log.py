@@ -533,13 +533,16 @@ def source_txn_log_pruned_scan(
 #    it (remove + add), never appends a second copy beside a live
 #    untouched file.  Under that contract the file-level diff is
 #    row-for-row identical to the adjacent-snapshot diff.
-def snapshot_changes(
+def change_rows(
     spark: SparkSession, table_dir: str, key_col: str = "o_orderkey",
     value_col: str = "o_totalprice",
 ) -> DataFrame:
-    """The diff engine behind source_txn_log_changes, reusable on ANY
-    txn-log table (the hand-built-table pytest drives this exact code
-    path).
+    """ROW-LEVEL change feed: one (version, change_type, key, value)
+    row per changed key per version -- what a downstream sync consumer
+    actually applies (MERGE deletes/inserts/updates into its replica).
+    ``snapshot_changes`` is the aggregate view of this same feed; the
+    apply-invariant pytest proves the row feed is SUFFICIENT: folding
+    it onto snapshot v0 reconstructs every later snapshot exactly.
 
     Single-scan shape: every file any feed version touched is read in
     ONE ``spark.read.parquet`` (one listing job, one FileScan node --
@@ -591,8 +594,8 @@ def snapshot_changes(
     if not actions:
         return spark.createDataFrame(
             [],
-            "version int, change_type string, n_rows bigint, "
-            "total_price double",
+            "version int, change_type string, key bigint, "
+            "value double",
         )
     paths = sorted({p for p, _, _ in actions})
     # rel dir of each row's source file: everything between the table
@@ -665,6 +668,7 @@ def snapshot_changes(
     # keeps this one map-side projection, no second shuffle
     changes = per_key.select(
         "version",
+        "k",
         F.explode(
             F.when(
                 F.col("change_type") == "delete",
@@ -698,13 +702,30 @@ def snapshot_changes(
             )
         ).alias("c"),
     )
+    return changes.select(
+        "version",
+        F.col("c.ct").alias("change_type"),
+        F.col("k").alias("key"),
+        F.col("c.v").alias("value"),
+    )
+
+
+def snapshot_changes(
+    spark: SparkSession, table_dir: str, key_col: str = "o_orderkey",
+    value_col: str = "o_totalprice",
+) -> DataFrame:
+    """Aggregate change feed -- (version, change_type, n_rows,
+    total_price) -- the diff engine behind source_txn_log_changes,
+    reusable on ANY txn-log table (the hand-built-table pytest drives
+    this exact code path).  One grouped aggregation over the
+    row-level ``change_rows`` feed; see there for the derivation,
+    the coverage assert, and the writer contract."""
+    rows = change_rows(spark, table_dir, key_col, value_col)
     return (
-        changes.groupBy(
-            "version", F.col("c.ct").alias("change_type")
-        )
+        rows.groupBy("version", "change_type")
         .agg(
             F.count("*").alias("n_rows"),
-            dec_sum(F.col("c.v"), "total_price"),
+            dec_sum(F.col("value"), "total_price"),
         )
         .select("version", "change_type", "n_rows", "total_price")
     )

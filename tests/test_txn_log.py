@@ -867,27 +867,14 @@ _ops = st.lists(
 )
 
 
-@settings(
-    max_examples=6,
-    deadline=None,
-    suppress_health_check=[
-        HealthCheck.function_scoped_fixture,
-        HealthCheck.too_slow,
-    ],
-)
-@given(ops=_ops)
-def test_change_feed_matches_snapshot_model_on_random_workloads(
-    spark, tmp_path_factory, ops
-):
-    import collections
-
+def _run_cdf_workload(spark, d: str, ops) -> list[dict[int, float]]:
+    """Stage a txn-log table at ``d`` from the random op list and
+    return the pure-python snapshot model (key -> value per version).
+    Shared by the aggregate-feed and row-feed-apply property tests."""
     from hq_master_data_warehouse_spark.sources.txn_log import (
         _write_file,
         commit,
-        snapshot_changes,
     )
-
-    d = str(tmp_path_factory.mktemp("cdfprop"))
 
     def write(rows, name):
         df = spark.createDataFrame(
@@ -897,7 +884,7 @@ def test_change_feed_matches_snapshot_model_on_random_workloads(
         return _write_file(df, d, name)
 
     files: dict[str, dict[int, float]] = {}  # live name -> rows
-    snapshots = []  # folded key -> value per version
+    snapshots: list[dict[int, float]] = []
     next_key = [0]
     seq = [0]
 
@@ -946,6 +933,29 @@ def test_change_feed_matches_snapshot_model_on_random_workloads(
         else:  # prune
             victim = sorted(files)[a % len(files)]
             do_commit({}, [victim])
+    return snapshots
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(ops=_ops)
+def test_change_feed_matches_snapshot_model_on_random_workloads(
+    spark, tmp_path_factory, ops
+):
+    import collections
+
+    from hq_master_data_warehouse_spark.sources.txn_log import (
+        snapshot_changes,
+    )
+
+    d = str(tmp_path_factory.mktemp("cdfprop"))
+    snapshots = _run_cdf_workload(spark, d, ops)
 
     # reference: per-version key diff of adjacent folded snapshots
     want = collections.defaultdict(lambda: [0, 0.0])
@@ -975,3 +985,68 @@ def test_change_feed_matches_snapshot_model_on_random_workloads(
     assert {k: (v[0], round(v[1], 4)) for k, v in got.items()} == {
         k: (v[0], round(v[1], 4)) for k, v in want.items()
     }
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(ops=_ops)
+def test_row_level_feed_apply_reconstructs_snapshots(
+    spark, tmp_path_factory, ops
+):
+    """The CDC sufficiency invariant: folding the ROW-LEVEL change
+    feed (change_rows) onto snapshot v0 reconstructs any later
+    snapshot exactly -- i.e. the feed carries everything a downstream
+    replica needs to MERGE-sync (the consumer the aggregate CDF
+    oracle cannot certify).  The fold itself runs IN SPARK -- last
+    non-preimage change per key via max_by(version), full-joined onto
+    the v0 base -- proving the feed is engine-consumable, not just
+    model-equivalent.  Probed at the first transition and at head."""
+    from hq_master_data_warehouse_spark.sources.txn_log import (
+        change_rows,
+        read_snapshot,
+    )
+
+    d = str(tmp_path_factory.mktemp("cdfapply"))
+    snapshots = _run_cdf_workload(spark, d, ops)
+    if len(snapshots) < 2:
+        return
+    feed = change_rows(spark, d).filter(
+        F.col("change_type") != "update_preimage"
+    )
+    base = read_snapshot(spark, d, 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("bval"),
+    )
+    for v in sorted({1, len(snapshots) - 1}):
+        last = (
+            feed.filter(F.col("version") <= v)
+            .groupBy("key")
+            .agg(
+                F.max_by(
+                    F.struct(
+                        F.col("change_type").alias("ct"),
+                        F.col("value").alias("val"),
+                    ),
+                    F.col("version"),
+                ).alias("s")
+            )
+        )
+        recon = (
+            base.join(last, "key", "full")
+            .select(
+                "key",
+                F.when(F.col("s").isNull(), F.col("bval"))
+                .when(F.col("s.ct") == "delete", F.lit(None))
+                .otherwise(F.col("s.val"))
+                .alias("v"),
+            )
+            .filter(F.col("v").isNotNull())
+        )
+        got = {r.key: r.v for r in recon.collect()}
+        assert got == snapshots[v], f"apply diverges at version {v}"
