@@ -332,6 +332,122 @@ def _global_rank(
     )
 
 
+def _global_cumsum(
+    df: DataFrame,
+    bucket: "F.Column",
+    sort_cols: list,
+    sums: list,
+    keep_bucket: bool = False,
+) -> DataFrame:
+    """Distributed INCLUSIVE running totals over a global row order
+    WITHOUT a single-partition sort -- the cumulative-sum sibling of
+    ``_global_rank`` (r11: the ranked-prefix statistics -- Mann-
+    Whitney, Wilcoxon, Wasserstein, winsorized means, conformal
+    quantile, interarrival median -- ran their cumulative window over
+    the DISTINCT-value table, which for near-continuous values like
+    order totalprice cents is row-scale, i.e. one WindowExec task).
+
+    Same two-pass prefix-sum shape: rows shuffle once on a coarse
+    ``bucket`` (monotone non-decreasing in the leading sort key),
+    each bucket computes local running totals in parallel, and the
+    per-bucket SUMS -- one row per bucket -- are prefix-summed and
+    broadcast back.  ``sums`` is a list of (src_col, out_col) pairs;
+    all input columns pass through.  Exact: integer sums are
+    partition-order independent.  ``keep_bucket=True`` retains the
+    ``_b`` column for callers that need bucket-local post-processing
+    (the Wasserstein boundary-patched LEAD)."""
+    b = df.withColumn("_b", bucket)
+    w_in = Window.partitionBy("_b").orderBy(*sort_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = b.select(
+        "*", *[F.sum(src).over(w_in).alias(out) for src, out in sums]
+    )
+    totals = b.groupBy("_b").agg(
+        *[F.sum(src).alias(f"_t{i}") for i, (src, _) in enumerate(sums)]
+    )
+    # the only unpartitioned window: over the bucket-count table,
+    # bounded by the bucket domain, never the input
+    w_pfx = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = totals.select(
+        "_b",
+        *[
+            F.coalesce(F.sum(f"_t{i}").over(w_pfx), F.lit(0)).alias(
+                f"_o{i}"
+            )
+            for i in range(len(sums))
+        ],
+    )
+    res = local.join(F.broadcast(prefix), "_b")
+    for i, (_, out) in enumerate(sums):
+        res = res.withColumn(
+            out, (F.col(out) + F.col(f"_o{i}")).cast("long")
+        )
+    drop = [f"_o{i}" for i in range(len(sums))]
+    if not keep_bucket:
+        drop.append("_b")
+    return res.drop(*drop)
+
+
+def _grouped_global_cumsum(
+    df: DataFrame,
+    part_cols: list,
+    bucket: "F.Column",
+    sort_cols: list,
+    sums: list,
+) -> DataFrame:
+    """Per-GROUP running totals without a whole-group-on-one-task
+    window -- ``_global_cumsum`` one level down, exactly as
+    ``_grouped_global_rank`` is to ``_global_rank`` (r11: the
+    weighted-median idiom partitioned by a 3-value flag put a third
+    of the distinct-price table through each of 3 tasks).  Rows
+    shuffle on (group, bucket); the prefix window runs over the
+    (group, bucket) count table, bounded by |groups| x |buckets|."""
+    b = df.withColumn("_b", bucket)
+    w_in = (
+        Window.partitionBy(*part_cols, "_b")
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = b.select(
+        "*", *[F.sum(src).over(w_in).alias(out) for src, out in sums]
+    )
+    totals = b.groupBy(*part_cols, "_b").agg(
+        *[F.sum(src).alias(f"_t{i}") for i, (src, _) in enumerate(sums)]
+    )
+    w_pfx = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = totals.select(
+        *part_cols,
+        "_b",
+        *[
+            F.coalesce(F.sum(f"_t{i}").over(w_pfx), F.lit(0)).alias(
+                f"_o{i}"
+            )
+            for i in range(len(sums))
+        ],
+    )
+    res = local.join(F.broadcast(prefix), [*part_cols, "_b"])
+    for i, (_, out) in enumerate(sums):
+        res = res.withColumn(
+            out, (F.col(out) + F.col(f"_o{i}")).cast("long")
+        )
+    return res.drop("_b", *[f"_o{i}" for i in range(len(sums))])
+
+
+def _bitlen(col: "F.Column") -> "F.Column":
+    """Bit length of a non-negative integral column -- the zero-tuning
+    monotone coarse bucket for SKEWED domains (frequency tables, gap
+    seconds, residuals): <= 64 log-scaled buckets, pure integer (no
+    float log whose rounding could tie-break differently)."""
+    return F.length(F.conv(col.cast("string"), 10, 2))
+
+
 def _grouped_global_rank(
     df: DataFrame,
     part_cols: list,

@@ -642,7 +642,14 @@ def agg_weighted_median(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Quantity-weighted exact median price per return flag (lower
-    median: least value v with 2 * W(<=v) >= W_total)."""
+    median: least value v with 2 * W(<=v) >= W_total).  The running
+    weight is a _grouped_global_cumsum over (flag, price band) --
+    a flag-partitioned window would put each flag's whole
+    distinct-price table (near-unique extended prices = row-scale)
+    through one of |flags|=3 tasks (r11); the per-flag grand total
+    is a grouped aggregate broadcast back, not a window."""
+    from .analytics import _grouped_global_cumsum
+
     g = (
         load_table(spark, sf_dir, "lineitem")
         .select(
@@ -653,19 +660,17 @@ def agg_weighted_median(
         .groupBy("flag", "cents")
         .agg(F.sum("q").alias("w"))
     )
-    wc = (
-        Window.partitionBy("flag")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = _grouped_global_cumsum(
+        g,
+        ["flag"],
+        F.floor(F.col("cents") / F.lit(1 << 18)),
+        ["cents"],
+        [("w", "cw")],
     )
-    c = g.select(
-        "flag",
-        "cents",
-        F.sum("w").over(wc).alias("cw"),
-        F.sum("w").over(Window.partitionBy("flag")).alias("tot"),
-    )
+    tots = g.groupBy("flag").agg(F.sum("w").alias("tot"))
     return (
-        c.filter(2 * F.col("cw") >= F.col("tot"))
+        c.join(F.broadcast(tots), "flag")
+        .filter(2 * F.col("cw") >= F.col("tot"))
         .groupBy("flag")
         .agg(
             (F.min("cents") / 100.0).alias("weighted_median"),
@@ -677,10 +682,12 @@ def agg_weighted_median(
 # -- inter-arrival gap statistics: the queueing-theory view of the
 #    event stream (burstiness, idle periods).  Gaps are EXACT integer
 #    seconds from per-user LAG; min/max are exact; the median is the
-#    exact lower median via the same cumulative-count window as
-#    agg_weighted_median -- no approx_percentile, no float quantile.
-#    Shuffles: one on user_id (LAG), one on the bounded (gap)
-#    summary.  Scales.
+#    exact lower median via cumulative counts over distinct gaps --
+#    no approx_percentile, no float quantile -- run through the
+#    two-pass _global_cumsum (r11: second-granularity gaps are
+#    near-unique on bursty streams, so the distinct-gap table is
+#    row-scale and a bare global window would be one task).
+#    Shuffles: one on user_id (LAG), one on the gap bucket.  Scales.
 @query(
     "events_interarrival_stats",
     oracle="""
@@ -724,17 +731,21 @@ def events_interarrival_stats(
         .filter(F.col("gap").isNotNull())
         .cache()  # feeds min/max agg AND the median frequency table
     )
+    from .analytics import _bitlen, _global_cumsum
+
     freq = gaps.groupBy("gap").agg(F.count("*").alias("c"))
-    wc = Window.orderBy("gap").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # exact median via two-pass cumulative counts: distinct
+    # second-granularity gaps approach row count on bursty streams,
+    # so the running total shuffles on log-scaled (bit-length) gap
+    # buckets; the grand total is a scalar broadcast, not a window
+    c = _global_cumsum(
+        freq, _bitlen(F.col("gap")), ["gap"], [("c", "cw")]
     )
-    c = freq.select(
-        "gap",
-        F.sum("c").over(wc).alias("cw"),
-        F.sum("c").over(Window.partitionBy()).alias("tot"),
-    )
-    med = c.filter(2 * F.col("cw") >= F.col("tot")).agg(
-        F.min("gap").alias("median_gap_s")
+    tot = gaps.agg(F.count("*").alias("tot"))
+    med = (
+        c.crossJoin(F.broadcast(tot))
+        .filter(2 * F.col("cw") >= F.col("tot"))
+        .agg(F.min("gap").alias("median_gap_s"))
     )
     stats = gaps.agg(
         F.min("gap").alias("min_gap_s"),

@@ -3118,9 +3118,12 @@ def orders_diff_in_diff(
 #     z = (U - n1*n2/2) / sqrt(n1*n2/12 * ((n+1) - T/(n(n-1))))
 # with T = sum(t^3 - t) are ONE double expression over exact longs
 # (no continuity correction -- both engines evaluate the identical
-# expression).  The cumulative count runs as a window over DISTINCT
-# cent values (bounded far below row count; at corpus scale swap in
-# the two-pass _global_rank like orders_rfm_scores).
+# expression).  The cumulative count runs over DISTINCT cent values
+# through the two-pass _global_cumsum (r11): totalprice cents are
+# near-unique, so the distinct-value table is row-scale and a bare
+# global window would be one WindowExec task; the helper shuffles on
+# a $21k price band and the only global window is the per-band count
+# prefix (bounded by the price domain).
 @query(
     "ml_mann_whitney_u",
     oracle="""
@@ -3163,7 +3166,7 @@ def orders_diff_in_diff(
     """,
 )
 def ml_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from .analytics import _global_cumsum
 
     orders = load_table(spark, sf_dir, "orders")
     g = orders.select(
@@ -3177,15 +3180,15 @@ def ml_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("t"),
         F.sum("hi").cast("long").alias("t_hi"),
     )
-    w = Window.orderBy("cents").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = byval.select(
+    ranked = _global_cumsum(
+        byval,
+        F.floor(F.col("cents") / F.lit(1 << 21)),
+        ["cents"],
+        [("t", "_cum")],
+    ).select(
         "t",
         "t_hi",
-        (F.sum("t").over(w).cast("long") - F.col("t")).alias(
-            "cum_before"
-        ),
+        (F.col("_cum") - F.col("t")).alias("cum_before"),
     )
     s = ranked.agg(
         F.sum("t_hi").cast("long").alias("n1"),
@@ -4931,6 +4934,8 @@ def ml_wilcoxon_signed_rank(
 ) -> DataFrame:
     from pyspark.sql.window import Window
 
+    from .analytics import _bitlen, _global_cumsum
+
     orders = load_table(spark, sf_dir, "orders")
     wseq = Window.partitionBy("o_custkey").orderBy(
         "o_orderdate", "o_orderkey"
@@ -4959,15 +4964,14 @@ def ml_wilcoxon_signed_rank(
         .cast("long")
         .alias("t_pos"),
     )
-    w = Window.orderBy("absd").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = byval.select(
+    # distinct |diff| cents are near-unique (row-scale): two-pass
+    # cumulative ranks, bit-length buckets for the small-diff skew
+    ranked = _global_cumsum(
+        byval, _bitlen(F.col("absd")), ["absd"], [("t", "_cum")]
+    ).select(
         "t",
         "t_pos",
-        (F.sum("t").over(w).cast("long") - F.col("t")).alias(
-            "cum_before"
-        ),
+        (F.col("_cum") - F.col("t")).alias("cum_before"),
     )
     s = ranked.agg(
         F.sum("t").cast("long").alias("n"),
@@ -5442,18 +5446,20 @@ def agg_winsorized_stats(
         .cast("long")
         .alias("cents")
     )
-    from pyspark.sql import Window
+    from .analytics import _global_cumsum
 
     nn = g.agg(F.count("*").cast("long").alias("n"))
     byval = g.groupBy("cents").agg(
         F.count("*").cast("long").alias("t")
     )
-    wr = Window.orderBy("cents").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = byval.select(
-        "cents", F.sum("t").over(wr).cast("long").alias("cum")
-    )
+    # percentile cut points from distinct cents (near-unique, i.e.
+    # row-scale): two-pass cumulative counts over $21k price bands
+    ranked = _global_cumsum(
+        byval,
+        F.floor(F.col("cents") / F.lit(1 << 21)),
+        ["cents"],
+        [("t", "cum")],
+    ).select("cents", "cum")
     q = ranked.crossJoin(F.broadcast(nn)).agg(
         F.min(
             F.when(
@@ -5720,6 +5726,8 @@ def ml_wasserstein_distance(
 ) -> DataFrame:
     from pyspark.sql import Window
 
+    from .analytics import _global_cumsum
+
     orders = load_table(spark, sf_dir, "orders")
     g = orders.select(
         F.col("o_orderpriority")
@@ -5734,16 +5742,36 @@ def ml_wasserstein_distance(
         F.sum("hi").cast("long").alias("t_hi"),
         F.sum(1 - F.col("hi")).cast("long").alias("t_lo"),
     )
-    w = Window.orderBy("cents").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # both ECDFs via the two-pass cumulative helper (distinct cents
+    # are near-unique = row-scale); keep_bucket so the global LEAD
+    # can be assembled from a bucket-local lead plus a boundary
+    # patch: the NEXT non-empty bucket's first value, computed with
+    # a window over the per-bucket firsts table (bounded by the
+    # bucket domain, never the input)
+    cs = _global_cumsum(
+        byval,
+        F.floor(F.col("cents") / F.lit(1 << 21)),
+        ["cents"],
+        [("t_hi", "cum_hi"), ("t_lo", "cum_lo")],
+        keep_bucket=True,
     )
-    ranked = byval.select(
-        "cents",
-        F.sum("t_hi").over(w).cast("long").alias("cum_hi"),
-        F.sum("t_lo").over(w).cast("long").alias("cum_lo"),
-        F.lead("cents").over(Window.orderBy("cents")).alias(
-            "next_v"
-        ),
+    lead_local = F.lead("cents").over(
+        Window.partitionBy("_b").orderBy("cents")
+    )
+    firsts = cs.groupBy("_b").agg(F.min("cents").alias("_first"))
+    nxt = firsts.select(
+        "_b",
+        F.lead("_first").over(Window.orderBy("_b")).alias("_nf"),
+    )
+    ranked = (
+        cs.withColumn("_ll", lead_local)
+        .join(F.broadcast(nxt), "_b")
+        .select(
+            "cents",
+            "cum_hi",
+            "cum_lo",
+            F.coalesce(F.col("_ll"), F.col("_nf")).alias("next_v"),
+        )
     )
     tot = byval.agg(
         F.sum("t_hi").cast("long").alias("n1"),
@@ -5858,7 +5886,7 @@ CONF_ALPHA = 0.1  # target 90% coverage
 def ml_conformal_interval(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from pyspark.sql import Window
+    from .analytics import _bitlen, _global_cumsum
 
     orders = load_table(spark, sf_dir, "orders")
     h1 = F.substring(
@@ -5899,12 +5927,12 @@ def ml_conformal_interval(
     byval = cal.groupBy("r").agg(
         F.count("*").cast("long").alias("t")
     )
-    wr = Window.orderBy("r").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = byval.select(
-        "r", F.sum("t").over(wr).cast("long").alias("cum")
-    )
+    # q_hat from distinct nonconformities (near-unique = row-scale):
+    # two-pass cumulative counts, bit-length buckets for the
+    # small-residual skew
+    ranked = _global_cumsum(
+        byval, _bitlen(F.col("r")), ["r"], [("t", "cum")]
+    ).select("r", "cum")
     k = F.least(
         F.ceil((F.col("n") + 1) * (1 - CONF_ALPHA)), F.col("n")
     )

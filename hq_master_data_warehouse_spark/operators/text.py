@@ -1487,7 +1487,7 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from .analytics import _bitlen, _global_rank
 
     docs = load_table(spark, sf_dir, "documents")
     freq = (
@@ -1497,11 +1497,16 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").cast("long").alias("n"))
     )
-    ranked = freq.withColumn(
+    # the vocabulary grows with the corpus (Heaps' law), so the rank
+    # axis of the fit is a genuine row-scale global rank: two-pass
+    # _global_rank over bit-length frequency buckets (r11; a bare
+    # Window.orderBy here was one WindowExec task over the vocab)
+    ranked = _global_rank(
+        freq,
+        _bitlen(F.col("n")),
+        [F.desc("n"), F.asc("tok")],
         "rnk",
-        F.row_number().over(
-            Window.orderBy(F.desc("n"), F.asc("tok"))
-        ),
+        bucket_desc=True,
     )
     x = F.round(F.log(F.col("rnk").cast("double")), 9)
     y = F.round(F.log(F.col("n").cast("double")), 9)
@@ -2392,6 +2397,39 @@ COMPRESS_REPETITIVE_BELOW = 0.35
 def text_compression_ratio(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    """Per-doc zlib(level 6) compression ratio -- the standard
+    corpus-quality repetition signal -- plus the too-repetitive flag.
+
+    WHY THIS STAYS ROWS-ONLY (the r10/r11 conversions' rejection
+    memo, per the quantized-PQ precedent): the oracle-conversion
+    trick that moved pHash/PQ/JPEG to value-level oracles was to
+    restate the float math in a QUANTIZED form that is (a) exactly
+    replayable relationally and (b) the standard production
+    formulation anyway.  Neither leg exists here.  (a) The metric IS
+    the DEFLATE output length: LZ77 match selection is a greedy
+    stateful scan over a 32 KiB sliding window (each byte's encoding
+    depends on the full hash-chain state built by every byte before
+    it) followed by dynamic-Huffman code assignment over per-block
+    symbol counts -- a relational replay would be a per-byte
+    recursive CTE carrying the window + hash-chain + pending-match
+    state per document, O(doc_len) recursion with branching state,
+    not 'SQL with more CTEs'.  And unlike the JPEG decode oracle
+    there is no inverse-pair cancellation available: the query's
+    OUTPUT is the encoder's length itself, so no round-trip can make
+    the codec drop out of the replayed algebra.  (b) Swapping zlib
+    for a toy relational compressor would invert the PQ logic: the
+    quantized PQ/DCT forms are MORE production-faithful at scale,
+    while 'compression ratio' in corpus curation (CCNet-style
+    pipelines) means deflate specifically -- an oracle-friendly
+    substitute would change what the signal detects.  The sanctioned
+    evidence is therefore the byte-for-byte differential pytest
+    (tests/test_round6_ops.py::test_compression_ratio_brute_force:
+    every doc's raw/compressed byte counts replayed against Python
+    zlib, flags re-derived), which pins strictly more than a DuckDB
+    hash row would.
+
+    Scale: one Arrow mapInPandas pass, ~doc_len bytes of state per
+    row, embarrassingly partition-parallel; no shuffle at all."""
     import pandas as pd  # noqa: F811
 
     docs = load_table(spark, sf_dir, "documents").select(

@@ -409,8 +409,11 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- q15 shape: top supplier by quarterly revenue (scalar-subquery max
-#    rewritten as a window max; decimal-exact revenue makes the
-#    equality deterministic).
+#    as a 1-row broadcast scalar join -- the sanctioned scalar shape;
+#    r11: the previous empty-partition window max put the whole
+#    per-supplier revenue table through one WindowExec task, and
+#    suppliers scale with the corpus.  Decimal-exact revenue makes
+#    the equality deterministic).
 @query(
     "tpch_q15_top_supplier",
     oracle=f"""
@@ -438,9 +441,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(sum_disc_price("total_revenue"))
     )
-    best = rev.withColumn(
-        "max_rev", F.max("total_revenue").over(Window.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("max_rev"))
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    best = rev.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_revenue") == F.col("max_rev")
+    )
     return (
         supplier.join(best, F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")

@@ -284,6 +284,20 @@ RECHECK: tuple[str, ...] = (
     "graph_link_prediction_jaccard",
     "graph_connected_components",
     "graph_modularity_score",
+    # r11 global-window sweep: the ranked-prefix statistics moved
+    # their row-scale cumulative windows to the two-pass
+    # _global_cumsum / _global_rank helpers (values identical --
+    # integer cumsums are partition-order independent -- plans
+    # changed); q15's global max became the scalar broadcast join
+    "ml_mann_whitney_u",
+    "ml_wilcoxon_signed_rank",
+    "agg_winsorized_stats",
+    "ml_wasserstein_distance",
+    "ml_conformal_interval",
+    "events_interarrival_stats",
+    "text_zipf_fit",
+    "tpch_q15_top_supplier",
+    "agg_weighted_median",
 )
 
 # r10 RECHECK block, retired (all re-records landed green in

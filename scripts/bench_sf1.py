@@ -96,6 +96,13 @@ HEAVY = [
     "dedup_incremental_lsh",
     "split_leakage_safe",
     "source_txn_log_changes",
+    # round-11: the heaviest single op (exact top-k Jaccard link
+    # prediction, sum-of-C(d,2) wedge aggregation -- 148.8M wedges at
+    # sf0.1).  Cost is inherent to the EXACT semantics (the r11
+    # array-rewrite attempt measured 2.2x slower and was reverted,
+    # see ROUNDLOG); tracked here so the linear wedge scaling and the
+    # 1-shuffle plan shape carry executable evidence.
+    "graph_link_prediction_jaccard",
 ]
 
 MARKERS = [

@@ -131,6 +131,104 @@ def test_distributed_rank_and_ntile_match_window_forms(spark, keys):
     assert got == want
 
 
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),  # group
+            st.integers(min_value=0, max_value=999),  # sort key
+            st.integers(min_value=-50, max_value=50),  # weight 1
+            st.integers(min_value=0, max_value=9),  # weight 2
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_distributed_cumsum_matches_window_forms(spark, rows):
+    """_global_cumsum == inclusive running SUM over the global order
+    (multiple sum columns at once, duplicate keys, empty buckets,
+    negative weights); _grouped_global_cumsum == the per-group window
+    form; _bitlen == floor(log2)+1.  The two-pass machinery must be
+    indistinguishable from the single-partition windows it replaces
+    (the r11 global-window sweep rides on this equivalence)."""
+    from pyspark.sql.window import Window
+
+    from hq_master_data_warehouse_spark.operators.analytics import (
+        _bitlen,
+        _global_cumsum,
+        _grouped_global_cumsum,
+    )
+
+    df = spark.createDataFrame(
+        [(g, k, i, w1, w2) for i, (g, k, w1, w2) in enumerate(rows)],
+        "g long, k long, i long, w1 long, w2 long",
+    )
+    # sparse buckets on purpose: floor(k/100) leaves most of 0..9
+    # empty on small samples, exercising the prefix join's gaps
+    got = {
+        (r.g, r.k, r.i, r.c1, r.c2)
+        for r in _global_cumsum(
+            df,
+            F.floor(F.col("k") / 100),
+            [F.col("k"), F.col("i")],
+            [("w1", "c1"), ("w2", "c2")],
+        ).collect()
+    }
+    w = Window.orderBy("k", "i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        (r.g, r.k, r.i, r.c1, r.c2)
+        for r in df.select(
+            "g",
+            "k",
+            "i",
+            F.sum("w1").over(w).cast("long").alias("c1"),
+            F.sum("w2").over(w).cast("long").alias("c2"),
+        ).collect()
+    }
+    assert got == want
+
+    got_g = {
+        (r.g, r.k, r.i, r.c1)
+        for r in _grouped_global_cumsum(
+            df,
+            ["g"],
+            F.floor(F.col("k") / 100),
+            [F.col("k"), F.col("i")],
+            [("w1", "c1")],
+        ).collect()
+    }
+    wg = (
+        Window.partitionBy("g")
+        .orderBy("k", "i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want_g = {
+        (r.g, r.k, r.i, r.c1)
+        for r in df.select(
+            "g",
+            "k",
+            "i",
+            F.sum("w1").over(wg).cast("long").alias("c1"),
+        ).collect()
+    }
+    assert got_g == want_g
+
+    bits = {
+        r.k: r.b
+        for r in df.select(
+            "k", _bitlen(F.col("k")).alias("b")
+        ).collect()
+    }
+    for k, b in bits.items():
+        assert b == len(bin(k)[2:])  # floor(log2)+1, and 1 for k=0
+
+
 # ---------------------------------------------------------------------------
 # Split scaled-integer money sums (functions/scalars.exact_scaled_sum)
 # must be indistinguishable from the DECIMAL(30,4) sums they replace --
