@@ -4076,8 +4076,10 @@ def events_markov_next_event_eval(
 # by year, no interpolating percentile), then count transitions
 # between consecutive years.  All boundaries, segments, and
 # transition counts are exact integers.  100 TB shape: one grouped
-# agg to (year, customer), per-year grouped prefix sums on the
-# bounded value domain, one LAG window per customer.
+# agg to (year, customer), per-(year, revenue-band) two-pass prefix
+# sums (_grouped_global_cumsum -- annual revenues are near-unique,
+# so a bare per-year window would be one task per year), one LAG
+# window per customer.
 @query(
     "orders_segment_migration",
     oracle="""
@@ -4147,12 +4149,17 @@ def orders_segment_migration(
     byval = cy.groupBy("yr", "rev").agg(
         F.count("*").cast("long").alias("t")
     )
-    wr = Window.partitionBy("yr").orderBy("rev").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = byval.select(
-        "yr", "rev", F.sum("t").over(wr).cast("long").alias("cum")
-    )
+    # per-year tercile boundaries: annual per-customer revenue is
+    # near-unique, so a year-partitioned window is one task per
+    # |years| -- the grouped two-pass cumsum shuffles on (year, $21k
+    # revenue band) instead (r11)
+    ranked = _grouped_global_cumsum(
+        byval,
+        ["yr"],
+        F.floor(F.col("rev") / F.lit(1 << 21)),
+        ["rev"],
+        [("t", "cum")],
+    ).select("yr", "rev", "cum")
     bounds = (
         ranked.join(nn, "yr")
         .groupBy("yr")

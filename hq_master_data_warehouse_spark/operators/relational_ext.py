@@ -290,8 +290,6 @@ _SK_BAND_DUCK = f"(n + {SKETCH_GK_ACCURACY - 1}) // {SKETCH_GK_ACCURACY} + 1"
     """,
 )
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         "l_partkey",
@@ -310,14 +308,21 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{SKETCH_GK_ACCURACY})"
         ).alias("approx_q"),
     )
-    ranked = li.select(
-        "l_returnflag",
-        "cents",
-        F.row_number()
-        .over(
-            Window.partitionBy("l_returnflag").orderBy("cents")
-        )
-        .alias("rn"),
+    # exact per-flag price ranks WITHOUT a whole-flag-on-one-task
+    # window (r11: |returnflags| = 3, so partitionBy(flag) put a
+    # third of lineitem through each of 3 tasks): the grouped
+    # two-pass rank shuffles on (flag, $2.6k price band).  Ties on
+    # cents rank in arbitrary order, but the VALUE at any rank of a
+    # sorted multiset is unique, and only values at band-boundary
+    # ranks are consumed.
+    from .analytics import _grouped_global_rank
+
+    ranked = _grouped_global_rank(
+        li.select("l_returnflag", "cents"),
+        ["l_returnflag"],
+        F.floor(F.col("cents") / F.lit(1 << 18)),
+        ["cents"],
+        "rn",
     )
     band = (F.col("n") + (SKETCH_GK_ACCURACY - 1)) / F.lit(
         SKETCH_GK_ACCURACY

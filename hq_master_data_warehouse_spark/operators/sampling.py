@@ -222,11 +222,12 @@ STRATUM_SAMPLE_N = 5
 # -- stratified exact sampling: a deterministic n-per-stratum sample
 #    ordered by a content hash -- reproducible across engines, runs
 #    and cluster sizes (sampleBy is seeded but rows-only; this variant
-#    is the oracle-checkable complement).  One shuffle on the stratum
-#    key; the per-stratum window never sees more than a stratum's
-#    rows.  At 100 TB strata are bounded (sources), so the window is
-#    safe; an unbounded-stratum variant would pre-filter with a hash
-#    range (md5 < cut) before ranking to cap the sorted set.
+#    is the oracle-checkable complement).  With ~20 sources a
+#    stratum-partitioned window puts a twentieth of the corpus
+#    through each task (r11): the per-stratum rank now runs through
+#    _grouped_global_rank on (source, first-hex-digit-of-hash) -- the
+#    hash prefix is a monotone bucket of the sort key, so ranks are
+#    identical and every bucket holds ~1/16 of a stratum.
 @query(
     "sample_stratified_topn",
     oracle=f"""
@@ -241,16 +242,22 @@ STRATUM_SAMPLE_N = 5
     """,
 )
 def sample_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from .analytics import _grouped_global_rank
 
-    docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("_h"),
+    )
+    ranked = _grouped_global_rank(
+        docs,
+        ["source"],
+        F.substring("_h", 1, 1),
+        [F.col("_h"), F.col("doc_id")],
+        "rn",
     )
     return (
-        docs.select("doc_id", "source")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= STRATUM_SAMPLE_N)
+        ranked.filter(F.col("rn") <= STRATUM_SAMPLE_N)
         .select("doc_id", "source")
     )
 
@@ -341,12 +348,16 @@ def pack_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     the write path every pretraining run needs: reproducible
     (hash-derived, seed-free), uniform (md5 is uniform over doc_ids),
     and fully distributed.  Shard assignment is a pure map; the
-    intra-shard order is a row_number window PARTITIONED BY shard, so
-    each shard sorts independently in parallel -- at 100 TB use
-    O(cores) shards and this is exactly a repartition + local sort,
-    the same physical shape ``df.repartition(N).sortWithinPartitions``
-    produces, but with an oracle-checkable explicit (shard, pos) key.
+    intra-shard position runs through _grouped_global_rank on
+    (shard, first-hex-digit-of-hash) (r11: a shard-partitioned
+    window puts a whole shard's rows through one task each, and with
+    N_SHARDS fixed a shard IS corpus/N rows -- the hash-prefix bucket
+    splits each shard's sort 16 ways while leaving every rank
+    identical, the two-pass analogue of repartition +
+    sortWithinPartitions with an oracle-checkable (shard, pos) key).
     """
+    from .analytics import _grouped_global_rank
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.md5(F.col("doc_id").cast("string")).alias("hh"),
@@ -354,13 +365,15 @@ def pack_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard = (
         F.conv(F.substring("hh", 1, 8), 16, 10).cast("long") % N_SHARDS
     ).cast("int")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("shard").orderBy("hh", "doc_id")
-    return (
-        docs.withColumn("shard", shard)
-        .withColumn("pos", F.row_number().over(w).cast("long"))
-        .select("doc_id", "shard", "pos")
+    ranked = _grouped_global_rank(
+        docs.withColumn("shard", shard),
+        ["shard"],
+        F.substring("hh", 1, 1),
+        [F.col("hh"), F.col("doc_id")],
+        "pos",
+    )
+    return ranked.select(
+        "doc_id", "shard", F.col("pos").cast("long").alias("pos")
     )
 
 

@@ -160,9 +160,15 @@ def window_enumerate_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- distribution window functions (engine surface, SURVEY par.2.5
 #    "not present" note): ntile quartiles, percent_rank, cume_dist
-#    over acctbal within each market segment.  Partitioned by segment
-#    so the sort scales horizontally; c_custkey breaks ties to keep
-#    both engines' orderings identical.
+#    over acctbal within each market segment.  c_custkey breaks ties
+#    so both engines' orderings are identical AND unique -- which is
+#    what lets all three functions derive arithmetically from ONE
+#    per-segment two-pass rank (r11: |segments| = 5, so a
+#    segment-partitioned window put a fifth of customers through each
+#    of 5 tasks; _grouped_global_rank shuffles on (segment, acctbal
+#    band) instead): with a unique ordering RANK == ROW_NUMBER, so
+#    percent_rank = (rn-1)/(n-1), cume_dist = rn/n, and NTILE falls
+#    out of _ntile_from_rank exactly as in orders_rfm_scores.
 @query(
     "window_distribution_functions",
     oracle="""
@@ -178,14 +184,35 @@ def window_enumerate_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_distribution_functions(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    customer = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    return customer.select(
-        "c_custkey",
-        "c_mktsegment",
-        F.ntile(4).over(w).cast("int").alias("bal_quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    from .analytics import _grouped_global_rank, _ntile_from_rank
+
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    ranked = _grouped_global_rank(
+        customer,
+        ["c_mktsegment"],
+        F.floor(F.col("c_acctbal") / F.lit(500)),
+        [F.col("c_acctbal"), F.col("c_custkey")],
+        "rn",
+    )
+    sizes = customer.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("_n")
+    )
+    rn, n = F.col("rn"), F.col("_n")
+    return (
+        ranked.join(F.broadcast(sizes), "c_mktsegment")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            _ntile_from_rank(rn, n, 4).cast("int").alias(
+                "bal_quartile"
+            ),
+            F.round(
+                F.when(n > 1, (rn - 1) / (n - 1)).otherwise(0.0), 6
+            ).alias("bal_pct_rank"),
+            F.round(rn / n, 6).alias("bal_cume_dist"),
+        )
     )
 
 

@@ -298,6 +298,15 @@ RECHECK: tuple[str, ...] = (
     "text_zipf_fit",
     "tpch_q15_top_supplier",
     "agg_weighted_median",
+    # r11 grouped-window wave (same sweep, the partitioned variant
+    # the unpartitioned scan cannot see: windows partitioned by a
+    # small-domain key over row-scale input moved to the grouped
+    # two-pass helpers)
+    "agg_approx_sketches",
+    "orders_segment_migration",
+    "window_distribution_functions",
+    "sample_stratified_topn",
+    "pack_shuffle_shards",
 )
 
 # r10 RECHECK block, retired (all re-records landed green in

@@ -606,6 +606,64 @@ def test_change_feed_derives_mutations_from_log_alone(spark, tmp_path):
     }
 
 
+def test_change_feed_version_window(spark, tmp_path):
+    """since/until bound the feed like Delta's table_changes(start,
+    end): the windowed row feed equals the version-filtered full
+    feed, an incremental consumer stepping one version at a time sees
+    every change exactly once, and an empty window yields the empty
+    stable-schema feed (the O(window) driver-work claim in
+    change_rows is only honest if the window actually exists)."""
+    from hq_master_data_warehouse_spark.sources.txn_log import (
+        _write_file,
+        change_rows,
+        commit,
+    )
+
+    d = str(tmp_path / "cdfwin")
+    os.makedirs(d)
+
+    def orders_df(rows):
+        return spark.createDataFrame(
+            rows, "o_orderkey long, o_totalprice double"
+        )
+
+    commit(d, 0, [_write_file(orders_df(
+        [(k, 10.0 * k) for k in range(1, 7)]), d, "f0")], [])
+    commit(d, 1, [_write_file(orders_df(
+        [(1, 10.0), (3, 30.0), (5, 50.0), (6, 600.0)]), d, "f1")],
+        ["f0"])
+    commit(d, 2, [_write_file(orders_df([(7, 70.0)]), d, "f2")], [])
+    commit(d, 3, [_write_file(orders_df(
+        [(1, 10.0), (3, 33.0), (5, 50.0), (6, 600.0)]), d, "f3")],
+        ["f1"])
+
+    def rows(**kw):
+        return {
+            (r.version, r.change_type, r.key, r.value)
+            for r in change_rows(spark, d, **kw).collect()
+        }
+
+    full = rows()
+    assert {v for v, *_ in full} == {1, 2, 3}
+    # windowed == filtered full feed
+    assert rows(since_version=1) == {
+        r for r in full if r[0] > 1
+    }
+    assert rows(until_version=2) == {r for r in full if r[0] <= 2}
+    assert rows(since_version=1, until_version=2) == {
+        r for r in full if r[0] == 2
+    }
+    # incremental consumer: one-version steps partition the feed
+    stepped = set()
+    for v in (0, 1, 2):
+        stepped |= rows(since_version=v, until_version=v + 1)
+    assert stepped == full
+    # empty window: stable schema, zero rows
+    empty = change_rows(spark, d, since_version=3)
+    assert empty.columns == ["version", "change_type", "key", "value"]
+    assert empty.count() == 0
+
+
 def test_change_feed_empty_table_and_single_version(spark, tmp_path):
     """Fewer than two committed versions = no adjacent pairs: the feed
     is EMPTY with the stable schema, never IndexError (ADVICE r9)."""
