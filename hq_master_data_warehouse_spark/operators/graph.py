@@ -437,6 +437,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    integers; top-k is a distributed TakeOrdered with full
 #    deterministic tie-breaks.
 LINKPRED_TOPK = 25
+LINKPRED_AGG_PARTITIONS = 512
 
 
 @query(
@@ -485,9 +486,24 @@ def graph_link_prediction_jaccard(
     )
     e1 = dirr.select("src", F.col("dst").alias("a"))
     e2 = dirr.select("src", F.col("dst").alias("b"))
+    # The wedge stream is the one genuinely SHUFFLE-GIANT intermediate
+    # in the registry (sum-of-C(d,2) rows: 148.8M at sf0.1, 1.46e9 /
+    # 43 GiB at sf1) and map-side partial aggregation reduces it ~2%
+    # (candidate pairs are near-unique within a task), so the grouped
+    # count must be WIDE: an explicit keyed repartition sets the
+    # reducer count for this exchange alone -- user repartitions are
+    # exempt from AQE coalescing, and HashPartitioning(a, b) satisfies
+    # the aggregation's distribution so no second shuffle follows.  At
+    # the session default (32, sized for every OTHER query) each
+    # reduce task would face ~45M groups / 1.3 GiB at sf1 and the
+    # final-agg hash map OOMs an 8 GB local heap; 512-way puts ~85 MB
+    # per task at sf1 with room for the next 10x (a cluster job sizes
+    # this the same way: reducers scale with shuffle volume, not with
+    # the session default).
     cand = (
         e1.join(e2, "src")
         .filter(F.col("a") < F.col("b"))
+        .repartition(LINKPRED_AGG_PARTITIONS, "a", "b")
         .groupBy("a", "b")
         .agg(F.count("*").alias("cn"))
     )

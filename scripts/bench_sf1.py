@@ -103,6 +103,15 @@ HEAVY = [
     # see ROUNDLOG); tracked here so the linear wedge scaling and the
     # 1-shuffle plan shape carry executable evidence.
     "graph_link_prediction_jaccard",
+    # round-11 window sweep: the converted row-scale windows now run
+    # through the two-pass bucket helpers; one representative per
+    # helper type carries the sf1 scale curve -- _grouped_global_rank
+    # over lineitem (approx sketches), _global_cumsum + boundary lead
+    # over near-unique doubles (wasserstein), and the per-segment
+    # rank-derived ntile/percent_rank/cume_dist battery (customers)
+    "agg_approx_sketches",
+    "ml_wasserstein_distance",
+    "window_distribution_functions",
 ]
 
 MARKERS = [
@@ -143,15 +152,27 @@ CONSTRUCT_TIMED = {
 }
 
 
+#: (query, scale-dir) cells measured as ONE cold pass with no warm-up
+#: and no extra untimed collect: the 1.46e9-wedge link-pred shuffle is
+#: 43 GiB at sf1 -- 5.4x this box's 8 GB heap -- so every pass is
+#: ~16 minutes of disk-bound spill and three passes would dominate the
+#: whole script for no extra information.  The noop save still
+#: finalizes the adaptive plan, so the shape column stays executed-AQE.
+SINGLE_PASS = {("graph_link_prediction_jaccard", "sf1")}
+
+
 def run(spark, name: str, sf_dir: str) -> tuple[float, dict]:
     df = registry.QUERIES[name](spark, sf_dir)
-    df.write.format("noop").mode("overwrite").save()  # warm-up
+    single = (name, os.path.basename(sf_dir)) in SINGLE_PASS
+    if not single:
+        df.write.format("noop").mode("overwrite").save()  # warm-up
     t0 = time.perf_counter()
     if name in CONSTRUCT_TIMED:
         df = registry.QUERIES[name](spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     dt = time.perf_counter() - t0
-    df.collect()  # untimed: finalizes df's own adaptive plan
+    if not single:
+        df.collect()  # untimed: finalizes df's own adaptive plan
     plan = spark._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
