@@ -130,9 +130,17 @@ def main() -> None:
             print(t, "exists, skipping")
             continue
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
-        _replicate(df, keys, strides).write.mode("overwrite").parquet(
-            dst
-        )
+        # Write a MULTI-FILE layout (hash on the table's own key):
+        # the replicate is narrow, so without this the whole table
+        # lands in ONE file with ONE row group -- and parquet only
+        # parallelizes at row-group boundaries, so every sf1 scan
+        # ran 20 empty splits plus one straggler reading everything
+        # (caught r11: each 21-split lineitem stage sat at (20+1)/21).
+        # A real sf1 export is many files; 32 matches local[32].
+        first_key = next(iter(keys))
+        _replicate(df, keys, strides).repartition(
+            32, first_key
+        ).write.mode("overwrite").parquet(dst)
         n = spark.read.parquet(dst).count()
         print(t, "replicated ->", n, "rows")
     spark.stop()
