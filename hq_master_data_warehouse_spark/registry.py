@@ -245,21 +245,33 @@ DEFER_NEW: tuple[str, ...] = (
     "dedup_incremental_lsh",
     "split_leakage_safe",
     "source_txn_log_changes",
+    # round 12 (small curated wave; freeze otherwise held): the
+    # sanctioned corpus-scale link-prediction path the r12 wedge
+    # refuse-guard points to, and the end-to-end incremental CDF
+    # consumer (VERDICT r11 items 2 and 6)
+    "graph_link_prediction_minhash",
+    "source_txn_log_incremental_sync",
 )
 
 # Queries whose PLAN or EVIDENCE LEVEL changed in round RECHECK_SINCE
-# (r11: the txn-log fixture gained the v3 update wave and the CDF an
-# update_preimage/postimage change type, so every query reading the
-# staged table re-records; graph_kcore_decomposition now consumes the
-# matcache'd pair table; ml_roc_auc_exact ranks through the
-# distributed two-pass _global_rank; the sampling mix audit and the
-# hash-weighted mix derive their weights from MIX_WEIGHTS itself).
+# (r12: the exact link-prediction gained the wedge refuse-guard --
+# the guard's degree probe runs before the unchanged plan, but
+# evidence policy wants a record on the post-change code path).
 # They already hold records from earlier rounds, but evidence policy
 # wants a fresh record on the post-change code, so they join the
 # front of the window until a record from round >= RECHECK_SINCE
 # lands; then _RECORD_ROUND retires them automatically.
-RECHECK_SINCE = 11
+RECHECK_SINCE = 12
 RECHECK: tuple[str, ...] = (
+    "graph_link_prediction_jaccard",
+)
+
+# r11 RECHECK block, retired (all 32 re-records landed green in
+# CORRECTNESS_r11, verified by the r11 judge): txn-log family incl.
+# the v3 update wave, the graph family on the shared pair substrate,
+# the JPEG fixed-point oracle conversion, the global/grouped window
+# sweep, the MIX_WEIGHTS-derived samplers.
+_RECHECK_R11_RETIRED: tuple[str, ...] = (
     "source_txn_log_changes",
     "source_txn_log_snapshot",
     "source_txn_log_time_travel",
@@ -271,24 +283,13 @@ RECHECK: tuple[str, ...] = (
     "ml_roc_auc_exact",
     "sample_source_mix",
     "sample_hash_weighted_mix",
-    # r11 conversion: the JPEG codec's math core moved to fixed-point
-    # integers, so the decode stats replay relationally -- the query
-    # leaves the rows-only set (2 remain: zlib, watermark dedup)
     "multimodal_decode_jpeg",
-    # r11 plan change: the whole graph family now derives its edge
-    # sets map-side from the single materialized co-purchase pair
-    # table (_copurchase_base); values identical, plans changed
     "graph_pagerank_copurchase",
     "graph_triangle_count",
     "graph_bfs_hops",
     "graph_link_prediction_jaccard",
     "graph_connected_components",
     "graph_modularity_score",
-    # r11 global-window sweep: the ranked-prefix statistics moved
-    # their row-scale cumulative windows to the two-pass
-    # _global_cumsum / _global_rank helpers (values identical --
-    # integer cumsums are partition-order independent -- plans
-    # changed); q15's global max became the scalar broadcast join
     "ml_mann_whitney_u",
     "ml_wilcoxon_signed_rank",
     "agg_winsorized_stats",
@@ -298,10 +299,6 @@ RECHECK: tuple[str, ...] = (
     "text_zipf_fit",
     "tpch_q15_top_supplier",
     "agg_weighted_median",
-    # r11 grouped-window wave (same sweep, the partitioned variant
-    # the unpartitioned scan cannot see: windows partitioned by a
-    # small-domain key over row-scale input moved to the grouped
-    # two-pass helpers)
     "agg_approx_sketches",
     "orders_segment_migration",
     "window_distribution_functions",

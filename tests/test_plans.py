@@ -334,6 +334,24 @@ def test_link_prediction_has_no_nested_loop(spark):
     assert "LeftAnti" in plan
 
 
+def test_link_prediction_minhash_verify_never_sorts_arrays(spark):
+    """The approximate twin's exact-verify joins must keep the
+    adjacency-array stream OUT of any sort: join 1 is hinted
+    sort-merge (sorts only the skinny candidate side BEFORE arrays
+    attach, and emits the a-ordered stream whose identical-array runs
+    compress the following exchange ~8x), join 2 is hinted
+    shuffled-hash (builds the |V|-sized adj table, streams the
+    array-carrying side unsorted -- the sort-merge alternative
+    measured 12 GiB of sort spill at sf0.1)."""
+    plan = _plan(spark, "graph_link_prediction_minhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+    assert "ShuffledHashJoin" in plan  # join 2: array side never sorts
+    # top-k is distributed, never a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_rrf_rankings_are_take_ordered(spark):
     """Both retriever rankings must cut to top-K via TakeOrdered
     (distributed top-k), never a global Sort of the full corpus."""

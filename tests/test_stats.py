@@ -1218,3 +1218,63 @@ def test_decade_bins_partition_everything(spark):
         assert len(str(r.max_cents)) == r.decade
     decs = sorted(r.decade for r in rows)
     assert decs == sorted(set(decs))
+
+
+def test_link_prediction_wedge_guard_refuses_over_budget(spark):
+    """VERDICT r11 item 1: the exact wedge enumeration must refuse
+    above LINKPRED_MAX_WEDGES with a message naming the sub-quadratic
+    path -- pinned on a synthetic high-degree fixture (one 100k-degree
+    hub alone exceeds any sane budget) and end-to-end via a lowered
+    budget, so the guard cannot silently regress into a 43 GiB
+    spill-bound shuffle at corpus scale."""
+    from hq_master_data_warehouse_spark.operators import graph
+
+    # estimator is exact sum-of-C(d,2) on a synthetic degree table
+    deg = spark.createDataFrame(
+        [(1, 100_000), (2, 4), (3, 1)], "node long, d long"
+    )
+    est = graph._estimated_wedges(deg)
+    assert est == 100_000 * 99_999 // 2 + 6
+    with pytest.raises(ValueError, match="graph_link_prediction_minhash"):
+        graph._check_wedge_budget(graph.LINKPRED_MAX_WEDGES + 1)
+    graph._check_wedge_budget(graph.LINKPRED_MAX_WEDGES)  # at budget: ok
+
+    # end-to-end: with the budget lowered below sf0.001's real wedge
+    # count (~8e5), the registered query itself must refuse
+    real = graph.LINKPRED_MAX_WEDGES
+    graph.LINKPRED_MAX_WEDGES = 1000
+    try:
+        with pytest.raises(ValueError, match="bounded to"):
+            graph.graph_link_prediction_jaccard(spark, SF_DIR_001)
+    finally:
+        graph.LINKPRED_MAX_WEDGES = real
+
+
+def test_link_prediction_minhash_recall_vs_exact(spark):
+    """The approximate twin must rank mostly the same absent links as
+    the exact anchor, at sf0.01 (VERDICT r11 item 2), where the top-25
+    jaccard band is ~0.09-0.1 and the r=1 banding's detection
+    probability is 1-(1-j)^24 ~ 0.90.  Deterministic (fixed md5 hash
+    family, fixed data): measured 22/25; the 0.7 floor is slack for
+    future data regen only.  Scores of recalled pairs must be
+    IDENTICAL to the exact scores (verify is exact on candidates)."""
+    from tests.conftest import SF_DIR_01
+
+    from hq_master_data_warehouse_spark.operators import graph
+
+    exact = {
+        (r.a, r.b): (r.cn, r.jaccard)
+        for r in graph.graph_link_prediction_jaccard(
+            spark, SF_DIR_01
+        ).collect()
+    }
+    approx = {
+        (r.a, r.b): (r.cn, r.jaccard)
+        for r in graph.graph_link_prediction_minhash(
+            spark, SF_DIR_01
+        ).collect()
+    }
+    hits = set(exact) & set(approx)
+    assert len(hits) >= int(0.7 * len(exact))
+    for pair in hits:
+        assert approx[pair] == exact[pair]
