@@ -127,10 +127,50 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def headline_json(all_reps: dict[str, list[float]], sf_dir: str) -> str:
+# Calibration cell (VERDICT r11 item 3): a fixed, DATA-INDEPENDENT,
+# CPU-bound workload timed alongside the query cells so cross-round
+# totals can be drift-normalized mechanically instead of argued from
+# same-day brackets (host wall-clock varies up to ~2.3x across
+# sessions on this box; r9-r11 each burned verdict space bisecting
+# it).  768M generated longs through codegen'd multiply/mod/xxhash64
+# into one bounded sum: no input data, no shuffle beyond the scalar
+# gather, ~0.9 s on a quiet host.  Normalization: ratio of two
+# rounds' "calib" fields estimates their host-speed ratio; divide a
+# round's total by its calib to compare engine cost across rounds.
+CALIB_N = 768_000_000
+CALIB_CHECKSUM = 383929118346397362
+
+
+def _calibration(spark) -> float:
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    s = (
+        spark.range(0, CALIB_N, 1, int(CPUS))
+        .select(
+            F.sum(
+                F.pmod(
+                    F.xxhash64((F.col("id") * 2654435761) % 1000003),
+                    F.lit(1_000_000_007),
+                )
+            ).alias("s")
+        )
+        .collect()[0]["s"]
+    )
+    dt = time.perf_counter() - t0
+    assert s == CALIB_CHECKSUM, f"calibration checksum drift: {s}"
+    return dt
+
+
+def headline_json(
+    all_reps: dict[str, list[float]],
+    sf_dir: str,
+    calib: list[float] | None = None,
+) -> str:
     """Build the single compact stdout headline line (min AND median
-    estimators per query).  Kept as a pure function so the tail-size
-    and no-reps contracts are testable without a SparkSession."""
+    estimators per query, plus the calibration cell).  Kept as a pure
+    function so the tail-size and no-reps contracts are testable
+    without a SparkSession."""
     timings = {n: round(min(r), 3) for n, r in all_reps.items()}
     medians = [
         round(statistics.median(all_reps[n]), 2) for n in timings
@@ -141,19 +181,23 @@ def headline_json(all_reps: dict[str, list[float]], sf_dir: str) -> str:
     # are kept terse -- "med" is an ARRAY of per-query median-of-reps
     # values aligned with the "queries" key order (repeating the 33
     # query names would blow the tail budget).
-    return json.dumps(
-        {
-            "metric": "headline_queries_total_runtime",
-            "value": round(sum(timings.values()), 3),
-            "value_median": round(sum(medians), 3),
-            "unit": "sec",
-            "estimator": f"min-of-{REPS};med=median-of-{REPS}",
-            "queries": timings,
-            "med": medians,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        },
-        separators=(",", ":"),
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "value_median": round(sum(medians), 3),
+        "unit": "sec",
+        "estimator": f"min-of-{REPS};med=median-of-{REPS}",
+        "queries": timings,
+        "med": medians,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if calib:
+        # host-speed gauge, NOT part of the totals: divide a round's
+        # value/value_median by its calib to drift-normalize
+        # cross-round comparisons
+        out["calib"] = round(min(calib), 3)
+        out["calib_med"] = round(statistics.median(calib), 2)
+    return json.dumps(out, separators=(",", ":"))
 
 
 def main() -> None:
@@ -163,9 +207,12 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in registry.QUERIES]
     all_reps: dict[str, list[float]] = {n: [] for n in names}
+    calib: list[float] = []
+    _calibration(spark)  # warm-up (codegen compile)
     for name in names:  # warm-up pass (plan compile + cache)
         _materialize(registry.QUERIES[name](spark, SF_DIR))
     for _ in range(REPS):  # interleaved timed passes
+        calib.append(round(_calibration(spark), 4))
         for name in names:
             t0 = time.perf_counter()
             _materialize(registry.QUERIES[name](spark, SF_DIR))
@@ -174,8 +221,8 @@ def main() -> None:
     # bloating stdout: the driver tails only ~2 kB of stdout, and the
     # compact headline JSON must be the LAST line (VERDICT r4 item 2 --
     # inlining "reps" truncated the r4 record to parsed:null).
-    print(json.dumps({"reps": all_reps}), file=sys.stderr)
-    print(headline_json(all_reps, SF_DIR))
+    print(json.dumps({"reps": all_reps, "calib": calib}), file=sys.stderr)
+    print(headline_json(all_reps, SF_DIR, calib))
     spark.stop()
 
 

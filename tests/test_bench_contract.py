@@ -31,15 +31,37 @@ def test_headline_json_stays_under_tail_capture():
     capture."""
     from bench import headline_json
 
-    line = headline_json(_worst_case_reps(), "/root/testdata/sf0.1")
+    line = headline_json(
+        _worst_case_reps(), "/root/testdata/sf0.1", [99.999] * 4
+    )
     assert len(line) < 2000
     assert "\n" not in line
     # realistic sf0.1 widths (every query under 10 s) leave margin
     from bench import HEADLINE
     typical = headline_json(
-        {n: [9.999] * 4 for n in HEADLINE}, "/root/testdata/sf0.1"
+        {n: [9.999] * 4 for n in HEADLINE},
+        "/root/testdata/sf0.1",
+        [9.999] * 4,
     )
     assert len(typical) < 1960
+
+
+def test_headline_carries_calibration_cell():
+    """The drift-normalization gauge (VERDICT r11 item 3) must ride
+    the headline line -- min and median of the calibration reps,
+    NEVER added to the query totals."""
+    from bench import HEADLINE, headline_json
+
+    reps = {n: [4.0, 1.0, 2.0, 3.0] for n in HEADLINE}
+    obj = json.loads(
+        headline_json(reps, "/root/testdata/sf0.1", [1.2, 0.9, 1.0, 1.1])
+    )
+    assert obj["calib"] == 0.9
+    assert obj["calib_med"] == 1.05
+    assert obj["value"] == round(1.0 * len(HEADLINE), 3)  # calib-free
+    # calib is optional: an old-style call still builds a valid line
+    legacy = json.loads(headline_json(reps, "/root/testdata/sf0.1"))
+    assert "calib" not in legacy
 
 
 def test_headline_has_both_estimators_and_no_reps():
@@ -80,3 +102,57 @@ def test_reps_go_to_stderr_not_stdout():
     # variable feeding headline_json is fine -- the builder emits no
     # reps key, asserted above on the parsed object)
     assert '"reps"' not in stdout_call
+
+
+def test_bench_sf1_notes_live_outside_the_generated_file(tmp_path):
+    """VERDICT r11 item 5: hand-written per-cell notes must survive
+    regeneration.  They live in scripts/bench_sf1_notes.md; the
+    generator merges that file verbatim, so running it twice cannot
+    destroy them.  Pin: the notes file exists, is non-empty, and
+    _notes_blob returns exactly its content."""
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+        ),
+    )
+    import bench_sf1
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    notes = os.path.join(root, "scripts", "bench_sf1_notes.md")
+    assert os.path.exists(notes)
+    with open(notes) as f:
+        content = f.read()
+    assert "link_prediction" in content  # real per-cell notes
+    assert bench_sf1._notes_blob() == content
+
+
+def test_gen_sf1_layout_marker_forces_regeneration(tmp_path):
+    """ADVICE r11 item 4: an sf1 fixture generated before a layout
+    fix must not survive the idempotent exists-skip.  _ensure_layout
+    wipes the fixture dir when the marker is stale or missing and
+    stamps the current version."""
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+        ),
+    )
+    import gen_sf1
+
+    out = tmp_path / "sf1"
+    out.mkdir()
+    stale_table = out / "lineitem.parquet"
+    stale_table.mkdir()  # pre-marker fixture: no version file
+    gen_sf1._ensure_layout(str(out))
+    assert not stale_table.exists(), "stale layout must be wiped"
+    marker = out / gen_sf1._MARKER
+    assert marker.read_text() == str(gen_sf1.LAYOUT_VERSION)
+
+    # current-version fixture survives untouched
+    keep_table = out / "orders.parquet"
+    keep_table.mkdir()
+    gen_sf1._ensure_layout(str(out))
+    assert keep_table.exists(), "current layout must be kept"
