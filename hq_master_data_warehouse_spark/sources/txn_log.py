@@ -793,6 +793,127 @@ def source_txn_log_changes(
     return snapshot_changes(spark, build_txn_table(spark, sf_dir))
 
 
+def incremental_merge_sync(
+    spark: SparkSession,
+    table_dir: str,
+    key_col: str = "o_orderkey",
+    value_col: str = "o_totalprice",
+    start_version: int = 0,
+    windows: list[tuple[int, int]] | None = None,
+) -> DataFrame:
+    """The standing-sync consumer the CDF exists for (VERDICT r11
+    item 6): seed a (key, value) replica from the snapshot at
+    ``start_version``, then MERGE each half-open version window
+    (since, until] of the row-level change feed into it -- the
+    loop-of-windows batch form of a downstream replica that stores
+    its last applied version and wakes up per window.  Default
+    windows step ONE COMMIT AT A TIME through every version after
+    ``start_version``, the standing-sync cadence.
+
+    Per window the MERGE is one grouped ``max_by(version)`` (the
+    key's LAST non-preimage action in the window wins -- a key
+    deleted then re-inserted inside one window nets to the insert)
+    followed by one full outer join onto the replica: delete drops
+    the key, insert/update_postimage upserts the value, absent keys
+    carry over.  Each applied window is ``localCheckpoint``-ed so
+    replica lineage stays flat no matter how many windows a standing
+    sync accumulates (same discipline as the iterative graph loops).
+
+    Scale shape: each window costs O(files touched by the window)
+    scan (change_rows' contract) + one shuffle keyed on ``key`` for
+    the merge -- independent of history depth; the replica never
+    re-reads the source table after the seed snapshot.  Limitation
+    shared with the fold-sufficiency pytest: a legitimately-NULL
+    ``value_col`` is indistinguishable from a delete in the replica
+    fold (the fixture has none; a production key-value sink would
+    carry an explicit tombstone column)."""
+    if windows is None:
+        later = [
+            v
+            for v in committed_versions(table_dir)
+            if v > start_version
+        ]
+        windows = list(zip([start_version, *later[:-1]], later))
+    replica = read_snapshot(spark, table_dir, start_version).select(
+        F.col(key_col).alias("key"),
+        F.col(value_col).alias("value"),
+    )
+    for since, until in windows:
+        feed = change_rows(
+            spark,
+            table_dir,
+            key_col,
+            value_col,
+            since_version=since,
+            until_version=until,
+        )
+        net = (
+            feed.filter(F.col("change_type") != "update_preimage")
+            .groupBy("key")
+            .agg(
+                F.max_by(
+                    F.struct(
+                        F.col("change_type").alias("ct"),
+                        F.col("value").alias("val"),
+                    ),
+                    F.col("version"),
+                ).alias("s")
+            )
+        )
+        replica = (
+            replica.join(net, "key", "full")
+            .select(
+                "key",
+                F.when(F.col("s").isNull(), F.col("value"))
+                .when(F.col("s.ct") == "delete", F.lit(None))
+                .otherwise(F.col("s.val"))
+                .alias("value"),
+            )
+            .filter(F.col("value").isNotNull())
+            .localCheckpoint()
+        )
+    return replica
+
+
+#: replica output buckets: small fixed domain so the sync oracle
+#: value-hashes counts AND money per bucket, not one global blob
+SYNC_BUCKETS = 10
+
+
+@query(
+    "source_txn_log_incremental_sync",
+    oracle=f"""
+    SELECT o_orderkey % {SYNC_BUCKETS} AS key_bucket,
+           COUNT(*) AS n_keys,
+           {dec_sum_sql(UPD_PRICE_SQL, 'total_price')}
+    FROM orders
+    WHERE o_orderkey % {DEL_MOD} <> 0 OR o_orderkey % {READD_MOD} = 0
+    GROUP BY 1
+    """,
+)
+def source_txn_log_incremental_sync(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end incremental CDF consumption: replica seeded at v0,
+    then windows (0,1], (1,2], (2,3] MERGE-applied one commit at a
+    time via ``incremental_merge_sync``.  The final replica must
+    equal the head snapshot's (key, value) state EXACTLY -- the
+    oracle recomputes that state from the original parquet (same
+    final-state expression as the snapshot oracle), bucketed by key
+    residue so both row counts and summed values hash per bucket.
+    Proves the since/until windows compose: every change applied
+    exactly once, rewrite noise never applied, updates land as their
+    postimage."""
+    table_dir = build_txn_table(spark, sf_dir)
+    replica = incremental_merge_sync(spark, table_dir)
+    return replica.groupBy(
+        (F.col("key") % SYNC_BUCKETS).alias("key_bucket")
+    ).agg(
+        F.count("*").alias("n_keys"),
+        dec_sum("value", "total_price"),
+    )
+
+
 def compact_table(spark: SparkSession, table_dir: str) -> int:
     """OPTIMIZE: fold every live file of the head snapshot into one
     compacted file and commit the swap as a SINGLE atomic version --
