@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Scale-degradation bench: the 10 heaviest headline queries at sf0.1
+"""Scale-degradation bench: the heaviest headline queries at sf0.1
 AND sf1 (10x) in one session, with final-AQE-plan shape capture
 (VERDICT r5 item 3).
 
@@ -11,7 +11,13 @@ DataFrame so AQE finalizes ITS plan (isFinalPlan=true) and the
 inspected shape reflects the runtime join-strategy decisions:
 broadcast vs sort-merge vs shuffled hash, skew-join activation.
 
-Writes BENCH_SF1.md at the repo root.
+A query that REFUSES at a scale (a refuse-guard raising ValueError,
+e.g. the exact link-prediction wedge budget at sf1) records the
+refusal as the intended result, distinct from a FAIL.
+
+Writes BENCH_SF1.md at the repo root, merging the hand-written notes
+from scripts/bench_sf1_notes.md verbatim (VERDICT r11 item 5: notes
+live THERE and survive regeneration; this file is disposable output).
 """
 
 from __future__ import annotations
@@ -98,11 +104,18 @@ HEAVY = [
     "source_txn_log_changes",
     # round-11: the heaviest single op (exact top-k Jaccard link
     # prediction, sum-of-C(d,2) wedge aggregation -- 148.8M wedges at
-    # sf0.1).  Cost is inherent to the EXACT semantics (the r11
-    # array-rewrite attempt measured 2.2x slower and was reverted,
-    # see ROUNDLOG); tracked here so the linear wedge scaling and the
-    # 1-shuffle plan shape carry executable evidence.
+    # sf0.1).  Since r12 the sf1 half of this cell records the wedge
+    # guard's REFUSAL (1.46e9 wedges > the 4e8 budget): the one
+    # completed sf1 pass measured 950-1190 s disk-spill-bound (r11)
+    # and the guard now exists precisely so that run never happens
+    # silently.  sf0.1 still times the exact plan.
     "graph_link_prediction_jaccard",
+    # round-12: the sanctioned corpus-scale twin (banded adjacency-set
+    # minhash candidates + exact verify on candidates only) -- the sf1
+    # cell that REPLACES the exact op's spill wall with a linear,
+    # zero-spill plan; its ratio is the headline evidence that the
+    # refuse-guard points somewhere real.
+    "graph_link_prediction_minhash",
     # round-11 window sweep: the converted row-scale windows now run
     # through the two-pass bucket helpers; one representative per
     # helper type carries the sf1 scale curve -- _grouped_global_rank
@@ -152,32 +165,24 @@ CONSTRUCT_TIMED = {
 }
 
 
-#: (query, scale-dir) cells measured as ONE cold pass with no warm-up
-#: and no extra untimed collect: the 1.46e9-wedge link-pred shuffle is
-#: 43 GiB at sf1 -- 5.4x this box's 8 GB heap -- so every pass is
-#: ~16 minutes of disk-bound spill and three passes would dominate the
-#: whole script for no extra information.  The noop save still
-#: finalizes the adaptive plan, so the shape column stays executed-AQE.
-SINGLE_PASS = {("graph_link_prediction_jaccard", "sf1")}
-
-#: queries measured in their own fresh session AFTER everything else
-#: (see main): the wedge-shuffle cell needs the full unified-memory
-#: region; the main session's accumulated caches starve it.
-FRESH_SESSION = {"graph_link_prediction_jaccard"}
+# (The r11 SINGLE_PASS / FRESH_SESSION machinery existed solely for
+# the exact link-pred's 43 GiB sf1 wedge shuffle; the r12 refuse-guard
+# retired that run, so every cell is back to the uniform
+# warm-up/timed/collect protocol and every captured shape is an
+# EXECUTED adaptive plan -- which also closes ADVICE r11 items 1 and 3
+# about the single-pass path's compile-time plans and fragile
+# basename keying.)
 
 
 def run(spark, name: str, sf_dir: str) -> tuple[float, dict]:
     df = registry.QUERIES[name](spark, sf_dir)
-    single = (name, os.path.basename(sf_dir)) in SINGLE_PASS
-    if not single:
-        df.write.format("noop").mode("overwrite").save()  # warm-up
+    df.write.format("noop").mode("overwrite").save()  # warm-up
     t0 = time.perf_counter()
     if name in CONSTRUCT_TIMED:
         df = registry.QUERIES[name](spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     dt = time.perf_counter() - t0
-    if not single:
-        df.collect()  # untimed: finalizes df's own adaptive plan
+    df.collect()  # untimed: finalizes df's own adaptive plan
     plan = spark._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
@@ -273,6 +278,17 @@ MEM_EVIDENCE = [
     # warm row after them would silently include a rebuild
     ("graph_modularity_score", False),
     ("split_leakage_safe", False),
+    # r12 (VERDICT r11 item 7): the heavy dedup family's spill story
+    # at both scales -- banded/blocked candidate generation must stay
+    # zero-spill at sf1 or the 100 TB narrative has a hole.  These
+    # consume no matcache, so warm/cold is immaterial.
+    ("dedup_tfidf_cosine_pairs", False),
+    ("dedup_simhash", False),
+    ("dedup_minhash_lsh", False),
+    # r12: the approximate link-prediction twin -- the zero-spill
+    # claim vs the exact op's 12 GiB sort spill is its whole reason
+    # to exist
+    ("graph_link_prediction_minhash", False),
     ("graph_modularity_score", True),
     ("split_leakage_safe", True),
 ]
@@ -300,73 +316,80 @@ def main() -> None:
 
     results: dict[str, tuple] = {}
 
-    def cell(sess, name):
-        # one failed cell must not lose the whole run (r11: a
-        # session-state OOM at cell 31 of 33 discarded 40 minutes of
-        # measurements -- the writer only runs at the end)
+    def one(sess, name, sf_dir):
+        """(seconds, shape) | ('refused', guard-shape) | ('FAIL', ...).
+        A refuse-guard ValueError is the op's documented contract at
+        this scale, recorded distinctly from a crash; any other
+        failure records FAIL so one broken cell cannot lose the whole
+        run (r11: a session-state OOM at cell 31 of 33 discarded 40
+        minutes of measurements -- the writer only runs at the end)."""
         try:
-            t01, s01 = run(sess, name, SF01)
-            t1, s1 = run(sess, name, SF1)
+            return run(sess, name, sf_dir)
+        except ValueError as e:
+            if "bounded to" in str(e):
+                return "refused", {"guard": "refused by budget guard"}
+            return "FAIL", {"error": type(e).__name__}
         except Exception as e:  # noqa: BLE001
-            results[name] = (name, "FAIL", "FAIL", "-",
-                             {"error": type(e).__name__}, {})
-            print(name, "FAILED", type(e).__name__, flush=True)
-            return
-        ratio = round(t1 / t01, 2) if t01 else float("nan")
+            return "FAIL", {"error": type(e).__name__}
+
+    def cell(sess, name):
+        t01, s01 = one(sess, name, SF01)
+        t1, s1 = one(sess, name, SF1)
+        ratio = (
+            round(t1 / t01, 2)
+            if isinstance(t01, float) and isinstance(t1, float) and t01
+            else "-"
+        )
         results[name] = (name, t01, t1, ratio, s01, s1)
         print(name, t01, t1, ratio, s01, "->", s1, flush=True)
 
     for name in HEAVY:
-        if name in FRESH_SESSION:
-            continue  # deferred below
         cell(spark, name)
 
+    # ADVICE r11 item 2: the memory-evidence loop and the delta
+    # roundtrip run with the same record-FAIL-and-continue protection
+    # as the cells -- they execute after 30+ queries and before the
+    # writer, exactly where a session-state failure used to discard
+    # every recorded measurement.
     mem_rows = []
     for name, cold in MEM_EVIDENCE:
         label = f"{name} ({'cold: + CC build' if cold else 'warm'})"
-        if cold:
-            _clear_matcache()
-        m01 = memory_evidence(spark, name, SF01)
-        if cold:
-            _clear_matcache()
-        m1 = memory_evidence(spark, name, SF1)
+        try:
+            if cold:
+                _clear_matcache()
+            m01 = memory_evidence(spark, name, SF01)
+            if cold:
+                _clear_matcache()
+            m1 = memory_evidence(spark, name, SF1)
+        except Exception as e:  # noqa: BLE001
+            err = {"stages": "FAIL", "error": type(e).__name__}
+            mem_rows.append((label, err, err))
+            print("mem", label, "FAILED", type(e).__name__, flush=True)
+            continue
         mem_rows.append((label, m01, m1))
         print("mem", label, m01, "->", m1, flush=True)
 
-    dt01, nf01, nr01 = delta_roundtrip(spark, SF01)
-    dt1, nf1, nr1 = delta_roundtrip(spark, SF1)
-    assert nf1 > 100, (
-        f"sf1 staging produced only {nf1} live files -- the "
-        ">100-file commit-log claim needs a bigger keyspace"
-    )
-    delta_row = (
-        "layout_delta_export_roundtrip (fresh staging)",
-        dt01,
-        dt1,
-        round(dt1 / dt01, 2),
-        {"files_v1": nf01, "rows": nr01},
-        {"files_v1": nf1, "rows": nr1},
-    )
-    print(delta_row, flush=True)
-
-    # The spill-giant cells run LAST in a FRESH session: after ~30
-    # queries the main session holds cached edge/matcache tables whose
-    # protected storage share starves the 43 GiB wedge shuffle below
-    # its (already spill-heavy) execution-memory floor -- run d of r11
-    # OOM'd in-session where the identical cell passes standalone.  A
-    # real deployment gives a job this size its own executors; the
-    # fresh session is that configuration, and the cell is annotated
-    # as such in the table notes.
-    if FRESH_SESSION:
-        spark.stop()
-        spark = get_spark(
-            master=f"local[{CPUS}]",
-            extra_conf={"spark.ui.enabled": "false"},
+    try:
+        dt01, nf01, nr01 = delta_roundtrip(spark, SF01)
+        dt1, nf1, nr1 = delta_roundtrip(spark, SF1)
+        assert nf1 > 100, (
+            f"sf1 staging produced only {nf1} live files -- the "
+            ">100-file commit-log claim needs a bigger keyspace"
         )
-        spark.sparkContext.setLogLevel("ERROR")
-        for name in HEAVY:
-            if name in FRESH_SESSION:
-                cell(spark, name)
+        delta_row = (
+            "layout_delta_export_roundtrip (fresh staging)",
+            dt01,
+            dt1,
+            round(dt1 / dt01, 2),
+            {"files_v1": nf01, "rows": nr01},
+            {"files_v1": nf1, "rows": nr1},
+        )
+    except Exception as e:  # noqa: BLE001
+        delta_row = (
+            "layout_delta_export_roundtrip (fresh staging)",
+            "FAIL", "FAIL", "-", {"error": type(e).__name__}, {},
+        )
+    print(delta_row, flush=True)
 
     rows = [results[n] for n in HEAVY if n in results]
     rows.append(delta_row)
@@ -385,7 +408,9 @@ def main() -> None:
             "EXECUTED adaptive plans.  A healthy scale curve for "
             "shuffle-bound plans is ~10x or less at 10x data on fixed "
             "cores; the exact-GEMM anchor is O(n^2) BY CONTRACT and "
-            "is expected near 100x.\n\n" % CPUS
+            "is expected near 100x.  A cell reading `refused` hit an "
+            "operator's refuse-guard at that scale -- the documented "
+            "contract (see Notes), not a failure.\n\n" % CPUS
         )
         f.write(
             "| query | sf0.1 s | sf1 s | ratio | plan shape sf0.1 | "
@@ -409,6 +434,12 @@ def main() -> None:
         )
         for name, m01, m1 in mem_rows:
             for scale, m in (("sf0.1", m01), ("sf1", m1)):
+                if m.get("stages") == "FAIL":
+                    f.write(
+                        f"| {name} | {scale} | FAIL "
+                        f"({m.get('error')}) | - | - | - | - | - |\n"
+                    )
+                    continue
                 f.write(
                     f"| {name} | {scale} | {m['stages']} | "
                     f"{m['shuffle_write_mb']} | "
@@ -417,8 +448,25 @@ def main() -> None:
                     f"{m['memory_spilled_mb']} | "
                     f"{m['disk_spilled_mb']} |\n"
                 )
-        f.write("\n_Edit with per-query notes after each run._\n")
+        # hand-written notes survive regeneration: they live in
+        # scripts/bench_sf1_notes.md and are merged verbatim
+        # (VERDICT r11 item 5)
+        f.write("\n## Notes (merged from scripts/bench_sf1_notes.md"
+                " — edit THAT file, not this section)\n\n")
+        f.write(_notes_blob())
     spark.stop()
+
+
+def _notes_blob() -> str:
+    notes_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "bench_sf1_notes.md",
+    )
+    try:
+        with open(notes_path) as nf:
+            return nf.read()
+    except OSError:
+        return "_(no notes file found)_\n"
 
 
 if __name__ == "__main__":

@@ -37,6 +37,38 @@ SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/.data/sf1")
 REPLICAS = 10
 
+#: Fixture LAYOUT version, persisted as a marker file in OUT.  The
+#: idempotent per-table skip used to gate layout fixes too: an sf1
+#: generated before the r11 multi-file fix silently kept its
+#: one-file/one-row-group tables -- the exact straggler artifact the
+#: fix targets -- because every table "exists" (ADVICE r11).  Bump
+#: this whenever the WRITTEN LAYOUT changes (not the data): a stale
+#: or missing marker wipes OUT and regenerates everything.
+#: v2 = 32-file keyed parquet per table (r11).
+LAYOUT_VERSION = 2
+_MARKER = ".layout_version"
+
+
+def _ensure_layout(out_dir: str) -> None:
+    marker = os.path.join(out_dir, _MARKER)
+    have = None
+    try:
+        with open(marker) as f:
+            have = int(f.read().strip())
+    except (OSError, ValueError):
+        pass
+    if have != LAYOUT_VERSION and os.path.isdir(out_dir):
+        import shutil
+
+        print(
+            f"sf1 fixture layout v{have} != v{LAYOUT_VERSION}: "
+            f"wiping {out_dir} and regenerating"
+        )
+        shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(marker, "w") as f:
+        f.write(str(LAYOUT_VERSION))
+
 #: per-table key columns and the stride source table for each.
 #: stride = 10^ceil(log10(max_key+1)) of the SOURCE table's own key
 #: domain, so shifted keys never collide across replicas and foreign
@@ -111,7 +143,7 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    os.makedirs(OUT, exist_ok=True)
+    _ensure_layout(OUT)
     strides = _strides(spark)
     print("strides:", strides)
 
