@@ -1278,3 +1278,24 @@ def test_link_prediction_minhash_recall_vs_exact(spark):
     assert len(hits) >= int(0.7 * len(exact))
     for pair in hits:
         assert approx[pair] == exact[pair]
+
+
+def test_link_prediction_minhash_partition_independent(spark):
+    """The twin's result must be bit-identical under a different
+    shuffle width: signatures are exact min-aggregates, candidates a
+    set, scores exact integer ratios, and the top-k fully
+    tie-broken -- nothing may depend on partitioning.  (The driver
+    runs its own session config; vanilla-session rotation covers the
+    registry over time, this pins the newest op directly.)"""
+    from hq_master_data_warehouse_spark.operators import graph
+
+    q = graph.graph_link_prediction_minhash
+    base = [tuple(r) for r in q(spark, SF_DIR_001).collect()]
+    assert base  # non-degenerate
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        alt = [tuple(r) for r in q(spark, SF_DIR_001).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert alt == base
