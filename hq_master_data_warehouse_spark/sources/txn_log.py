@@ -812,21 +812,32 @@ def incremental_merge_sync(
 
     Per window the MERGE is one grouped ``max_by(version)`` (the
     key's LAST non-preimage action in the window wins -- a key
-    deleted then re-inserted inside one window nets to the insert)
-    followed by one full outer join onto the replica: delete drops
-    the key, insert/update_postimage upserts the value, absent keys
-    carry over.  Each applied window is ``localCheckpoint``-ed so
-    replica lineage stays flat no matter how many windows a standing
-    sync accumulates (same discipline as the iterative graph loops).
+    deleted then re-inserted inside one window nets to the insert),
+    then ``replica ANTI-JOIN net`` (drops every touched key) UNION
+    the net's survivors (inserts + update postimages).  The
+    anti-join form -- not a full outer join -- is the scale decision:
+    ``net`` is the SMALL side (changes per window << replica), the
+    anti-join broadcasts it, and THE REPLICA ITSELF NEVER SHUFFLES
+    (a full-outer merge re-exchanged the whole replica every window,
+    because a localCheckpoint scan carries no SQL-visible
+    partitioning for Catalyst to reuse -- measured in the executed
+    plan before this shape shipped).  Each applied window is
+    ``localCheckpoint``-ed so replica lineage stays flat no matter
+    how many windows a standing sync accumulates (same discipline as
+    the iterative graph loops).
 
     Scale shape: each window costs O(files touched by the window)
-    scan (change_rows' contract) + one shuffle keyed on ``key`` for
-    the merge -- independent of history depth; the replica never
-    re-reads the source table after the seed snapshot.  Limitation
-    shared with the fold-sufficiency pytest: a legitimately-NULL
-    ``value_col`` is indistinguishable from a delete in the replica
-    fold (the fixture has none; a production key-value sink would
-    carry an explicit tombstone column)."""
+    scan (change_rows' contract) + one broadcast of the window's net
+    change set + one map-side pass over the replica -- no replica
+    shuffle, independent of history depth; the source table is never
+    re-read after the seed snapshot.  (A production sink would make
+    the map-side pass a file-pruned rewrite of a bucketed table --
+    the Delta MERGE shape; past the broadcast limit the anti-join
+    degrades to a shuffle join with no correctness cliff.)
+    Limitation shared with the fold-sufficiency pytest: a
+    legitimately-NULL ``value_col`` is indistinguishable from a
+    delete in the replica fold (the fixture has none; a production
+    key-value sink would carry an explicit tombstone column)."""
     if windows is None:
         later = [
             v
@@ -859,17 +870,27 @@ def incremental_merge_sync(
                     F.col("version"),
                 ).alias("s")
             )
+            .localCheckpoint()  # reused by anti-join AND upserts
         )
+        upserts = net.filter(F.col("s.ct") != "delete").select(
+            "key", F.col("s.val").alias("value")
+        )
+        # EXPLICIT broadcast hint, deliberately not the PageRank
+        # no-hint pattern: the net sits behind a localCheckpoint scan
+        # whose size the planner cannot see, so without the hint the
+        # initial plan is a sort-merge anti-join that EXCHANGES THE
+        # REPLICA before AQE gets a chance to re-plan the join
+        # (measured: the replica-side shuffle stage had already
+        # executed by the time AQE flipped to broadcast).  A window's
+        # net is small by the consumer's contract -- a standing sync
+        # sizes windows to its batch cadence; a backfill-scale window
+        # is the caller's cue to split windows, not this join's to
+        # shuffle the replica.
         replica = (
-            replica.join(net, "key", "full")
-            .select(
-                "key",
-                F.when(F.col("s").isNull(), F.col("value"))
-                .when(F.col("s.ct") == "delete", F.lit(None))
-                .otherwise(F.col("s.val"))
-                .alias("value"),
+            replica.join(
+                F.broadcast(net.select("key")), "key", "left_anti"
             )
-            .filter(F.col("value").isNotNull())
+            .unionByName(upserts)
             .localCheckpoint()
         )
     return replica

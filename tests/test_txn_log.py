@@ -1159,3 +1159,66 @@ def test_incremental_merge_sync_windows_equal_full_fold(
     assert got2 == snapshots[head], (
         f"re-batched sync (windows={wins}) diverges from head"
     )
+
+
+def test_incremental_sync_replica_never_shuffles(spark, tmp_path):
+    """The standing-sync scale property: each window's MERGE is a
+    broadcast anti-join + union, so THE REPLICA NEVER SHUFFLES --
+    without the explicit hint the planner (blind to the
+    localCheckpoint's size) chose a sort-merge anti-join whose
+    replica-side exchange had already executed by the time AQE
+    re-planned the join.  Pin: the final window's executed plan has a
+    broadcast LeftAnti and NO exchange on the replica side (the only
+    exchanges are the net's aggregation and its broadcast)."""
+    from hq_master_data_warehouse_spark.sources.txn_log import (
+        _write_file,
+        commit,
+        incremental_merge_sync,
+    )
+
+    d = str(tmp_path / "syncplan")
+    os.makedirs(d)
+
+    def orders_df(rows):
+        return spark.createDataFrame(
+            rows, "o_orderkey long, o_totalprice double"
+        )
+
+    commit(d, 0, [_write_file(orders_df(
+        [(k, 10.0 * k) for k in range(1, 7)]), d, "f0")], [])
+    commit(d, 1, [_write_file(orders_df(
+        [(1, 10.0), (3, 30.0), (6, 600.0)]), d, "f1")], ["f0"])
+    commit(d, 2, [_write_file(orders_df([(7, 70.0)]), d, "f2")], [])
+
+    replica = incremental_merge_sync(spark, d)
+    # values: 2,4,5 deleted; 6 updated; 7 inserted
+    assert {r.key: r.value for r in replica.collect()} == {
+        1: 10.0, 3: 30.0, 6: 600.0, 7: 70.0
+    }
+    # the replica is a localCheckpoint of the last window's merge --
+    # inspect that merge's plan via one more manual window over the
+    # pre-head replica
+    pre = incremental_merge_sync(spark, d, windows=[(0, 1)])
+    from hq_master_data_warehouse_spark.sources.txn_log import (
+        change_rows,
+    )
+    from pyspark.sql import functions as F
+
+    net = (
+        change_rows(spark, d, since_version=1, until_version=2)
+        .filter(F.col("change_type") != "update_preimage")
+        .groupBy("key")
+        .agg(F.max_by(F.struct("change_type", "value"), "version"))
+        .localCheckpoint()
+    )
+    j = pre.join(F.broadcast(net.select("key")), "key", "left_anti")
+    j.collect()
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        j._jdf.queryExecution(), "formatted"
+    )
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin LeftAnti" in final
+    assert "SortMergeJoin" not in final
+    # replica side: a bare checkpoint scan straight into the join --
+    # the only exchange in the merge is the net's broadcast
+    assert final.count("Exchange") == final.count("BroadcastExchange")
