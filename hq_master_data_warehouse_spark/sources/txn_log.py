@@ -845,6 +845,21 @@ def incremental_merge_sync(
             if v > start_version
         ]
         windows = list(zip([start_version, *later[:-1]], later))
+    # contiguity guard: windows must tile (start_version, ...] with no
+    # gap (missed changes) and no overlap (changes applied twice) --
+    # either corrupts the replica SILENTLY, the worst failure mode a
+    # sync can have, so malformed batching refuses loudly instead.
+    expect = start_version
+    for since, until in windows:
+        if since != expect or until <= since:
+            raise ValueError(
+                f"incremental_merge_sync: windows must be contiguous "
+                f"ascending from start_version={start_version} "
+                f"(expected a window starting at {expect}, got "
+                f"({since}, {until}]) -- a gap misses changes, an "
+                f"overlap applies them twice"
+            )
+        expect = until
     replica = read_snapshot(spark, table_dir, start_version).select(
         F.col(key_col).alias("key"),
         F.col(value_col).alias("value"),

@@ -1222,3 +1222,31 @@ def test_incremental_sync_replica_never_shuffles(spark, tmp_path):
     # replica side: a bare checkpoint scan straight into the join --
     # the only exchange in the merge is the net's broadcast
     assert final.count("Exchange") == final.count("BroadcastExchange")
+
+
+def test_incremental_sync_refuses_malformed_windows(spark, tmp_path):
+    """Gapped or overlapping window batchings corrupt a replica
+    SILENTLY (missed changes / double-applied changes) -- the
+    consumer must refuse them loudly instead."""
+    from hq_master_data_warehouse_spark.sources.txn_log import (
+        _write_file,
+        commit,
+        incremental_merge_sync,
+    )
+
+    d = str(tmp_path / "syncguard")
+    os.makedirs(d)
+    df = spark.createDataFrame(
+        [(1, 10.0)], "o_orderkey long, o_totalprice double"
+    )
+    for v in range(4):
+        commit(d, v, [_write_file(df, d, f"f{v}")], [])
+
+    for bad in (
+        [(0, 1), (2, 3)],  # gap: version 2's changes missed
+        [(0, 2), (1, 3)],  # overlap: (1,2] applied twice
+        [(1, 2)],          # does not start at start_version
+        [(0, 0)],          # empty/inverted window
+    ):
+        with pytest.raises(ValueError, match="contiguous"):
+            incremental_merge_sync(spark, d, windows=bad)
