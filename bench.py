@@ -158,7 +158,11 @@ def _calibration(spark) -> float:
         .collect()[0]["s"]
     )
     dt = time.perf_counter() - t0
-    assert s == CALIB_CHECKSUM, f"calibration checksum drift: {s}"
+    # RuntimeError, not assert: under `python -O` asserts are stripped
+    # and the drift-normalization gauge would silently report timings
+    # from a wrong computation (ADVICE r12).
+    if s != CALIB_CHECKSUM:
+        raise RuntimeError(f"calibration checksum drift: {s}")
     return dt
 
 

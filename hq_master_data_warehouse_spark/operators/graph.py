@@ -790,16 +790,24 @@ def graph_link_prediction_minhash(
         "left_anti",
     )
     # adjacency-array side table: one row per node, neighbor array +
-    # degree (~21 MB at sf0.1, |V|-linear).  Both verify joins are
-    # hinted SHUFFLED-HASH with adj as the BUILD side: the stream side
-    # is the array-carrying candidate intermediate, and a sort-merge
-    # join would SORT it (measured: 12 GiB of sort spill at sf0.1 --
-    # the arrays must never pass through a sort), while a broadcast
-    # hint would put an O(|V|) cliff at the broadcast limit.  Hash
-    # build of the node table per partition is the shape that holds at
-    # any scale: build side = nodes/partitions, stream side never
-    # sorts, the one array-carrying exchange is written and streamed
-    # once (~0.7 GB at sf0.1, linear in candidates).
+    # degree (~21 MB at sf0.1, |V|-linear).  The two verify joins are
+    # deliberately HYBRID (see SCALE.md "Sort placement is a
+    # compression decision" and test_link_prediction_minhash_verify_
+    # never_sorts_arrays):
+    #   join 1 (attach na/da) is hinted MERGE: at that point the
+    #   candidate side is still SKINNY (two longs, no arrays), so the
+    #   sort is cheap and clusters equal `a` keys into ordered runs --
+    #   measured 8x shuffle-write compression on the array-carrying
+    #   exchange that follows (5.8 GB -> 0.7 GB at sf0.1).
+    #   join 2 (attach nb/db) is hinted SHUFFLE_HASH with adj as the
+    #   BUILD side: by now the stream side CARRIES the na arrays, and
+    #   a sort-merge join would sort them (measured: 12 GiB of sort
+    #   spill at sf0.1 -- arrays must never pass through a sort),
+    #   while a broadcast hint would put an O(|V|) cliff at the
+    #   broadcast limit.  Hash build of the |V|-row table per
+    #   partition holds at any scale: build side = nodes/partitions,
+    #   the array stream never sorts, and the one array-carrying
+    #   exchange is written and streamed once (linear in candidates).
     adj = dirr.groupBy("src").agg(
         F.collect_set("dst").alias("nbrs")
     ).cache()

@@ -254,15 +254,24 @@ DEFER_NEW: tuple[str, ...] = (
 )
 
 # Queries whose PLAN or EVIDENCE LEVEL changed in round RECHECK_SINCE
-# (r12: the exact link-prediction gained the wedge refuse-guard --
-# the guard's degree probe runs before the unchanged plan, but
-# evidence policy wants a record on the post-change code path).
-# They already hold records from earlier rounds, but evidence policy
-# wants a fresh record on the post-change code, so they join the
-# front of the window until a record from round >= RECHECK_SINCE
-# lands; then _RECORD_ROUND retires them automatically.
-RECHECK_SINCE = 12
+# (r13: the incremental sync consumer's MERGE fold now carries an
+# explicit is_deleted tombstone column instead of filtering on
+# change_type -- value-identical on the fixture, but the aggregate
+# struct in the plan changed, so evidence policy wants a record on
+# the post-change code path).  They already hold records from earlier
+# rounds, but evidence policy wants a fresh record on the post-change
+# code, so they join the front of the window until a record from
+# round >= RECHECK_SINCE lands; then _RECORD_ROUND retires them
+# automatically.
+RECHECK_SINCE = 13
 RECHECK: tuple[str, ...] = (
+    "source_txn_log_incremental_sync",
+)
+
+# r12 RECHECK block, retired (re-record landed green in
+# CORRECTNESS_r12, verified by the r12 judge): the exact
+# link-prediction gained the wedge refuse-guard.
+_RECHECK_R12_RETIRED: tuple[str, ...] = (
     "graph_link_prediction_jaccard",
 )
 
@@ -396,6 +405,17 @@ def ordered_queries() -> dict[str, QueryFn]:
         )
     )
     back = [n for n in QUERIES if n in checked and n not in seen]
+    # VERDICT r12 item 1: rotate the back block by EVIDENCE AGE.  The
+    # driver's gate only reaches the first ~50 names, and with every
+    # name holding a record the window previously re-verified the same
+    # 50 names every round (registration order is stable), leaving
+    # ~320 greens refreshing only via explicit RECHECK pins.  Sorting
+    # oldest-record-first (ties broken by registration order, which
+    # Python's stable sort preserves) makes the spare window slots
+    # sweep the whole registry on a ~7-round cycle with zero driver
+    # changes: each round re-records ~50 names, which pushes them to
+    # the back of next round's ordering automatically.
+    back.sort(key=lambda n: _RECORD_ROUND.get(n, 0))
     return {
         n: QUERIES[n] for n in (*front, *middle, *recheck, *back)
     }

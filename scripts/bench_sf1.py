@@ -417,8 +417,11 @@ def main() -> None:
             "plan shape sf1 |\n|---|---|---|---|---|---|\n"
         )
         for name, t01, t1, ratio, s01, s1 in rows:
+            # refused/failed cells carry ratio='-'; suffix the 'x'
+            # only when the ratio is numeric (ADVICE r12: '-x').
+            rtxt = f"{ratio}x" if isinstance(ratio, float) else ratio
             f.write(
-                f"| {name} | {t01} | {t1} | {ratio}x | `{s01}` | "
+                f"| {name} | {t01} | {t1} | {rtxt} | `{s01}` | "
                 f"`{s1}` |\n"
             )
         f.write(

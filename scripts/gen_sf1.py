@@ -66,7 +66,23 @@ def _ensure_layout(out_dir: str) -> None:
         )
         shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
-    with open(marker, "w") as f:
+    # ADVICE r12: do NOT stamp the marker here.  Stamping before
+    # generation meant a crash mid-run left a CURRENT marker over a
+    # partial fixture; the next run skipped the wipe and the per-table
+    # os.path.exists skip silently kept partial/corrupt table dirs --
+    # the same silent-staleness class the marker exists to close.  The
+    # marker is written by _stamp_layout() at the END of main, only
+    # after every table generated; an interrupted run leaves a missing/
+    # stale marker and forces a clean wipe on rerun.
+    try:
+        os.remove(marker)
+    except OSError:
+        pass
+
+
+def _stamp_layout(out_dir: str) -> None:
+    """Write the layout marker -- call ONLY after all tables exist."""
+    with open(os.path.join(out_dir, _MARKER), "w") as f:
         f.write(str(LAYOUT_VERSION))
 
 #: per-table key columns and the stride source table for each.
@@ -175,6 +191,7 @@ def main() -> None:
         ).write.mode("overwrite").parquet(dst)
         n = spark.read.parquet(dst).count()
         print(t, "replicated ->", n, "rows")
+    _stamp_layout(OUT)
     spark.stop()
 
 
