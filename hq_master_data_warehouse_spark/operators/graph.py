@@ -596,24 +596,30 @@ def graph_link_prediction_jaccard(
 #    replays the candidate set bit-for-bit.  The graph's top absent-
 #    link Jaccard is LOW (~0.1 at sf0.01, ~0.045 at sf0.1/sf1 -- the
 #    r11 measurement that retired every exact-pruning idea), so the
-#    banding is r=1: each of the 24 minhashes is its own band (the
+#    banding is r=1: each of the 48 minhashes is its own band (the
 #    classic min-wise-permutation candidate generator; detection
-#    probability 1-(1-j)^24 = 0.67 at j=0.045, 0.90 at j=0.09), where
+#    probability 1-(1-j)^48 = 0.89 at j=0.045, 0.99 at j=0.09), where
 #    a 4-row band (dedup's regime, thresholds >= 0.3) would see j^4
-#    ~ 4e-6 and find nothing.  Candidates = node pairs agreeing on any
-#    single minhash; exact common-neighbor verify runs on CANDIDATES
-#    ONLY via the broadcast adjacency-array table -- the 32 B/wedge
-#    shuffle never exists.  Shuffle volume: ~sum-over-pairs j per band
-#    (~640k rows/band at sf0.1, 15M total = ~240 MB vs the exact
-#    join's 4.4 GiB at the same scale; both grow LINEARLY in corpus
-#    size at fixed degree distribution, vs the exact wedge stream's
-#    sum-of-C(d,2)).  A hot bucket (one super-hub neighbor whose hash
-#    is the min of many adjacency sets) is capped at LP_MAX_BUCKET
-#    members -- buckets above the cap are dropped whole, the same
-#    stop-key discipline as dedup's MAX_SHINGLE_DF (recall cost: only
-#    pairs whose EVERY shared band is hot are lost; the cap is ~5x the
-#    max observed bucket so it binds only on pathological hubs).
-LP_N_HASHES = 24
+#    ~ 4e-6 and find nothing.  48 is a MEASURED default (VERDICT r12
+#    item 2, r13 A/B vs 24 bands): recall vs exact top-25 rises
+#    17->23/25 at sf0.1 and 14->21/25 at sf1 for 1.63x shuffle
+#    (1.12->1.82 GB sf0.1, 11.1->18.1 GB sf1 -- still exactly linear
+#    in corpus), ZERO spill at both scales, and ~1.64x wall-clock at
+#    sf1 under the min-of-draws estimator (interleaved same-session
+#    A/B; slow-IO windows hide the delta entirely).  Candidates =
+#    node pairs agreeing on any single minhash; exact common-neighbor
+#    verify runs on CANDIDATES ONLY via the broadcast adjacency-array
+#    table -- the 32 B/wedge shuffle never exists.  Shuffle volume:
+#    ~sum-over-pairs j per band (vs the exact join's 4.4 GiB + 12 GiB
+#    sort spill at sf0.1; both grow LINEARLY in corpus size at fixed
+#    degree distribution, vs the exact wedge stream's sum-of-C(d,2)).
+#    A hot bucket (one super-hub neighbor whose hash is the min of
+#    many adjacency sets) is capped at LP_MAX_BUCKET members --
+#    buckets above the cap are dropped whole, the same stop-key
+#    discipline as dedup's MAX_SHINGLE_DF (recall cost: only pairs
+#    whose EVERY shared band is hot are lost; the cap is ~5x the max
+#    observed bucket so it binds only on pathological hubs).
+LP_N_HASHES = 48
 LP_MAX_BUCKET = 1024
 _LP_MOD = 1 << 32
 

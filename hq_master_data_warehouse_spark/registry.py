@@ -251,6 +251,12 @@ DEFER_NEW: tuple[str, ...] = (
     # consumer (VERDICT r11 items 2 and 6)
     "graph_link_prediction_minhash",
     "source_txn_log_incremental_sync",
+    # round 13 (small curated wave; freeze otherwise held): the
+    # NULL-value variant table that oracle-gates the sync consumer's
+    # explicit-tombstone fold (VERDICT r12 item 3 -- the shared
+    # fixture has no NULL prices, so this path was property-tested
+    # but never gate-recorded)
+    "source_txn_log_sync_tombstones",
 )
 
 # Queries whose PLAN or EVIDENCE LEVEL changed in round RECHECK_SINCE
@@ -266,6 +272,10 @@ DEFER_NEW: tuple[str, ...] = (
 RECHECK_SINCE = 13
 RECHECK: tuple[str, ...] = (
     "source_txn_log_incremental_sync",
+    # LP_N_HASHES 24 -> 48 (VERDICT r12 item 2, measured A/B): both
+    # the Spark plan and the DuckDB oracle change with the constant,
+    # so the post-change pair needs a fresh gate record
+    "graph_link_prediction_minhash",
 )
 
 # r12 RECHECK block, retired (re-record landed green in

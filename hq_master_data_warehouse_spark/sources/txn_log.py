@@ -959,6 +959,132 @@ def source_txn_log_incremental_sync(
     )
 
 
+# --- NULL-value tombstone variant (VERDICT r12 item 3) ---------------
+# The shared fixture has no NULL prices, so the sync consumer's
+# tombstone-vs-NULL distinction was property-tested but never
+# oracle-gated.  This variant stages a table whose history exercises
+# every NULL transition through the REAL change-feed derivation:
+# keys born NULL, value->NULL updates, NULL->value updates, and
+# NULL->NULL rewrite noise (which must emit nothing).
+NULLV_MOD = 9  #: keys % 9 == NULLV_REM are born with a NULL price
+NULLV_REM = 4
+#: v3 update wave (reuses UPD_MOD=5): live keys % 5 == 1 have their
+#: price set to NULL; born-NULL keys % 5 == 2 get NULL_FILL.  A
+#: born-NULL key with % 5 == 1 is rewritten NULL -> NULL: noise.
+NULL_FILL = 42.0
+
+
+def build_txn_table_nulls(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotently stage the NULL-value transaction table variant:
+
+    v0  initial load with o_totalprice := NULL where key%9 == 4
+    v1  DELETE WHERE key % 7 = 0          (same wave as the fixture)
+    v2  re-insert the % 14 = 0 half, same NULL-at-birth rule
+    v3  UPDATE: price := NULL where key%5 == 1 (value->NULL);
+        price := 42.0 where born-NULL and key%5 == 2 (NULL->value);
+        born-NULL keys with key%5 == 1 rewrite NULL->NULL (noise)
+
+    Final state stays SQL-expressible over the original parquet --
+    exactly what the sync oracle checks."""
+    table_dir = _table_dir(sf_dir, "nulls")
+    done = os.path.join(table_dir, "_ready")
+    if os.path.exists(done):
+        return table_dir
+    orders = load_table(spark, sf_dir, "orders")
+    os.makedirs(table_dir, exist_ok=True)
+
+    born = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % NULLV_MOD == NULLV_REM,
+            F.lit(None).cast("double"),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    adds = _write_bucketed(born, table_dir, "data-v0")
+    commit_batch_idempotent(table_dir, 0, adds, [])
+
+    kept = read_snapshot(spark, table_dir, 0).filter(
+        F.col("o_orderkey") % DEL_MOD != 0
+    )
+    adds1 = _write_bucketed(kept, table_dir, "data-v1")
+    removes1 = [info["path"] for info in live_files(table_dir, 0)]
+    commit_batch_idempotent(table_dir, 1, adds1, removes1)
+
+    readd = born.filter(F.col("o_orderkey") % READD_MOD == 0)
+    adds2 = [_write_file(readd, table_dir, "data-v2-readd")]
+    commit_batch_idempotent(table_dir, 2, adds2, [])
+
+    snap2 = read_snapshot(spark, table_dir, 2)
+    updated = snap2.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % UPD_MOD == UPD_REM,
+            F.lit(None).cast("double"),
+        )
+        .when(
+            (F.col("o_orderkey") % NULLV_MOD == NULLV_REM)
+            & (F.col("o_orderkey") % UPD_MOD == 2),
+            F.lit(NULL_FILL),
+        )
+        .otherwise(F.col("o_totalprice")),
+    )
+    adds3 = _write_bucketed(updated, table_dir, "data-v3")
+    removes3 = [info["path"] for info in live_files(table_dir, 2)]
+    commit_batch_idempotent(table_dir, 3, adds3, removes3)
+
+    with open(done, "w") as f:
+        f.write("ok")
+    return table_dir
+
+
+#: final-state price of the NULL-variant table, as SQL over the
+#: original parquet (CASE order mirrors the v3 WHEN order)
+_NULLV_PRICE_SQL = f"""CASE
+        WHEN o_orderkey % {UPD_MOD} = {UPD_REM} THEN NULL
+        WHEN o_orderkey % {NULLV_MOD} = {NULLV_REM} THEN
+            CASE WHEN o_orderkey % {UPD_MOD} = 2
+                 THEN {NULL_FILL} ELSE NULL END
+        ELSE o_totalprice END"""
+
+
+@query(
+    "source_txn_log_sync_tombstones",
+    oracle=f"""
+    SELECT o_orderkey % {SYNC_BUCKETS} AS key_bucket,
+           COUNT(*) AS n_keys,
+           COUNT(CASE WHEN ({_NULLV_PRICE_SQL}) IS NULL THEN 1 END)
+               AS n_null_values,
+           {dec_sum_sql(_NULLV_PRICE_SQL, 'total_price')}
+    FROM orders
+    WHERE o_orderkey % {DEL_MOD} <> 0 OR o_orderkey % {READD_MOD} = 0
+    GROUP BY 1
+    """,
+)
+def source_txn_log_sync_tombstones(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental CDF sync over the NULL-value variant table: the
+    replica must hold every live key with its exact final value --
+    INCLUDING keys whose value is legitimately NULL -- while deleted
+    keys are absent.  ``n_null_values`` is the column a NULL-sentinel
+    fold gets wrong (it would silently drop NULL-valued keys, skewing
+    both counts); the explicit ``is_deleted`` tombstone keeps them
+    (VERDICT r12 item 3).  Same O(window) scale shape as
+    ``source_txn_log_incremental_sync``: the replica never shuffles,
+    each window is one feed scan + broadcast net + map-side pass."""
+    table_dir = build_txn_table_nulls(spark, sf_dir)
+    replica = incremental_merge_sync(spark, table_dir)
+    return replica.groupBy(
+        (F.col("key") % SYNC_BUCKETS).alias("key_bucket")
+    ).agg(
+        F.count("*").alias("n_keys"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias(
+            "n_null_values"
+        ),
+        dec_sum("value", "total_price"),
+    )
+
+
 def compact_table(spark: SparkSession, table_dir: str) -> int:
     """OPTIMIZE: fold every live file of the head snapshot into one
     compacted file and commit the swap as a SINGLE atomic version --

@@ -174,6 +174,20 @@ CONSTRUCT_TIMED = {
 # basename keying.)
 
 
+# Multi-job compositions whose RETURNED DataFrame is not the executed
+# composite (VERDICT r12 nit): kcore's loop checkpoints per peel round
+# -- the returned df is a scan of the last checkpoint, so its own plan
+# never flips isFinalPlan (each ROUND's executed plan was adaptive);
+# streaming_tumbling_counts returns the memory-sink TABLE -- the work
+# ran inside the streaming query, the returned plan is the sink scan.
+# Their shape cells are annotated instead of reading 'final': False
+# under a header that promises executed adaptive plans.
+COMPOSITE_PLAN = {
+    "graph_kcore_decomposition": "multi-job loop; per-round plans adaptive",
+    "streaming_tumbling_counts": "streaming sink scan; work ran in-stream",
+}
+
+
 def run(spark, name: str, sf_dir: str) -> tuple[float, dict]:
     df = registry.QUERIES[name](spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()  # warm-up
@@ -186,7 +200,10 @@ def run(spark, name: str, sf_dir: str) -> tuple[float, dict]:
     plan = spark._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    return round(dt, 2), _shape(plan)
+    shape = _shape(plan)
+    if name in COMPOSITE_PLAN:
+        shape["final"] = COMPOSITE_PLAN[name]
+    return round(dt, 2), shape
 
 
 def delta_roundtrip(spark, sf_dir: str) -> tuple[float, int, int]:
@@ -405,7 +422,10 @@ def main() -> None:
             "10x replica of the driver's sf0.1 with key-shifted "
             "referential integrity (`scripts/gen_sf1.py`).  One cold "
             "timed run per scale in one session; plan shapes are the "
-            "EXECUTED adaptive plans.  A healthy scale curve for "
+            "EXECUTED adaptive plans (two multi-job cells -- kcore's "
+            "checkpointed loop and the streaming sink scan -- cannot "
+            "expose one composite plan and say so in their `final` "
+            "field instead).  A healthy scale curve for "
             "shuffle-bound plans is ~10x or less at 10x data on fixed "
             "cores; the exact-GEMM anchor is O(n^2) BY CONTRACT and "
             "is expected near 100x.  A cell reading `refused` hit an "

@@ -1254,10 +1254,12 @@ def test_link_prediction_minhash_recall_vs_exact(spark):
     """The approximate twin must rank mostly the same absent links as
     the exact anchor, at sf0.01 (VERDICT r11 item 2), where the top-25
     jaccard band is ~0.09-0.1 and the r=1 banding's detection
-    probability is 1-(1-j)^24 ~ 0.90.  Deterministic (fixed md5 hash
-    family, fixed data): measured 22/25; the 0.7 floor is slack for
-    future data regen only.  Scores of recalled pairs must be
-    IDENTICAL to the exact scores (verify is exact on candidates)."""
+    probability is 1-(1-j)^48 ~ 0.99 (48 bands since r13's measured
+    A/B, VERDICT r12 item 2).  Deterministic (fixed md5 hash family,
+    fixed data): measured 25/25 at 48 bands (22/25 at the old 24);
+    the 0.8 floor is slack for future data regen only.  Scores of
+    recalled pairs must be IDENTICAL to the exact scores (verify is
+    exact on candidates)."""
     from tests.conftest import SF_DIR_01
 
     from hq_master_data_warehouse_spark.operators import graph
@@ -1275,7 +1277,7 @@ def test_link_prediction_minhash_recall_vs_exact(spark):
         ).collect()
     }
     hits = set(exact) & set(approx)
-    assert len(hits) >= int(0.7 * len(exact))
+    assert len(hits) >= int(0.8 * len(exact))
     for pair in hits:
         assert approx[pair] == exact[pair]
 

@@ -1279,3 +1279,55 @@ def test_incremental_sync_refuses_malformed_windows(spark, tmp_path):
     ):
         with pytest.raises(ValueError, match="contiguous"):
             incremental_merge_sync(spark, d, windows=bad)
+
+
+def test_sync_tombstones_keep_null_values_drop_deleted_keys(spark):
+    """VERDICT r12 item 3, oracle-side guard: the NULL-variant table
+    must actually exercise the tombstone-vs-NULL distinction -- the
+    synced replica holds NULL-valued live keys (a NULL-sentinel fold
+    would drop them), holds the NULL->value keys at NULL_FILL, and
+    does NOT hold deleted keys."""
+    from hq_master_data_warehouse_spark.sources.txn_log import (
+        DEL_MOD,
+        NULL_FILL,
+        NULLV_MOD,
+        NULLV_REM,
+        READD_MOD,
+        UPD_MOD,
+        UPD_REM,
+        build_txn_table_nulls,
+        incremental_merge_sync,
+    )
+
+    d = build_txn_table_nulls(spark, SF)
+    got = {
+        r.key: r.value
+        for r in incremental_merge_sync(spark, d).collect()
+    }
+    assert got, "empty replica"
+    live = lambda k: k % DEL_MOD != 0 or k % READD_MOD == 0  # noqa: E731
+    null_live = [
+        k for k in got if got[k] is None and k % UPD_MOD == UPD_REM
+    ]
+    assert null_live, "no value->NULL live keys -- variant is inert"
+    filled = [
+        k
+        for k in got
+        if k % NULLV_MOD == NULLV_REM
+        and k % UPD_MOD == 2
+        and live(k)
+    ]
+    assert filled, "no NULL->value keys -- variant is inert"
+    assert all(got[k] == NULL_FILL for k in filled)
+    born_null_noise = [
+        k
+        for k in got
+        if k % NULLV_MOD == NULLV_REM
+        and k % UPD_MOD not in (2, UPD_REM)
+        and live(k)
+    ]
+    assert born_null_noise and all(
+        got[k] is None for k in born_null_noise
+    ), "born-NULL keys must stay NULL through the NULL->NULL rewrite"
+    deleted = [k for k in got if not live(k)]
+    assert deleted == [], f"deleted keys leaked into replica: {deleted[:5]}"
