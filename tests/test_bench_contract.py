@@ -129,10 +129,14 @@ def test_bench_sf1_notes_live_outside_the_generated_file(tmp_path):
 
 
 def test_gen_sf1_layout_marker_forces_regeneration(tmp_path):
-    """ADVICE r11 item 4: an sf1 fixture generated before a layout
-    fix must not survive the idempotent exists-skip.  _ensure_layout
-    wipes the fixture dir when the marker is stale or missing and
-    stamps the current version."""
+    """ADVICE r11 item 4 + ADVICE r12 item 2: an sf1 fixture
+    generated before a layout fix must not survive the idempotent
+    exists-skip -- _ensure_layout wipes the fixture dir when the
+    marker is stale or missing -- and the marker is stamped ONLY by
+    _stamp_layout at the END of a successful generation, so an
+    interrupted run (marker removed at _ensure_layout time, crash
+    before stamp) forces a clean wipe on rerun instead of silently
+    keeping partial tables."""
     sys.path.insert(
         0,
         os.path.join(
@@ -149,10 +153,25 @@ def test_gen_sf1_layout_marker_forces_regeneration(tmp_path):
     gen_sf1._ensure_layout(str(out))
     assert not stale_table.exists(), "stale layout must be wiped"
     marker = out / gen_sf1._MARKER
+    # ADVICE r12: no marker yet -- generation has not succeeded
+    assert not marker.exists(), (
+        "marker must not be stamped before tables generate"
+    )
+    gen_sf1._stamp_layout(str(out))
     assert marker.read_text() == str(gen_sf1.LAYOUT_VERSION)
 
-    # current-version fixture survives untouched
+    # current-version fixture survives the wipe check untouched, but
+    # the marker is consumed (re-stamped only on successful finish)
     keep_table = out / "orders.parquet"
     keep_table.mkdir()
     gen_sf1._ensure_layout(str(out))
     assert keep_table.exists(), "current layout must be kept"
+    assert not marker.exists(), (
+        "an in-progress run must leave no current marker behind"
+    )
+    # crash-between: next _ensure_layout sees a missing marker and
+    # wipes the (possibly partial) tables
+    gen_sf1._ensure_layout(str(out))
+    assert not keep_table.exists(), (
+        "a run interrupted before the stamp must force a clean wipe"
+    )
