@@ -621,6 +621,25 @@ def graph_link_prediction_jaccard(
 #    observed bucket so it binds only on pathological hubs).
 LP_N_HASHES = 48
 LP_MAX_BUCKET = 1024
+#: Width of every candidate-volume stage in the minhash twin: the
+#: cached band table is repartitioned ONCE on the bucket key at this
+#: width (the bucket-size aggregate, the cap join, and the candidate
+#: self-join all reuse that distribution -- zero further exchanges),
+#: and the anti-join / verify-join-1 legs are pinned to it by
+#: repartitioning BOTH join sides (see the in-function comment on
+#: why one-sided width hints do not survive EnsureRequirements).
+#: Sized by the r13 heap-cliff investigation under the 8g-driver
+#: session default (the heap every consumer of this module actually
+#: gets -- the 64g A/B session that picked 48 bands masked all of
+#: this): at the session's 32-way width the candidate-scale stages
+#: held 1/32 of the pair stream per task across 32 concurrent
+#: tasks; together with the (since removed) corpus-scale dedup's
+#: partial hash maps that OOMed sf1 nondeterministically, and even
+#: without the dedup it spilled ~16 GB of sort memory.  At 256-way
+#: the measured sf1 cold pass runs with 92 MB of disk spill total
+#: (all in the anti-join sort).  On a cluster this scales with
+#: aggregate executor memory like LINKPRED_AGG_PARTITIONS.
+LP_CAND_PARTITIONS = 256
 _LP_MOD = 1 << 32
 
 
@@ -738,11 +757,16 @@ def graph_link_prediction_minhash(
     dirr = und.union(
         und.select(F.col("w").alias("u"), F.col("u").alias("w"))
     ).select(F.col("u").alias("src"), F.col("w").alias("dst"))
-    # cached: the signature aggregation (md5 + 24 min-aggs over the
-    # edge set) feeds BOTH sides of the candidate self-join and the
-    # bucket-size filter -- uncached, Catalyst re-executes the whole
-    # subtree three times (measured in the executed plan).  One row
-    # per (node, band): |V| * 24 rows, ~15 MB at sf0.1.
+    # cached: the signature aggregation (md5 + LP_N_HASHES min-aggs
+    # over the edge set) feeds BOTH sides of the candidate self-join
+    # and the bucket-size filter -- uncached, Catalyst re-executes the
+    # whole subtree three times (measured in the executed plan).  One
+    # row per (node, band): |V| * LP_N_HASHES rows.  Cached ALREADY
+    # PARTITIONED on the bucket key at LP_CAND_PARTITIONS (sizing
+    # rationale at the constant): HashPartitioning(band, key) is the
+    # distribution every downstream consumer needs, so the bucket
+    # aggregate, the cap join, and the self-join all run exchange-free
+    # at that width instead of at the session's 32-way default.
     bands = (
         _lp_minhash_sigs(dirr)
         .select(
@@ -760,6 +784,7 @@ def graph_link_prediction_minhash(
             ).alias("bk"),
         )
         .select("node", "bk.band", "bk.key")
+        .repartition(LP_CAND_PARTITIONS, "band", "key")
         .cache()
     )
     bsz = (
@@ -769,16 +794,29 @@ def graph_link_prediction_minhash(
         .select("band", "key")
     )
     ok = bands.join(bsz, ["band", "key"])
-    # candidate pairs are NEAR-UNIQUE across bands (avg pair jaccard
-    # ~0.004, so a pair rarely agrees in two bands): map-side partial
-    # dedup removes ~2% and the final distinct aggregate must be WIDE
-    # -- same reducer-sizing move as the exact query's
-    # LINKPRED_AGG_PARTITIONS (user repartitions are exempt from AQE
-    # coalescing; HashPartitioning(a, b) satisfies the dedup's
-    # distribution AND the downstream anti-join, so no extra
-    # exchange).  At the 32-reducer session default the final dedup
-    # hash map measured 12 GiB of spill at sf0.1; 128-way puts ~110k
-    # groups per task with room for sf1's ~10x.
+    # NO corpus-scale dedup (r13 redesign): candidate pairs are
+    # NEAR-UNIQUE across bands (avg pair jaccard ~0.004, so a pair
+    # rarely agrees in two bands -- a measured ~2% duplicate rate),
+    # and the r12-r13 shape that ran them through a wide
+    # repartition+distinct died exactly there at sf1 under the 8g
+    # session default: each of 32 concurrent tasks' partial-aggregate
+    # hash map grows a CONTIGUOUS point array (observed 134 MB
+    # humongous allocations -- "Retried waiting for GCLocker"
+    # warnings, then heap OOM; whether a run died was G1 weather, not
+    # sizing).  Duplicates are instead carried through the verify
+    # joins (idempotent per pair, ~2% extra rows) and removed at the
+    # TOP-K BOUNDARY, where multiplicity is bounded by the band count
+    # -- see the final-select comment.  The repartitions below are
+    # pure WIDTH control for the candidate-volume joins, and they
+    # must cover BOTH sides of each join: EnsureRequirements
+    # co-partitions a join at the session default (32) and REWRITES a
+    # single-sided user repartition's partition count to match (seen
+    # in the executed plan: REPARTITION_BY_NUM carrying 32, not the
+    # requested width), so width only sticks when the two sides
+    # arrive pre-partitioned on the same keys at the same width.
+    # Candidate-volume sorts at the session's 32-way width are
+    # 10x-too-coarse spill machines at sf1 (measured 16 GB of sort
+    # spill concentrated in the two 32-task join stages).
     cand = (
         ok.select("band", "key", F.col("node").alias("a"))
         .join(
@@ -787,14 +825,14 @@ def graph_link_prediction_minhash(
         )
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
-        .repartition(LINKPRED_AGG_PARTITIONS // 4, "a", "b")
-        .distinct()
+        .repartition(LP_CAND_PARTITIONS, "a", "b")
     )
+    undr = und.repartition(LP_CAND_PARTITIONS, "u", "w")
     absent = cand.join(
-        und,
-        (cand["a"] == und["u"]) & (cand["b"] == und["w"]),
+        undr,
+        (cand["a"] == undr["u"]) & (cand["b"] == undr["w"]),
         "left_anti",
-    )
+    ).repartition(LP_CAND_PARTITIONS, "a")
     # adjacency-array side table: one row per node, neighbor array +
     # degree (~21 MB at sf0.1, |V|-linear).  The two verify joins are
     # deliberately HYBRID (see SCALE.md "Sort placement is a
@@ -817,11 +855,18 @@ def graph_link_prediction_minhash(
     adj = dirr.groupBy("src").agg(
         F.collect_set("dst").alias("nbrs")
     ).cache()
+    # aa is repartitioned to the candidate width so join 1
+    # co-partitions against `absent` WITHOUT an EnsureRequirements
+    # rewrite (same both-sides rule as the anti-join above); ab stays
+    # unpartitioned so join 2 runs at the narrow session width, which
+    # keeps the identical-array runs in its stream exchange LONG (the
+    # compression trade below) and costs no memory -- a shuffled-hash
+    # STREAM side buffers nothing and the |V|-row build side is tiny.
     aa = adj.select(
         F.col("src").alias("a"),
         F.col("nbrs").alias("na"),
         F.size("nbrs").alias("da"),
-    )
+    ).repartition(LP_CAND_PARTITIONS, "a")
     ab = adj.select(
         F.col("src").alias("b"),
         F.col("nbrs").alias("nb"),
@@ -851,9 +896,24 @@ def graph_link_prediction_minhash(
             ).alias("jaccard"),
         )
     )
-    return scored.orderBy(
-        F.desc("jaccard"), F.asc("a"), F.asc("b")
-    ).limit(LINKPRED_TOPK)
+    # dedup at the TOP-K BOUNDARY, not at corpus scale: a candidate
+    # pair enters the scored stream once per agreeing band, so its
+    # multiplicity is <= LP_N_HASHES and all its rows are IDENTICAL
+    # (verify is deterministic per pair).  The k-th distinct pair in
+    # the (jaccard desc, a, b) total order therefore sits within the
+    # first k + (k-1)*LP_N_HASHES <= k*(LP_N_HASHES+1) ROWS of that
+    # order: take that bounded head with a distributed TakeOrdered
+    # (1,225 rows at k=25/48 bands), collapse the duplicate rows, and
+    # re-cut to k -- a driver-scale distinct instead of the
+    # corpus-scale one that OOMed at sf1 (see the candidate comment).
+    order = [F.desc("jaccard"), F.asc("a"), F.asc("b")]
+    return (
+        scored.orderBy(*order)
+        .limit(LINKPRED_TOPK * (LP_N_HASHES + 1))
+        .distinct()
+        .orderBy(*order)
+        .limit(LINKPRED_TOPK)
+    )
 
 
 # ---------------------------------------------------------------------------
