@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..schemas import DEFAULT_RANGE_MAX, EMPLOYEE_RANGE_MAX, SAFE_PEOPLE_LIMIT
+from ..session import local_df
 
 UNKNOWN_BUCKET = "unknown"
 NOT_SURE_BUCKET = "not sure"
@@ -100,8 +101,8 @@ def segment_capacity_df(
     rows = [
         (seg, mx, SAFE_PEOPLE_LIMIT // mx) for seg, mx in lookup.items()
     ]
-    return spark.createDataFrame(
-        rows, "segment string, max_employees int, capacity int"
+    return local_df(
+        spark, rows, "segment string, max_employees int, capacity int"
     )
 
 
@@ -112,6 +113,8 @@ def employee_range_capacity_df(spark: SparkSession) -> DataFrame:
         (rng, mx, SAFE_PEOPLE_LIMIT // mx)
         for rng, mx in EMPLOYEE_RANGE_MAX.items()
     ]
-    return spark.createDataFrame(
-        rows, "employee_range string, max_employees int, capacity int"
+    return local_df(
+        spark,
+        rows,
+        "employee_range string, max_employees int, capacity int",
     )

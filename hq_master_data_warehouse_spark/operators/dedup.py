@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ..session import local_df
 from ..session import DEFAULT_SHUFFLE_PARTITIONS
 from ..sources.loaders import load_table
 
@@ -740,10 +741,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays fingerprints, bands, and hamming exactly (the r8-era
     xxhash64 hash was Spark-only and forced a rows-only record).
     The ``tok <> ''`` guard pins the one tokenizer divergence:
-    Spark's split('') is [] while DuckDB's string_split('') is ['']."""
+    Spark's split('') is [] while DuckDB's string_split('') is [''].
+
+    r13 optimization (values and logical expressions unchanged):
+    the 60 bit-vote aggregates and the 60-term fingerprint sum are
+    parsed from SQL strings (one py4j call each) instead of being
+    assembled Column-op by Column-op -- the Column DSL form cost
+    ~500 driver round trips, ~1.2 s of the cell's wall time
+    (plans/r13 construction/planning/execution split).  The
+    tokenize+md5+vote stage also fans out from the fixture's single
+    input split before the heavy per-token work (the
+    ml_bootstrap_mean_ci pattern: a 2-column shuffle that is noise
+    at production split counts, 32x parallelism locally; integer
+    sums are order-independent, so values cannot change)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = (
-        docs.select(
+        docs.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
             "doc_id",
             F.explode(
                 F.split(canonical_text(F.col("text")), " ")
@@ -761,23 +776,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     bit_votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"b{i}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1"
+            f" THEN 1 ELSE -1 END) AS b{i}"
+        )
         for i in range(SIMHASH_BITS)
     ]
     voted = toks.groupBy("doc_id").agg(*bit_votes)
+    fp_terms = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i}L ELSE 0L END)"
+        for i in range(SIMHASH_BITS)
+    )
     fp = voted.select(
         "doc_id",
-        sum(
-            [
-                F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(0)
-                for i in range(SIMHASH_BITS)
-            ]
-        )
-        .cast("long")
-        .alias("fingerprint"),
+        F.expr(f"CAST({fp_terms} AS BIGINT)").alias("fingerprint"),
     )
 
     band_width = SIMHASH_BITS // SIMHASH_BANDS
@@ -916,11 +928,12 @@ def exact_cosine_pairs(
 
     def side(grid_col: str) -> DataFrame:
         # fresh scan + fresh grid per side: the two cogroup inputs get
-        # independent lineage (avoids Spark's ambiguous-self-join trap)
-        emb = load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", "embedding"
-        )
-        grid = spark.createDataFrame(grid_rows, "ci int, cj int")
+        # independent lineage (avoids Spark's ambiguous-self-join trap;
+        # fresh=True bypasses the loader's plan memo for exactly this)
+        emb = load_table(
+            spark, sf_dir, "embeddings", fresh=True
+        ).select("vec_id", "embedding")
+        grid = local_df(spark, grid_rows, "ci int, cj int")
         chunked = emb.withColumn(
             "c",
             F.pmod(F.xxhash64("vec_id"), F.lit(n_chunks)).cast("int"),
@@ -1670,41 +1683,85 @@ def dedup_tfidf_cosine_pairs(
         )
         .cast("decimal(38,0)")
         .alias("nrm2"),
+        # max term weight: powers the per-pair overflow guard that
+        # routes the dot product through LONG arithmetic when provably
+        # safe (r13, guide par.2.3 "narrower types")
+        F.max("w").alias("wmax"),
     ).cache()
     va = vecs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("vec").alias("vec_a"),
         F.col("nrm2").alias("na2"),
+        F.col("wmax").alias("wmax_a"),
     )
     vb = vecs.select(
         F.col("doc_id").alias("doc_b"),
         F.col("vec").alias("vec_b"),
         F.col("nrm2").alias("nb2"),
+        F.col("wmax").alias("wmax_b"),
     )
     # No broadcast hints: the vector table is O(n_docs).  AQE
     # broadcasts it when it measures small and falls back to shuffle
     # joins at corpus scale; a forced hint is honored past the auto
     # threshold and OOMs at 1e8+ docs (VERDICT r7 item 2).
     paired = cand.join(va, "doc_a").join(vb, "doc_b")
-    # shared-term products, computed once per pair by a hash-merge of
-    # the two maps; non-shared terms contribute NULL.  The multiply
-    # happens in DECIMAL(38,0) -- see the overflow note on `vecs`.
+    # Shared-term products, computed once per pair by a hash-merge of
+    # the two maps; non-shared terms contribute NULL.  r13 fast path
+    # (guide par.2.3 -- narrower types when provably safe): the exact
+    # integer dot is bounded by min(|vec_a|,|vec_b|) * wmax_a * wmax_b
+    # <= TFIDF_TOP_TERMS * wmax_a * wmax_b, so when that bound (taken
+    # in double with a 2x margin below 2^63 ~ 9.22e18) stays under
+    # 4e18, every per-term product AND the running sum fit a LONG and
+    # the fold runs in primitive arithmetic.  Otherwise the original
+    # DECIMAL(38,0) fold runs -- w = floor(1e6*tf*ln(N/df)) is NOT
+    # bounded for long docs with high-tf rare terms (ADVICE r7), so
+    # the decimal path remains the correctness anchor.  CASE branches
+    # evaluate lazily per row, so each pair pays exactly one fold;
+    # both paths produce the same exact integer, hence bit-identical
+    # doubles in the cosine.
+    safe = (
+        F.col("wmax_a").cast("double")
+        * F.col("wmax_b").cast("double")
+        * float(TFIDF_TOP_TERMS)
+    ) < 4.0e18
+    # The threshold predicate gets substituted into the vector join's
+    # condition by pushdown, so the dot fold runs once per CANDIDATE
+    # pair there; the ~8% surviving pairs additionally evaluate the
+    # output project (count zip + dot zip).  Per-pair cost is
+    # dominated by the interpreted higher-order-function element
+    # machinery (29.8 CPU-s at sf0.1 in the r12 all-decimal shape;
+    # struct-accumulator and two-fold variants measured WORSE -- the
+    # per-element lambda dispatch, not the arithmetic, is the floor),
+    # so the win here is keeping the hot per-pair path on primitive
+    # longs and a single fold.
     zipped = paired.withColumn(
-        "zv",
+        "zc",
         F.expr(
             "map_values(map_zip_with(vec_a, vec_b,"
             " (k, x, y) -> IF(x IS NOT NULL AND y IS NOT NULL,"
-            " CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)),"
-            " CAST(NULL AS DECIMAL(38,0)))))"
+            " 1L, CAST(NULL AS BIGINT))))"
         ),
     )
-    dot = F.expr(
-        "aggregate(zv, CAST(0 AS DECIMAL(38,0)),"
+    dot_long = F.expr(
+        "aggregate(map_values(map_zip_with(vec_a, vec_b,"
+        " (k, x, y) -> IF(x IS NOT NULL AND y IS NOT NULL,"
+        " x * y, CAST(NULL AS BIGINT)))),"
+        " 0L, (acc, v) -> acc + coalesce(v, 0L))"
+    )
+    dot_dec = F.expr(
+        "aggregate(map_values(map_zip_with(vec_a, vec_b,"
+        " (k, x, y) -> IF(x IS NOT NULL AND y IS NOT NULL,"
+        " CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)),"
+        " CAST(NULL AS DECIMAL(38,0))))),"
+        " CAST(0 AS DECIMAL(38,0)),"
         " (acc, v) -> CAST(acc + coalesce(v, CAST(0 AS DECIMAL(38,0)))"
         " AS DECIMAL(38,0)))"
     )
+    dot = F.when(safe, dot_long.cast("decimal(38,0)")).otherwise(
+        dot_dec
+    )
     shared = F.expr(
-        "aggregate(zv, 0L, (acc, v) -> acc + IF(v IS NULL, 0L, 1L))"
+        "aggregate(zc, 0L, (acc, v) -> acc + IF(v IS NULL, 0L, 1L))"
     )
     cos = F.col("dot").cast("double") / F.sqrt(
         F.col("na2").cast("double") * F.col("nb2").cast("double")

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import query
+from ..session import local_df
 from ..sources.loaders import load_table
 
 
@@ -121,7 +122,7 @@ _BANDS_SQL = " UNION ALL ".join(
 def range_join_quantity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     bands = F.broadcast(
-        spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+        local_df(spark, _BANDS, "band string, lo double, hi double")
     )
     return (
         lineitem.join(

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ..session import local_df
 from ..sources.loaders import load_table
 from .text import _TOKENS_SQL as _RRF_TOKENS_SQL
 
@@ -1095,8 +1096,8 @@ def similarity_mmr_diversify(
             if sims[best][i] > max_sim[i]:
                 max_sim[i] = sims[best][i]
         out.append((step + 1, ids[best], rel[best], score[best]))
-    return spark.createDataFrame(
-        out, "rank int, vec_id long, rel double, mmr_score double"
+    return local_df(
+        spark, out, "rank int, vec_id long, rel double, mmr_score double"
     )
 
 

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scalars import exact_units_sum
 from ..registry import query
+from ..session import local_df
 from ..sources.loaders import load_table
 from .lifecycle import _cents
 
@@ -613,25 +614,29 @@ def ml_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
 
-    def mult_i(i: int) -> F.Column:
-        c = F.col(f"L{i // 2}")
+    def mult_sql(i: int) -> str:
+        """Multiplicity = #thresholds <= u, branch-free -- the same
+        sum-of-comparisons expression as before r13, parsed from ONE
+        SQL string instead of ~50 py4j Column calls per replica
+        (construction cost was ~0.7 s of this cell's wall time)."""
         u = (
-            F.shiftright(c, 16)
+            f"shiftright(L{i // 2}, 16)"
             if i % 2 == 0
-            else c.bitwiseAND(F.lit(65535))
+            else f"(L{i // 2} & 65535)"
         )
-        # multiplicity = #thresholds <= u, branch-free
-        out = None
-        for t in _POIS_TH:
-            term = (u >= t).cast("long")
-            out = term if out is None else out + term
-        return out
+        return (
+            "("
+            + " + ".join(
+                f"CAST(({u} >= {t}) AS BIGINT)" for t in _POIS_TH
+            )
+            + ")"
+        )
 
     aggs = []
     for i in range(8):
-        m = mult_i(i)
-        aggs.append(F.sum(m * F.col("cents")).alias(f"s{i}"))
-        aggs.append(F.sum(m).alias(f"c{i}"))
+        m = mult_sql(i)
+        aggs.append(F.expr(f"sum({m} * cents) AS s{i}"))
+        aggs.append(F.expr(f"sum({m}) AS c{i}"))
     grouped = parsed.groupBy("j").agg(*aggs)
     means = grouped.select(
         F.explode(
@@ -2030,8 +2035,10 @@ def events_attribution_markov(
     counts = trans.groupBy("s", "t").agg(
         F.count("*").cast("long").alias("n")
     )
-    variants = spark.createDataFrame(
-        [("base",)] + [(c,) for c in ATTR_CHANNELS], ["variant"]
+    variants = local_df(
+        spark,
+        [("base",)] + [(c,) for c in ATTR_CHANNELS],
+        "variant string",
     )
     vc = (
         counts.crossJoin(F.broadcast(variants))
@@ -4308,53 +4315,59 @@ def ml_permutation_test(
         ).alias("h"),
     )
 
-    def _u(m: int, half: int):
-        v = F.conv(F.substring(F.col("h"), 1 + 8 * m, 8), 16, 10).cast(
-            "long"
+    # Same expressions as before r13, parsed from SQL strings in bulk
+    # (one py4j call per aggregate / one for the extreme sum) instead
+    # of ~500 Column-op round trips -- construction was ~0.7 s of this
+    # cell's wall time; the strings mirror the oracle's _perm_u_sql /
+    # `extreme` builders term for term.
+    def _u_sql(m: int, half: int) -> str:
+        v = (
+            f"CAST(conv(substring(h, {1 + 8 * m}, 8), 16, 10)"
+            " AS BIGINT)"
         )
         return (
-            F.shiftright(v, 16) if half == 0 else v.bitwiseAND(65535)
+            f"shiftright({v}, 16)" if half == 0 else f"({v} & 65535)"
         )
 
     aggs = []
     for m in range(4):
         for hf in range(2):
-            hit = _u(m, hf) < F.col("th")
+            hit = f"{_u_sql(m, hf)} < th"
             aggs.append(
-                F.sum(F.when(hit, F.col("cents")).otherwise(0))
-                .cast("long")
-                .alias(f"s{m}_{hf}")
+                F.expr(
+                    f"CAST(sum(CASE WHEN {hit} THEN cents ELSE 0 END)"
+                    f" AS BIGINT) AS s{m}_{hf}"
+                )
             )
             aggs.append(
-                F.sum(F.when(hit, 1).otherwise(0))
-                .cast("long")
-                .alias(f"c{m}_{hf}")
+                F.expr(
+                    f"CAST(sum(CASE WHEN {hit} THEN 1 ELSE 0 END)"
+                    f" AS BIGINT) AS c{m}_{hf}"
+                )
             )
     per_j = (
         g.crossJoin(F.broadcast(t.select("th")))
         .groupBy("j", "th")
         .agg(*aggs)
     )
-    ext_terms = None
-    for m in range(4):
-        for hf in range(2):
-            s = F.col(f"s{m}_{hf}")
-            c = F.col(f"c{m}_{hf}")
-            diff = s.cast("double") / c - (
-                F.col("s_total") - s
-            ).cast("double") / (F.col("n_total") - c)
-            term = F.when(
-                (c > 0)
-                & (c < F.col("n_total"))
-                & (F.abs(diff) >= F.abs(F.col("obs_diff"))),
-                1,
-            ).otherwise(0)
-            ext_terms = term if ext_terms is None else ext_terms + term
+    ext_sql = " + ".join(
+        f"(CASE WHEN c{m}_{hf} > 0 AND c{m}_{hf} < n_total"
+        f" AND ABS(CAST(s{m}_{hf} AS DOUBLE) / c{m}_{hf}"
+        f" - CAST(s_total - s{m}_{hf} AS DOUBLE)"
+        f" / (n_total - c{m}_{hf}))"
+        f" >= ABS(obs_diff) THEN 1 ELSE 0 END)"
+        for m in range(4)
+        for hf in range(2)
+    )
     ext = (
         per_j.crossJoin(
             F.broadcast(t.select("n_total", "s_total", "obs_diff"))
         )
-        .agg(F.sum(ext_terms).cast("long").alias("n_extreme"))
+        .agg(
+            F.expr(
+                f"CAST(sum({ext_sql}) AS BIGINT) AS n_extreme"
+            )
+        )
     )
     return t.crossJoin(F.broadcast(ext)).select(
         "n_hi",

@@ -276,6 +276,31 @@ RECHECK: tuple[str, ...] = (
     # the Spark plan and the DuckDB oracle change with the constant,
     # so the post-change pair needs a fresh gate record
     "graph_link_prediction_minhash",
+    # r13 optimization round, plan-changed cells (values identical,
+    # oracles untouched; each re-gated locally at sf0.01 before
+    # landing -- see OPTIMIZATION_r13.md): simhash's SQL-parsed vote
+    # aggregates + parallel tokenize stage; tfidf's long-path dot
+    # fold + wmax guard column; bootstrap/permutation SQL-parsed
+    # replica aggregates; kcore's lazy-checkpoint loop; the
+    # local_df (VALUES LocalRelation) conversion of driver-built
+    # dimension sides; the txn-log scan-plan memo.
+    "dedup_simhash",
+    "dedup_tfidf_cosine_pairs",
+    "ml_bootstrap_mean_ci",
+    "ml_permutation_test",
+    "graph_kcore_decomposition",
+    "source_txn_log_changes",
+    "source_txn_log_snapshot",
+    "source_txn_log_time_travel",
+    "source_txn_log_pruned_scan",
+    "layout_txn_log_compact",
+    "layout_txn_log_vacuum",
+    "layout_delta_export_roundtrip",
+    "events_attribution_markov",
+    "similarity_mmr_diversify",
+    "dedup_embedding_cosine",
+    "similarity_ann_recall_eval",
+    "join_range_binned",
 )
 
 # r12 RECHECK block, retired (re-record landed green in

@@ -71,6 +71,63 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def local_df(spark: SparkSession, rows, ddl: str):
+    """Tiny driver-side row list as a pure-JVM LocalRelation.
+
+    ``spark.createDataFrame(list_of_tuples)`` routes local data
+    through the pickled-Python-RDD path: it parallelizes the rows
+    into defaultParallelism partitions, and every action spins up one
+    Python worker PER PARTITION just to rebuild a few hundred
+    constants -- measured in r13 as a 32-task stage with ~7 s of task
+    time and 72 ms of CPU per bench rep (python worker startup), on
+    every query that broadcasts a small driver-built dimension.
+    Rendering the rows as a SQL ``VALUES`` literal instead plans as a
+    LocalTableScan: no Python workers, no parallelize job, and the
+    broadcast build reads in-memory JVM rows.
+
+    Supports str/bool/int/float/None cells (the engine's dimension
+    tables); falls back to ``createDataFrame`` for anything else or
+    for large lists, where VALUES parse time would dominate.
+    """
+    rows = list(rows)
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, int):
+            return repr(v)
+        if isinstance(v, float):
+            # repr of the PLAIN float is shortest-roundtrip (float(v)
+            # also normalizes np.float64, whose repr is not a SQL
+            # literal); the cast below restores DOUBLE -- plain
+            # decimal literals parse as DECIMAL in Spark SQL
+            return f"CAST('{float(v)!r}' AS DOUBLE)"
+        if isinstance(v, str):
+            escaped = v.replace("\\", "\\\\").replace("'", "\\'")
+            return f"'{escaped}'"
+        raise TypeError(type(v))
+
+    cols = [c.strip().rsplit(None, 1) for c in ddl.split(",")]
+    if not rows or len(rows) > 10_000:
+        return spark.createDataFrame(rows, ddl)
+    try:
+        vals = ", ".join(
+            "(" + ", ".join(lit(v) for v in r) + ")" for r in rows
+        )
+    except TypeError:
+        return spark.createDataFrame(rows, ddl)
+    proj = ", ".join(
+        f"CAST(c{i} AS {typ}) AS {name}"
+        for i, (name, typ) in enumerate(cols)
+    )
+    names = ", ".join(f"c{i}" for i in range(len(cols)))
+    return spark.sql(
+        f"SELECT {proj} FROM (VALUES {vals}) AS t({names})"
+    )
+
+
 def get_test_spark() -> SparkSession:
     """Session for pytest / local iteration: local[N] single JVM."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")

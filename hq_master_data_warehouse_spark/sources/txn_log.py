@@ -46,10 +46,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.scalars import dec_sum, dec_sum_sql
+from ..session import local_df
 from ..registry import query
 from .loaders import load_table
 
 LOG_DIR = "_txn_log"
+
+# Scan-plan memo for multi-path reads, keyed on the EXACT file set:
+# resolving ~100 small paths into a file index costs ~0.5 s of driver
+# time per call (r13 measurement on the staged fixture's change
+# feed).  Safe under this module's PATH IMMUTABILITY CONTRACT (see
+# ``commit``): a committed data path is never re-added with different
+# bytes, so the same path tuple always denotes the same rows; any new
+# commit changes the live/feed file set and therefore the key.  The
+# memo holds unexecuted plans only -- every action still reads the
+# parquet files.
+_SCAN_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _scan_paths(spark: SparkSession, paths: list[str]) -> DataFrame:
+    key = (spark.sparkContext.applicationId, tuple(sorted(paths)))
+    hit = _SCAN_MEMO.get(key)
+    if hit is None:
+        hit = _SCAN_MEMO[key] = spark.read.parquet(*paths)
+    return hit
 
 
 def _table_dir(sf_dir: str, variant: str = "") -> str:
@@ -150,7 +170,7 @@ def read_snapshot(
     if not files:
         raise ValueError("empty snapshot")
     paths = [os.path.join(table_dir, f["path"]) for f in files]
-    return spark.read.parquet(*paths)
+    return _scan_paths(spark, paths)
 
 
 def _write_file(
@@ -622,16 +642,19 @@ def change_rows(
     rel = F.regexp_extract(
         F.input_file_name(), f"{base}/(.+)/[^/]+$", 1
     )
-    rows = spark.read.parquet(
-        *[os.path.join(table_dir, p) for p in paths]
+    rows = _scan_paths(
+        spark, [os.path.join(table_dir, p) for p in paths]
     ).select(
         rel.alias("_rel"),
         F.col(key_col).alias("k"),
         F.col(value_col).alias("val"),
     )
+    # local_df: VALUES-literal LocalRelation -- createDataFrame on a
+    # local list spun up one Python worker per partition per action
+    # (a 32-task, ~7 s-of-task-time stage per bench rep, r13)
     side_map = F.broadcast(
-        spark.createDataFrame(
-            actions, "_rel string, version int, side string"
+        local_df(
+            spark, actions, "_rel string, version int, side string"
         )
     )
     # LEFT join + in-plan raise: an uncovered row (its _rel matches
