@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..session import local_df
+from ..session import fan_out_scan, local_df
 from ..session import DEFAULT_SHUFFLE_PARTITIONS
 from ..sources.loaders import load_table
 
@@ -386,10 +386,10 @@ def _minhash_signatures(rows: DataFrame) -> DataFrame:
         .bitwiseOR(1)
     )
     proj = hh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+    # SQL-parsed (one py4j call per aggregate): same expressions as
+    # the Column-DSL form, ~100 fewer driver round trips (r13)
     aggs = [
-        F.min((F.col("h1") + s * F.col("h2")) % F.lit(_MH_MOD)).alias(
-            f"mh{s}"
-        )
+        F.expr(f"min((h1 + {s} * h2) % {_MH_MOD}) AS mh{s}")
         for s in range(N_HASHES)
     ]
     return proj.groupBy("doc_id").agg(*aggs)
@@ -404,22 +404,15 @@ def _mh_bands(sigs: DataFrame) -> DataFrame:
     per key; a production run could hash it engine-side to 8 bytes,
     but only identically on both sides (md5) -- never xxhash64."""
     r = N_HASHES // N_BANDS
+    structs = ", ".join(
+        f"named_struct('band', {b}, 'key', concat_ws('|', "
+        + ", ".join(f"mh{b * r + i}" for i in range(r))
+        + "))"
+        for b in range(N_BANDS)
+    )
     return sigs.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "|",
-                            *[F.col(f"mh{b * r + i}") for i in range(r)],
-                        ).alias("key"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bk"),
+        F.expr(f"explode(array({structs})) AS bk"),
     ).select("doc_id", "bk.band", "bk.key")
 
 
@@ -750,14 +743,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~500 driver round trips, ~1.2 s of the cell's wall time
     (plans/r13 construction/planning/execution split).  The
     tokenize+md5+vote stage also fans out from the fixture's single
-    input split before the heavy per-token work (the
-    ml_bootstrap_mean_ci pattern: a 2-column shuffle that is noise
-    at production split counts, 32x parallelism locally; integer
-    sums are order-independent, so values cannot change)."""
+    input split before the heavy per-token work (fan_out_scan: a
+    no-op at production split counts, 32x parallelism locally;
+    integer sums are order-independent, so values cannot change)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = (
-        docs.select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+        fan_out_scan(docs.select("doc_id", "text"))
         .select(
             "doc_id",
             F.explode(
@@ -1273,7 +1264,7 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bytes per row before hashing; this emits 8 bytes per span.
     # sequence(1, 0) would generate a DESCENDING [1, 0] for short
     # docs, hence the explicit size guard.
-    toks = docs.select(
+    toks = fan_out_scan(docs.select("doc_id", "text")).select(
         "doc_id",
         F.split(canonical_text(F.col("text")), " ").alias("toks"),
     )

@@ -301,6 +301,9 @@ RECHECK: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "similarity_ann_recall_eval",
     "join_range_binned",
+    # fan_out_scan added a conditional repartition ahead of the span
+    # pipeline (plan gains an Exchange at fixture split counts)
+    "dedup_exact_substring",
 )
 
 # r12 RECHECK block, retired (re-record landed green in

@@ -128,6 +128,49 @@ def local_df(spark: SparkSession, rows, ddl: str):
     )
 
 
+def fan_out_scan(df):
+    """Scale-adaptive fan-out for CPU-heavy per-row work fed by a
+    scan: repartition to defaultParallelism ONLY when the plan's
+    current partitioning is narrower than the core count.
+
+    The driver fixtures ship one parquet file per table, so a scan
+    yields 1-3 input splits and any expensive per-row stage
+    (tokenize+hash pipelines) serializes on as many cores (measured:
+    dedup_exact_substring ran its whole span pipeline on ONE task).
+    On production inputs the scan already has >= cores splits and
+    this is a NO-OP -- the condition, not a constant, carries the
+    scale story: an unconditional repartition would re-shuffle the
+    whole corpus once for nothing on a real cluster (optimization
+    guide par.2.5 "input skew: one huge unsplittable file ...
+    repartition immediately after the read").
+
+    Call it on the NARROWEST projection that feeds the expensive
+    work, so the exchange (when it fires at all) moves only needed
+    columns.  Only for order-independent downstream computation.
+
+    The split estimate uses inputFiles() + a driver-side stat
+    (microseconds) rather than df.rdd.getNumPartitions(), which
+    triggers a full physical-planning pass (~0.2 s per call).
+    """
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    files = df.inputFiles()
+    if not files or len(files) >= cores:
+        return df
+    mpb = 128 * 1024 * 1024  # conservative split-size estimate
+    splits = 0
+    for uri in files:
+        path = uri[7:] if uri.startswith("file://") else uri
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            return df  # non-local storage: trust the file count
+        splits += max(1, -(-size // mpb))
+        if splits >= cores:
+            return df
+    return df.repartition(cores)
+
+
 def get_test_spark() -> SparkSession:
     """Session for pytest / local iteration: local[N] single JVM."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
