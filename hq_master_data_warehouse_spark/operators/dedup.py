@@ -241,7 +241,8 @@ def connected_components(edges: DataFrame) -> DataFrame:
         both.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("comp"))
-        .localCheckpoint()
+        # lazy: materializes inside the sum-probe job (r13)
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     for _ in range(CC_MAX_ITERS):
@@ -274,7 +275,7 @@ def connected_components(edges: DataFrame) -> DataFrame:
                 "comp"
             ),
         )
-        labels = jumped.localCheckpoint()
+        labels = jumped.localCheckpoint(eager=False)
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if cur_sum == prev_sum:
             break

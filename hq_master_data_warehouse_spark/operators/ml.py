@@ -2466,152 +2466,125 @@ def ml_adaboost_stumps(
         "o_orderpriority",
         F.year(F.to_date("o_orderdate")).alias("oyear"),
     )
-    sign = lambda c: F.when(c, 1).otherwise(-1)  # noqa: E731
+    # Expressions parsed from SQL strings (r13): the Column-DSL form
+    # of this function issued ~3,300 py4j round trips per
+    # construction (cProfile: 9,852 send_commands / 3 builds, ~0.7 s
+    # of the cell).  The strings mirror the oracle's _ada_pick_sql /
+    # CASE builders term for term; the CASE argmin scans
+    # left-to-right, so ties resolve to the LOWEST stump index in
+    # both engines, exactly as the reversed when/otherwise chain did.
     conds = [
-        F.col("cents") > 15000000,
-        F.col("cents") > 35000000,
-        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
-        F.col("oyear") <= 1996,
+        f"cents > {ADA_TARGET}",
+        "cents > 15000000",
+        "cents > 35000000",
+        "o_orderpriority IN ('1-URGENT', '2-HIGH')",
+        "oyear <= 1996",
     ]
-    base = pre.select(
-        sign(F.col("cents") > ADA_TARGET).alias("y"),
-        *[sign(c).alias(f"h{i + 1}") for i, c in enumerate(conds)],
+    base = pre.selectExpr(
+        f"IF({conds[0]}, 1, -1) AS y",
+        *[
+            f"IF({c}, 1, -1) AS h{i + 1}"
+            for i, c in enumerate(conds[1:])
+        ],
     ).cache()
 
-    def _least(cols):
-        return F.least(*[F.col(c) for c in cols])
+    def _least_sql(cols):
+        return "least(" + ", ".join(cols) + ")"
 
-    def _argmin(cols, least_col):
-        expr = None
-        for i, c in enumerate(reversed(cols)):
-            j = len(cols) - i
-            cond = F.col(c) == least_col
-            expr = (
-                F.when(cond, j)
-                if expr is None
-                else F.when(cond, j).otherwise(expr)
-            )
-        return expr
+    def _argmin_sql(cols):
+        least = _least_sql(cols)
+        arms = " ".join(
+            f"WHEN {c} = {least} THEN {i + 1}"
+            for i, c in enumerate(cols)
+        )
+        return f"CASE {arms} END"
 
-    def _pick_case(j_col, per_index):
-        expr = None
-        for i in range(k, 0, -1):
-            expr = (
-                F.when(j_col == i, per_index(i))
-                if expr is None
-                else F.when(j_col == i, per_index(i)).otherwise(expr)
-            )
-        return expr
+    def _pick_sql(j_col, per_index):
+        arms = " ".join(
+            f"WHEN {j_col} = {i} THEN {per_index(i)}"
+            for i in range(1, k + 1)
+        )
+        return f"CASE {arms} END"
 
     agg1 = base.agg(
-        F.count("*").cast("long").alias("w0"),
+        F.expr("CAST(count(*) AS BIGINT) AS w0"),
         *[
-            F.sum((F.col(f"h{i + 1}") != F.col("y")).cast("int"))
-            .cast("long")
-            .alias(f"e1_{i + 1}")
+            F.expr(
+                f"CAST(sum(CAST((h{i + 1} != y) AS INT)) AS BIGINT)"
+                f" AS e1_{i + 1}"
+            )
             for i in range(k)
         ],
     )
     c1 = [f"e1_{i + 1}" for i in range(k)]
-    pick1 = agg1.select(
+    pick1 = agg1.selectExpr(
         "w0",
-        _least(c1).alias("e1"),
-        _argmin(c1, _least(c1)).alias("j1"),
+        f"{_least_sql(c1)} AS e1",
+        f"{_argmin_sql(c1)} AS j1",
     )
-    # NOTE: _argmin scans in tuple order via the reversed otherwise
-    # chain, so ties resolve to the LOWEST stump index in both
-    # engines (the SQL CASE scans left-to-right identically).
-    h_of_j1 = _pick_case(F.col("j1"), lambda i: F.col(f"h{i}"))
+    h_of_j1 = _pick_sql("j1", lambda i: f"h{i}")
     w1t = base.crossJoin(F.broadcast(pick1)).withColumn(
         "w1",
-        F.when(
-            h_of_j1 != F.col("y"), F.col("w0") - F.col("e1")
-        ).otherwise(F.col("e1")),
+        F.expr(f"IF(({h_of_j1}) != y, w0 - e1, e1)"),
     )
     agg2 = w1t.agg(
-        F.sum("w1").cast("long").alias("w1s"),
+        F.expr("CAST(sum(w1) AS BIGINT) AS w1s"),
         *[
-            F.sum(
-                F.when(
-                    F.col(f"h{i + 1}") != F.col("y"), F.col("w1")
-                ).otherwise(0)
+            F.expr(
+                f"CAST(sum(IF(h{i + 1} != y, w1, 0)) AS BIGINT)"
+                f" AS e2_{i + 1}"
             )
-            .cast("long")
-            .alias(f"e2_{i + 1}")
             for i in range(k)
         ],
     )
     c2 = [f"e2_{i + 1}" for i in range(k)]
-    pick2 = agg2.select(
+    pick2 = agg2.selectExpr(
         "w1s",
-        _least(c2).alias("e2"),
-        _argmin(c2, _least(c2)).alias("j2"),
+        f"{_least_sql(c2)} AS e2",
+        f"{_argmin_sql(c2)} AS j2",
     )
-    alphas = (
-        pick1.crossJoin(F.broadcast(pick2))
-        .select(
-            "j1",
-            "e1",
-            "w0",
-            "j2",
-            "e2",
-            "w1s",
-            (
-                0.5
-                * F.log(
-                    (F.col("w0") - F.col("e1"))
-                    / F.col("e1").cast("double")
-                )
-            ).alias("a1"),
-            (
-                0.5
-                * F.log(
-                    (F.col("w1s") - F.col("e2"))
-                    / F.col("e2").cast("double")
-                )
-            ).alias("a2"),
-        )
+    alphas = pick1.crossJoin(F.broadcast(pick2)).selectExpr(
+        "j1",
+        "e1",
+        "w0",
+        "j2",
+        "e2",
+        "w1s",
+        "0.5 * ln((w0 - e1) / CAST(e1 AS DOUBLE)) AS a1",
+        "0.5 * ln((w1s - e2) / CAST(e2 AS DOUBLE)) AS a2",
     )
-    hj1 = _pick_case(F.col("j1"), lambda i: F.col(f"h{i}"))
-    hj2 = _pick_case(F.col("j2"), lambda i: F.col(f"h{i}"))
-    ens = F.when(
-        F.col("a1") * hj1 + F.col("a2") * hj2 >= 0, 1
-    ).otherwise(-1)
+    hj1 = _pick_sql("j1", lambda i: f"h{i}")
+    hj2 = _pick_sql("j2", lambda i: f"h{i}")
     acc = base.crossJoin(F.broadcast(alphas)).agg(
-        F.sum((ens == F.col("y")).cast("int"))
-        .cast("long")
-        .alias("n_correct"),
-        F.count("*").cast("long").alias("n_rows"),
+        F.expr(
+            f"CAST(sum(CAST((IF(a1 * ({hj1}) + a2 * ({hj2}) >= 0,"
+            " 1, -1) = y) AS INT)) AS BIGINT) AS n_correct"
+        ),
+        F.expr("CAST(count(*) AS BIGINT) AS n_rows"),
     )
-    name1 = _pick_case(
-        F.col("j1"), lambda i: F.lit(ADA_STUMPS[i - 1][0])
+    name1 = _pick_sql(
+        "j1", lambda i: f"'{ADA_STUMPS[i - 1][0]}'"
     )
-    name2 = _pick_case(
-        F.col("j2"), lambda i: F.lit(ADA_STUMPS[i - 1][0])
+    name2 = _pick_sql(
+        "j2", lambda i: f"'{ADA_STUMPS[i - 1][0]}'"
     )
     both = alphas.crossJoin(F.broadcast(acc))
-    r1 = both.select(
-        F.lit(1).alias("round"),
-        name1.alias("stump"),
-        F.round(
-            F.col("e1").cast("double") / F.col("w0"), 6
-        ).alias("weighted_eps"),
-        F.round(F.col("a1"), 6).alias("alpha"),
+    r1 = both.selectExpr(
+        "1 AS round",
+        f"{name1} AS stump",
+        "round(CAST(e1 AS DOUBLE) / w0, 6) AS weighted_eps",
+        "round(a1, 6) AS alpha",
         "n_rows",
-        F.round(
-            F.col("n_correct").cast("double") / F.col("n_rows"), 6
-        ).alias("train_accuracy"),
+        "round(CAST(n_correct AS DOUBLE) / n_rows, 6)"
+        " AS train_accuracy",
     )
-    r2 = both.select(
-        F.lit(2).alias("round"),
-        name2.alias("stump"),
-        F.round(
-            F.col("e2").cast("double") / F.col("w1s"), 6
-        ).alias("weighted_eps"),
-        F.round(F.col("a2"), 6).alias("alpha"),
+    r2 = both.selectExpr(
+        "2 AS round",
+        f"{name2} AS stump",
+        "round(CAST(e2 AS DOUBLE) / w1s, 6) AS weighted_eps",
+        "round(a2, 6) AS alpha",
         "n_rows",
-        F.round(
-            F.col("n_correct").cast("double") / F.col("n_rows"), 6
-        ).alias("train_accuracy"),
+        "round(CAST(n_correct AS DOUBLE) / n_rows, 6)"
+        " AS train_accuracy",
     )
     return r1.unionByName(r2)

@@ -1632,7 +1632,10 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = (
         seeds.withColumn("cid", F.row_number().over(wseed) - 1)
         .select("m", "cid", "center")
-        .localCheckpoint()
+        # lazy: lineage is truncated immediately, materialization
+        # folds into the next action's job (r13, guide par.5 -- no
+        # standalone checkpoint job per Lloyd round)
+        .localCheckpoint(eager=False)
     )
 
     def assign(cents: DataFrame) -> DataFrame:
@@ -1690,7 +1693,7 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cid",
                 F.coalesce("new_center", "center").alias("center"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
 
     codes = assign(centroids).cache()

@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ..session import fan_out_scan
 from ..sources.loaders import load_table
 from .dedup import CANONICAL_SQL, _shingles, canonical_text
 from .sampling import SPLIT_CUT, hash_split
@@ -329,13 +330,29 @@ WINNOW_K = 8
 def text_winnowing_fingerprint(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    canon = canonical_text(F.col("text"))
+    # canon is materialized in a CHILD projection and the lambda
+    # references the attribute: referencing the canonicalization
+    # expression itself inside the per-window lambda re-ran the
+    # whole regex pipeline once PER WINDOW POSITION -- O(len^2) per
+    # document, the exact higher-order-lambda trap SCALE.md records
+    # for shingles (r13 sweep measurement: 19.8 s at sf0.1 vs ~0.5 s
+    # for sibling text cells; ~0.6 s after this fix).  CollapseProject
+    # keeps the child projection because canon is non-cheap and
+    # referenced more than once.
+    docs = fan_out_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+    )
+    c = docs.select(
+        "doc_id", canonical_text(F.col("text")).alias("canon")
+    )
+    canon = F.col("canon")
     idx = F.sequence(F.lit(1), F.length(canon) - WINNOW_K + 1)
     window_hashes = F.transform(
         idx, lambda i: F.md5(canon.substr(i, F.lit(WINNOW_K)))
     )
-    return docs.select(
+    return c.select(
         "doc_id",
         F.array_min(window_hashes).alias("winnow_fp"),
         (F.length(canon) - WINNOW_K + 1).cast("long").alias("n_windows"),

@@ -304,6 +304,14 @@ RECHECK: tuple[str, ...] = (
     # fan_out_scan added a conditional repartition ahead of the span
     # pipeline (plan gains an Exchange at fixture split counts)
     "dedup_exact_substring",
+    # adaboost expressions SQL-parsed (same CASE semantics, ~3,300
+    # fewer py4j calls per construction)
+    "ml_adaboost_stumps",
+    # winnowing: canonicalization materialized OUTSIDE the per-window
+    # lambda (was re-evaluated per window position, O(len^2)/doc)
+    "text_winnowing_fingerprint",
+    # PQ-ADC: Lloyd-loop checkpoints lazy (plans unchanged, jobs fold)
+    "similarity_pq_adc",
 )
 
 # r12 RECHECK block, retired (re-record landed green in
