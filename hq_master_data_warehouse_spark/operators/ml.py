@@ -27,6 +27,23 @@ BIAS = 0.05
 
 _W_SQL = "[" + ", ".join(repr(w) for w in WEIGHTS) + "]"
 
+
+def _margin_expr():
+    """The linear margin as ONE SQL-parsed expression.
+
+    Identical math to the previous Column-DSL block (zip_with the
+    double weight array, double fold, + BIAS) -- each of the 14 call
+    sites used to issue ~70 py4j round trips rebuilding the 64-lit
+    weight array per construction (r13).  Literals carry the D
+    suffix so they parse as DOUBLE (same bits as Python floats via
+    Double.parseDouble), not DECIMAL."""
+    arr = "array(" + ", ".join(f"{w!r}D" for w in WEIGHTS) + ")"
+    return F.expr(
+        f"aggregate(zip_with(embedding, {arr},"
+        " (x, y) -> CAST(x AS DOUBLE) * y),"
+        f" 0.0D, (acc, v) -> acc + v) + {BIAS!r}D"
+    )
+
 HASH_DIM = 64
 
 
@@ -50,13 +67,7 @@ HASH_DIM = 64
 )
 def ml_linear_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    w = F.array(*[F.lit(x) for x in WEIGHTS])
-    prod = F.zip_with(
-        F.col("embedding"), w, lambda x, wi: x.cast("double") * wi
-    )
-    margin = (
-        F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v) + BIAS
-    )
+    margin = _margin_expr()
     return emb.select(
         "vec_id",
         "label",
@@ -85,13 +96,7 @@ def ml_linear_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    w = F.array(*[F.lit(x) for x in WEIGHTS])
-    prod = F.zip_with(
-        F.col("embedding"), w, lambda x, wi: x.cast("double") * wi
-    )
-    margin = (
-        F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v) + BIAS
-    )
+    margin = _margin_expr()
     return (
         emb.select(
             (F.col("label") % 2 == 1).alias("actual"),
@@ -204,13 +209,7 @@ def ml_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .analytics import _global_rank
 
     emb = load_table(spark, sf_dir, "embeddings")
-    w = F.array(*[F.lit(x) for x in WEIGHTS])
-    prod = F.zip_with(
-        F.col("embedding"), w, lambda x, wi: x.cast("double") * wi
-    )
-    margin = (
-        F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v) + BIAS
-    )
+    margin = _margin_expr()
     m = emb.select(
         "vec_id",
         (F.col("label") % 2 == 1).alias("pos"),
@@ -270,13 +269,7 @@ def ml_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    w = F.array(*[F.lit(x) for x in WEIGHTS])
-    prod = F.zip_with(
-        F.col("embedding"), w, lambda x, wi: x.cast("double") * wi
-    )
-    margin = (
-        F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v) + BIAS
-    )
+    margin = _margin_expr()
     scored = emb.select(
         F.least(F.greatest(F.floor(margin + 5), F.lit(0)), F.lit(9))
         .cast("int")
@@ -347,13 +340,7 @@ def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .analytics import _global_rank
 
     emb = load_table(spark, sf_dir, "embeddings")
-    w = F.array(*[F.lit(x) for x in WEIGHTS])
-    prod = F.zip_with(
-        F.col("embedding"), w, lambda x, wi: x.cast("double") * wi
-    )
-    margin = (
-        F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v) + BIAS
-    )
+    margin = _margin_expr()
     m = emb.select(
         "vec_id",
         (F.col("label") % 2 == 1).alias("pos"),
@@ -436,13 +423,7 @@ def ml_average_precision(
     from .analytics import _global_rank
 
     emb = load_table(spark, sf_dir, "embeddings")
-    w = F.array(*[F.lit(x) for x in WEIGHTS])
-    prod = F.zip_with(
-        F.col("embedding"), w, lambda x, wi: x.cast("double") * wi
-    )
-    margin = (
-        F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v) + BIAS
-    )
+    margin = _margin_expr()
     m = emb.select(
         "vec_id",
         (F.col("label") % 2 == 1).alias("pos"),
@@ -635,13 +616,7 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    w = F.array(*[F.lit(x) for x in WEIGHTS])
-    prod = F.zip_with(
-        F.col("embedding"), w, lambda x, wi: x.cast("double") * wi
-    )
-    margin = (
-        F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v) + BIAS
-    )
+    margin = _margin_expr()
     m = emb.select(
         "vec_id",
         (
@@ -731,13 +706,7 @@ def ml_mrr_reciprocal_ranks(
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    w = F.array(*[F.lit(x) for x in WEIGHTS])
-    prod = F.zip_with(
-        F.col("embedding"), w, lambda x, wi: x.cast("double") * wi
-    )
-    margin = (
-        F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v) + BIAS
-    )
+    margin = _margin_expr()
     m = emb.select(
         "vec_id",
         (F.col("vec_id") % MRR_QUERIES).alias("query_id"),
@@ -983,13 +952,7 @@ def ml_precision_recall_at_k(
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    w = F.array(*[F.lit(x) for x in WEIGHTS])
-    prod = F.zip_with(
-        F.col("embedding"), w, lambda x, wi: x.cast("double") * wi
-    )
-    margin = (
-        F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v) + BIAS
-    )
+    margin = _margin_expr()
     m = emb.select(
         "vec_id",
         (F.col("vec_id") % MRR_QUERIES).alias("query_id"),
@@ -1081,13 +1044,7 @@ def ml_classification_report(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    w = F.array(*[F.lit(x) for x in WEIGHTS])
-    prod = F.zip_with(
-        F.col("embedding"), w, lambda x, wi: x.cast("double") * wi
-    )
-    margin = (
-        F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v) + BIAS
-    )
+    margin = _margin_expr()
     scored = emb.select(
         (F.col("label") % 2 == 1).alias("actual"),
         (margin > 0).alias("predicted"),
@@ -1712,13 +1669,7 @@ def ml_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .analytics import _global_rank, _ntile_from_rank
 
     emb = load_table(spark, sf_dir, "embeddings")
-    w = F.array(*[F.lit(x) for x in WEIGHTS])
-    prod = F.zip_with(
-        F.col("embedding"), w, lambda x, wi: x.cast("double") * wi
-    )
-    margin = (
-        F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v) + BIAS
-    )
+    margin = _margin_expr()
     m = emb.select(
         "vec_id",
         F.when(F.col("label") % 2 == 1, 1).otherwise(0).alias("pos"),
@@ -2021,13 +1972,7 @@ def ml_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .analytics import _global_rank
 
     emb = load_table(spark, sf_dir, "embeddings")
-    w = F.array(*[F.lit(x) for x in WEIGHTS])
-    prod = F.zip_with(
-        F.col("embedding"), w, lambda x, wi: x.cast("double") * wi
-    )
-    margin = (
-        F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v) + BIAS
-    )
+    margin = _margin_expr()
     m = emb.select(
         "vec_id",
         (F.col("label") % 2 == 1).cast("int").alias("pos"),
@@ -2119,13 +2064,7 @@ def ml_isotonic_calibration(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    w = F.array(*[F.lit(x) for x in WEIGHTS])
-    prod = F.zip_with(
-        F.col("embedding"), w, lambda x, wi: x.cast("double") * wi
-    )
-    margin = (
-        F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v) + BIAS
-    )
+    margin = _margin_expr()
     from pyspark.sql.window import Window
 
     b = (
@@ -2257,13 +2196,7 @@ def ml_brier_decomposition(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    w = F.array(*[F.lit(x) for x in WEIGHTS])
-    prod = F.zip_with(
-        F.col("embedding"), w, lambda x, wi: x.cast("double") * wi
-    )
-    margin = (
-        F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v) + BIAS
-    )
+    margin = _margin_expr()
     b = (
         emb.select(
             F.least(
