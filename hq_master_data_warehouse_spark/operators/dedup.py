@@ -1052,11 +1052,18 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         band.alias("band"),
         F.substring("text", 1, LEV_PREFIX).alias("prefix"),
     )
-    a = sides.select(
-        F.col("doc_id").alias("doc_a"),
-        "lang",
-        "band",
-        F.col("prefix").alias("pa"),
+    # r14 (guide par.2.5): the blocked pairwise levenshtein is one
+    # fused scan->join->distance stage; at fixture split counts it ran
+    # on a SINGLE task (8.1 s CPU = the whole 8.4 s cell).  Fanning
+    # out the probe-side projection parallelizes the per-pair edit
+    # distances; no-op when the scan already has >= cores splits.
+    a = fan_out_scan(
+        sides.select(
+            F.col("doc_id").alias("doc_a"),
+            "lang",
+            "band",
+            F.col("prefix").alias("pa"),
+        )
     )
     b = sides.select(
         F.col("doc_id").alias("doc_b"),
@@ -1132,8 +1139,13 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .similarity import cosine_expr
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
+    # fan-out (guide par.2.5): the K-centroid assignment cosines run
+    # in the scan stage, single-split at fixture scale; no-op when the
+    # scan already fans out.
+    emb = fan_out_scan(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
     )
     cent = F.broadcast(
         emb.filter(F.col("vec_id") < SEMDEDUP_K).select(
@@ -1150,23 +1162,47 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
+    # cached: three consumers (both pair-join sides + the output
+    # join-back) would otherwise each re-run the crossJoin + window
     assign = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "cid")
+        .cache()
     )
+    # Salted slice pair join (r14; guide par.2.5 hot keys, and this
+    # docstring's own 100 TB note: "salt oversized clusters").  The
+    # pair join keys on cluster_id with only SEMDEDUP_K=8 distinct
+    # values, so a plain hash join caps the quadratic per-cluster
+    # verify at 8 tasks at ANY scale (measured at sf0.1: the whole
+    # verify on ONE AQE-coalesced task, 4.2 s CPU of a 5.7 s cell).
+    # Slicing: the a-side gets a deterministic slice id in [0, S) and
+    # the b-side is replicated once per slice, so the join keys on
+    # (cid, slice) -- S*K partitions-worth of keys -- and every
+    # (va, vb) pair still meets exactly once (b's copy with
+    # sl == sl(va)).  The b-side replication is linear (S * |b|)
+    # while the per-cluster pair volume it parallelizes is quadratic.
+    # Explicit repartition pins the width: AQE's coalescing sizes by
+    # bytes and cannot see CPU-quadratic pair stages.
+    n_slices = spark.sparkContext.defaultParallelism
     a = assign.select(
         F.col("vec_id").alias("va"),
         F.col("embedding").alias("ea"),
         "cid",
-    )
+        F.pmod(F.xxhash64("vec_id"), F.lit(n_slices))
+        .cast("int")
+        .alias("sl"),
+    ).repartition(n_slices, "cid", "sl")
     b = assign.select(
         F.col("vec_id").alias("vb"),
         F.col("embedding").alias("eb"),
         "cid",
-    )
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_slices - 1))
+        ).alias("sl"),
+    ).repartition(n_slices, "cid", "sl")
     dups = (
-        a.join(b, "cid")
+        a.join(b, ["cid", "sl"])
         .filter(F.col("va") < F.col("vb"))
         .filter(
             F.round(cosine_expr(F.col("ea"), F.col("eb")), 6)

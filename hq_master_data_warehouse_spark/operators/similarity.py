@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..session import local_df
+from ..session import fan_out_scan, local_df
 from ..sources.loaders import load_table
 from .text import _TOKENS_SQL as _RRF_TOKENS_SQL
 
@@ -229,8 +229,21 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via sign-pattern bucketing: bucket key per band = the sign
     bits of 4 hyperplane dot products; pairs sharing any band's bucket
     are candidates; exact cosine >= threshold verifies.  Bucket join is
-    linear-ish in corpus size; recall rises with more bands."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    linear-ish in corpus size; recall rises with more bands.
+
+    r14 (guide par.2.5, one-unsplittable-file skew): the whole
+    sign->explode->bucket-join->per-pair-cosine pipeline is ONE fused
+    stage whose parallelism equals the scan's split count -- measured
+    at sf0.1 as a single task burning 10.3 s of CPU (the cell's
+    entire 11.5 s wall) because the fixture ships one parquet file.
+    ``fan_out_scan`` on the two-column scan projection repartitions
+    to core count ONLY when splits < cores, so the verify runs wide
+    locally and the helper is a no-op at production split counts."""
+    emb = fan_out_scan(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+    )
     planes = _planes()
 
     sign_cols = []
@@ -316,7 +329,9 @@ def _assigned(emb: DataFrame) -> DataFrame:
             F.col("embedding").alias("ce"),
         )
     )
-    scored = emb.crossJoin(centroids).select(
+    # r14: the K-per-row assignment cosines run in the scan stage --
+    # single-split at fixture scale (guide par.2.5); no-op otherwise
+    scored = fan_out_scan(emb).crossJoin(centroids).select(
         "vec_id",
         "embedding",
         "label",
@@ -882,13 +897,18 @@ def similarity_ann_recall_eval(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("ce"),
     )
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "embedding",
-        F.struct(
-            rcos(F.col("embedding"), F.col("ce")).alias("cos"),
-            F.col("centroid_id").alias("cid"),
-        ).alias("sc"),
+    # r14: same single-split fan-out as _assigned (guide par.2.5)
+    scored = (
+        fan_out_scan(emb.select("vec_id", "embedding"))
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "embedding",
+            F.struct(
+                rcos(F.col("embedding"), F.col("ce")).alias("cos"),
+                F.col("centroid_id").alias("cid"),
+            ).alias("sc"),
+        )
     )
     assigned = (
         scored.groupBy("vec_id")

@@ -157,7 +157,27 @@ def fan_out_scan(df):
     files = df.inputFiles()
     if not files or len(files) >= cores:
         return df
-    mpb = 128 * 1024 * 1024  # conservative split-size estimate
+    # split-size estimate from the session's actual scan split size
+    # (ADVICE r13: a hardcoded 128 MiB underestimates splits when the
+    # session configures a smaller maxPartitionBytes and fires a
+    # needless full-input shuffle)
+    raw = (
+        df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes",
+            str(128 * 1024 * 1024),
+        )
+        .strip()
+        .lower()
+        .removesuffix("b")
+    )
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3}
+    try:
+        if raw and raw[-1] in units:
+            mpb = int(raw[:-1]) * units[raw[-1]]
+        else:
+            mpb = int(raw)
+    except ValueError:
+        mpb = 128 * 1024 * 1024
     splits = 0
     for uri in files:
         path = uri[7:] if uri.startswith("file://") else uri
