@@ -551,42 +551,62 @@ def orders_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_rows = F.col("_n")
     total = per_cust.agg(F.count("*").alias("_n"))
 
-    # the three metric ranks are INDEPENDENT branches off the cached
-    # per_cust, joined back on o_custkey -- not a chain: chaining
-    # serializes the three shuffle+window passes behind each other,
-    # while independent branches schedule concurrently (measured 1.7 s
-    # vs 2.5 s median at sf0.1).  The join-back keys on the customer
-    # key at |customers| cardinality, the same magnitude the rank
-    # shuffles already move.
-    # recency: bucket by month (monotone with last_order DESC)
-    r_rank = _global_rank(
-        per_cust,
-        F.date_trunc("month", F.col("last_order")),
-        [F.col("last_order").desc(), F.col("o_custkey")],
-        "_r_rn",
-        bucket_desc=True,
-    ).select("o_custkey", "_r_rn")
-    # frequency: the order count itself is the coarse bucket
-    f_rank = _global_rank(
-        per_cust,
-        F.col("n_orders"),
-        [F.col("n_orders").desc(), F.col("o_custkey")],
-        "_f_rn",
-        bucket_desc=True,
-    ).select("o_custkey", "_f_rn")
-    # monetary: 50k spend bands
-    m_rank = _global_rank(
-        per_cust,
-        F.floor(F.col("spend") / 50000.0),
-        [F.col("spend").desc(), F.col("o_custkey")],
-        "_m_rn",
-        bucket_desc=True,
-    ).select("o_custkey", "_m_rn")
-    ranked = (
-        per_cust.join(r_rank, "o_custkey")
-        .join(f_rank, "o_custkey")
-        .join(m_rank, "o_custkey")
+    # r14 (VERDICT r13 item 6): the three metric ranks used to be
+    # three INDEPENDENT _global_rank branches joined back on
+    # o_custkey -- 26 exchanges / 18 stages of tiny data, 31 task-s
+    # of which only 14 were CPU (scheduling tax at bench scale, and
+    # three full passes over the customer table at any scale).  They
+    # are now ONE _grouped_global_rank pass over the customer table
+    # MELTED to (metric, sortval) rows: per-metric rank semantics are
+    # identical because each metric's (sortval DESC, o_custkey) order
+    # is a monotone image of the original sort (date -> epoch days,
+    # count, spend -- each cast losslessly to DECIMAL(38,6)), the
+    # coarse bucket is the NEGATED original bucket (so bucket ASC
+    # still prefixes the DESC row order), and ranks are computed
+    # within the metric group.  One shuffle of 3N melted rows
+    # replaces three shuffles of N plus three join-backs.
+    melted = per_cust.select(
+        "o_custkey",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("m"),
+                    # TIMESTAMP_NTZ -> exact epoch micros (session TZ
+                    # is pinned UTC): injective + monotone, so the
+                    # DESC order and its ties match last_order DESC
+                    F.expr("unix_micros(cast(last_order as timestamp))")
+                    .cast("decimal(38,6)")
+                    .alias("sortval"),
+                    (-F.unix_date(F.date_trunc("month", F.col("last_order")).cast("date")))
+                    .cast("long")
+                    .alias("bk"),
+                ),
+                F.struct(
+                    F.lit(1).alias("m"),
+                    F.col("n_orders").cast("decimal(38,6)").alias("sortval"),
+                    (-F.col("n_orders")).cast("long").alias("bk"),
+                ),
+                F.struct(
+                    F.lit(2).alias("m"),
+                    F.col("spend").cast("decimal(38,6)").alias("sortval"),
+                    (-F.floor(F.col("spend") / 50000.0)).cast("long").alias("bk"),
+                ),
+            )
+        ).alias("e"),
+    ).select("o_custkey", "e.m", "e.sortval", "e.bk")
+    ranked_m = _grouped_global_rank(
+        melted,
+        ["m"],
+        F.col("bk"),
+        [F.col("sortval").desc(), F.col("o_custkey")],
+        "rn",
     )
+    ranks = ranked_m.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("m") == 0, F.col("rn"))).alias("_r_rn"),
+        F.max(F.when(F.col("m") == 1, F.col("rn"))).alias("_f_rn"),
+        F.max(F.when(F.col("m") == 2, F.col("rn"))).alias("_m_rn"),
+    )
+    ranked = per_cust.join(ranks, "o_custkey")
     return ranked.crossJoin(F.broadcast(total)).select(
         "o_custkey",
         "last_order",

@@ -269,8 +269,26 @@ DEFER_NEW: tuple[str, ...] = (
 # code, so they join the front of the window until a record from
 # round >= RECHECK_SINCE lands; then _RECORD_ROUND retires them
 # automatically.
-RECHECK_SINCE = 13
+RECHECK_SINCE = 14
 RECHECK: tuple[str, ...] = (
+    # r14 optimization round, plan-changed cells (values identical,
+    # oracles untouched; each re-gated strict at sf0.01 before
+    # landing -- see OPTIMIZATION_r14.md): the fan_out_scan
+    # conditional repartition ahead of the ANN/levenshtein/semantic
+    # pair verifies (plan gains an Exchange at fixture split counts),
+    # the semantic salted slice pair join, the IVF assignment
+    # fan-out, and the orders_rfm melted single-pass grouped rank.
+    "similarity_ann_lsh",
+    "similarity_ann_recall_eval",
+    "similarity_ivf_topk",
+    "dedup_levenshtein_pairs",
+    "dedup_semantic_clusters",
+    "orders_rfm_scores",
+)
+
+# r13 RECHECK block, retired (all re-records landed green in
+# CORRECTNESS_r13, verified by the r13 judge: 50/50 rows+schema+hash).
+_RECHECK_R13_RETIRED: tuple[str, ...] = (
     "source_txn_log_incremental_sync",
     # LP_N_HASHES 24 -> 48 (VERDICT r12 item 2, measured A/B): both
     # the Spark plan and the DuckDB oracle change with the constant,

@@ -109,9 +109,13 @@ def local_df(spark: SparkSession, rows, ddl: str):
             return f"'{escaped}'"
         raise TypeError(type(v))
 
-    cols = [c.strip().rsplit(None, 1) for c in ddl.split(",")]
-    if not rows or len(rows) > 10_000:
+    # Parameterized/nested types ('decimal(10,2)', 'map<string,int>')
+    # carry commas/brackets that the naive split would mis-parse into
+    # wrong SQL (ADVICE r13) -- fall back to createDataFrame for them;
+    # the fast path only ever targets scalar dimension tables.
+    if "(" in ddl or "<" in ddl or not rows or len(rows) > 10_000:
         return spark.createDataFrame(rows, ddl)
+    cols = [c.strip().rsplit(None, 1) for c in ddl.split(",")]
     try:
         vals = ", ".join(
             "(" + ", ".join(lit(v) for v in r) + ")" for r in rows

@@ -60,15 +60,27 @@ LOG_DIR = "_txn_log"
 # bytes, so the same path tuple always denotes the same rows; any new
 # commit changes the live/feed file set and therefore the key.  The
 # memo holds unexecuted plans only -- every action still reads the
-# parquet files.
+# parquet files.  r14 hygiene (VERDICT r13 item 5 / ADVICE): single
+# current-application cache (cleared on applicationId change so a
+# session-cycling process never pins a stopped JVM's plans), FIFO cap
+# as a growth backstop -- a long-lived writer accretes one new path
+# set per commit.
 _SCAN_MEMO: dict[tuple, DataFrame] = {}
+_SCAN_APP: list[str] = [""]
+_SCAN_CAP = 64
 
 
 def _scan_paths(spark: SparkSession, paths: list[str]) -> DataFrame:
-    key = (spark.sparkContext.applicationId, tuple(sorted(paths)))
+    app = spark.sparkContext.applicationId
+    if app != _SCAN_APP[0]:
+        _SCAN_MEMO.clear()
+        _SCAN_APP[0] = app
+    key = tuple(sorted(paths))
     hit = _SCAN_MEMO.get(key)
     if hit is None:
         hit = _SCAN_MEMO[key] = spark.read.parquet(*paths)
+        while len(_SCAN_MEMO) > _SCAN_CAP:
+            _SCAN_MEMO.pop(next(iter(_SCAN_MEMO)))
     return hit
 
 

@@ -212,11 +212,15 @@ def test_pagination_is_distributed_topk_not_global_window(spark):
 
 
 def test_rfm_quartiles_have_no_table_sized_global_window(spark):
-    # quartiles come from bucketed two-pass global ranks: every
-    # window over customer-sized data is partitioned (_b); the only
-    # unpartitioned windows run over tiny bucket-count tables.
+    # quartiles come from ONE bucketed two-pass grouped rank over the
+    # melted (metric, sortval) rows (r14): every window over
+    # customer-sized data is partitioned by (m, _b); the only
+    # per-metric unpartitioned prefix window runs over the tiny
+    # (metric, bucket)-count table.
+    import re
+
     plan = _plan(spark, "orders_rfm_scores")
-    assert "hashpartitioning(_b" in plan
+    assert re.search(r"hashpartitioning\([^)]*_b", plan)
     assert "ntile" not in plan.lower()
 
 
