@@ -23,6 +23,7 @@ from pyspark.sql.window import Window
 
 from ..functions.scalars import dec_sum, dec_sum_sql
 from ..registry import query
+from ..session import fan_out_keyed
 from ..sources.loaders import load_table
 
 
@@ -3481,13 +3482,21 @@ def window_ewma_customer_revenue(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    seq = orders.select(
+    # r14 (guide par.2.5 flavor): the 8-lag window is CPU-dense but
+    # byte-small, so AQE's byte-based coalescing ran it on 3 tasks at
+    # sf0.1; fan_out_keyed pins the per-customer shuffle to core
+    # count ONLY when the feeding scan is split-starved (no-op, and
+    # AQE stays in charge, at production split counts).
+    seq = fan_out_keyed(
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        ),
         "o_custkey",
-        "o_orderkey",
-        F.to_date("o_orderdate").alias("order_date"),
-        F.round(F.col("o_totalprice") * 100)
-        .cast("long")
-        .alias("cents"),
     )
     win = Window.partitionBy("o_custkey").orderBy(
         "order_date", "o_orderkey"

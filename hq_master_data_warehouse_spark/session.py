@@ -156,15 +156,22 @@ def fan_out_scan(df):
     (microseconds) rather than df.rdd.getNumPartitions(), which
     triggers a full physical-planning pass (~0.2 s per call).
     """
-    sc = df.sparkSession.sparkContext
-    cores = sc.defaultParallelism
+    if not _scan_split_starved(df):
+        return df
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def _scan_split_starved(df) -> bool:
+    """True when df's scan yields fewer input splits than cores --
+    the shared condition behind both fan-out helpers.  Split-size
+    estimate reads the session's actual scan split size (ADVICE r13:
+    a hardcoded 128 MiB underestimates splits when the session
+    configures a smaller maxPartitionBytes and fires a needless
+    full-input shuffle)."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
     files = df.inputFiles()
     if not files or len(files) >= cores:
-        return df
-    # split-size estimate from the session's actual scan split size
-    # (ADVICE r13: a hardcoded 128 MiB underestimates splits when the
-    # session configures a smaller maxPartitionBytes and fires a
-    # needless full-input shuffle)
+        return False
     raw = (
         df.sparkSession.conf.get(
             "spark.sql.files.maxPartitionBytes",
@@ -188,11 +195,35 @@ def fan_out_scan(df):
         try:
             size = os.path.getsize(path)
         except OSError:
-            return df  # non-local storage: trust the file count
+            return False  # non-local storage: trust the file count
         splits += max(1, -(-size // mpb))
         if splits >= cores:
-            return df
-    return df.repartition(cores)
+            return False
+    return True
+
+
+def fan_out_keyed(df, *keys):
+    """``fan_out_scan``'s sibling for CPU-dense KEYED window/group
+    stages: pre-partition by the window keys to core count, but only
+    under the same split-starvation condition.
+
+    Why it exists (r14): a window over a byte-small but CPU-dense
+    shuffle gets AQE-coalesced down to a handful of tasks -- AQE
+    sizes post-shuffle partitions by BYTES and cannot see per-row
+    expression cost (measured: the 8-lag EWMA window ran on 3 tasks
+    at sf0.1).  An explicit ``repartition(cores, keys)`` satisfies
+    the window's required distribution (no second exchange) and AQE
+    respects user-specified partition counts.  The fan_out_scan
+    condition keeps it scale-honest: on production inputs the scan
+    fans out, the condition is false, and AQE's byte-based sizing --
+    correct at real volumes -- stays in charge.  Only for
+    per-key-independent downstream computation (the repartition
+    changes which task holds a key, never a key's row set)."""
+    if not _scan_split_starved(df):
+        return df
+    return df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *keys
+    )
 
 
 def get_test_spark() -> SparkSession:
