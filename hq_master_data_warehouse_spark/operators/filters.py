@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ..session import fan_out_scan
 from ..sources.loaders import load_table
 
 
@@ -181,7 +182,19 @@ def filter_validation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = load_table(spark, sf_dir, "orders")
+    # r14 (guide par.2.5): the per-row scalar surface ran on ONE task
+    # (2.0 s CPU = the whole cell) over the single-split fixture scan;
+    # conditional fan-out on the 5-column projection, no-op at
+    # production split counts.
+    df = fan_out_scan(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+    )
     return df.select(
         "o_orderkey",
         F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss").alias("iso_ts"),

@@ -1623,6 +1623,11 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _pq_quantize(F.col("embedding")).alias("e")
     )
     dim = 64
+    # r14 note: widening the cached training substrate with
+    # fan_out_scan was A/B'd and REJECTED -- ~20 downstream stages
+    # read this tiny (n*PQ_M rows) cache, and 32 tasks per stage of
+    # scheduling cost more than the three ~0.45 s single-task Lloyd
+    # stages it parallelizes (measured 3.35 -> 4.58 s).
     subs = _pq_subvectors(
         emb.select("vec_id", F.col("e").alias("embedding")), dim
     ).cache()

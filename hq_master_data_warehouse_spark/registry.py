@@ -284,6 +284,10 @@ RECHECK: tuple[str, ...] = (
     "dedup_levenshtein_pairs",
     "dedup_semantic_clusters",
     "orders_rfm_scores",
+    # keyed fan-out ahead of the EWMA window; scan fan-out ahead of
+    # the scalar projection surface
+    "window_ewma_customer_revenue",
+    "scalar_functions_showcase",
 )
 
 # r13 RECHECK block, retired (all re-records landed green in
